@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with graft's scale-oriented defaults.
+  *
+  * Defaults chosen for the local[32] test harness but expressed the way a
+  * 1000-executor deployment would set them: AQE on (runtime re-plan, skew
+  * join handling), shuffle partitions sized to the cluster (32 locally),
+  * UTC session time, parquet NANOS timestamps read losslessly as longs
+  * (the `events` table is nano-precision; see [[graft.operators.Events]]).
+  */
+object GraftSession {
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cores]").appName("graft"))
+      .getOrCreate()
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Text2SQL execution surface (reference notebook 8-Text2SQL_Week3): the
+    * generated SQL string runs directly against registered graft tables.
+    */
+  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+}

@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each entry maps to.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q3_top_orders" -> (Relational.q3TopOrders _),
+    "q5_region_revenue" -> (Relational.q5RegionRevenue _),
+    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "q_window_top_orders" -> (Relational.windowTopOrders _),
+    "q_sql_passthrough" -> (Relational.qSqlPassthrough _),
+    "q_events_hourly" -> (Events.hourly _),
+    "q_events_sessionize" -> (Events.sessionize _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> Relational.q1Oracle,
+    "q3_top_orders" -> Relational.q3Oracle,
+    "q5_region_revenue" -> Relational.q5Oracle,
+    "q6_forecast_revenue" -> Relational.q6Oracle,
+    "q_window_top_orders" -> Relational.windowTopOrdersOracle,
+    "q_sql_passthrough" -> Relational.sqlPassthrough,
+    "q_events_hourly" -> Events.hourlyOracle,
+    "q_events_sessionize" -> Events.sessionizeOracle
+  )
 }

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by chunking, BM25, dedup and text analysis.
+  *
+  * Everything here is a pure column expression (codegen'd by Tungsten, no
+  * UDFs) and every construct has an exact DuckDB equivalent so the oracle
+  * can replay pipelines bit-for-bit:
+  *   - tokenization  = split on `[^a-z0-9]+` after lowercasing
+  *   - portable hash = first 15 hex chars of md5 as a 60-bit non-negative
+  *     long (`conv(substr(md5(x),1,15),16,10)` ↔ DuckDB
+  *     `cast('0x'||substring(md5(x),1,15) as bigint)`)
+  *
+  * Reference behaviors modeled: tiktoken-style token counting in
+  * `src/app_functions.py:47-88` (validate_token_threshold) and the chunking
+  * notebooks (chunk_size/overlap in `src/evaluation/retrieval_evaluation.py`).
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric tokens, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Whitespace token count (fast approximation). */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish token count: alpha runs and digit runs count separately,
+    * mirroring how byte-pair vocabularies split number/word boundaries.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0)))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** 60-bit non-negative hash, identical in Spark and DuckDB. */
+  def portableHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("bigint")
+
+  /** Canonical text: lowercase, alnum runs joined by single spaces. */
+  def normalized(text: Column): Column = array_join(tokens(text), " ")
+
+  /** Content fingerprint over normalized text (reference: exact-identity of
+    * a chunk — doc_id derivation — generalized to content addressing).
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Word k-shingles over a token array; docs shorter than k yield their
+    * whole token list as a single shingle.
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+}

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{CosineSimilarity, Shims}
+
+/** Vector primitives for similarity search, IVF indexing and near-dup.
+  *
+  * `cosineSim` is the codegen'd Catalyst expression ([[CosineSimilarity]]);
+  * `cosineSimHof` is the pure-`functions` composition kept as a reference
+  * implementation and for benchmarking the expression against the
+  * higher-order-function path.
+  */
+object VectorFunctions {
+
+  /** Codegen'd cosine similarity (primary, hot path). */
+  def cosineSim(a: Column, b: Column): Column =
+    Shims.column(CosineSimilarity(Shims.expression(a), Shims.expression(b)))
+
+  /** Dot product via zip_with/aggregate (no custom expression needed). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Reference/fallback cosine using only built-in functions. */
+  def cosineSimHof(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val denom = l2Norm(ad) * l2Norm(bd)
+    when(denom === 0.0d, 0.0d).otherwise(dot(ad, bd) / denom)
+  }
+}

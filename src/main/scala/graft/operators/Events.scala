@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over the `events` stream table. These are the batch
+  * twins of [[graft.streaming.EventsStream]] — identical semantics, so the
+  * streaming path is verified against the same oracle-checked results.
+  *
+  * The parquet `ts` column is NANOS precision; graft reads it losslessly as
+  * a long (see [[graft.GraftSession]]) and floors to seconds/hours in exact
+  * integer arithmetic (double division would lose precision at 1e18 ns).
+  * DuckDB truncates ns→µs on read, so second-floor values agree exactly.
+  */
+object Events {
+
+  /** Nanosecond long → floored epoch seconds (exact, integral `div`). */
+  private def tsSeconds(c: String): org.apache.spark.sql.Column =
+    expr(s"$c div 1000000000")
+
+  /** Hourly tumbling aggregation per event type (map-side partial agg →
+    * one shuffle on (hour, event_type)).
+    */
+  def hourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        timestamp_seconds(tsSeconds("ts") - (tsSeconds("ts") % 3600))
+          .cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("value"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  val hourlyOracle: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity): lag + cumulative sum —
+    * the classic two-window one-shuffle formulation. Partitioned by user,
+    * so at 100 TB this scales with the user-key cardinality and AQE handles
+    * hot users.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), tsSeconds("ts").as("ts_s"))
+      .withColumn("new_sess",
+        when(col("ts_s") - lag("ts_s", 1).over(byUser) > 1800 ||
+          lag("ts_s", 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("ts_s") - min("ts_s")).as("duration_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeOracle: String =
+    """WITH base AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_s,
+      |    CASE WHEN ts_s - lag(ts_s) OVER w > 1800
+      |           OR lag(ts_s) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts_s,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  max(ts_s) - min(ts_s) AS duration_s
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+}
