@@ -21,7 +21,15 @@ object SparkEntry {
     "q_window_top_orders" -> (Relational.windowTopOrders _),
     "q_sql_passthrough" -> (Relational.qSqlPassthrough _),
     "q_events_hourly" -> (Events.hourly _),
-    "q_events_sessionize" -> (Events.sessionize _)
+    "q_events_sessionize" -> (Events.sessionize _),
+    "kw_search_bm25" -> (KeywordSearch.search _),
+    "filter_search_exact" -> (KeywordSearch.searchFilterExact _),
+    "filter_search_fuzzy" -> (KeywordSearch.searchFilterFuzzy _),
+    "doc_count" -> (KeywordSearch.docCount _),
+    "vector_search_topk" -> (VectorSearch.search _),
+    "hybrid_search" -> (HybridSearch.search _),
+    "rerank_overlap" -> (Reranker.search _),
+    "context_prune" -> (ContextPruner.search _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,6 +43,14 @@ object SparkEntry {
     "q_window_top_orders" -> Relational.windowTopOrdersOracle,
     "q_sql_passthrough" -> Relational.sqlPassthrough,
     "q_events_hourly" -> Events.hourlyOracle,
-    "q_events_sessionize" -> Events.sessionizeOracle
+    "q_events_sessionize" -> Events.sessionizeOracle,
+    "kw_search_bm25" -> KeywordSearch.searchOracle,
+    "filter_search_exact" -> KeywordSearch.searchFilterExactOracle,
+    "filter_search_fuzzy" -> KeywordSearch.searchFilterFuzzyOracle,
+    "doc_count" -> KeywordSearch.docCountOracle,
+    "vector_search_topk" -> VectorSearch.searchOracle,
+    "hybrid_search" -> HybridSearch.searchOracle,
+    "rerank_overlap" -> Reranker.searchOracle,
+    "context_prune" -> ContextPruner.searchOracle
   )
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hybrid (keyword + vector) search with relative-score fusion — the
+  * Spark-native `hybrid_search` (reference
+  * `src/database/weaviate_interface_v4.py:308-361`): BM25 and cosine
+  * scores are min-max normalized over the corpus and combined as
+  * `alpha * vector + (1 - alpha) * keyword` (alpha=0 pure BM25, alpha=1
+  * pure vector — reference docstring L330-335).
+  *
+  * Scale design: one scan computes both signals (documents⋈embeddings is
+  * a co-partitioned 1:1 key join); min/max normalization is a single-row
+  * aggregate broadcast back — no window-over-everything. Top-k via heap.
+  */
+object HybridSearch {
+  val Alpha = 0.5
+  val TopK = 10
+
+  def fused(docs: DataFrame, embs: DataFrame, terms: Seq[String],
+            queryVecId: Long, alpha: Double = Alpha, k: Int = TopK): DataFrame = {
+    val q = embs.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
+    // one pass: tokenized text + vector score per doc
+    val base = docs.select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+      .join(embs.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .join(broadcast(q))
+      .select(Seq(col("doc_id"), col("source"), col("dl"),
+        cosineSim(col("embedding"), col("q_emb")).as("vscore")) ++
+        terms.zipWithIndex.map { case (t, i) => KeywordSearch.tfCol(t).as(s"tf_$i") }: _*)
+    val aggCols = count(lit(1)).as("n_docs") +: avg("dl").as("avgdl") +:
+      min("vscore").as("vmin") +: max("vscore").as("vmax") +:
+      terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val kwScore = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val df = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5))
+      when(tf > 0,
+        idf * (tf * (KeywordSearch.K1 + 1)) /
+          (tf + lit(KeywordSearch.K1) *
+            (lit(1 - KeywordSearch.B) + lit(KeywordSearch.B) * col("dl") / col("avgdl"))))
+        .otherwise(0.0)
+    }.reduce(_ + _)
+    val scored = base.join(broadcast(stats))
+      .withColumn("kscore", kwScore)
+    val kstats = scored.agg(min("kscore").as("kmin"), max("kscore").as("kmax"))
+    scored.join(broadcast(kstats))
+      .select(col("doc_id"), col("source"),
+        round(
+          lit(alpha) * (col("vscore") - col("vmin")) /
+            when(col("vmax") === col("vmin"), 1.0).otherwise(col("vmax") - col("vmin")) +
+            lit(1 - alpha) * (col("kscore") - col("kmin")) /
+              when(col("kmax") === col("kmin"), 1.0).otherwise(col("kmax") - col("kmin")),
+          4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  def fusedSql(terms: Seq[String], queryVecId: Long,
+               alpha: Double = Alpha, k: Int = TopK): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, t -> t = '$t')) AS tf_$i"
+    }.mkString(",\n    ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val k1 = KeywordSearch.K1; val b = KeywordSearch.B
+    val kscore = terms.indices.map { i =>
+      s"""(CASE WHEN tf_$i > 0 THEN
+         |      ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+         |      * (CAST(tf_$i AS DOUBLE) * ${k1 + 1}) / (CAST(tf_$i AS DOUBLE) + $k1 * (1 - $b + $b * dl / avgdl))
+         |    ELSE 0.0 END)""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),
+       |base AS (
+       |  SELECT doc_id, source, CAST(len(toks) AS DOUBLE) AS dl,
+       |    ${VectorSearch.cosineSql("embedding", "q_emb")} AS vscore,
+       |    $tfs
+       |  FROM (SELECT doc_id, source,
+       |          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
+       |          embedding
+       |        FROM documents JOIN embeddings ON doc_id = vec_id), q),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+       |    min(vscore) AS vmin, max(vscore) AS vmax, $dfs FROM base),
+       |scored AS (
+       |  SELECT doc_id, source, vscore, vmin, vmax,
+       |    $kscore AS kscore
+       |  FROM base, stats),
+       |kstats AS (SELECT min(kscore) AS kmin, max(kscore) AS kmax FROM scored)
+       |SELECT doc_id, source,
+       |  round($alpha * (vscore - vmin) /
+       |          (CASE WHEN vmax = vmin THEN 1.0 ELSE vmax - vmin END)
+       |      + ${1 - alpha} * (kscore - kmin) /
+       |          (CASE WHEN kmax = kmin THEN 1.0 ELSE kmax - kmin END), 4) AS score
+       |FROM scored, kstats
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  def search(s: SparkSession, dir: String): DataFrame =
+    fused(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      KeywordSearch.QueryTerms, VectorSearch.QueryVecId)
+
+  val searchOracle: String =
+    fusedSql(KeywordSearch.QueryTerms, VectorSearch.QueryVecId)
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full BM25 keyword search over the document corpus — the Spark-native
+  * re-derivation of `keyword_search` (reference
+  * `src/database/weaviate_interface_v4.py:201-244`, Weaviate's bm25
+  * operator) including metadata filters (`SearchFilter.exact_match` /
+  * `fuzzy_match`, reference L495-515) and return-properties projection.
+  *
+  * Scale design (100 TB): per-document term frequencies are map-side
+  * column expressions over the token array (no explode, no shuffle of
+  * token rows). Corpus statistics (N, avgdl, per-query-term df) reduce to
+  * ONE row via a single partial-aggregated pass, then re-join the corpus
+  * as a broadcast — so the whole search is two scans + a broadcast, and
+  * the global top-k is a TakeOrderedAndProject (per-partition heap, k
+  * rows to the driver, no sort). Only query terms (a handful) ever get
+  * counted — df of the full vocabulary is never materialized.
+  *
+  * Scoring: Robertson/Lucene BM25,
+  *   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+  *   s(t, d) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+  * with k1=1.2, b=0.75. Scores rounded to 4dp at the output edge; ties
+  * broken by doc_id (deterministic for the oracle).
+  */
+object KeywordSearch {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** The fixed benchmark query (tokens present in the corpus vocabulary). */
+  val QueryTerms: Seq[String] = Seq("spark", "hash", "join", "fast")
+  val TopK = 10
+
+  def tfCol(t: String): Column = size(filter(col("toks"), x => x === t))
+
+  /** Score documents for `terms`; `docFilter` is the metadata pre-filter
+    * (Weaviate `filters=` semantics — stats computed over the filtered
+    * corpus, documented divergence: Weaviate computes df on the full index).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], topK: Int = TopK,
+           docFilter: Column = lit(true)): DataFrame = {
+    val base = docs.filter(docFilter)
+      .select(col("doc_id"), col("source"), col("lang"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+      .select(Seq(col("doc_id"), col("source"), col("lang"), col("dl")) ++
+        terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }: _*)
+    val aggCols = count(lit(1)).as("n_docs") +: avg("dl").as("avgdl") +:
+      terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val perTerm = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val df = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5))
+      when(tf > 0,
+        idf * (tf * (K1 + 1)) /
+          (tf + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+        .otherwise(0.0)
+    }
+    base.join(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), col("source"), col("lang"),
+        round(perTerm.reduce(_ + _), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[bm25]], generated from the same constants. */
+  def bm25Sql(terms: Seq[String], topK: Int = TopK, whereSql: String = ""): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, t -> t = '$t')) AS tf_$i"
+    }.mkString(",\n    ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val scores = terms.indices.map { i =>
+      s"""(CASE WHEN tf_$i > 0 THEN
+         |      ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+         |      * (CAST(tf_$i AS DOUBLE) * ${K1 + 1}) / (CAST(tf_$i AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl))
+         |    ELSE 0.0 END)""".stripMargin
+    }.mkString("\n    + ")
+    val anyTf = terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+    s"""WITH toked AS (
+       |  SELECT doc_id, source, lang,
+       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+       |  FROM documents $whereSql),
+       |base AS (
+       |  SELECT doc_id, source, lang, CAST(len(toks) AS DOUBLE) AS dl,
+       |    $tfs
+       |  FROM toked),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl, $dfs FROM base)
+       |SELECT doc_id, source, lang,
+       |  round($scores, 4) AS score
+       |FROM base, stats
+       |WHERE $anyTf
+       |ORDER BY score DESC, doc_id
+       |LIMIT $topK""".stripMargin
+  }
+
+  // --- wired queries -------------------------------------------------------
+
+  def search(s: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(s, dir), QueryTerms)
+
+  val searchOracle: String = bm25Sql(QueryTerms)
+
+  /** Exact-match metadata filter (SearchFilter.exact_match, ref L511). */
+  def searchFilterExact(s: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(s, dir), QueryTerms, docFilter = col("lang") === "en")
+
+  val searchFilterExactOracle: String =
+    bm25Sql(QueryTerms, whereSql = "WHERE lang = 'en'")
+
+  /** Fuzzy LIKE filter (SearchFilter.fuzzy_match, ref L514). */
+  def searchFilterFuzzy(s: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(s, dir), QueryTerms, docFilter = col("source").like("%1%"))
+
+  val searchFilterFuzzyOracle: String =
+    bm25Sql(QueryTerms, whereSql = "WHERE source LIKE '%1%'")
+
+  /** Collection doc count (`get_doc_count`, ref L170). */
+  def docCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+
+  val docCountOracle: String = "SELECT count(*) AS n_docs FROM documents"
+}

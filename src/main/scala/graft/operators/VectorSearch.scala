@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Brute-force cosine top-k — the Spark-native `vector_search` (reference
+  * `src/database/weaviate_interface_v4.py:246-287`: near_vector query with
+  * cosine ranking, limit, return-properties).
+  *
+  * The benchmark query vector is a corpus vector (vec_id=42) — the batch
+  * analog of embedding the user query: at serving scale you'd broadcast a
+  * small batch of query vectors and score them in one scan (the plan here
+  * is exactly that with batch size 1).
+  *
+  * Scale design: the query side is a 1-row broadcast; scoring is one
+  * codegen'd expression per row inside the scan (no shuffle); top-k is
+  * TakeOrderedAndProject. 100 TB of vectors → still a single
+  * embarrassingly-parallel scan; the IVF variant ([[IvfIndex]]) prunes the
+  * scan to nprobe/nlist of the data.
+  */
+object VectorSearch {
+  val QueryVecId = 42L
+  val TopK = 10
+
+  def topK(embeddings: DataFrame, queryVecId: Long = QueryVecId,
+           k: Int = TopK): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    embeddings.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Elementwise double-precision cosine in DuckDB, same accumulation
+    * order as [[org.apache.spark.sql.graftshim.CosineSimilarity]].
+    */
+  def cosineSql(a: String, b: String, dim: Int = 64): String =
+    s"""(list_sum(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  def topKSql(queryVecId: Long = QueryVecId, k: Int = TopK): String =
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId)
+       |SELECT vec_id, label,
+       |  round(${cosineSql("embedding", "q_emb")}, 4) AS score
+       |FROM embeddings, q
+       |WHERE vec_id <> $queryVecId
+       |ORDER BY score DESC, vec_id
+       |LIMIT $k""".stripMargin
+
+  def search(s: SparkSession, dir: String): DataFrame =
+    topK(Tables.embeddings(s, dir))
+
+  val searchOracle: String = topKSql()
+}
