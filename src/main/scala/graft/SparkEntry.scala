@@ -29,7 +29,23 @@ object SparkEntry {
     "vector_search_topk" -> (VectorSearch.search _),
     "hybrid_search" -> (HybridSearch.search _),
     "rerank_overlap" -> (Reranker.search _),
-    "context_prune" -> (ContextPruner.search _)
+    "context_prune" -> (ContextPruner.search _),
+    "chunk_documents" -> (Chunker.query _),
+    "ingest_meta_join" -> (Ingest.query _),
+    "text_token_count" -> (TextAnalysis.qTokenCounts _),
+    "text_quality" -> (TextAnalysis.qQuality _),
+    "text_langid" -> (TextAnalysis.qLangId _),
+    "text_fingerprint" -> (TextAnalysis.qFingerprints _),
+    "dedup_exact" -> (Dedup.qExact _),
+    "dedup_minhash_lsh" -> (Dedup.qMinhashLsh _),
+    "dedup_simhash" -> (Dedup.qSimhash _),
+    "dedup_ngram_jaccard" -> (Dedup.qNgramJaccard _),
+    "dedup_embedding" -> (Dedup.qEmbeddingNearDup _),
+    "lsh_bucket_stats" -> (Dedup.qLshBucketStats _),
+    "ivf_build_centroids" -> (IvfIndex.qBuild _),
+    "ivf_search" -> (IvfIndex.qSearch _),
+    "eval_retrieval" -> (RetrievalEval.query _),
+    "multimodal_meta" -> (Multimodal.qMeta _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,6 +67,22 @@ object SparkEntry {
     "vector_search_topk" -> VectorSearch.searchOracle,
     "hybrid_search" -> HybridSearch.searchOracle,
     "rerank_overlap" -> Reranker.searchOracle,
-    "context_prune" -> ContextPruner.searchOracle
+    "context_prune" -> ContextPruner.searchOracle,
+    "chunk_documents" -> Chunker.oracle,
+    "ingest_meta_join" -> Ingest.oracle,
+    "text_token_count" -> TextAnalysis.tokenCountsOracle,
+    "text_quality" -> TextAnalysis.qualityOracle,
+    "text_langid" -> TextAnalysis.langIdOracle,
+    "text_fingerprint" -> TextAnalysis.fingerprintsOracle,
+    "dedup_exact" -> Dedup.exactOracle,
+    "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
+    "dedup_simhash" -> Dedup.simhashOracle,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "dedup_embedding" -> Dedup.embeddingNearDupOracle,
+    "lsh_bucket_stats" -> Dedup.lshBucketStatsOracle,
+    "ivf_build_centroids" -> IvfIndex.buildCentroidsOracle,
+    "ivf_search" -> IvfIndex.qSearchOracle,
+    "eval_retrieval" -> RetrievalEval.oracle,
+    "multimodal_meta" -> Multimodal.metaOracle
   )
 }

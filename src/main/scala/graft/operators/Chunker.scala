@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Token-window chunking — the Spark-native preprocessing step behind the
+  * reference's chunk corpus (`chunk_size`/`chunk_overlap` throughout
+  * `src/evaluation/retrieval_evaluation.py:328-329` and the Week-1
+  * preprocessing notebook; reference default 256 tokens, scaled to the
+  * synthetic corpus here).
+  *
+  * Windows start every `size - overlap` tokens:
+  *   n_chunks = max(1, ceil((n_tokens - overlap) / stride))
+  * so every token is covered, consecutive chunks share `overlap` tokens,
+  * and short docs yield exactly one chunk.
+  *
+  * Scale: tokenize + slice + posexplode are all narrow (no shuffle); at
+  * 100 TB chunking is a pure map stage that pipelines into the embedding
+  * or indexing job behind it.
+  */
+object Chunker {
+  val ChunkSize = 32
+  val Overlap = 8
+  val Stride: Int = ChunkSize - Overlap
+
+  def chunk(docs: DataFrame, size: Int = ChunkSize, overlap: Int = Overlap): DataFrame = {
+    val stride = size - overlap
+    val n = org.apache.spark.sql.functions.size(col("toks"))
+    val nChunks = greatest(
+      ceil((n - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        org.apache.spark.sql.functions.size(
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(size))).as("n_tokens"),
+        md5(array_join(
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(size)), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def chunkSql(size: Int = ChunkSize, overlap: Int = Overlap): String = {
+    val stride = size - overlap
+    s"""WITH toked AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, toks,
+       |    unnest(range(0, greatest(CAST(ceil((len(toks) - $overlap) / $stride.0) AS BIGINT), 1))) AS chunk_id
+       |  FROM toked)
+       |SELECT doc_id, chunk_id,
+       |  len(list_slice(toks, chunk_id * $stride + 1, chunk_id * $stride + $size)) AS n_tokens,
+       |  md5(array_to_string(list_slice(toks, chunk_id * $stride + 1, chunk_id * $stride + $size), ' ')) AS chunk_hash
+       |FROM ch
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  def query(s: SparkSession, dir: String): DataFrame = chunk(Tables.documents(s, dir))
+  val oracle: String = chunkSql()
+}

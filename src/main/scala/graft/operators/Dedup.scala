@@ -1,0 +1,308 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines — exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): nothing here is O(n²) over the corpus —
+  *  - exact dedup is one hash aggregate;
+  *  - MinHash-LSH reduces near-dup candidate generation to an equi-join
+  *    on (band_id, band_signature) — only same-bucket pairs are verified;
+  *  - SimHash is a per-row expression + aggregation by doc;
+  *  - n-gram Jaccard joins on (block, shingle) — the inverted-index
+  *    formulation — never a cross join;
+  *  - embedding near-dup keeps the brute-force form only as the
+  *    correctness baseline; the scale path is LSH bucketing
+  *    ([[lshBucketStats]] shows the bucket histogram machinery).
+  *
+  * All hashing uses the md5-prefix portable hash so the DuckDB oracle
+  * replays the exact pipeline.
+  */
+object Dedup {
+
+  // --- exact ---------------------------------------------------------------
+
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc_id"))
+      .orderBy("content_hash")
+
+  val exactOracle: String =
+    s"""SELECT md5(array_to_string(${TextAnalysis.sqlToks}, ' ')) AS content_hash,
+       |  count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  // --- MinHash + LSH -------------------------------------------------------
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+  val P = 2147483647L // 2^31 - 1
+  val ShingleK = 3
+  val JaccardThreshold = 0.2
+
+  /** Deterministic permutation constants (shared with the SQL oracle). */
+  val Perms: Seq[(Long, Long)] = (0 until NumHashes).map { i =>
+    val a = (1103515245L * (2 * i + 1) + 12345L) % P
+    val b = (69069L * (i + 1) * 104729L + 362437L) % P
+    (if (a == 0) 1L else a, b)
+  }
+
+  /** doc_id → minhash signature (array of NumHashes longs), computed
+    * per row (no shuffle): shingle → portable hash → min over
+    * (a*h + b) mod p per permutation.
+    */
+  def minhashSignature(docs: DataFrame): DataFrame = {
+    val hs = transform(shingles(col("toks"), ShingleK), s => portableHash(s) % P)
+    val sig = array(Perms.map { case (a, b) =>
+      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P))
+    }: _*)
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("hs", hs)
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** Candidate pairs via banded LSH + exact Jaccard verification. */
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignature(docs)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band_id"),
+          md5(concat_ws("-",
+            (0 until RowsPerBand).map(r =>
+              element_at(col("sig"), b * RowsPerBand + r + 1)): _*)).as("band_sig"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
+    val cands = bands.as("l").join(bands.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+          col("l.band_sig") === col("r.band_sig") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .distinct()
+    val sets = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), ShingleK)).as("sset"))
+    cands
+      .join(sets.select(col("doc_id").as("d1"), col("sset").as("s1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("sset").as("s2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("d1", "d2")
+  }
+
+  val minhashLshOracle: String = {
+    val shingleSql =
+      s"""CASE WHEN len(toks) >= $ShingleK
+         |  THEN list_transform(range(1, len(toks) - ${ShingleK - 2}), i -> array_to_string(list_slice(toks, i, i + ${ShingleK - 1}), ' '))
+         |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+    val sigCols = Perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $P)) AS m_$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"CAST(m_${b * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band_id, md5($parts) AS band_sig FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toked AS (SELECT doc_id, ${TextAnalysis.sqlToks} AS toks FROM documents),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    list_transform($shingleSql,
+       |      s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % $P) AS hs
+       |  FROM toked),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hashed),
+       |bands AS (
+       |  $bandRows),
+       |cands AS (
+       |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |  FROM bands l JOIN bands r
+       |    ON l.band_id = r.band_id AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id),
+       |sets AS (
+       |  SELECT doc_id, list_distinct($shingleSql) AS sset FROM toked)
+       |SELECT d1, d2,
+       |  round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE), 4) AS jaccard
+       |FROM cands JOIN sets a ON cands.d1 = a.doc_id JOIN sets b ON cands.d2 = b.doc_id
+       |WHERE round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE), 4) >= $JaccardThreshold
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  // --- SimHash -------------------------------------------------------------
+
+  val SimHashBits = 32
+
+  /** 32-bit SimHash per document: explode tokens, one shuffle keyed by
+    * doc_id with 32 partial-aggregated bit sums, reassemble the hash.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toked = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", portableHash(col("tok")))
+    val bitSums = (0 until SimHashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val hashVal = (0 until SimHashBits).map { b =>
+      when(col(s"s_$b") > 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+    toked.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), hashVal.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val simhashOracle: String = {
+    val bitSums = (0 until SimHashBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b").mkString(",\n    ")
+    val hashVal = (0 until SimHashBits).map(b =>
+      s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH toked AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS tok FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h FROM toked),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, $hashVal AS simhash
+       |FROM sums
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- n-gram (unigram) Jaccard -------------------------------------------
+
+  val JaccardN = 1
+  val NgramThreshold = 0.6
+
+  /** Inverted-index Jaccard within `source` blocks: explode distinct
+    * tokens, equi-join on (source, token), count intersections, derive
+    * |union| = |A| + |B| - |A∩B|. Blocking keeps the join bounded; at
+    * 100 TB the block key would be an LSH bucket or shard key.
+    */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val sets = docs.select(col("doc_id"), col("source"),
+      array_distinct(tokens(col("text"))).as("tset"))
+      .withColumn("tsize", size(col("tset")))
+    val inv = sets.select(col("doc_id"), col("source"), col("tsize"),
+      explode(col("tset")).as("tok"))
+    val inter = inv.as("l").join(inv.as("r"),
+        col("l.source") === col("r.source") && col("l.tok") === col("r.tok") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        col("l.tsize").as("n1"), col("r.tsize").as("n2"))
+      .groupBy("d1", "d2", "n1", "n2")
+      .agg(count(lit(1)).as("n_inter"))
+    inter.select(col("d1"), col("d2"),
+        round(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= NgramThreshold)
+      .orderBy(desc("jaccard"), asc("d1"), asc("d2"))
+  }
+
+  val ngramJaccardOracle: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, source, list_distinct(${TextAnalysis.sqlToks}) AS tset
+       |  FROM documents),
+       |inv AS (
+       |  SELECT doc_id, source, len(tset) AS tsize, unnest(tset) AS tok FROM sets),
+       |inter AS (
+       |  SELECT l.doc_id AS d1, r.doc_id AS d2, l.tsize AS n1, r.tsize AS n2,
+       |    count(*) AS n_inter
+       |  FROM inv l JOIN inv r
+       |    ON l.source = r.source AND l.tok = r.tok AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT d1, d2,
+       |  round(CAST(n_inter AS DOUBLE) / CAST(n1 + n2 - n_inter AS DOUBLE), 4) AS jaccard
+       |FROM inter
+       |WHERE round(CAST(n_inter AS DOUBLE) / CAST(n1 + n2 - n_inter AS DOUBLE), 4) >= $NgramThreshold
+       |ORDER BY jaccard DESC, d1, d2""".stripMargin
+
+  // --- embedding cosine near-dup ------------------------------------------
+
+  val CosineDupThreshold = 0.45
+
+  /** Correctness baseline: all-pairs cosine above threshold. Kept
+    * deliberately as the oracle-checkable exact form; production path at
+    * scale is LSH-bucketed ([[lshBucketStats]]) or IVF-cell-blocked.
+    */
+  def embeddingNearDup(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id").as("v1"), col("embedding").as("e1")).as("l")
+      .join(embs.select(col("vec_id").as("v2"), col("embedding").as("e2")).as("r"),
+        col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(cosineSim(col("e1"), col("e2")), 4).as("cosine"))
+      .filter(col("cosine") >= CosineDupThreshold)
+      .orderBy(desc("cosine"), asc("v1"), asc("v2"))
+
+  val embeddingNearDupOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT l.vec_id AS v1, r.vec_id AS v2,
+       |    round(${VectorSearch.cosineSql("l.embedding", "r.embedding")}, 4) AS cosine
+       |  FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id)
+       |SELECT v1, v2, cosine FROM pairs
+       |WHERE cosine >= $CosineDupThreshold
+       |ORDER BY cosine DESC, v1, v2""".stripMargin
+
+  // --- LSH bucket machinery ------------------------------------------------
+
+  val LshPlanes = 8
+  val Dim = 64
+
+  /** Deterministic ±1 hyperplanes (shared with the SQL oracle). */
+  val Hyperplanes: Seq[Seq[Int]] = (0 until LshPlanes).map { i =>
+    (0 until Dim).map { j =>
+      val v = (1103515245L * (i * Dim + j) + 12345L) % 2147483648L
+      if (v < 1073741824L) 1 else -1
+    }
+  }
+
+  /** Random-hyperplane signature histogram: the bucketing primitive for
+    * cosine LSH (sign of dot with each plane → bit). Near-dup pairs at
+    * scale are then joined within buckets instead of all-pairs.
+    */
+  def lshBucketStats(embs: DataFrame): DataFrame = {
+    val sigBits = Hyperplanes.zipWithIndex.map { case (plane, i) =>
+      val dotp = aggregate(
+        zip_with(col("embedding"), typedLit(plane.map(_.toDouble)),
+          (x, y) => x.cast("double") * y),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dotp >= 0, 1L << i).otherwise(0L)
+    }
+    embs.select(sigBits.reduce(_ + _).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("bucket")
+  }
+
+  val lshBucketStatsOracle: String = {
+    val sigBits = Hyperplanes.zipWithIndex.map { case (plane, i) =>
+      val lits = plane.map(v => s"$v.0").mkString("[", ", ", "]")
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+         |    k -> CAST(embedding[k] AS DOUBLE) * ($lits)[k])) >= 0
+         |  THEN ${1L << i} ELSE 0 END)""".stripMargin
+    }.mkString("\n    + ")
+    s"""SELECT $sigBits AS bucket, count(*) AS n_vecs
+       |FROM embeddings
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
+  // --- wiring --------------------------------------------------------------
+
+  def qExact(s: SparkSession, dir: String): DataFrame = exact(Tables.documents(s, dir))
+  def qMinhashLsh(s: SparkSession, dir: String): DataFrame = minhashLsh(Tables.documents(s, dir))
+  def qSimhash(s: SparkSession, dir: String): DataFrame = simhash(Tables.documents(s, dir))
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = ngramJaccard(Tables.documents(s, dir))
+  def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = embeddingNearDup(Tables.embeddings(s, dir))
+  def qLshBucketStats(s: SparkSession, dir: String): DataFrame = lshBucketStats(Tables.embeddings(s, dir))
+}

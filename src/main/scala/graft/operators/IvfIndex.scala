@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch IVF (inverted-file) index build + search — the Spark-native
+  * re-derivation of the reference's batch indexing job
+  * (`WeaviateIndexer.batch_index_data`, reference
+  * `src/database/weaviate_interface_v4.py:409-492`: the Python loop that
+  * pushes vectors into the vector DB's ANN index). In Spark the index IS
+  * a DataFrame: cell assignments + cell centroids, writable as
+  * cell-partitioned parquet so a search only scans probed cells
+  * (partition pruning).
+  *
+  * Cells here are the corpus `label` (the pre-assigned coarse quantizer);
+  * a learned quantizer (k-means) would slot in as the assignment step
+  * without changing the search plan.
+  *
+  * Search = (1) score nlist centroids against the query (tiny), (2) take
+  * nprobe cells, (3) exact cosine over only those cells' vectors. At 100
+  * TB with nlist=4096, nprobe=64 this scans 1.5% of the data, pruned at
+  * the parquet-partition level.
+  */
+object IvfIndex {
+  val NProbe = 3
+  val TopK = 10
+
+  /** Centroid build: one partial-aggregated shuffle keyed by (cell, dim).
+    * Emitted long-form (cell, dim, value) — scalar rows hash-compare
+    * robustly and re-assemble cheaply.
+    */
+  def buildCentroids(embs: DataFrame): DataFrame =
+    embs.select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy("cell", "dim")
+      .agg(round(avg(col("e").cast("double")), 4).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("cell", "dim")
+
+  val buildCentroidsOracle: String =
+    """WITH exploded AS (
+      |  SELECT label AS cell, generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS e
+      |  FROM embeddings)
+      |SELECT cell, dim, round(avg(e), 4) AS centroid, count(*) AS n_vecs
+      |FROM exploded
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Centroids as arrays (unrounded) for the search path. */
+  private def centroidArrays(embs: DataFrame): DataFrame =
+    embs.select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy("cell", "dim")
+      .agg(avg(col("e").cast("double")).as("c"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+
+  def search(embs: DataFrame, queryVecId: Long, nprobe: Int = NProbe,
+             k: Int = TopK): DataFrame = {
+    val q = embs.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
+    val probed = centroidArrays(embs)
+      .join(broadcast(q))
+      .select(col("cell"), round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
+      .orderBy(desc("cscore"), asc("cell"))
+      .limit(nprobe)
+      .select("cell")
+    embs.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probed), col("label") === col("cell"))
+      .join(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  def searchSql(queryVecId: Long, nprobe: Int = NProbe, k: Int = TopK): String =
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),
+       |exploded AS (
+       |  SELECT label AS cell, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS e
+       |  FROM embeddings),
+       |cent_long AS (
+       |  SELECT cell, dim, avg(e) AS c FROM exploded GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cell, list(c ORDER BY dim) AS centroid FROM cent_long GROUP BY cell),
+       |probed AS (
+       |  SELECT cell FROM cent, q
+       |  ORDER BY round(${VectorSearch.cosineSql("centroid", "q_emb")}, 6) DESC, cell
+       |  LIMIT $nprobe)
+       |SELECT vec_id, label,
+       |  round(${VectorSearch.cosineSql("embedding", "q_emb")}, 4) AS score
+       |FROM embeddings JOIN probed ON label = cell, q
+       |WHERE vec_id <> $queryVecId
+       |ORDER BY score DESC, vec_id
+       |LIMIT $k""".stripMargin
+
+  def qBuild(s: SparkSession, dir: String): DataFrame = buildCentroids(Tables.embeddings(s, dir))
+  def qSearch(s: SparkSession, dir: String): DataFrame =
+    search(Tables.embeddings(s, dir), VectorSearch.QueryVecId)
+  val qSearchOracle: String = searchSql(VectorSearch.QueryVecId)
+}

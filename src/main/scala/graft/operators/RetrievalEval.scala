@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval evaluation — the Spark-native
+  * `RetrievalEvaluationService.execute_evaluation` +
+  * `calc_hit_rate_scores` / `calc_mrr_scores` (reference
+  * `src/evaluation/retrieval_evaluation.py:320-514`): run the retriever
+  * for every query in a golden set, mark a hit when a relevant doc lands
+  * in the top-k, accumulate hit-rate and MRR.
+  *
+  * Golden set here: every 10th vector queries the corpus; a neighbor is
+  * relevant when it shares the query's `label` (label-precision@k — the
+  * standard intrinsic ANN-quality metric when graded pairs don't exist).
+  *
+  * Scale: queries × corpus is a broadcast-side fan-out (queries are the
+  * small side); ranking is a per-query window; metrics are one final
+  * tiny aggregate. 1e5 queries × 100 TB corpus = the brute-force scoring
+  * scan parallelized per partition — or swap the first stage for
+  * [[IvfIndex.search]] to evaluate the approximate path.
+  */
+object RetrievalEval {
+  val QueryStride = 10
+  val TopK = 10
+
+  def labelPrecision(embs: DataFrame, stride: Int = QueryStride,
+                     k: Int = TopK): DataFrame = {
+    val queries = embs.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val scored = embs.select(col("vec_id"), col("label"), col("embedding"))
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        cosineSim(col("embedding"), col("q_emb")).as("score"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("score"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+    val perQuery = ranked.groupBy("q_id")
+      .agg(
+        max(when(col("label") === col("q_label"), 1).otherwise(0)).as("hit"),
+        min(when(col("label") === col("q_label"), col("rn"))).as("first_rel"))
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(col("hit").cast("double")), 4).as("hit_rate"),
+      round(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))), 4).as("mrr"))
+  }
+
+  def labelPrecisionSql(stride: Int = QueryStride, k: Int = TopK): String =
+    s"""WITH queries AS (
+       |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id % $stride = 0),
+       |scored AS (
+       |  SELECT q_id, q_label, vec_id, label,
+       |    ${VectorSearch.cosineSql("embedding", "q_emb")} AS score
+       |  FROM embeddings JOIN queries ON vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, q_label, vec_id, label,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $k),
+       |per_query AS (
+       |  SELECT q_id,
+       |    max(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS hit,
+       |    min(CASE WHEN label = q_label THEN rn END) AS first_rel
+       |  FROM ranked GROUP BY q_id)
+       |SELECT count(*) AS n_queries,
+       |  round(avg(CAST(hit AS DOUBLE)), 4) AS hit_rate,
+       |  round(avg(coalesce(CAST(1.0 AS DOUBLE) / first_rel, CAST(0.0 AS DOUBLE))), 4) AS mrr
+       |FROM per_query""".stripMargin
+
+  def query(s: SparkSession, dir: String): DataFrame =
+    labelPrecision(Tables.embeddings(s, dir))
+
+  val oracle: String = labelPrecisionSql()
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting (reference `src/app_functions.py:47-88` uses tiktoken
+  * for prompt budgeting), quality scoring, language ID, and content
+  * fingerprinting. All pure column expressions — linear scans, no
+  * shuffles, fully codegen'd.
+  */
+object TextAnalysis {
+
+  val sqlToks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  // --- token counting ------------------------------------------------------
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      wsTokenCount(col("text")).as("n_ws_tokens"),
+      bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  val tokenCountsOracle: String =
+    s"""SELECT doc_id,
+       |  len($sqlToks) AS n_tokens,
+       |  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_bpe_tokens
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // --- quality scoring -----------------------------------------------------
+
+  /** English function words used for both quality and language scoring. */
+  val StopEn: Seq[String] = Seq("the", "a", "an", "is", "of", "and", "to", "in")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein")
+  val StopFr: Seq[String] = Seq("le", "la", "les", "et", "est", "un")
+  val StopEs: Seq[String] = Seq("el", "los", "las", "y", "es", "un")
+
+  private def stopCount(words: Seq[String]): Column =
+    size(filter(col("toks"), t => t.isin(words.map(lit): _*)))
+
+  private def stopCountSql(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Quality = mix of stopword density, alphabetic density and length —
+    * the length/punct/stopword-ratio heuristic family used by pretraining
+    * corpus filters (C4/Gopher-style rules).
+    */
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        round(stopCount(StopEn).cast("double") / size(col("toks")), 4).as("stop_ratio"),
+        round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          length(col("text")), 4).as("alpha_ratio"),
+        ((size(col("toks")) >= 10) && (size(col("toks")) <= 1000) &&
+          (stopCount(StopEn) > 0)).as("passes_filter"))
+      .orderBy("doc_id")
+
+  val qualityOracle: String =
+    s"""WITH toked AS (SELECT doc_id, text, $sqlToks AS toks FROM documents)
+       |SELECT doc_id,
+       |  len(toks) AS n_tokens,
+       |  round(CAST(${stopCountSql(StopEn)} AS DOUBLE) / len(toks), 4) AS stop_ratio,
+       |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |        / length(text), 4) AS alpha_ratio,
+       |  (len(toks) >= 10 AND len(toks) <= 1000 AND ${stopCountSql(StopEn)} > 0) AS passes_filter
+       |FROM toked
+       |ORDER BY doc_id""".stripMargin
+
+  // --- language ID ---------------------------------------------------------
+
+  /** Stopword-profile language ID: score = function-word hits per token
+    * for each candidate language; argmax with fixed priority
+    * en > de > fr > es, 'und' when nothing matches.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang").as("declared_lang"),
+      tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("declared_lang"),
+        stopCount(StopEn).as("s_en"), stopCount(StopDe).as("s_de"),
+        stopCount(StopFr).as("s_fr"), stopCount(StopEs).as("s_es"))
+    scored.select(col("doc_id"), col("declared_lang"),
+      when(col("s_en") > 0 && col("s_en") >= col("s_de") &&
+        col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+        .when(col("s_de") > 0 && col("s_de") >= col("s_fr") &&
+          col("s_de") >= col("s_es"), "de")
+        .when(col("s_fr") > 0 && col("s_fr") >= col("s_es"), "fr")
+        .when(col("s_es") > 0, "es")
+        .otherwise("und").as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  val langIdOracle: String =
+    s"""WITH toked AS (SELECT doc_id, lang AS declared_lang, $sqlToks AS toks FROM documents),
+       |scored AS (
+       |  SELECT doc_id, declared_lang,
+       |    ${stopCountSql(StopEn)} AS s_en, ${stopCountSql(StopDe)} AS s_de,
+       |    ${stopCountSql(StopFr)} AS s_fr, ${stopCountSql(StopEs)} AS s_es
+       |  FROM toked)
+       |SELECT doc_id, declared_lang,
+       |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |       WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |       WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+       |       WHEN s_es > 0 THEN 'es'
+       |       ELSE 'und' END AS predicted_lang
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+
+  // --- fingerprinting ------------------------------------------------------
+
+  /** Content fingerprint: md5 of normalized text plus the min portable
+    * hash over word 3-shingles (a 1-perm MinHash sketch — the building
+    * block of winnowing-style fingerprints).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        md5(array_join(col("toks"), " ")).as("fp"),
+        array_min(transform(shingles(col("toks"), 3), s => portableHash(s)))
+          .as("min_shingle_hash"))
+      .orderBy("doc_id")
+
+  val fingerprintsOracle: String =
+    s"""WITH toked AS (SELECT doc_id, $sqlToks AS toks FROM documents)
+       |SELECT doc_id,
+       |  md5(array_to_string(toks, ' ')) AS fp,
+       |  list_min(list_transform(
+       |    CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+       |      ELSE [array_to_string(toks, ' ')] END,
+       |    s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))) AS min_shingle_hash
+       |FROM toked
+       |ORDER BY doc_id""".stripMargin
+
+  // --- wiring --------------------------------------------------------------
+
+  def qTokenCounts(s: SparkSession, dir: String): DataFrame = tokenCounts(Tables.documents(s, dir))
+  def qQuality(s: SparkSession, dir: String): DataFrame = quality(Tables.documents(s, dir))
+  def qLangId(s: SparkSession, dir: String): DataFrame = langId(Tables.documents(s, dir))
+  def qFingerprints(s: SparkSession, dir: String): DataFrame = fingerprints(Tables.documents(s, dir))
+}
