@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event analytics
+  * ([[graft.operators.Events]]): same semantics, verified against the
+  * same oracle-checked batch results in the spec.
+  *
+  * At scale these run as continuous jobs: watermarked tumbling windows
+  * shuffle once per (window, type); sessionization keeps per-user state
+  * in the state store, scaled by the user-key partitioning.
+  */
+object EventsStream {
+
+  /** Parquet file-stream of the events table (nanos ts → ntz seconds).
+    * The file source wants a directory; the glob filter selects the
+    * events table out of the shared testdata dir.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        timestamp_seconds(expr("ts div 1000000000")).as("ts"))
+  }
+
+  /** Watermarked hourly tumbling aggregation (streaming twin of
+    * [[graft.operators.Events.hourly]]).
+    */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  case class Ev(user_id: Long, ts_s: Long)
+  case class SessState(sessionId: Long, firstTs: Long, lastTs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_s: Long)
+
+  val GapSeconds = 1800L
+
+  /** Stateful gap sessionization via flatMapGroupsWithState (streaming
+    * twin of [[graft.operators.Events.sessionize]]): per-user state holds
+    * the open session; a gap > 30 min closes it and emits.
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[List[SessState]]) =>
+          val sorted = evs.toSeq.sortBy(_.ts_s)
+          var open = state.getOption.flatMap(_.headOption)
+          var nextId = open.map(_.sessionId).getOrElse(0L)
+          val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts_s - s.lastTs <= GapSeconds =>
+                open = Some(s.copy(lastTs = e.ts_s, n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(userId, s.sessionId, s.n, s.lastTs - s.firstTs)
+                nextId += 1
+                open = Some(SessState(nextId, e.ts_s, e.ts_s, 1))
+              case None =>
+                nextId += 1
+                open = Some(SessState(nextId, e.ts_s, e.ts_s, 1))
+            }
+          }
+          state.update(open.toList)
+          closed.iterator
+      }
+  }
+}

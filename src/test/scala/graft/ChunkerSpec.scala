@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Chunker
+import org.apache.spark.sql.functions._
+
+class ChunkerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, nTokens: Int) =
+    (id, (1 to nTokens).map(i => s"t$i").mkString(" "))
+
+  test("short doc yields exactly one chunk") {
+    val df = Seq(doc(1, 5)).toDF("doc_id", "text")
+    val rows = Chunker.chunk(df).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Int]("n_tokens") == 5)
+  }
+
+  test("exact chunk-size doc yields one chunk; one extra token adds a chunk") {
+    assert(Chunker.chunk(Seq(doc(1, 32)).toDF("doc_id", "text")).count() == 1)
+    val rows = Chunker.chunk(Seq(doc(1, 33)).toDF("doc_id", "text")).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Int]("n_tokens")).toSeq == Seq(32, 9)) // starts 1, 25
+  }
+
+  test("consecutive chunks overlap by `overlap` tokens") {
+    val df = Seq(doc(1, 56)).toDF("doc_id", "text")
+    val rows = Chunker.chunk(df).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Int]("n_tokens")).toSeq == Seq(32, 32)) // 1..32, 25..56
+  }
+
+  test("every token is covered at sf0.001 corpus scale") {
+    val docs = sources.Tables.documents(spark, TestSpark.Sf0001)
+    val chunks = Chunker.chunk(docs)
+    // last chunk of each doc must reach the doc's final token:
+    // sum of (n_tokens - overlap-contributions) == token count per doc
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(sum("n_tokens").as("sum_t"), count(lit(1)).as("n_chunks"))
+    val joined = docs
+      .select(col("doc_id"), functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .join(perDoc, "doc_id")
+      .withColumn("expected",
+        col("n") + (col("n_chunks") - 1) * Chunker.Overlap)
+      .filter(col("sum_t") =!= col("expected"))
+    assert(joined.count() == 0)
+  }
+}

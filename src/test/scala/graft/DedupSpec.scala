@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again", "s0"),
+    (1L, "The quick brown fox JUMPS over the lazy dog again and again!", "s0"), // exact dup mod norm
+    (2L, "the quick brown fox jumps over the lazy cat again and again", "s0"),  // near dup
+    (3L, "completely different content about spark query engines at scale", "s1")
+  ).toDF("doc_id", "text", "source")
+    .withColumn("lang", lit("en"))
+
+  test("exact dedup groups normalized duplicates") {
+    val out = Dedup.exact(docs).collect()
+    val dupGroup = out.find(_.getAs[Long]("n_docs") == 2)
+    assert(dupGroup.isDefined)
+    assert(dupGroup.get.getAs[Long]("keeper_doc_id") == 0L)
+    assert(out.length == 3) // 4 docs, one merged pair
+  }
+
+  test("minhash signatures of identical docs are identical") {
+    val sigs = Dedup.minhashSignature(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("sig").toList).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(3L))
+    assert(sigs(0L).length == Dedup.NumHashes)
+  }
+
+  test("minhash LSH surfaces the exact and near pair, not the unrelated doc") {
+    val pairs = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Double]("jaccard")))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    assert(pairs.forall(p => p._2 != 3L))
+  }
+
+  test("simhash: identical docs equal, near docs close in hamming") {
+    val hs = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(hs(0L) == hs(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(0L), hs(2L)) < hamming(hs(0L), hs(3L)))
+  }
+
+  test("unigram jaccard finds the within-block near pair") {
+    val out = Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    assert(out.contains((0L, 1L)))
+    assert(out.contains((0L, 2L))) // 10 of 11 distinct tokens shared
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L)) // different source block
+  }
+
+  test("embedding near-dup finds only above-threshold pairs") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.04f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(embs).collect()
+    assert(out.length == 1)
+    assert((out.head.getAs[Long]("v1"), out.head.getAs[Long]("v2")) == (0L, 1L))
+  }
+
+  test("lsh buckets partition the corpus completely") {
+    val embs = sources.Tables.embeddings(spark, TestSpark.Sf0001)
+    val stats = Dedup.lshBucketStats(embs)
+    assert(stats.agg(sum("n_vecs")).as[Long].head() == embs.count())
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val miniDocs = Seq(
+    (0L, "spark joins data fast", "s0", "en"),
+    (1L, "hash join hash join hash", "s0", "en"),
+    (2L, "slow scans of cold data", "s1", "fr"),
+    (3L, "fast spark fast spark fast", "s1", "en")
+  ).toDF("doc_id", "text", "source", "lang")
+
+  test("bm25: docs containing more query terms with higher tf rank higher") {
+    val out = KeywordSearch.bm25(miniDocs, Seq("spark", "fast"), 4).collect()
+    assert(out.head.getAs[Long]("doc_id") == 3L) // highest tf for both terms
+    assert(!out.map(_.getAs[Long]("doc_id")).contains(2L)) // no query terms
+  }
+
+  test("bm25: rarer terms contribute more (idf)") {
+    // 'hash' appears in 1 doc, 'data' in 2 → doc 1 (hash-only) outscores doc 2-ish matches
+    val out = KeywordSearch.bm25(miniDocs, Seq("hash", "data"), 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(out(1L) > out(0L))
+  }
+
+  test("bm25 filter: stats computed over filtered corpus only") {
+    val filtered = KeywordSearch.bm25(miniDocs, Seq("spark"), 4,
+      docFilter = col("lang") === "en")
+    assert(!filtered.collect().map(_.getAs[Long]("doc_id")).contains(2L))
+  }
+
+  test("vector search: self-similar vector ranks first") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(-1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorSearch.topK(embs, queryVecId = 0L, k = 3).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.getAs[Double]("score") > 0.99)
+  }
+
+  test("ivf search with nprobe covering all cells equals brute force") {
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val brute = VectorSearch.topK(embs, 7L, 10).select("vec_id").as[Long].collect().toSeq
+    val ivf = IvfIndex.search(embs, 7L, nprobe = 10, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf == brute)
+  }
+
+  test("ivf centroids: one row per (cell, dim), counts match cell sizes") {
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val cents = IvfIndex.buildCentroids(embs)
+    val dims = cents.groupBy("cell").count().select("count").as[Long].collect()
+    assert(dims.forall(_ == 64))
+  }
+
+  test("hybrid: alpha=1 reproduces vector ranking, alpha=0 keyword ranking") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val vOnly = HybridSearch.fused(docs, embs, KeywordSearch.QueryTerms, 7L,
+      alpha = 1.0, k = 5).select("doc_id").as[Long].collect().toSeq
+    val vBrute = VectorSearch.topK(embs, 7L, 5).select("vec_id").as[Long].collect().toSeq
+    // same set modulo the excluded self-match in topK
+    assert(vOnly.toSet.subsetOf(vBrute.toSet + 7L))
+    val kOnly = HybridSearch.fused(docs, embs, KeywordSearch.QueryTerms, 7L,
+      alpha = 0.0, k = 5).select("doc_id").as[Long].collect().toSeq
+    val kBrute = KeywordSearch.bm25(docs, KeywordSearch.QueryTerms, 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kOnly == kBrute)
+  }
+
+  test("rerank: fallback to top_k when nothing clears the threshold") {
+    val cands = Seq(
+      (0L, 5.0, Seq("alpha", "beta")),
+      (1L, 4.0, Seq("gamma", "delta")),
+      (2L, 3.0, Seq("epsilon", "zeta"))
+    ).toDF("doc_id", "score", "tok_set")
+    val out = Reranker.rerank(cands, Seq("spark"), topK = 2, threshold = 0.5)
+    assert(out.count() == 2) // nothing matches 'spark' → top_k branch
+  }
+
+  test("rerank: returns ALL hits above threshold when any clears it") {
+    val cands = Seq(
+      (0L, 5.0, Seq("spark", "x")),
+      (1L, 4.0, Seq("spark", "y")),
+      (2L, 3.0, Seq("spark", "z")),
+      (3L, 2.0, Seq("nope"))
+    ).toDF("doc_id", "score", "tok_set")
+    val out = Reranker.rerank(cands, Seq("spark"), topK = 2, threshold = 0.3)
+    assert(out.count() == 3) // all three above threshold, ignoring top_k=2
+  }
+
+  test("context pruning keeps maximal prefix within budget") {
+    val ranked = Seq(
+      (0L, 9.0, 100), (1L, 8.0, 200), (2L, 7.0, 150), (3L, 6.0, 50)
+    ).toDF("doc_id", "score", "n_tokens")
+    val kept = ContextPruner.prune(ranked, budget = 320)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(0L, 1L)) // 100+200 fits; +150 would not
+  }
+
+  test("eval: perfect and impossible retrieval bound the metrics") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (10L, Array(0.99f, 0.01f), 0),
+      (20L, Array(0.0f, 1.0f), 1), (21L, Array(0.01f, 0.99f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val m = RetrievalEval.labelPrecision(embs, stride = 10, k = 2).collect().head
+    assert(m.getAs[Long]("n_queries") == 3) // 0, 10, 20 — not 21
+    assert(m.getAs[Double]("hit_rate") == 1.0) // nearest neighbor shares label
+    assert(m.getAs[Double]("mrr") == 1.0)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Events
+import graft.streaming.EventsStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly agg equals the oracle-checked batch result") {
+    val streamed = EventsStream.hourly(
+      EventsStream.readEvents(spark, TestSpark.Sf0001))
+    val q = streamed.writeStream
+      .format("memory").queryName("hourly_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hourly_stream")
+      .orderBy("hour", "event_type")
+      .collect().map(_.toString)
+    val want = Events.hourly(spark, TestSpark.Sf0001).collect().map(_.toString)
+    assert(got.sameElements(want))
+  }
+
+  test("stateful sessionization closes sessions on gap and keeps state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventsStream.Ev]
+    val sessions = EventsStream.sessionize(input.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+
+    // batch 1: user 1 has two events 10s apart (one open session)
+    input.addData(EventsStream.Ev(1L, 1000L), EventsStream.Ev(1L, 1010L))
+    q.processAllAvailable()
+    assert(spark.table("sess_stream").count() == 0) // still open
+
+    // batch 2: a 2h jump closes the first session
+    input.addData(EventsStream.Ev(1L, 8200L))
+    q.processAllAvailable()
+    val closed = spark.table("sess_stream").as[EventsStream.SessionOut].collect()
+    assert(closed.length == 1)
+    assert(closed.head == EventsStream.SessionOut(1L, 1L, 2L, 10L))
+
+    // batch 3: another user is independent state
+    input.addData(EventsStream.Ev(2L, 500L), EventsStream.Ev(2L, 9000L))
+    q.processAllAvailable()
+    val all = spark.table("sess_stream").as[EventsStream.SessionOut].collect()
+    assert(all.exists(s => s.user_id == 2L && s.n_events == 1L))
+    q.stop()
+  }
+}
