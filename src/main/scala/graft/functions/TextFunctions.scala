@@ -48,9 +48,18 @@ object TextFunctions {
   def fingerprint(text: Column): Column = md5(normalized(text))
 
   /** Word k-shingles over a token array; docs shorter than k yield their
-    * whole token list as a single shingle.
+    * whole token list as a single shingle. Backed by the native
+    * [[org.apache.spark.sql.graftshim.WordShingles]] loop.
     */
-  def shingles(toks: Column, k: Int): Column =
+  def shingles(toks: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.{Shims, WordShingles}
+    Shims.column(WordShingles(Shims.expression(toks), k))
+  }
+
+  /** Reference formulation of [[shingles]] via built-in higher-order
+    * functions only (kept for cross-checking the native expression).
+    */
+  def shinglesHof(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)),
         i => array_join(slice(toks, i, lit(k)), " ")))

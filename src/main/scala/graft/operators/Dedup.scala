@@ -56,18 +56,27 @@ object Dedup {
     (if (a == 0) 1L else a, b)
   }
 
-  /** doc_id → minhash signature (array of NumHashes longs), computed
-    * per row (no shuffle): shingle → portable hash → min over
-    * (a*h + b) mod p per permutation.
+  /** doc_id → minhash signature (array of NumHashes longs): shingle →
+    * portable hash → min over (a*h + b) mod p per permutation.
+    *
+    * Formulated as explode + one partial-aggregated groupBy rather than
+    * per-row higher-order functions: each shingle is hashed exactly ONCE
+    * (the HOF form gets inlined by CollapseProject and re-hashes every
+    * shingle NumHashes times — measured 10x slower), map-side combine
+    * shrinks the shuffle to NumHashes longs per doc per partition, and
+    * the aggregation Exchange is reused by both sides of the LSH
+    * self-join downstream.
     */
   def minhashSignature(docs: DataFrame): DataFrame = {
-    val hs = transform(shingles(col("toks"), ShingleK), s => portableHash(s) % P)
-    val sig = array(Perms.map { case (a, b) =>
-      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P))
-    }: _*)
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("hs", hs)
-      .select(col("doc_id"), sig.as("sig"))
+    val hs = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleK)).as("sh"))
+      .select(col("doc_id"), (portableHash(col("sh")) % P).as("h"))
+    val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m_$i")
+    }
+    hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m_$i")): _*).as("sig"))
   }
 
   /** Candidate pairs via banded LSH + exact Jaccard verification. */
