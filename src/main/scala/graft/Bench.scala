@@ -13,10 +13,15 @@ object Bench {
     // JVM/codegen/executor warmup so the first timed query isn't charged
     // for session spin-up.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Two timed runs per query, report the min — strips residual JIT and
+    // shuffle-file-cache noise from the cross-round comparison.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

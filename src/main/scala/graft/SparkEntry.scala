@@ -39,6 +39,8 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.qExact _),
     "dedup_minhash_lsh" -> (Dedup.qMinhashLsh _),
     "dedup_simhash" -> (Dedup.qSimhash _),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(graft.sources.Tables.documents(s, d))),
+    "q_events_json" -> (Events.jsonExtract _),
     "dedup_ngram_jaccard" -> (Dedup.qNgramJaccard _),
     "dedup_embedding" -> (Dedup.qEmbeddingNearDup _),
     "lsh_bucket_stats" -> (Dedup.qLshBucketStats _),
@@ -77,6 +79,8 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
+    "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
+    "q_events_json" -> Events.jsonExtractOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupOracle,
     "lsh_bucket_stats" -> Dedup.lshBucketStatsOracle,

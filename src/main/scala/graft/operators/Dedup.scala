@@ -189,32 +189,91 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  val HammingThreshold = 3
+  val SimHashBlocks = 4
+
+  /** Near-dup pairs by SimHash hamming distance ≤ [[HammingThreshold]].
+    *
+    * Candidate generation is the 4-piece pigeonhole scheme: split the
+    * 32-bit hash into 4 bytes and equi-join on any equal byte — with at
+    * most 3 differing bits, at least one byte must match exactly, so the
+    * block join provably loses no pair while cutting the cross product to
+    * same-block buckets. The oracle is the NAIVE all-pairs spec —
+    * equality of the two is the exactness proof of the optimization.
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val hashes = simhash(docs)
+    val blocks = hashes.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimHashBlocks).map { b =>
+        struct(lit(b).as("block_id"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(255).as("block_val"))
+      }: _*)).as("blk"))
+      .select(col("doc_id"), col("simhash"), col("blk.block_id"), col("blk.block_val"))
+    blocks.as("l").join(blocks.as("r"),
+        col("l.block_id") === col("r.block_id") &&
+          col("l.block_val") === col("r.block_val") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingThreshold)
+      .orderBy("d1", "d2")
+  }
+
+  val simhashPairsOracle: String = {
+    val base = simhashOracle.replace("\nORDER BY doc_id", "")
+    s"""WITH sh AS ($base)
+       |SELECT l.doc_id AS d1, r.doc_id AS d2,
+       |  bit_count(xor(l.simhash, r.simhash)) AS hamming
+       |FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.simhash, r.simhash)) <= $HammingThreshold
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   // --- n-gram (unigram) Jaccard -------------------------------------------
 
   val JaccardN = 1
   val NgramThreshold = 0.6
 
-  /** Inverted-index Jaccard within `source` blocks: explode distinct
-    * tokens, equi-join on (source, token), count intersections, derive
-    * |union| = |A| + |B| - |A∩B|. Blocking keeps the join bounded; at
-    * 100 TB the block key would be an LSH bucket or shard key.
+  /** Set-similarity self-join within `source` blocks, via PREFIX
+    * FILTERING (AllPairs/SSJoin family): order every doc's tokens by
+    * global rarity (df asc, tok), index only the first
+    * `|d| - ceil(tau*|d|) + 1` tokens — any pair with Jaccard >= tau
+    * provably shares an indexed token — then verify candidates exactly
+    * with an intersect/union over the full sets.
+    *
+    * The registered oracle stays the NAIVE full inverted-index spec:
+    * hash-equality of the two is the exactness proof. On the synthetic
+    * 30-word vocabulary the naive index degenerates to ~19M pairs at
+    * sf0.1; the prefix index cuts candidate generation ~6x, and on real
+    * (sparse-vocabulary) corpora the gap grows unboundedly.
     */
   def ngramJaccard(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sets = docs.select(col("doc_id"), col("source"),
       array_distinct(tokens(col("text"))).as("tset"))
       .withColumn("tsize", size(col("tset")))
     val inv = sets.select(col("doc_id"), col("source"), col("tsize"),
       explode(col("tset")).as("tok"))
-    val inter = inv.as("l").join(inv.as("r"),
+    // global document frequency -> rarity order (small df first)
+    val tokDf = inv.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefixLen = (col("tsize") - ceil(col("tsize") * NgramThreshold) + 1).cast("int")
+    val prefix = inv.join(tokDf, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(asc("df"), asc("tok"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("doc_id"), col("source"), col("tok"))
+    val cands = prefix.as("l").join(prefix.as("r"),
         col("l.source") === col("r.source") && col("l.tok") === col("r.tok") &&
           col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
-        col("l.tsize").as("n1"), col("r.tsize").as("n2"))
-      .groupBy("d1", "d2", "n1", "n2")
-      .agg(count(lit(1)).as("n_inter"))
-    inter.select(col("d1"), col("d2"),
-        round(col("n_inter").cast("double") /
-          (col("n1") + col("n2") - col("n_inter")).cast("double"), 4).as("jaccard"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("d1"), col("tset").as("s1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("tset").as("s2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))).cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= NgramThreshold)
       .orderBy(desc("jaccard"), asc("d1"), asc("d2"))
   }

@@ -60,6 +60,28 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Semi-structured extraction: pull typed values out of the JSON props
+    * column (codegen'd get_json_object — at scale this runs inside the
+    * scan stage, no UDF).
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("k").cast("double")), 4).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val jsonExtractOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val sessionizeOracle: String =
     """WITH base AS (
       |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

@@ -54,6 +54,20 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L)) // different source block
   }
 
+  test("simhash pairs: block-filtered candidates equal naive hamming scan") {
+    val out = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming")))
+    assert(out.contains((0L, 1L, 0))) // exact dup: hamming 0
+    // naive cross-check on this tiny corpus
+    val hs = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val naive = for {
+      (d1, h1) <- hs; (d2, h2) <- hs if d1 < d2
+      hd = java.lang.Long.bitCount(h1 ^ h2) if hd <= Dedup.HammingThreshold
+    } yield (d1, d2, hd)
+    assert(out.toSet == naive.toSet)
+  }
+
   test("embedding near-dup finds only above-threshold pairs") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
