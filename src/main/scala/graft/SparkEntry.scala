@@ -27,6 +27,9 @@ object SparkEntry {
     "filter_search_fuzzy" -> (KeywordSearch.searchFilterFuzzy _),
     "doc_count" -> (KeywordSearch.docCount _),
     "vector_search_topk" -> (VectorSearch.search _),
+    "vector_search_batch" -> (VectorSearch.batchSearch _),
+    "e2e_chunk_embed_search" -> (Embedder.query _),
+    "prompt_assembly" -> (PromptAssembly.query _),
     "hybrid_search" -> (HybridSearch.search _),
     "rerank_overlap" -> (Reranker.search _),
     "context_prune" -> (ContextPruner.search _),
@@ -67,6 +70,9 @@ object SparkEntry {
     "filter_search_fuzzy" -> KeywordSearch.searchFilterFuzzyOracle,
     "doc_count" -> KeywordSearch.docCountOracle,
     "vector_search_topk" -> VectorSearch.searchOracle,
+    "vector_search_batch" -> VectorSearch.batchSearchOracle,
+    "e2e_chunk_embed_search" -> Embedder.chunkEmbedSearchOracle,
+    "prompt_assembly" -> PromptAssembly.oracle,
     "hybrid_search" -> HybridSearch.searchOracle,
     "rerank_overlap" -> Reranker.searchOracle,
     "context_prune" -> ContextPruner.searchOracle,

@@ -57,4 +57,53 @@ object VectorSearch {
     topK(Tables.embeddings(s, dir))
 
   val searchOracle: String = topKSql()
+
+  // --- batch serving pattern ----------------------------------------------
+
+  val BatchStride = 100
+  val BatchK = 5
+
+  /** Multi-query top-k in one scan — the realistic serving/backfill shape:
+    * broadcast a batch of query vectors, score every (query, row) pair
+    * inside the scan, rank per query with a window. One corpus pass
+    * amortizes over the whole query batch; at 100 TB this is THE way to
+    * run a million-query evaluation or backfill.
+    */
+  def batchTopK(embs: DataFrame, stride: Int = BatchStride,
+                k: Int = BatchK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = embs.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    embs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("q_emb")).as("raw_score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("raw_score"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"),
+        round(col("raw_score"), 4).as("score"))
+      .orderBy("q_id", "rn")
+  }
+
+  def batchTopKSql(stride: Int = BatchStride, k: Int = BatchK): String =
+    s"""WITH queries AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id % $stride = 0),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    ${cosineSql("embedding", "q_emb")} AS raw_score
+       |  FROM embeddings JOIN queries ON vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, raw_score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, vec_id) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, vec_id, round(raw_score, 4) AS score
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+
+  def batchSearch(s: SparkSession, dir: String): DataFrame =
+    batchTopK(Tables.embeddings(s, dir))
+
+  val batchSearchOracle: String = batchTopKSql()
 }

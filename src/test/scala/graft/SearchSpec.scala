@@ -105,6 +105,36 @@ class SearchSpec extends SparkSpec {
     assert(kept == Seq(0L, 1L)) // 100+200 fits; +150 would not
   }
 
+  test("batch vector search: per-query top-k, no self matches") {
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val out = VectorSearch.batchTopK(embs, stride = 25, k = 3).collect()
+    val perQuery = out.groupBy(_.getAs[Long]("q_id"))
+    assert(perQuery.nonEmpty)
+    assert(perQuery.values.forall(_.length == 3))
+    assert(out.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")))
+    // batch result for a query equals the single-query path
+    val q0 = perQuery.keys.min
+    val single = VectorSearch.topK(embs, q0, 3).select("vec_id").as[Long].collect().toSeq
+    val batch0 = out.filter(_.getAs[Long]("q_id") == q0).sortBy(_.getAs[Int]("rn"))
+      .map(_.getAs[Long]("vec_id")).toSeq
+    assert(batch0 == single)
+  }
+
+  test("e2e chunk->embed->search returns a deterministic non-empty top-k") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val a = graft.operators.Embedder.chunkEmbedSearch(docs).collect()
+    val b = graft.operators.Embedder.chunkEmbedSearch(docs).collect()
+    assert(a.length == 10 && a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.forall(r => r.getAs[Double]("score") >= -1.0 && r.getAs[Double]("score") <= 1.0))
+  }
+
+  test("prompt assembly numbers contexts in rank order") {
+    val ranked = Seq((1, "first snippet"), (2, "second snippet")).toDF("rk", "snippet")
+    val row = graft.operators.PromptAssembly.assemble(ranked).collect().head
+    assert(row.getAs[Long]("n_contexts") == 2)
+    assert(row.getAs[String]("prompt") == "1. first snippet\n2. second snippet")
+  }
+
   test("eval: perfect and impossible retrieval bound the metrics") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f), 0), (10L, Array(0.99f, 0.01f), 0),
