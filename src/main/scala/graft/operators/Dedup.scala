@@ -250,31 +250,58 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = docs.select(col("doc_id"), col("source"),
-      array_distinct(tokens(col("text"))).as("tset"))
+    // 1. canonicalize: similarity is a function of the token SET, so
+    //    compute per distinct set, not per doc (exact-dup-heavy and
+    //    small-vocabulary corpora collapse dramatically).
+    val docSets = docs.select(col("doc_id"), col("source"),
+      array_sort(array_distinct(tokens(col("text")))).as("tset"))
+      .withColumn("set_key", md5(array_join(col("tset"), "\u0001")))
+    val members = docSets.select("doc_id", "source", "set_key")
+    val sets = docSets.select("source", "set_key", "tset")
+      .dropDuplicates("source", "set_key")
       .withColumn("tsize", size(col("tset")))
-    val inv = sets.select(col("doc_id"), col("source"), col("tsize"),
+    // 2. identical-set doc pairs: Jaccard is exactly 1.0, no join needed.
+    val sameSet = members.as("l").join(members.as("r"),
+        col("l.source") === col("r.source") &&
+          col("l.set_key") === col("r.set_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        lit(1.0).as("jaccard"))
+    // 3. distinct-set pairs via exact prefix filtering (rarity order).
+    val inv = sets.select(col("source"), col("set_key"), col("tsize"),
       explode(col("tset")).as("tok"))
-    // global document frequency -> rarity order (small df first)
     val tokDf = inv.groupBy("tok").agg(count(lit(1)).as("df"))
     val prefixLen = (col("tsize") - ceil(col("tsize") * NgramThreshold) + 1).cast("int")
     val prefix = inv.join(tokDf, "tok")
       .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(asc("df"), asc("tok"))))
+        Window.partitionBy("source", "set_key").orderBy(asc("df"), asc("tok"))))
       .filter(col("rk") <= prefixLen)
-      .select(col("doc_id"), col("source"), col("tok"))
+      .select(col("source"), col("set_key"), col("tok"))
     val cands = prefix.as("l").join(prefix.as("r"),
         col("l.source") === col("r.source") && col("l.tok") === col("r.tok") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+          col("l.set_key") < col("r.set_key"))
+      .select(col("l.source").as("source"),
+        col("l.set_key").as("k1"), col("r.set_key").as("k2"))
       .distinct()
-    cands
-      .join(sets.select(col("doc_id").as("d1"), col("tset").as("s1")), Seq("d1"))
-      .join(sets.select(col("doc_id").as("d2"), col("tset").as("s2")), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        round(size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2"))).cast("double"), 4).as("jaccard"))
+    val setPairs = cands
+      .join(sets.select(col("source"), col("set_key").as("k1"),
+        col("tset").as("s1"), col("tsize").as("n1")), Seq("source", "k1"))
+      .join(sets.select(col("source"), col("set_key").as("k2"),
+        col("tset").as("s2"), col("tsize").as("n2")), Seq("source", "k2"))
+      .withColumn("n_inter", size(array_intersect(col("s1"), col("s2"))))
+      .select(col("source"), col("k1"), col("k2"),
+        round(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= NgramThreshold)
+    // 4. expand set pairs back to doc pairs.
+    val crossSet = setPairs
+      .join(members.select(col("source"), col("set_key").as("k1"), col("doc_id").as("da")),
+        Seq("source", "k1"))
+      .join(members.select(col("source"), col("set_key").as("k2"), col("doc_id").as("db")),
+        Seq("source", "k2"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("jaccard"))
+    sameSet.unionByName(crossSet)
       .orderBy(desc("jaccard"), asc("d1"), asc("d2"))
   }
 

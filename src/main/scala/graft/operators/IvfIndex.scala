@@ -96,6 +96,25 @@ object IvfIndex {
        |ORDER BY score DESC, vec_id
        |LIMIT $k""".stripMargin
 
+  /** Materialize the IVF index as CELL-PARTITIONED parquet: searches that
+    * probe nprobe cells read only those directories (partition pruning at
+    * the file-listing level — the 100 TB point of an IVF layout).
+    */
+  def writeIndex(embs: DataFrame, path: String): Unit =
+    embs.select(col("vec_id"), col("embedding"), col("label").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Search the materialized index: cell filter prunes partitions. */
+  def searchIndex(spark: SparkSession, path: String, qEmb: DataFrame,
+                  cells: Seq[Int], k: Int = TopK): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(qEmb))
+      .select(col("vec_id"), col("cell"),
+        round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+
   def qBuild(s: SparkSession, dir: String): DataFrame = buildCentroids(Tables.embeddings(s, dir))
   def qSearch(s: SparkSession, dir: String): DataFrame =
     search(Tables.embeddings(s, dir), VectorSearch.QueryVecId)

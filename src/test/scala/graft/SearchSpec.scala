@@ -60,6 +60,23 @@ class SearchSpec extends SparkSpec {
     assert(dims.forall(_ == 64))
   }
 
+  test("ivf materialized index: search reads only probed cell partitions") {
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/idx"
+    IvfIndex.writeIndex(embs, path)
+    // cell dirs exist
+    val cellDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length == 10)
+    val q = embs.filter(col("vec_id") === 7L).select(col("embedding").as("q_emb"))
+    val res = IvfIndex.searchIndex(spark, path, q, Seq(1, 3, 5), k = 5)
+    // partition pruning visible in the scan
+    val scan = res.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"))
+    val rows = res.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => Seq(1, 3, 5).contains(r.getAs[Int]("cell"))))
+  }
+
   test("hybrid: alpha=1 reproduces vector ranking, alpha=0 keyword ranking") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val embs = Tables.embeddings(spark, TestSpark.Sf0001)
