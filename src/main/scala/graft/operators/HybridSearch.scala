@@ -24,15 +24,14 @@ object HybridSearch {
   def fused(docs: DataFrame, embs: DataFrame, terms: Seq[String],
             queryVecId: Long, alpha: Double = Alpha, k: Int = TopK): DataFrame = {
     val q = embs.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
-    // one pass: tokenized text + vector score per doc
-    val base = docs.select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      .withColumn("dl", size(col("toks")))
+    // single-pass term stats (see KeywordSearch.termStats) + vector score
+    val base = KeywordSearch.termStats(docs, terms)
       .join(embs.select(col("vec_id"), col("embedding")),
         col("doc_id") === col("vec_id"))
       .join(broadcast(q))
       .select(Seq(col("doc_id"), col("source"), col("dl"),
         cosineSim(col("embedding"), col("q_emb")).as("vscore")) ++
-        terms.zipWithIndex.map { case (t, i) => KeywordSearch.tfCol(t).as(s"tf_$i") }: _*)
+        terms.indices.map(i => col(s"tf_$i")): _*)
     val aggCols = count(lit(1)).as("n_docs") +: avg("dl").as("avgdl") +:
       min("vscore").as("vmin") +: max("vscore").as("vmax") +:
       terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))

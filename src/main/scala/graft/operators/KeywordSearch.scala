@@ -36,17 +36,33 @@ object KeywordSearch {
 
   def tfCol(t: String): Column = size(filter(col("toks"), x => x === t))
 
+  /** Per-doc length + query-term frequencies in ONE tokenization pass:
+    * explode tokens, partial-aggregated groupBy keyed by the doc. The
+    * naive column-per-tf form gets its `tokens()` alias inlined by
+    * projection collapse into every consumer (14 `split` evaluations in
+    * the executed plan); this form tokenizes once, map-side combines to
+    * one row per doc per partition, and its aggregation Exchange is
+    * reused by both the stats and scoring subtrees downstream.
+    */
+  def termStats(docs: DataFrame, terms: Seq[String],
+                docFilter: Column = lit(true)): DataFrame = {
+    val toked = docs.filter(docFilter)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+    val aggs = count(lit(1)).as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("tok") === t, 1).otherwise(0)).as(s"tf_$i")
+      }
+    toked.groupBy("doc_id", "source", "lang").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Score documents for `terms`; `docFilter` is the metadata pre-filter
     * (Weaviate `filters=` semantics — stats computed over the filtered
     * corpus, documented divergence: Weaviate computes df on the full index).
     */
   def bm25(docs: DataFrame, terms: Seq[String], topK: Int = TopK,
            docFilter: Column = lit(true)): DataFrame = {
-    val base = docs.filter(docFilter)
-      .select(col("doc_id"), col("source"), col("lang"), tokens(col("text")).as("toks"))
-      .withColumn("dl", size(col("toks")))
-      .select(Seq(col("doc_id"), col("source"), col("lang"), col("dl")) ++
-        terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }: _*)
+    val base = termStats(docs, terms, docFilter)
     val aggCols = count(lit(1)).as("n_docs") +: avg("dl").as("avgdl") +:
       terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
     val stats = base.agg(aggCols.head, aggCols.tail: _*)
