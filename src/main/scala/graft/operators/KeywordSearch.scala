@@ -44,6 +44,10 @@ object KeywordSearch {
     * one row per doc per partition, and its aggregation Exchange is
     * reused by both the stats and scoring subtrees downstream.
     */
+  /** Note: documents with zero tokens vanish at the explode and are thus
+    * excluded from corpus statistics (n_docs, avgdl) — the defined
+    * semantics, mirrored in [[bm25Sql]].
+    */
   def termStats(docs: DataFrame, terms: Seq[String],
                 docFilter: Column = lit(true)): DataFrame = {
     val toked = docs.filter(docFilter)
@@ -102,9 +106,11 @@ object KeywordSearch {
        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
        |  FROM documents $whereSql),
        |base AS (
+       |  -- token-less docs carry no signal and are excluded from corpus
+       |  -- stats (matches the engine's explode-based termStats)
        |  SELECT doc_id, source, lang, CAST(len(toks) AS DOUBLE) AS dl,
        |    $tfs
-       |  FROM toked),
+       |  FROM toked WHERE len(toks) > 0),
        |stats AS (
        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl, $dfs FROM base)
        |SELECT doc_id, source, lang,

@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.{CosineSimilarity, WordShingles}
+
+/** Registers graft's custom Catalyst expressions as SQL functions, so the
+  * Text2SQL surface (and any `spark.sql` user) can call them directly:
+  *
+  * {{{
+  *   SELECT cosine_sim(embedding, q) FROM embeddings
+  *   SELECT word_shingles(toks, 3) FROM corpus
+  * }}}
+  *
+  * Wired into every graft session via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`
+  * ([[graft.GraftSession.configure]]) — the standard public extension
+  * mechanism, no session-internal APIs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim(arrayA, arrayB)")
+        CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "word_shingles(tokenArray, k) with literal k")
+        WordShingles(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
+  }
+}

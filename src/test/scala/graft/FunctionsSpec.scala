@@ -61,6 +61,16 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(fast - slow) < 1e-12)
   }
 
+  test("custom expressions are registered as SQL functions") {
+    Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val sim = spark.sql("SELECT cosine_sim(a, b) AS s FROM vecs").as[Double].head()
+    assert(math.abs(sim - 1.0) < 1e-12)
+    val sh = spark.sql("SELECT word_shingles(array('a','b','c'), 2) AS s")
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c"))
+  }
+
   test("fingerprint is whitespace/punct-insensitive") {
     val fps = Seq("Hello,   world!", "hello world").toDF("text")
       .select(fingerprint(col("text"))).as[String].collect()
