@@ -1,0 +1,25 @@
+package graft
+
+import graft.operators.Catalog
+import graft.sources.Tables
+
+class CatalogSpec extends SparkSpec {
+
+  test("collection management: list, properties, count, delete") {
+    Tables.registerAll(spark, TestSpark.Sf0001)
+    val names = Catalog.listCollections(spark)
+    assert(Tables.all.forall(names.contains))
+
+    val props = Catalog.collectionProperties(spark, "documents").collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[String]("dataType")).toMap
+    assert(props("doc_id") == "bigint")
+    assert(props("text") == "string")
+
+    assert(Catalog.docCount(spark, "region") == 5L)
+
+    assert(Catalog.deleteCollection(spark, "region"))
+    assert(!Catalog.listCollections(spark).contains("region"))
+    // re-register for other suites sharing the session
+    Tables.registerAll(spark, TestSpark.Sf0001)
+  }
+}
