@@ -23,6 +23,16 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Bounded per-group top-k aggregate ([[TopKByScore]]): returns
+    * `array<struct<score,id>>` best-first, keeping only k candidates per
+    * partition map-side.
+    */
+  def topKByScore(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.TopKByScore
+    Shims.column(TopKByScore(Shims.expression(score), Shims.expression(id), k)
+      .toAggregateExpression())
+  }
+
   /** Reference/fallback cosine using only built-in functions. */
   def cosineSimHof(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))

@@ -71,6 +71,26 @@ object VectorSearch {
     */
   def batchTopK(embs: DataFrame, stride: Int = BatchStride,
                 k: Int = BatchK): DataFrame = {
+    val queries = embs.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    embs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("q_emb")).as("raw_score"))
+      .groupBy("q_id")
+      .agg(topKByScore(col("raw_score"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("vec_id"),
+        round(col("t.score"), 4).as("score"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Window-ranking formulation of [[batchTopK]] — the reference form the
+    * bounded-heap aggregate is cross-checked against. At scale the window
+    * shuffles and sorts every scored row; the aggregate shuffles k per
+    * partition per query.
+    */
+  def batchTopKWindow(embs: DataFrame, stride: Int = BatchStride,
+                      k: Int = BatchK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val queries = embs.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

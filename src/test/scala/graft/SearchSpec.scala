@@ -135,6 +135,10 @@ class SearchSpec extends SparkSpec {
     val batch0 = out.filter(_.getAs[Long]("q_id") == q0).sortBy(_.getAs[Int]("rn"))
       .map(_.getAs[Long]("vec_id")).toSeq
     assert(batch0 == single)
+    // heap-aggregate formulation equals the window-ranking reference form
+    val win = VectorSearch.batchTopKWindow(embs, stride = 25, k = 3)
+      .collect().map(_.toString).toSeq
+    assert(out.map(_.toString).toSeq == win)
   }
 
   test("e2e chunk->embed->search returns a deterministic non-empty top-k") {
