@@ -46,6 +46,7 @@ object SparkEntry {
     "q_events_json" -> (Events.jsonExtract _),
     "dedup_ngram_jaccard" -> (Dedup.qNgramJaccard _),
     "dedup_embedding" -> (Dedup.qEmbeddingNearDup _),
+    "dedup_embedding_lsh" -> (Dedup.qEmbeddingNearDupLsh _),
     "lsh_bucket_stats" -> (Dedup.qLshBucketStats _),
     "ivf_build_centroids" -> (IvfIndex.qBuild _),
     "ivf_search" -> (IvfIndex.qSearch _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "q_events_json" -> Events.jsonExtractOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupOracle,
+    "dedup_embedding_lsh" -> Dedup.embeddingNearDupLshOracle,
     "lsh_bucket_stats" -> Dedup.lshBucketStatsOracle,
     "ivf_build_centroids" -> IvfIndex.buildCentroidsOracle,
     "ivf_search" -> IvfIndex.qSearchOracle,

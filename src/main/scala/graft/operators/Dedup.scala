@@ -352,45 +352,117 @@ object Dedup {
   // --- LSH bucket machinery ------------------------------------------------
 
   val LshPlanes = 8
+  val LshTables = 4
+  val PlanesPerTable = 4
   val Dim = 64
 
-  /** Deterministic ±1 hyperplanes (shared with the SQL oracle). */
-  val Hyperplanes: Seq[Seq[Int]] = (0 until LshPlanes).map { i =>
-    (0 until Dim).map { j =>
-      val v = (1103515245L * (i * Dim + j) + 12345L) % 2147483648L
-      if (v < 1073741824L) 1 else -1
+  /** Deterministic ±1 hyperplanes (shared with the SQL oracle). The
+    * first [[LshPlanes]] feed the bucket histogram; all
+    * [[LshTables]]×[[PlanesPerTable]] feed the multi-table near-dup join.
+    */
+  val Hyperplanes: Seq[Seq[Int]] =
+    (0 until math.max(LshPlanes, LshTables * PlanesPerTable)).map { i =>
+      (0 until Dim).map { j =>
+        val v = (1103515245L * (i * Dim + j) + 12345L) % 2147483648L
+        if (v < 1073741824L) 1 else -1
+      }
     }
+
+  private def planeBit(embedding: Column, planeIdx: Int, bit: Int): Column = {
+    val dotp = aggregate(
+      zip_with(embedding, typedLit(Hyperplanes(planeIdx).map(_.toDouble)),
+        (x, y) => x.cast("double") * y),
+      lit(0.0d), (acc, v) => acc + v)
+    when(dotp >= 0, 1L << bit).otherwise(0L)
   }
+
+  /** Random-hyperplane bucket id (sign bit per plane) as a column. */
+  def lshBucket(embedding: Column): Column =
+    (0 until LshPlanes).map(i => planeBit(embedding, i, i)).reduce(_ + _)
 
   /** Random-hyperplane signature histogram: the bucketing primitive for
-    * cosine LSH (sign of dot with each plane → bit). Near-dup pairs at
-    * scale are then joined within buckets instead of all-pairs.
+    * cosine LSH. Near-dup pairs at scale are then joined within buckets
+    * instead of all-pairs.
     */
-  def lshBucketStats(embs: DataFrame): DataFrame = {
-    val sigBits = Hyperplanes.zipWithIndex.map { case (plane, i) =>
-      val dotp = aggregate(
-        zip_with(col("embedding"), typedLit(plane.map(_.toDouble)),
-          (x, y) => x.cast("double") * y),
-        lit(0.0d), (acc, v) => acc + v)
-      when(dotp >= 0, 1L << i).otherwise(0L)
-    }
-    embs.select(sigBits.reduce(_ + _).as("bucket"))
+  def lshBucketStats(embs: DataFrame): DataFrame =
+    embs.select(lshBucket(col("embedding")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
       .orderBy("bucket")
+
+  /** The LSH-blocked near-dup path: MULTI-TABLE random-hyperplane LSH
+    * (OR-amplification — [[LshTables]] independent tables of
+    * [[PlanesPerTable]] sign bits; a pair is a candidate when it
+    * collides in ANY table, mirroring MinHash banding), then exact
+    * cosine verification. Deterministic hyperplanes make the
+    * approximation itself oracle-replayable — the registered oracle runs
+    * the SAME blocking, so the correctness gate checks the algorithm,
+    * while recall vs the brute-force baseline ([[embeddingNearDup]]) is
+    * measured in the spec. At 100 TB the bucket joins replace the
+    * quadratic cross product entirely.
+    */
+  def embeddingNearDupLsh(embs: DataFrame): DataFrame = {
+    val tableBuckets = (0 until LshTables).map { t =>
+      struct(lit(t).as("table_id"),
+        (0 until PlanesPerTable)
+          .map(j => planeBit(col("embedding"), t * PlanesPerTable + j, j))
+          .reduce(_ + _).as("bucket"))
+    }
+    val sig = embs.select(col("vec_id"),
+      explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table_id"), col("tb.bucket"))
+    val cands = sig.as("l").join(sig.as("r"),
+        col("l.table_id") === col("r.table_id") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("v1"), col("r.vec_id").as("v2"))
+      .distinct()
+    cands
+      .join(embs.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+      .join(embs.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
+      .select(col("v1"), col("v2"),
+        round(cosineSim(col("e1"), col("e2")), 4).as("cosine"))
+      .filter(col("cosine") >= CosineDupThreshold)
+      .orderBy(desc("cosine"), asc("v1"), asc("v2"))
   }
 
-  val lshBucketStatsOracle: String = {
-    val sigBits = Hyperplanes.zipWithIndex.map { case (plane, i) =>
-      val lits = plane.map(v => s"$v.0").mkString("[", ", ", "]")
-      s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
-         |    k -> CAST(embedding[k] AS DOUBLE) * ($lits)[k])) >= 0
-         |  THEN ${1L << i} ELSE 0 END)""".stripMargin
-    }.mkString("\n    + ")
-    s"""SELECT $sigBits AS bucket, count(*) AS n_vecs
+  private def lshBucketSql(emb: String): String =
+    (0 until LshPlanes).map(i => planeBitSql(emb, i, i)).mkString("\n    + ")
+
+  private def planeBitSql(emb: String, planeIdx: Int, bit: Int): String = {
+    val lits = Hyperplanes(planeIdx).map(v => s"$v.0").mkString("[", ", ", "]")
+    s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+       |    k -> CAST($emb[k] AS DOUBLE) * ($lits)[k])) >= 0
+       |  THEN ${1L << bit} ELSE 0 END)""".stripMargin
+  }
+
+  val embeddingNearDupLshOracle: String = {
+    val tableRows = (0 until LshTables).map { t =>
+      val bucket = (0 until PlanesPerTable)
+        .map(j => planeBitSql("embedding", t * PlanesPerTable + j, j))
+        .mkString("\n    + ")
+      s"SELECT vec_id, $t AS table_id,\n    $bucket AS bucket FROM embeddings"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sig AS (
+       |  $tableRows),
+       |cands AS (
+       |  SELECT DISTINCT l.vec_id AS v1, r.vec_id AS v2
+       |  FROM sig l JOIN sig r
+       |    ON l.table_id = r.table_id AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+       |pairs AS (
+       |  SELECT v1, v2,
+       |    round(${VectorSearch.cosineSql("a.embedding", "b.embedding")}, 4) AS cosine
+       |  FROM cands JOIN embeddings a ON cands.v1 = a.vec_id
+       |              JOIN embeddings b ON cands.v2 = b.vec_id)
+       |SELECT v1, v2, cosine FROM pairs
+       |WHERE cosine >= $CosineDupThreshold
+       |ORDER BY cosine DESC, v1, v2""".stripMargin
+  }
+
+  val lshBucketStatsOracle: String =
+    s"""SELECT ${lshBucketSql("embedding")} AS bucket, count(*) AS n_vecs
        |FROM embeddings
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
-  }
 
   // --- wiring --------------------------------------------------------------
 
@@ -400,4 +472,5 @@ object Dedup {
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = ngramJaccard(Tables.documents(s, dir))
   def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = embeddingNearDup(Tables.embeddings(s, dir))
   def qLshBucketStats(s: SparkSession, dir: String): DataFrame = lshBucketStats(Tables.embeddings(s, dir))
+  def qEmbeddingNearDupLsh(s: SparkSession, dir: String): DataFrame = embeddingNearDupLsh(Tables.embeddings(s, dir))
 }

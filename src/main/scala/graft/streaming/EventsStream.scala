@@ -37,6 +37,15 @@ object EventsStream {
       .select(col("w.start").cast("timestamp_ntz").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup — idempotent ingest: drop replayed events by
+    * id within the watermark horizon (state bounded by the watermark, so
+    * a continuous pipeline doesn't accumulate unbounded keys).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Ev(user_id: Long, ts_s: Long)
   case class SessState(sessionId: Long, firstTs: Long, lastTs: Long, n: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_s: Long)

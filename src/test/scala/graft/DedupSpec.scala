@@ -79,6 +79,20 @@ class DedupSpec extends SparkSpec {
     assert((out.head.getAs[Long]("v1"), out.head.getAs[Long]("v2")) == (0L, 1L))
   }
 
+  test("lsh-blocked near-dup is a subset of brute force with decent recall") {
+    val embs = sources.Tables.embeddings(spark, TestSpark.Sf001)
+    val brute = Dedup.embeddingNearDup(embs).collect()
+      .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(embs).collect()
+      .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
+    assert(lsh.subsetOf(brute))
+    if (brute.nonEmpty) {
+      val recall = lsh.size.toDouble / brute.size
+      info(s"LSH recall at threshold ${Dedup.CosineDupThreshold}: $recall (${lsh.size}/${brute.size})")
+      assert(recall > 0.0) // 8 planes on near-orthogonal synthetic pairs: low bar
+    }
+  }
+
   test("lsh buckets partition the corpus completely") {
     val embs = sources.Tables.embeddings(spark, TestSpark.Sf0001)
     val stats = Dedup.lshBucketStats(embs)

@@ -24,6 +24,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    val streamed = EventsStream.dedupedEvents(
+      EventsStream.readEvents(spark, TestSpark.Sf0001))
+    val q = streamed.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_stream").count()
+    val want = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .select("event_id").distinct().count()
+    assert(got == want)
+  }
+
   test("stateful sessionization closes sessions on gap and keeps state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventsStream.Ev]
