@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Chunker, Dedup}
+import org.apache.spark.sql.graftshim.TopKBuffer
+
+/** Seeded randomized property checks (no external generator dep). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("TopKBuffer equals naive sort-take over random inputs") {
+    (1 to 50).foreach { _ =>
+      val k = 1 + rnd.nextInt(8)
+      val n = rnd.nextInt(60)
+      val xs = Seq.fill(n)((rnd.nextInt(10) / 2.0, rnd.nextLong().abs % 100))
+      val buf = new TopKBuffer(k)
+      xs.foreach { case (s, i) => buf.insert(s, i) }
+      val got = buf.sortedBestFirst.toSeq
+      // duplicates allowed in buffer; compare against naive WITH duplicates
+      val naiveDup = xs.sortWith((a, b) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)).take(k)
+      assert(got == naiveDup, s"k=$k xs=$xs")
+    }
+  }
+
+  test("chunker covers every token exactly once net of overlaps, any size") {
+    val cases = (1 to 20).map(_ => 1 + rnd.nextInt(200))
+    val df = cases.zipWithIndex.map { case (n, id) =>
+      (id.toLong, (1 to n).map(i => s"t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = Chunker.chunk(df).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    cases.zipWithIndex.foreach { case (n, id) =>
+      val chunks = byDoc(id.toLong).sortBy(_.getAs[Int]("chunk_id"))
+      val sum = chunks.map(_.getAs[Int]("n_tokens")).sum
+      assert(sum == n + (chunks.length - 1) * Chunker.Overlap, s"n=$n")
+      // every chunk except possibly the last is full-size
+      chunks.dropRight(1).foreach(c => assert(c.getAs[Int]("n_tokens") == Chunker.ChunkSize))
+    }
+  }
+
+  test("minhash permutation constants are valid and signatures bounded") {
+    assert(Dedup.Perms.size == Dedup.NumHashes)
+    assert(Dedup.Perms.forall { case (a, b) =>
+      a > 0 && a < Dedup.P && b >= 0 && b < Dedup.P })
+    val docs = (0L to 5L).map(i =>
+      (i, Seq.fill(20)(s"w${rnd.nextInt(50)}").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val sigs = Dedup.minhashSignature(docs).collect()
+    sigs.foreach { r =>
+      val sig = r.getAs[scala.collection.Seq[Long]]("sig")
+      assert(sig.length == Dedup.NumHashes)
+      assert(sig.forall(v => v >= 0 && v < Dedup.P))
+    }
+  }
+
+  test("jaccard pairs are symmetric in construction: d1 < d2 always") {
+    val out = Dedup.ngramJaccard(
+      sources.Tables.documents(spark, TestSpark.Sf0001)).collect()
+    assert(out.forall(r => r.getAs[Long]("d1") < r.getAs[Long]("d2")))
+    val pairs = out.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    assert(pairs.distinct.length == pairs.length, "no duplicate pairs")
+  }
+}
