@@ -39,6 +39,7 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.qQuality _),
     "text_langid" -> (TextAnalysis.qLangId _),
     "text_fingerprint" -> (TextAnalysis.qFingerprints _),
+    "text_lm_score" -> (TextAnalysis.qLmScore _),
     "dedup_exact" -> (Dedup.qExact _),
     "dedup_minhash_lsh" -> (Dedup.qMinhashLsh _),
     "dedup_simhash" -> (Dedup.qSimhash _),
@@ -83,6 +84,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualityOracle,
     "text_langid" -> TextAnalysis.langIdOracle,
     "text_fingerprint" -> TextAnalysis.fingerprintsOracle,
+    "text_lm_score" -> TextAnalysis.lmScoreOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
     "dedup_simhash" -> Dedup.simhashOracle,

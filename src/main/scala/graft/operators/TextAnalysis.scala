@@ -111,6 +111,39 @@ object TextAnalysis {
        |FROM scored
        |ORDER BY doc_id""".stripMargin
 
+  // --- corpus language-model score ----------------------------------------
+
+  /** Unigram LM quality signal: mean log corpus-frequency of a doc's
+    * tokens (the cheap stand-in for perplexity-based quality filters —
+    * docs full of corpus-rare garbage score low).
+    *
+    * Scale shape: the unigram table is a tiny aggregate broadcast back
+    * into a single exploded pass; one shuffle keyed by doc for the final
+    * mean.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toked = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = toked.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum("tf").as("total"))
+    toked
+      .join(broadcast(freq), "tok")
+      .join(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("tf").cast("double") / col("total"))), 4).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreOracle: String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+       |freq AS (SELECT tok, count(*) AS tf FROM toked GROUP BY tok),
+       |total AS (SELECT sum(tf) AS total FROM freq)
+       |SELECT doc_id,
+       |  round(avg(ln(CAST(tf AS DOUBLE) / total)), 4) AS lm_score
+       |FROM toked JOIN freq USING (tok), total
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // --- fingerprinting ------------------------------------------------------
 
   /** Content fingerprint: md5 of normalized text plus the min portable
@@ -143,4 +176,5 @@ object TextAnalysis {
   def qQuality(s: SparkSession, dir: String): DataFrame = quality(Tables.documents(s, dir))
   def qLangId(s: SparkSession, dir: String): DataFrame = langId(Tables.documents(s, dir))
   def qFingerprints(s: SparkSession, dir: String): DataFrame = fingerprints(Tables.documents(s, dir))
+  def qLmScore(s: SparkSession, dir: String): DataFrame = lmScore(Tables.documents(s, dir))
 }
