@@ -96,6 +96,48 @@ object IvfIndex {
        |ORDER BY score DESC, vec_id
        |LIMIT $k""".stripMargin
 
+  /** Learned coarse quantizer: k-means cell assignment (the drop-in
+    * replacement for the pre-assigned `label` cells — same search plan,
+    * cells now data-driven). Seeded for reproducibility; training is one
+    * MLlib job over a sample, assignment is a model broadcast + map.
+    */
+  def assignKmeansCells(embs: DataFrame, nlist: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embs.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(feat)
+    model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** IVF search over k-means cells: centroid ranking → nprobe cells →
+    * exact cosine, identical plan shape to [[search]].
+    */
+  def searchKmeans(embs: DataFrame, queryVecId: Long, nlist: Int,
+                   nprobe: Int, k: Int = TopK, seed: Long = 42L): DataFrame = {
+    val assigned = assignKmeansCells(embs, nlist, seed)
+    val q = embs.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
+    val cents = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy("cell", "dim").agg(avg(col("e").cast("double")).as("c"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    val probed = cents.join(broadcast(q))
+      .select(col("cell"), round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
+      .orderBy(desc("cscore"), asc("cell"))
+      .limit(nprobe)
+      .select("cell")
+    assigned.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probed), Seq("cell"))
+      .join(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Materialize the IVF index as CELL-PARTITIONED parquet: searches that
     * probe nprobe cells read only those directories (partition pruning at
     * the file-listing level — the 100 TB point of an IVF layout).

@@ -60,6 +60,17 @@ class SearchSpec extends SparkSpec {
     assert(dims.forall(_ == 64))
   }
 
+  test("ivf with learned k-means quantizer: full-probe equals brute force") {
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val cells = IvfIndex.assignKmeansCells(embs, nlist = 4)
+    assert(cells.count() == embs.count())
+    assert(cells.select("cell").distinct().count() <= 4)
+    val full = IvfIndex.searchKmeans(embs, 7L, nlist = 4, nprobe = 4, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = VectorSearch.topK(embs, 7L, 10).select("vec_id").as[Long].collect().toSeq
+    assert(full == brute)
+  }
+
   test("ivf materialized index: search reads only probed cell partitions") {
     val embs = Tables.embeddings(spark, TestSpark.Sf0001)
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/idx"
