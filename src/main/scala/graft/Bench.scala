@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -13,15 +13,15 @@ object Bench {
     // JVM/codegen/executor warmup so the first timed query isn't charged
     // for session spin-up.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    // Two timed runs per query, report the min — strips residual JIT and
-    // shuffle-file-cache noise from the cross-round comparison.
+    // Three timed runs per query, report the median — robust to one-off
+    // JIT / shuffle-file-cache / GC outliers in either direction.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times.sorted.apply(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

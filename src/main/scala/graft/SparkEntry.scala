@@ -26,6 +26,8 @@ object SparkEntry {
     "filter_search_exact" -> (KeywordSearch.searchFilterExact _),
     "filter_search_fuzzy" -> (KeywordSearch.searchFilterFuzzy _),
     "doc_count" -> (KeywordSearch.docCount _),
+    "kw_index_dictionary" -> (KeywordIndex.qDictionary _),
+    "kw_search_indexed" -> (KeywordIndex.qSearchIndexed _),
     "vector_search_topk" -> (VectorSearch.search _),
     "vector_search_batch" -> (VectorSearch.batchSearch _),
     "e2e_chunk_embed_search" -> (Embedder.query _),
@@ -71,6 +73,8 @@ object SparkEntry {
     "filter_search_exact" -> KeywordSearch.searchFilterExactOracle,
     "filter_search_fuzzy" -> KeywordSearch.searchFilterFuzzyOracle,
     "doc_count" -> KeywordSearch.docCountOracle,
+    "kw_index_dictionary" -> KeywordIndex.dictionaryOracle,
+    "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,
     "vector_search_topk" -> VectorSearch.searchOracle,
     "vector_search_batch" -> VectorSearch.batchSearchOracle,
     "e2e_chunk_embed_search" -> Embedder.chunkEmbedSearchOracle,
