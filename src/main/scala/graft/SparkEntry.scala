@@ -54,6 +54,7 @@ object SparkEntry {
     "ivf_build_centroids" -> (IvfIndex.qBuild _),
     "ivf_search" -> (IvfIndex.qSearch _),
     "eval_retrieval" -> (RetrievalEval.query _),
+    "eval_ndcg" -> (RetrievalEval.queryNdcg _),
     "multimodal_meta" -> (Multimodal.qMeta _)
   )
 
@@ -101,6 +102,7 @@ object SparkEntry {
     "ivf_build_centroids" -> IvfIndex.buildCentroidsOracle,
     "ivf_search" -> IvfIndex.qSearchOracle,
     "eval_retrieval" -> RetrievalEval.oracle,
+    "eval_ndcg" -> RetrievalEval.ndcgOracle,
     "multimodal_meta" -> Multimodal.metaOracle
   )
 }

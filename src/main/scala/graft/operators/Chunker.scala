@@ -25,7 +25,14 @@ object Chunker {
   val Overlap = 8
   val Stride: Int = ChunkSize - Overlap
 
-  def chunk(docs: DataFrame, size: Int = ChunkSize, overlap: Int = Overlap): DataFrame = {
+  def chunk(docs: DataFrame, size: Int = ChunkSize, overlap: Int = Overlap): DataFrame =
+    chunkUnsorted(docs, size, overlap).orderBy("doc_id", "chunk_id")
+
+  /** [[chunk]] without the output ordering — the narrow-only form usable
+    * inside Structured Streaming (sort is not allowed on unbounded
+    * streams; ordering there is the sink's concern).
+    */
+  def chunkUnsorted(docs: DataFrame, size: Int = ChunkSize, overlap: Int = Overlap): DataFrame = {
     val stride = size - overlap
     val n = org.apache.spark.sql.functions.size(col("toks"))
     val nChunks = greatest(
@@ -38,7 +45,6 @@ object Chunker {
           slice(col("toks"), col("chunk_id") * stride + 1, lit(size))).as("n_tokens"),
         md5(array_join(
           slice(col("toks"), col("chunk_id") * stride + 1, lit(size)), " ")).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   def chunkSql(size: Int = ChunkSize, overlap: Int = Overlap): String = {

@@ -73,8 +73,80 @@ object RetrievalEval {
        |  round(avg(coalesce(CAST(1.0 AS DOUBLE) / first_rel, CAST(0.0 AS DOUBLE))), 4) AS mrr
        |FROM per_query""".stripMargin
 
+  /** nDCG@k with binary (label-match) relevance. DCG uses the standard
+    * `rel / log2(rank+1)` discount; the ideal DCG normalizes by the best
+    * achievable ordering given each query's true relevant count
+    * (`min(k, n_relevant)` leading hits), so queries from rare labels
+    * aren't penalized for having fewer than k relevant docs.
+    *
+    * Same scale shape as [[labelPrecision]]: broadcast query fan-out,
+    * per-query window, plus one broadcast label-frequency join; both
+    * discount sums are expressed as `aggregate(sequence(...))` /
+    * `ln(i+1)/ln(2)` identically in Spark and DuckDB.
+    */
+  def ndcg(embs: DataFrame, stride: Int = QueryStride, k: Int = TopK): DataFrame = {
+    val queries = embs.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val labelCounts = embs.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    val scored = embs.select(col("vec_id"), col("label"), col("embedding"))
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        cosineSim(col("embedding"), col("q_emb")).as("score"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("score"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+    val perQuery = ranked.groupBy("q_id", "q_label")
+      .agg(sum(when(col("label") === col("q_label"),
+        lit(1.0) / (log(col("rn") + 1.0) / log(lit(2.0))))
+        .otherwise(0.0)).as("dcg"))
+    perQuery
+      .join(broadcast(labelCounts), Seq("q_label"))
+      .withColumn("ideal_k", least(lit(k), col("n_label") - 1))
+      .withColumn("idcg", aggregate(sequence(lit(1), col("ideal_k")), lit(0.0d),
+        (acc, i) => acc + lit(1.0) / (log(i.cast("double") + 1.0) / log(lit(2.0)))))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("dcg") / col("idcg")), 4).as("mean_ndcg"))
+  }
+
+  def ndcgSql(stride: Int = QueryStride, k: Int = TopK): String =
+    s"""WITH queries AS (
+       |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id % $stride = 0),
+       |label_counts AS (
+       |  SELECT label AS q_label, count(*) AS n_label FROM embeddings GROUP BY 1),
+       |scored AS (
+       |  SELECT q_id, q_label, vec_id, label,
+       |    ${VectorSearch.cosineSql("embedding", "q_emb")} AS score
+       |  FROM embeddings JOIN queries ON vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, q_label, vec_id, label,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $k),
+       |per_query AS (
+       |  SELECT q_id, q_label,
+       |    sum(CASE WHEN label = q_label
+       |      THEN CAST(1.0 AS DOUBLE) / (ln(CAST(rn AS DOUBLE) + 1.0) / ln(2.0))
+       |      ELSE CAST(0.0 AS DOUBLE) END) AS dcg
+       |  FROM ranked GROUP BY 1, 2),
+       |with_ideal AS (
+       |  SELECT q_id, dcg,
+       |    list_sum(list_transform(range(1, least($k, n_label - 1) + 1),
+       |      i -> CAST(1.0 AS DOUBLE) / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)))) AS idcg
+       |  FROM per_query JOIN label_counts USING (q_label))
+       |SELECT count(*) AS n_queries, round(avg(dcg / idcg), 4) AS mean_ndcg
+       |FROM with_ideal""".stripMargin
+
   def query(s: SparkSession, dir: String): DataFrame =
     labelPrecision(Tables.embeddings(s, dir))
 
   val oracle: String = labelPrecisionSql()
+
+  def queryNdcg(s: SparkSession, dir: String): DataFrame =
+    ndcg(Tables.embeddings(s, dir))
+
+  val ndcgOracle: String = ndcgSql()
 }

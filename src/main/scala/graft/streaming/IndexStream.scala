@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.functions.TextFunctions._
+import graft.operators.{Chunker, Embedder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming index ingest — the continuous twin of the reference's batch
+  * index build (`WeaviateIndexer.batch_index_data`, reference
+  * `src/database/weaviate_interface_v4.py:409-492`). Documents arrive as
+  * a file stream, are chunked and embedded with the same declarative
+  * pipeline as the batch job ([[graft.operators.Chunker]] /
+  * [[graft.operators.Embedder]] — every transform narrow/stateless), and
+  * append to the SAME cell-partitioned parquet layout the batch
+  * [[graft.operators.IvfIndex.writeIndex]] produces — so one search path
+  * serves both ingest modes, and a restart resumes exactly-once from the
+  * checkpoint.
+  *
+  * At 100 TB scale this is the continuous-ingest story: new corpus
+  * partitions land as files, each micro-batch is a narrow
+  * chunk→embed→assign map, and the only fan-in is the partitioned sink
+  * append. No state store is needed (dedup-by-key ingest is
+  * [[EventsStream.dedupedEvents]]'s pattern and composes in front).
+  */
+object IndexStream {
+  val NumCells = 8
+
+  /** Parquet file-stream of the documents table. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** chunk → embed → coarse-cell assignment, all narrow (no shuffle, no
+    * state): the exact transform a 1000-executor continuous job would
+    * run. Cell = portable hash of the chunk content modulo [[NumCells]]
+    * (a deterministic stand-in for the nearest-centroid assignment, same
+    * plan shape).
+    */
+  def chunkEmbedAssign(docs: DataFrame): DataFrame =
+    Chunker.chunkUnsorted(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_hash"),
+        Embedder.embed(col("chunk_hash")).as("embedding"),
+        pmod(portableHash(col("chunk_hash")), lit(NumCells)).as("cell"))
+
+  /** Continuous append into the cell-partitioned index layout. */
+  def appendToIndex(chunks: DataFrame, path: String,
+                    checkpoint: String): StreamingQuery =
+    chunks.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cell")
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -177,4 +177,28 @@ class SearchSpec extends SparkSpec {
     assert(m.getAs[Double]("hit_rate") == 1.0) // nearest neighbor shares label
     assert(m.getAs[Double]("mrr") == 1.0)
   }
+
+  test("ndcg: relevant doc at rank 2 with one relevant total scores 1/log2(3)") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),  // the only query (stride 10)
+      (1L, Array(0.9f, 0.1f), 1),  // rank 1, irrelevant
+      (2L, Array(0.5f, 0.5f), 0),  // rank 2, the one relevant doc
+      (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val m = RetrievalEval.ndcg(embs, stride = 10, k = 2).collect().head
+    assert(m.getAs[Long]("n_queries") == 1)
+    // dcg = 1/log2(3), idcg = 1/log2(2) = 1 (ideal_k = min(k, n_label-1) = 1)
+    assert(m.getAs[Double]("mean_ndcg") == math.rint(1.0 / (math.log(3.0) / math.log(2.0)) * 1e4) / 1e4)
+  }
+
+  test("ndcg: perfect front-loaded ranking scores 1.0") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f), 0),
+      (2L, Array(0.95f, 0.05f), 0),
+      (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val m = RetrievalEval.ndcg(embs, stride = 10, k = 2).collect().head
+    assert(m.getAs[Double]("mean_ndcg") == 1.0)
+  }
 }

@@ -63,4 +63,30 @@ class StreamingSpec extends SparkSpec {
     assert(all.exists(s => s.user_id == 2L && s.n_events == 1L))
     q.stop()
   }
+
+  test("streaming index ingest lands the batch pipeline's rows cell-partitioned") {
+    import graft.streaming.IndexStream
+    val tmp = java.nio.file.Files.createTempDirectory("idx_stream").toString
+    val q = IndexStream.appendToIndex(
+      IndexStream.chunkEmbedAssign(
+        IndexStream.readDocuments(spark, TestSpark.Sf0001)),
+      s"$tmp/index", s"$tmp/ckpt")
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(s"$tmp/index")
+    val batch = IndexStream.chunkEmbedAssign(
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001))
+    // same rows as the batch pipeline (content equality, order-free)
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("doc_id", "chunk_id", "chunk_hash", "cell")
+      .exceptAll(batch.select("doc_id", "chunk_id", "chunk_hash", "cell")).count() == 0)
+    // physically cell-partitioned on disk
+    val cellDirs = new java.io.File(s"$tmp/index").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.matches("cell=\\d")))
+    // a cell-filtered read prunes partitions (filter lands on the partition col)
+    val pruned = streamed.filter(col("cell") === 3)
+    assert(pruned.count() ==
+      batch.filter(col("cell") === 3).count())
+  }
 }
