@@ -20,6 +20,13 @@ object GraftSession {
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "32")
     .config("spark.sql.adaptive.enabled", "true")
+    // Text/vector stages are CPU-dense per shuffled byte (array intersects,
+    // cosine loops over tiny md5/id rows): AQE's byte-based partition
+    // coalescing serializes them (observed: a 500k-pair verify stage
+    // squeezed into ONE task). Lowering the coalesce floor keeps small
+    // CPU-heavy shuffles parallel; at real scale partitions are far above
+    // either floor and behavior is unchanged.
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")

@@ -276,10 +276,15 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy("source", "set_key").orderBy(asc("df"), asc("tok"))))
       .filter(col("rk") <= prefixLen)
-      .select(col("source"), col("set_key"), col("tok"))
+      .select(col("source"), col("set_key"), col("tsize"), col("tok"))
+    // size filter (exact): J(x,y) >= tau implies |x∩y| >= tau*max(|x|,|y|)
+    // and |x∩y| <= min(|x|,|y|), hence min >= tau*max — prune size-mismatched
+    // pairs inside the join before the dedup shuffle.
     val cands = prefix.as("l").join(prefix.as("r"),
         col("l.source") === col("r.source") && col("l.tok") === col("r.tok") &&
-          col("l.set_key") < col("r.set_key"))
+          col("l.set_key") < col("r.set_key") &&
+          col("r.tsize") * lit(NgramThreshold) <= col("l.tsize") &&
+          col("l.tsize") * lit(NgramThreshold) <= col("r.tsize"))
       .select(col("l.source").as("source"),
         col("l.set_key").as("k1"), col("r.set_key").as("k2"))
       .distinct()
