@@ -33,6 +33,8 @@ object SparkEntry {
     "e2e_chunk_embed_search" -> (Embedder.query _),
     "prompt_assembly" -> (PromptAssembly.query _),
     "hybrid_search" -> (HybridSearch.search _),
+    "hybrid_search_filtered" -> (HybridSearch.searchFiltered _),
+    "vector_search_filtered" -> (VectorSearch.searchFiltered _),
     "rerank_overlap" -> (Reranker.search _),
     "context_prune" -> (ContextPruner.search _),
     "chunk_documents" -> (Chunker.query _),
@@ -81,6 +83,8 @@ object SparkEntry {
     "e2e_chunk_embed_search" -> Embedder.chunkEmbedSearchOracle,
     "prompt_assembly" -> PromptAssembly.oracle,
     "hybrid_search" -> HybridSearch.searchOracle,
+    "hybrid_search_filtered" -> HybridSearch.searchFilteredOracle,
+    "vector_search_filtered" -> VectorSearch.searchFilteredOracle,
     "rerank_overlap" -> Reranker.searchOracle,
     "context_prune" -> ContextPruner.searchOracle,
     "chunk_documents" -> Chunker.oracle,

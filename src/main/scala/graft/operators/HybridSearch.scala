@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hybrid (keyword + vector) search with relative-score fusion — the
@@ -22,10 +22,11 @@ object HybridSearch {
   val TopK = 10
 
   def fused(docs: DataFrame, embs: DataFrame, terms: Seq[String],
-            queryVecId: Long, alpha: Double = Alpha, k: Int = TopK): DataFrame = {
+            queryVecId: Long, alpha: Double = Alpha, k: Int = TopK,
+            docFilter: Column = lit(true)): DataFrame = {
     val q = embs.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
     // single-pass term stats (see KeywordSearch.termStats) + vector score
-    val base = KeywordSearch.termStats(docs, terms)
+    val base = KeywordSearch.termStats(docs, terms, docFilter)
       .join(embs.select(col("vec_id"), col("embedding")),
         col("doc_id") === col("vec_id"))
       .join(broadcast(q))
@@ -62,7 +63,7 @@ object HybridSearch {
   }
 
   def fusedSql(terms: Seq[String], queryVecId: Long,
-               alpha: Double = Alpha, k: Int = TopK): String = {
+               alpha: Double = Alpha, k: Int = TopK, whereSql: String = ""): String = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(toks, t -> t = '$t')) AS tf_$i"
     }.mkString(",\n    ")
@@ -83,7 +84,7 @@ object HybridSearch {
        |  FROM (SELECT doc_id, source,
        |          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
        |          embedding
-       |        FROM documents JOIN embeddings ON doc_id = vec_id), q),
+       |        FROM documents JOIN embeddings ON doc_id = vec_id $whereSql), q),
        |stats AS (
        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
        |    min(vscore) AS vmin, max(vscore) AS vmax, $dfs FROM base),
@@ -108,4 +109,18 @@ object HybridSearch {
 
   val searchOracle: String =
     fusedSql(KeywordSearch.QueryTerms, VectorSearch.QueryVecId)
+
+  /** Metadata-filtered hybrid search (reference `hybrid_search`
+    * `filters=` arg, L433): the filter prunes the corpus before BOTH
+    * signals; normalization stats are computed over the filtered corpus
+    * (same documented divergence as the BM25 filters).
+    */
+  def searchFiltered(s: SparkSession, dir: String): DataFrame =
+    fused(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      KeywordSearch.QueryTerms, VectorSearch.QueryVecId,
+      docFilter = col("lang") === "en")
+
+  val searchFilteredOracle: String =
+    fusedSql(KeywordSearch.QueryTerms, VectorSearch.QueryVecId,
+      whereSql = "WHERE lang = 'en'")
 }

@@ -58,6 +58,38 @@ object VectorSearch {
 
   val searchOracle: String = topKSql()
 
+  /** Metadata-filtered near-vector search (reference `vector_search`
+    * `filters=` arg, L250/L280): document metadata joins the vector side
+    * 1:1 on doc_id=vec_id, the filter prunes BEFORE scoring — at scale
+    * the filter+join prune the scan, and only surviving rows pay the
+    * cosine.
+    */
+  def topKFiltered(embs: DataFrame, docs: DataFrame, queryVecId: Long = QueryVecId,
+                   k: Int = TopK): DataFrame = {
+    val q = embs.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    embs.join(docs.filter(col("lang") === "en").select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("lang"),
+        round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  def searchFiltered(s: SparkSession, dir: String): DataFrame =
+    topKFiltered(Tables.embeddings(s, dir), Tables.documents(s, dir))
+
+  val searchFilteredOracle: String =
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $QueryVecId)
+       |SELECT vec_id, lang,
+       |  round(${cosineSql("embedding", "q_emb")}, 4) AS score
+       |FROM embeddings JOIN documents ON vec_id = doc_id, q
+       |WHERE lang = 'en' AND vec_id <> $QueryVecId
+       |ORDER BY score DESC, vec_id
+       |LIMIT $TopK""".stripMargin
+
   // --- batch serving pattern ----------------------------------------------
 
   val BatchStride = 100
