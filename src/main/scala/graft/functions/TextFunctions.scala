@@ -56,6 +56,15 @@ object TextFunctions {
     Shims.column(WordShingles(Shims.expression(toks), k))
   }
 
+  /** `[dl, tf(terms(0)), ..]` in one token-array pass — the map-side BM25
+    * statistics vector. Backed by the native
+    * [[org.apache.spark.sql.graftshim.TermFrequencies]] loop.
+    */
+  def termFrequencies(toks: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.graftshim.{Shims, TermFrequencies}
+    Shims.column(TermFrequencies(Shims.expression(toks), terms))
+  }
+
   /** Reference formulation of [[shingles]] via built-in higher-order
     * functions only (kept for cross-checking the native expression).
     */

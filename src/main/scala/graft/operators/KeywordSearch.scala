@@ -41,10 +41,15 @@ object KeywordSearch {
     * naive column-per-tf form gets its `tokens()` alias inlined by
     * projection collapse into every consumer (14 `split` evaluations in
     * the executed plan); this form tokenizes once, map-side combines to
-    * one row per doc per partition, and its aggregation Exchange is
-    * reused by both the stats and scoring subtrees downstream.
-    */
-  /** Note: documents with zero tokens vanish at the explode and are thus
+    * one row per doc per partition, and — because source/lang ride along
+    * as grouping keys — BOTH BM25 consumers (corpus-stats aggregate and
+    * scoring join) canonicalize to the same subtree, so the aggregation
+    * Exchange is computed once and reused (verified: ReusedExchange in
+    * the executed plan).
+    *
+    * The measured alternative [[termStatsZeroShuffle]] trades this one
+    * compact shuffle for a second corpus scan; see its doc for when that
+    * wins. Documents with zero tokens vanish at the explode and are thus
     * excluded from corpus statistics (n_docs, avgdl) — the defined
     * semantics, mirrored in [[bm25Sql]].
     */
@@ -59,6 +64,32 @@ object KeywordSearch {
       }
     toked.groupBy("doc_id", "source", "lang").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** ZERO-shuffle formulation of [[termStats]]: the native
+    * [[graft.functions.TextFunctions.termFrequencies]] expression emits
+    * `[dl, tf_0, ..]` in one tight loop per row, so per-document
+    * statistics are a pure map with no explode and no doc-keyed
+    * exchange. The cost: the stats and scoring subtrees column-prune
+    * differently, defeating exchange reuse, so the corpus is scanned
+    * (and term-counted) twice. Pick per deployment: shuffle-constrained
+    * clusters or single-consumer pipelines (e.g. feeding the index
+    * builder) want this; the shared-subtree default wants [[termStats]].
+    * Cross-checked equal row-for-row in the spec.
+    *
+    * The `explode(array(..))` is a deliberate Generate barrier:
+    * CollapseProject would otherwise inline the expression into every
+    * element_at consumer (measured: re-tokenization per column, 2x
+    * slower); a generator output is an attribute, computed once per row.
+    */
+  def termStatsZeroShuffle(docs: DataFrame, terms: Seq[String],
+                           docFilter: Column = lit(true)): DataFrame =
+    docs.filter(docFilter)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(array(termFrequencies(tokens(col("text")), terms))).as("tfs"))
+      .filter(element_at(col("tfs"), 1) > 0)
+      .select(Seq(col("doc_id"), col("source"), col("lang"),
+        element_at(col("tfs"), 1).as("dl")) ++
+        terms.indices.map(i => element_at(col("tfs"), i + 2).as(s"tf_$i")): _*)
 
   /** Score documents for `terms`; `docFilter` is the metadata pre-filter
     * (Weaviate `filters=` semantics — stats computed over the filtered

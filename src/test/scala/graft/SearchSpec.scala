@@ -14,6 +14,27 @@ class SearchSpec extends SparkSpec {
     (3L, "fast spark fast spark fast", "s1", "en")
   ).toDF("doc_id", "text", "source", "lang")
 
+  test("termStats: zero-shuffle expression form equals exploded groupBy form") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val terms = KeywordSearch.QueryTerms
+    val a = KeywordSearch.termStatsZeroShuffle(docs, terms)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = KeywordSearch.termStats(docs, terms)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a == b)
+    // the expression form's plan carries no exchange at all (pure map)
+    val plan = KeywordSearch.termStatsZeroShuffle(docs, terms)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan, got:\n$plan")
+    // the default form's aggregation exchange is shared by both bm25
+    // consumers: the executed search plan reuses it instead of re-scanning
+    val search = KeywordSearch.bm25(docs, terms)
+    search.collect()
+    val searchPlan = search.queryExecution.executedPlan.toString
+    assert(searchPlan.contains("ReusedExchange"),
+      s"expected ReusedExchange in bm25 plan, got:\n$searchPlan")
+  }
+
   test("bm25: docs containing more query terms with higher tf rank higher") {
     val out = KeywordSearch.bm25(miniDocs, Seq("spark", "fast"), 4).collect()
     assert(out.head.getAs[Long]("doc_id") == 3L) // highest tf for both terms
