@@ -30,6 +30,7 @@ object SparkEntry {
     "kw_search_indexed" -> (KeywordIndex.qSearchIndexed _),
     "vector_search_topk" -> (VectorSearch.search _),
     "vector_search_batch" -> (VectorSearch.batchSearch _),
+    "vector_search_quantized" -> (VectorSearch.searchQuantized _),
     "e2e_chunk_embed_search" -> (Embedder.query _),
     "prompt_assembly" -> (PromptAssembly.query _),
     "hybrid_search" -> (HybridSearch.search _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,
     "vector_search_topk" -> VectorSearch.searchOracle,
     "vector_search_batch" -> VectorSearch.batchSearchOracle,
+    "vector_search_quantized" -> VectorSearch.searchQuantizedOracle,
     "e2e_chunk_embed_search" -> Embedder.chunkEmbedSearchOracle,
     "prompt_assembly" -> PromptAssembly.oracle,
     "hybrid_search" -> HybridSearch.searchOracle,

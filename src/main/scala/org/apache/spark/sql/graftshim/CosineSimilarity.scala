@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native codegen'd cosine similarity over `array<float>` / `array<double>`.
+/** Native codegen'd cosine similarity over `array<float>` / `array<double>`
+  * / `array<int>` (int arrays serve the SQ8-quantized path — cosine is
+  * scale-invariant, so quantized codes score without dequantization).
   *
   * This is the hot-path primitive behind vector search
   * (reference `src/database/weaviate_interface_v4.py:246` near_vector
@@ -28,26 +30,32 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType), ArrayType(IntegerType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType), ArrayType(IntegerType)))
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def getter(e: Expression, arr: String, i: String): String = e.dataType match {
+    case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+    case ArrayType(IntegerType, _) => s"(double) $arr.getInt($i)"
+    case _ => s"$arr.getDouble($i)"
+  }
+
+  private def evalGet(e: Expression, arr: ArrayData, i: Int): Double = e.dataType match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case ArrayType(IntegerType, _) => arr.getInt(i).toDouble
+    case _ => arr.getDouble(i)
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val xv = evalGet(left, x, i)
+      val yv = evalGet(right, y, i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
@@ -59,8 +67,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny"); val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
-      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
-      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val getX = getter(left, a, i)
+      val getY = getter(right, b, i)
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;

@@ -66,6 +66,22 @@ class SearchSpec extends SparkSpec {
     assert(out.head.getAs[Double]("score") > 0.99)
   }
 
+  test("sq8 quantization: codes bounded to ±127, high top-k agreement with exact") {
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val quant = VectorSearch.quantize(embs)
+    val maxCode = quant
+      .select(array_max(transform(col("qv"), x => abs(x))).as("m"))
+      .agg(max("m")).as[Int].collect().head
+    assert(maxCode <= 127)
+    assert(quant.count() == embs.count())
+    val exact = VectorSearch.topK(embs, 7L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val quantized = VectorSearch.topKQuantized(embs, 7L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.intersect(quantized).size >= 8,
+      s"sq8 recall too low: ${exact.intersect(quantized).size}/10")
+  }
+
   test("ivf search with nprobe covering all cells equals brute force") {
     val embs = Tables.embeddings(spark, TestSpark.Sf0001)
     val brute = VectorSearch.topK(embs, 7L, 10).select("vec_id").as[Long].collect().toSeq
