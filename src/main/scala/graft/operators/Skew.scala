@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for the cases AQE's skew-join split can't
+  * reach (AQE only splits SORT-MERGE join partitions post-shuffle; a
+  * skewed key feeding a broadcast-impossible join, or a downstream
+  * per-key aggregation, still hot-spots one task).
+  *
+  * Salting is the classic fix: spread each hot key across `salts`
+  * sub-keys on the big side, replicate the small side once per salt, and
+  * join on (key, salt). Results are identical to the plain join for ANY
+  * salt assignment — the salt only routes rows — so the assignment can
+  * be any cheap deterministic hash of the row.
+  *
+  * At 100 TB: a single power-law key (one user, one null-ish join key,
+  * one viral document) otherwise serializes its whole partition through
+  * one executor; salting bounds every task at ~1/salts of the hot key.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `bigKey == smallKey`, with the big side
+    * salted `salts` ways and the small side replicated per salt.
+    * `bigSaltSource` picks the spreading hash input (default: a cheap
+    * uniform spreader over the big side's rows).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, salts: Int,
+                 bigSaltSource: Column = spark_partition_id()): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(bigSaltSource, monotonically_increasing_id()), lit(salts)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicatedSmall,
+        saltedBig(bigKey) === replicatedSmall(smallKey) &&
+          saltedBig("__salt") === replicatedSmall("__salt"))
+      .drop("__salt")
+  }
+}

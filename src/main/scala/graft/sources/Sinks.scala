@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Write-side table layouts — the sink half of the source/sink surface.
   *
@@ -35,4 +36,26 @@ object Sinks {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Date-partitioned event-stream layout: one directory per event day,
+    * the canonical 100 TB time-series layout — every time-bounded query
+    * prunes to its date range at file listing, and daily ingest appends
+    * one new partition without touching history. The pre-write
+    * repartition lines task output up with directories (one file per
+    * partition per day, not one per task per day).
+    */
+  def writeTimePartitioned(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("event_date",
+        to_date(timestamp_seconds(expr("ts div 1000000000"))))
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(path)
+
+  /** Time-range read over the partitioned layout — the filter lands on
+    * the partition column, so pruning happens before any file IO.
+    */
+  def readTimeRange(spark: SparkSession, path: String,
+                    from: String, to: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("event_date") >= from && col("event_date") <= to)
 }

@@ -41,4 +41,42 @@ class SinksSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
+
+  test("time-partitioned events: range read prunes partitions, same rows") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val events = Tables.events(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("events_part").toString + "/events"
+    Sinks.writeTimePartitioned(events, tmp)
+    val dateDirs = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("event_date=")).map(_.getName).sorted
+    assert(dateDirs.length > 1, s"expected multiple date partitions, got ${dateDirs.toSeq}")
+
+    val Array(lo, hi) = Array(dateDirs.head, dateDirs.last)
+      .map(_.stripPrefix("event_date="))
+    val ranged = Sinks.readTimeRange(spark, tmp, lo, lo) // first day only
+    val scans = ranged.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.exists(_.partitionFilters.exists(_.toString.contains("event_date"))))
+
+    val wantFirstDay = events
+      .filter(to_date(timestamp_seconds(expr("ts div 1000000000"))) === lo)
+      .count()
+    assert(ranged.count() == wantFirstDay && wantFirstDay > 0)
+    // full range returns everything
+    assert(Sinks.readTimeRange(spark, tmp, lo, hi).count() == events.count())
+  }
+
+  test("salted join equals the plain join") {
+    import graft.operators.Skew
+    val lineitem = Tables.lineitem(spark, TestSpark.Sf0001)
+      .select("l_orderkey", "l_quantity")
+    val orders = Tables.orders(spark, TestSpark.Sf0001)
+      .select("o_orderkey", "o_orderpriority")
+    val plain = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority").collect().toSeq
+    val salted = Skew.saltedJoin(lineitem, orders, "l_orderkey", "o_orderkey", 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(salted == plain)
+  }
 }
