@@ -126,10 +126,26 @@ object KeywordIndex {
   def qDictionary(s: SparkSession, dir: String): DataFrame =
     dictionary(Tables.documents(s, dir))
 
-  /** In-line build + indexed search; must equal `kw_search_bm25` bitwise. */
+  /** In-line build + indexed search; must equal `kw_search_bm25` bitwise.
+    *
+    * The transient build is cheaper than the materialized one: postings
+    * are filtered to the query terms BEFORE the (term, doc) aggregation
+    * (the only shuffled token rows are query-term hits), and doc lengths
+    * come from a zero-shuffle `size(tokens)` map instead of re-aggregating
+    * the full postings — the same two-scan shape as
+    * [[KeywordSearch.termStatsZeroShuffle]].
+    */
   def qSearchIndexed(s: SparkSession, dir: String): DataFrame = {
-    val p = postings(Tables.documents(s, dir))
-    searchFromIndex(p, docStats(p), KeywordSearch.QueryTerms)
+    val docs = Tables.documents(s, dir)
+    val hits = docs.select(col("doc_id"), col("source"), col("lang"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(KeywordSearch.QueryTerms: _*))
+      .groupBy("term", "doc_id", "source", "lang")
+      .agg(count(lit(1)).as("tf"))
+    val docstats = docs.select(col("doc_id"), col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    searchFromIndex(hits, docstats, KeywordSearch.QueryTerms)
   }
 
   /** Same oracle as `kw_search_bm25` — the equivalence proof. */

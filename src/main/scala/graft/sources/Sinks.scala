@@ -58,4 +58,15 @@ object Sinks {
                     from: String, to: String): DataFrame =
     spark.read.parquet(path)
       .filter(col("event_date") >= from && col("event_date") <= to)
+
+  /** JSON-lines export/import — the reference's interchange format for
+    * processed corpora (`preprocessing.py` json dumps). Parquet is the
+    * engine-native layout; JSON is the interop edge.
+    */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJson(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

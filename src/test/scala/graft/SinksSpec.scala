@@ -65,6 +65,15 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readTimeRange(spark, tmp, lo, hi).count() == events.count())
   }
 
+  test("json round-trip preserves the corpus") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("json_rt").toString + "/docs"
+    Sinks.writeJson(docs, tmp)
+    val back = Sinks.readJson(spark, tmp, docs.schema)
+    assert(back.schema == docs.schema)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
   test("salted join equals the plain join") {
     import graft.operators.Skew
     val lineitem = Tables.lineitem(spark, TestSpark.Sf0001)
