@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{PqAdcScore, PqEncode, Shims}
+
+/** Product quantization + ADC search — the memory-bound ANN scale path
+  * beyond SQ8 ([[VectorSearch.quantize]]): m codebook indices per vector
+  * (m bytes at k ≤ 256) instead of 4·d bytes, with query-time scoring as
+  * m table lookups per row (Jégou et al., TPAMI 2011). Complements the
+  * reference's `batch_index_data` ANN-build surface the same way
+  * [[IvfIndex]] does — IVF prunes WHICH vectors are scanned, PQ shrinks
+  * WHAT is scanned; production systems compose them (IVF-PQ).
+  *
+  * Training is per-subspace seeded k-means (MLlib over the subvector
+  * slices — one small fit per subspace); codebooks are tiny
+  * (m·k·(d/m) doubles) and ship to executors inside the
+  * [[org.apache.spark.sql.graftshim.PqEncode]] /
+  * [[org.apache.spark.sql.graftshim.PqAdcScore]] expressions.
+  *
+  * Vectors are L2-normalized before train/encode/query, making ADC's L2
+  * ranking equivalent to cosine ranking (||x−q||² = 2 − 2·cos on the
+  * unit sphere), so results are comparable to [[VectorSearch.topK]].
+  */
+object ProductQuantizer {
+  val M = 8          // subspaces
+  val K = 16         // centroids per subspace
+  val Dim = 64
+
+  case class Model(m: Int, dim: Int, codebooks: Seq[Seq[Seq[Double]]])
+
+  private def normalized(c: Column): Column = {
+    val d = transform(c, x => x.cast("double"))
+    // Generate-barrier-free: norm referenced once inside the lambda is
+    // loop-invariant but cheap (d adds) relative to the one-off encode.
+    transform(d, x => x / sqrt(aggregate(d, lit(0.0d), (a, v) => a + v * v)))
+  }
+
+  /** Per-subspace seeded k-means over the normalized corpus. */
+  def train(embs: DataFrame, m: Int = M, k: Int = K, seed: Long = 42L): Model = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = Dim / m
+    val normed = embs.select(normalized(col("embedding")).as("e"))
+    val codebooks = (0 until m).map { j =>
+      val sliced = normed.select(
+        array_to_vector(slice(col("e"), j * sub + 1, sub)).as("features"))
+      val model = new KMeans().setK(k).setSeed(seed + j)
+        .setFeaturesCol("features").setPredictionCol("c").fit(sliced)
+      model.clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+    Model(m, Dim, codebooks)
+  }
+
+  /** Encode the corpus: one `array<int>` of m codes per vector. */
+  def encode(embs: DataFrame, model: Model): DataFrame =
+    embs.select(col("vec_id"), col("label"),
+      Shims.column(PqEncode(
+        Shims.expression(normalized(col("embedding"))), model.codebooks)).as("codes"))
+
+  /** Per-query ADC table: table(j)(c) = ||q_sub_j − codebook(j)(c)||². */
+  def adcTable(model: Model, query: Seq[Double]): Seq[Seq[Double]] = {
+    val n = math.sqrt(query.map(x => x * x).sum)
+    val q = query.map(_ / n)
+    val sub = model.dim / model.m
+    model.codebooks.zipWithIndex.map { case (book, j) =>
+      book.map { cent =>
+        var d2 = 0.0
+        var t = 0
+        while (t < sub) {
+          val diff = q(j * sub + t) - cent(t); d2 += diff * diff; t += 1
+        }
+        d2
+      }
+    }
+  }
+
+  /** Approximate top-k by ascending ADC distance. The query vector is
+    * looked up on the driver (one tiny collect — the serving analog is
+    * the embedded user query arriving as a literal).
+    */
+  def searchAdc(embs: DataFrame, model: Model, queryVecId: Long,
+                k: Int = VectorSearch.TopK): DataFrame = {
+    val q = embs.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val table = adcTable(model, q)
+    encode(embs.filter(col("vec_id") =!= queryVecId), model)
+      .select(col("vec_id"), col("label"),
+        Shims.column(PqAdcScore(Shims.expression(col("codes")), table)).as("adc"))
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(k)
+  }
+}

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{CosineSimilarity, WordShingles}
+import org.apache.spark.sql.graftshim.{CosineSimilarity, TermFrequencies, WordShingles}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, so the
   * Text2SQL surface (and any `spark.sql` user) can call them directly:
@@ -36,6 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_shingles(tokenArray, k) with literal k")
         WordShingles(children.head,
           children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("term_frequencies"),
+      new ExpressionInfo(classOf[TermFrequencies].getName, "term_frequencies"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2 && children.tail.forall(_.foldable),
+          "term_frequencies(tokenArray, term1, term2, ...) with literal terms")
+        TermFrequencies(children.head,
+          children.tail.map(_.eval().toString))
       }))
   }
 }

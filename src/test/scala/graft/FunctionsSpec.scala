@@ -69,6 +69,10 @@ class FunctionsSpec extends SparkSpec {
     val sh = spark.sql("SELECT word_shingles(array('a','b','c'), 2) AS s")
       .as[Seq[String]].head()
     assert(sh == Seq("a b", "b c"))
+    val tf = spark.sql(
+      "SELECT term_frequencies(array('a','b','a','c'), 'a', 'z') AS t")
+      .as[Seq[Long]].head()
+    assert(tf == Seq(4L, 2L, 0L)) // [dl, tf('a'), tf('z')]
   }
 
   test("fingerprint is whitespace/punct-insensitive") {
