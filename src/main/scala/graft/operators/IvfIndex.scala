@@ -48,8 +48,10 @@ object IvfIndex {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
-  /** Centroids as arrays (unrounded) for the search path. */
-  private def centroidArrays(embs: DataFrame): DataFrame =
+  /** Centroids as arrays (unrounded) for the search path (also reused by
+    * the IVF-PQ composition in [[ProductQuantizer.searchIvfAdc]]).
+    */
+  def centroidArrays(embs: DataFrame): DataFrame =
     embs.select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("dim", "e")))
       .groupBy("cell", "dim")
       .agg(avg(col("e").cast("double")).as("c"))

@@ -90,4 +90,36 @@ object ProductQuantizer {
       .orderBy(asc("adc"), asc("vec_id"))
       .limit(k)
   }
+
+  /** IVF-PQ: the production composition — IVF prunes WHICH cells are
+    * scanned (nprobe/nlist of the corpus, partition-prunable on disk),
+    * PQ shrinks WHAT each scanned row costs (m table lookups over m
+    * bytes). Cells here are the corpus `label` coarse quantizer, exactly
+    * as in [[IvfIndex.search]]; swapping in the k-means assigner changes
+    * nothing downstream.
+    */
+  def searchIvfAdc(embs: DataFrame, model: Model, queryVecId: Long,
+                   nprobe: Int = IvfIndex.NProbe,
+                   k: Int = VectorSearch.TopK): DataFrame = {
+    val q = embs.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val probed = IvfIndex.centroidArrays(embs)
+      .join(broadcast(q))
+      .select(col("cell"),
+        round(graft.functions.VectorFunctions.cosineSim(
+          col("centroid"), col("q_emb")), 6).as("cscore"))
+      .orderBy(desc("cscore"), asc("cell"))
+      .limit(nprobe)
+      .select("cell")
+    val qv = embs.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val table = adcTable(model, qv)
+    encode(
+      embs.filter(col("vec_id") =!= queryVecId)
+        .join(broadcast(probed), col("label") === col("cell")), model)
+      .select(col("vec_id"), col("label"),
+        Shims.column(PqAdcScore(Shims.expression(col("codes")), table)).as("adc"))
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(k)
+  }
 }

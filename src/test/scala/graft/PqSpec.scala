@@ -34,6 +34,17 @@ class PqSpec extends SparkSpec {
     assert(math.abs(direct - viaTable) < 1e-9)
   }
 
+  test("ivf-pq: full-probe equals plain adc search; partial probe is a subset of probed cells") {
+    val fullProbe = PQ.searchIvfAdc(embs, model, 7L, nprobe = 10, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val plain = PQ.searchAdc(embs, model, 7L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(fullProbe == plain) // probing every cell = no pruning
+    val partial = PQ.searchIvfAdc(embs, model, 7L, nprobe = 2, k = 10)
+      .select("label").distinct().as[Int].collect().toSet
+    assert(partial.size <= 2) // results come only from probed cells
+  }
+
   test("pq adc search overlaps the exact cosine top-k") {
     val exact = VectorSearch.topK(embs, 7L, 10)
       .select("vec_id").as[Long].collect().toSet
