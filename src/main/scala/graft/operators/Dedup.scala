@@ -276,15 +276,25 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy("source", "set_key").orderBy(asc("df"), asc("tok"))))
       .filter(col("rk") <= prefixLen)
-      .select(col("source"), col("set_key"), col("tsize"), col("tok"))
-    // size filter (exact): J(x,y) >= tau implies |x∩y| >= tau*max(|x|,|y|)
-    // and |x∩y| <= min(|x|,|y|), hence min >= tau*max — prune size-mismatched
-    // pairs inside the join before the dedup shuffle.
+      .select(col("source"), col("set_key"), col("tsize"), col("rk"), col("tok"))
+    // Two exact in-join prunes (PPJoin family) before the dedup shuffle:
+    //  - size filter: J >= tau implies |x∩y| >= tau*max(|x|,|y|) and
+    //    |x∩y| <= min(|x|,|y|), hence min >= tau*max;
+    //  - positional filter: tokens are ranked by one global (df, tok)
+    //    order, so for the FIRST shared token at ranks (i, j) the overlap
+    //    is at most 1 + min(n1-i, n2-j); a qualifying pair needs overlap
+    //    >= ceil(tau/(1+tau) * (n1+n2)). OR-semantics over matched tokens
+    //    keeps this exact: the bound is valid at the first match, so a
+    //    true pair always passes through at least that token.
+    val alpha = ceil(lit(NgramThreshold / (1 + NgramThreshold)) *
+      (col("l.tsize") + col("r.tsize")))
     val cands = prefix.as("l").join(prefix.as("r"),
         col("l.source") === col("r.source") && col("l.tok") === col("r.tok") &&
           col("l.set_key") < col("r.set_key") &&
           col("r.tsize") * lit(NgramThreshold) <= col("l.tsize") &&
-          col("l.tsize") * lit(NgramThreshold) <= col("r.tsize"))
+          col("l.tsize") * lit(NgramThreshold) <= col("r.tsize") &&
+          lit(1) + least(col("l.tsize") - col("l.rk"),
+            col("r.tsize") - col("r.rk")) >= alpha)
       .select(col("l.source").as("source"),
         col("l.set_key").as("k1"), col("r.set_key").as("k2"))
       .distinct()
