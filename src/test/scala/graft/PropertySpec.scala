@@ -55,6 +55,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TermFrequencies equals per-term size(filter(...)) over random token arrays") {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions._
+    val vocab = (0 until 12).map(i => s"w$i")
+    val terms = Seq("w0", "w3", "w7", "zz")
+    val docs = (0 until 40).map { id =>
+      (id.toLong, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+      termFrequencies(tokens(col("text")), terms).as("tfs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val reference = docs.select(
+      Seq(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl")) ++
+        terms.map(t =>
+          size(filter(tokens(col("text")), x => x === t)).cast("long").as(s"tf_$t")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to terms.size + 1).map(i => r.getLong(i)))
+      .toMap
+    assert(native.keySet == reference.keySet)
+    native.foreach { case (id, tfs) => assert(tfs == reference(id), s"doc $id") }
+  }
+
+  test("empty corpus: search and dedup operators return empty, not errors") {
+    import graft.operators._
+    import org.apache.spark.sql.functions._
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "source", "lang")
+    assert(KeywordSearch.bm25(empty, KeywordSearch.QueryTerms).count() == 0)
+    assert(Dedup.exact(empty).count() == 0)
+    assert(Dedup.minhashLsh(empty).count() == 0)
+    assert(Dedup.ngramJaccard(empty).count() == 0)
+    assert(Chunker.chunk(empty.select(col("doc_id"), col("text"))).count() == 0)
+    val emptyVecs = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(VectorSearch.topK(emptyVecs, 0L).count() == 0)
+    assert(Dedup.embeddingNearDup(emptyVecs).count() == 0)
+  }
+
   test("jaccard pairs are symmetric in construction: d1 < d2 always") {
     val out = Dedup.ngramJaccard(
       sources.Tables.documents(spark, TestSpark.Sf0001)).collect()
