@@ -33,6 +33,7 @@ object SparkEntry {
     "vector_search_quantized" -> (VectorSearch.searchQuantized _),
     "e2e_chunk_embed_search" -> (Embedder.query _),
     "prompt_assembly" -> (PromptAssembly.query _),
+    "search_render" -> (SearchRender.query _),
     "hybrid_search" -> (HybridSearch.search _),
     "hybrid_search_filtered" -> (HybridSearch.searchFiltered _),
     "vector_search_filtered" -> (VectorSearch.searchFiltered _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "vector_search_quantized" -> VectorSearch.searchQuantizedOracle,
     "e2e_chunk_embed_search" -> Embedder.chunkEmbedSearchOracle,
     "prompt_assembly" -> PromptAssembly.oracle,
+    "search_render" -> SearchRender.oracle,
     "hybrid_search" -> HybridSearch.searchOracle,
     "hybrid_search_filtered" -> HybridSearch.searchFilteredOracle,
     "vector_search_filtered" -> VectorSearch.searchFilteredOracle,

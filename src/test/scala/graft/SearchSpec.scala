@@ -197,6 +197,18 @@ class SearchSpec extends SparkSpec {
     assert(a.forall(r => r.getAs[Double]("score") >= -1.0 && r.getAs[Double]("score") <= 1.0))
   }
 
+  test("search render: hms pads and wraps, url is synthesized") {
+    val r = Seq((3725L, "abc", "PL9")).toDF("secs", "vid", "pl")
+      .select(SearchRender.hms(col("secs")).as("t"),
+        SearchRender.watchUrl(col("vid"), col("pl")).as("u"))
+      .collect().head
+    assert(r.getString(0) == "01:02:05")
+    assert(r.getString(1) == "https://www.youtube.com/watch?v=abc&list=PL9")
+    val zero = Seq(Tuple1(0L)).toDF("secs")
+      .select(SearchRender.hms(col("secs"))).collect().head.getString(0)
+    assert(zero == "00:00:00")
+  }
+
   test("prompt assembly numbers contexts in rank order") {
     val ranked = Seq((1, "first snippet"), (2, "second snippet")).toDF("rk", "snippet")
     val row = graft.operators.PromptAssembly.assemble(ranked).collect().head
