@@ -90,5 +90,37 @@ object Multimodal {
     spark.createDataFrame(rows, featureSchema)
   }
 
+  /** Resize plumbing: binary-in binary-out per-partition transform with
+    * typed target dimensions — the image-resize slot of the pipeline.
+    * STUB decode/re-encode: the fake "resize" deterministically
+    * re-samples the payload bytes to `w*h` length (real impl swaps in a
+    * codec after the same per-partition init); schema, batching and
+    * dimension metadata are the real contract.
+    */
+  def resize(docs: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("payload", BinaryType)))
+    val rows = withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .rdd.mapPartitions { it =>
+        // STUB: real impl initializes the image codec once per partition.
+        val n = w * h
+        it.map { r =>
+          val id = r.getLong(0)
+          val p = r.getAs[Array[Byte]](1)
+          val out = new Array[Byte](n)
+          var i = 0
+          while (i < n) { out(i) = if (p.isEmpty) 0 else p((i * p.length) / n); i += 1 }
+          Row(id, w, h, out)
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   def qMeta(s: SparkSession, dir: String): DataFrame = meta(Tables.documents(s, dir))
 }

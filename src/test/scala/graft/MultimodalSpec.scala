@@ -33,4 +33,18 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.extractFeatures(docs).collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("resize: every payload lands at the target byte shape, deterministically") {
+    val out = Multimodal.resize(docs, 4, 3).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Int]("width") == 4 && r.getAs[Int]("height") == 3)
+      assert(r.getAs[Array[Byte]]("payload").length == 12)
+    }
+    val again = Multimodal.resize(docs, 4, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+    out.foreach { r =>
+      assert(again(r.getAs[Long]("doc_id")) == r.getAs[Array[Byte]]("payload").toSeq)
+    }
+  }
 }
