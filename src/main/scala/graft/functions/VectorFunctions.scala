@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftshim.{CosineSimilarity, Shims}
+import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, Shims}
 
 /** Vector primitives for similarity search, IVF indexing and near-dup.
   *
@@ -16,6 +16,13 @@ object VectorFunctions {
   /** Codegen'd cosine similarity (primary, hot path). */
   def cosineSim(a: Column, b: Column): Column =
     Shims.column(CosineSimilarity(Shims.expression(a), Shims.expression(b)))
+
+  /** Codegen'd dot product — the pair kernel for pre-normalized vectors
+    * (all-pairs workloads: 3x fewer FLOPs than re-deriving both norms
+    * per pair inside [[cosineSim]]).
+    */
+  def dotNative(a: Column, b: Column): Column =
+    Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
 
   /** Dot product via zip_with/aggregate (no custom expression needed). */
   def dot(a: Column, b: Column): Column =

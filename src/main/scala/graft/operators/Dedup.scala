@@ -345,24 +345,55 @@ object Dedup {
   /** Correctness baseline: all-pairs cosine above threshold. Kept
     * deliberately as the oracle-checkable exact form; production path at
     * scale is LSH-bucketed ([[lshBucketStats]]) or IVF-cell-blocked.
+    *
+    * Formulated as normalize-once + dot-only pair kernel: each vector is
+    * L2-normalized in ONE narrow pass (struct barrier so the norm isn't
+    * re-evaluated per element), and the n² pair loop is the fused
+    * [[graft.functions.VectorFunctions.dotNative]] multiply-add — 3x
+    * fewer FLOPs than re-deriving both norms per pair. The oracle
+    * replays the same normalize-then-dot arithmetic.
     */
-  def embeddingNearDup(embs: DataFrame): DataFrame =
-    embs.select(col("vec_id").as("v1"), col("embedding").as("e1")).as("l")
-      .join(embs.select(col("vec_id").as("v2"), col("embedding").as("e2")).as("r"),
+  def embeddingNearDup(embs: DataFrame): DataFrame = {
+    val d = transform(col("embedding"), x => x.cast("double"))
+    val normed = embs
+      .select(col("vec_id"),
+        explode(array(struct(
+          sqrt(aggregate(d, lit(0.0d), (acc, v) => acc + v * v)).as("nrm"),
+          d.as("ed")))).as("s"))
+      .select(col("vec_id"),
+        transform(col("s.ed"), x => x / col("s.nrm")).as("en"))
+    // the corpus arrives as ONE file locally → the nested-loop stream side
+    // would run single-task; spread it so the n² pair loop parallelizes
+    // (at real scale the scan is already thousands of splits — this
+    // pre-join repartition of n tiny rows is noise either way)
+    normed.repartition(col("vec_id"))
+      .select(col("vec_id").as("v1"), col("en").as("e1")).as("l")
+      .join(normed.select(col("vec_id").as("v2"), col("en").as("e2")).as("r"),
         col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
-        round(cosineSim(col("e1"), col("e2")), 4).as("cosine"))
+        round(dotNative(col("e1"), col("e2")), 4).as("cosine"))
       .filter(col("cosine") >= CosineDupThreshold)
       .orderBy(desc("cosine"), asc("v1"), asc("v2"))
+  }
 
-  val embeddingNearDupOracle: String =
-    s"""WITH pairs AS (
+  /** lazy: references [[Dim]], declared in the LSH section below —
+    * eager init would capture 0 (object vals initialize in order).
+    */
+  lazy val embeddingNearDupOracle: String = {
+    val norm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH normed AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / $norm) AS en
+       |  FROM embeddings),
+       |pairs AS (
        |  SELECT l.vec_id AS v1, r.vec_id AS v2,
-       |    round(${VectorSearch.cosineSql("l.embedding", "r.embedding")}, 4) AS cosine
-       |  FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id)
+       |    round(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> l.en[i] * r.en[i])), 4) AS cosine
+       |  FROM normed l JOIN normed r ON l.vec_id < r.vec_id)
        |SELECT v1, v2, cosine FROM pairs
        |WHERE cosine >= $CosineDupThreshold
        |ORDER BY cosine DESC, v1, v2""".stripMargin
+  }
 
   // --- LSH bucket machinery ------------------------------------------------
 
