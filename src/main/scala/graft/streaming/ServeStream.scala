@@ -1,0 +1,34 @@
+package graft.streaming
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Micro-batch vector serving — the Spark-native answer to "online ANN
+  * serving doesn't fit Spark": queries arrive as a STREAM (request log /
+  * queue), the corpus is the static side, and each micro-batch scores
+  * its whole query batch in one corpus pass (the same amortized shape as
+  * [[graft.operators.VectorSearch.batchTopK]]). Latency is micro-batch
+  * latency, not per-request — the right Spark trade for backfills,
+  * re-ranking queues, and near-line serving; true msec-path serving
+  * belongs to a point-lookup system fed by this pipeline's indexes.
+  *
+  * The per-query top-k runs through the bounded
+  * [[org.apache.spark.sql.graftshim.TopKByScore]] aggregate —
+  * a TypedImperativeAggregate with merge support, so it is legal as a
+  * STREAMING aggregation (partial heaps merge across micro-batches in
+  * the state store; output mode `complete`/`update`).
+  */
+object ServeStream {
+
+  /** queries(q_id, q_emb) stream × corpus(vec_id, embedding) static →
+    * per-query bounded top-k, continuously updated.
+    */
+  def topKPerQuery(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    queries
+      .join(corpus, col("vec_id") =!= col("q_id")) // stream-static join
+      .select(col("q_id"),
+        cosineSim(col("embedding"), col("q_emb")).as("score"), col("vec_id"))
+      .groupBy("q_id")
+      .agg(topKByScore(col("score"), col("vec_id"), k).as("top"))
+}

@@ -64,6 +64,39 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming query serving matches the batch multi-query search") {
+    import graft.streaming.ServeStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+    val qIds = Seq(0L, 100L, 200L)
+    val qVecs = corpus.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .as[(Long, Array[Float])].collect()
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val served = ServeStream.topKPerQuery(
+      input.toDS().toDF("q_id", "q_emb"), corpus, k = 5)
+    val q = served.writeStream.format("memory").queryName("serve_stream")
+      .outputMode("complete").start()
+    // two micro-batches: queries arrive incrementally
+    input.addData(qVecs.head)
+    q.processAllAvailable()
+    input.addData(qVecs.tail: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("serve_stream")
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val want = graft.operators.VectorSearch
+      .batchTopK(corpus, stride = 100, k = 5)
+      .filter(col("q_id").isin(qIds: _*))
+      .select(col("q_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("streaming index ingest lands the batch pipeline's rows cell-partitioned") {
     import graft.streaming.IndexStream
     val tmp = java.nio.file.Files.createTempDirectory("idx_stream").toString
