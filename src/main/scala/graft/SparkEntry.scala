@@ -46,6 +46,8 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.qLangId _),
     "text_fingerprint" -> (TextAnalysis.qFingerprints _),
     "text_lm_score" -> (TextAnalysis.qLmScore _),
+    "text_redact" -> (TextAnalysis.qRedact _),
+    "corpus_sample" -> (TextAnalysis.qSample _),
     "dedup_exact" -> (Dedup.qExact _),
     "dedup_minhash_lsh" -> (Dedup.qMinhashLsh _),
     "dedup_simhash" -> (Dedup.qSimhash _),
@@ -98,6 +100,8 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langIdOracle,
     "text_fingerprint" -> TextAnalysis.fingerprintsOracle,
     "text_lm_score" -> TextAnalysis.lmScoreOracle,
+    "text_redact" -> TextAnalysis.redactOracle,
+    "corpus_sample" -> TextAnalysis.sampleOracle(),
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
     "dedup_simhash" -> Dedup.simhashOracle,

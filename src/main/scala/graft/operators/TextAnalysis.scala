@@ -170,6 +170,62 @@ object TextAnalysis {
        |FROM toked
        |ORDER BY doc_id""".stripMargin
 
+  // --- PII redaction -------------------------------------------------------
+
+  /** Email/phone redaction — the scrub pass every training-data pipeline
+    * runs before corpus release. Patterns kept to the RE2-compatible
+    * subset so Spark (java.util.regex) and DuckDB (RE2) agree literally;
+    * masking is global per doc (both engines replace all matches). Counts
+    * come from `regexp_extract_all` lengths, so the audit trail (how many
+    * hits per doc) is part of the same single scan.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>")).as("redacted_hash"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"))
+      .orderBy("doc_id")
+
+  val redactOracle: String = {
+    val email = EmailRe
+    val phone = PhoneRe
+    s"""SELECT doc_id,
+       |  md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g')) AS redacted_hash,
+       |  len(regexp_extract_all(text, '$email')) AS n_emails,
+       |  len(regexp_extract_all(text, '$phone')) AS n_phones
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- deterministic corpus sampling ---------------------------------------
+
+  val SampleRatePct = 30
+
+  /** Hash-based deterministic sampling — the reproducible downsample
+    * every corpus-building job needs (same doc set on every run, no RNG
+    * state, stable under re-partitioning; at 100 TB a `rand()` sample is
+    * neither reproducible nor resumable). Keeps docs whose content-hash
+    * bucket falls under the rate.
+    */
+  def sample(docs: DataFrame, ratePct: Int = SampleRatePct): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      pmod(portableHash(concat(lit("sample#"), col("doc_id").cast("string"))),
+        lit(100)).as("bucket"))
+      .filter(col("bucket") < ratePct)
+      .orderBy("doc_id")
+
+  def sampleOracle(ratePct: Int = SampleRatePct): String =
+    s"""SELECT doc_id, source,
+       |  CAST('0x' || substring(md5('sample#' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+       |FROM documents
+       |WHERE CAST('0x' || substring(md5('sample#' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < $ratePct
+       |ORDER BY doc_id""".stripMargin
+
   // --- wiring --------------------------------------------------------------
 
   def qTokenCounts(s: SparkSession, dir: String): DataFrame = tokenCounts(Tables.documents(s, dir))
@@ -177,4 +233,6 @@ object TextAnalysis {
   def qLangId(s: SparkSession, dir: String): DataFrame = langId(Tables.documents(s, dir))
   def qFingerprints(s: SparkSession, dir: String): DataFrame = fingerprints(Tables.documents(s, dir))
   def qLmScore(s: SparkSession, dir: String): DataFrame = lmScore(Tables.documents(s, dir))
+  def qRedact(s: SparkSession, dir: String): DataFrame = redact(Tables.documents(s, dir))
+  def qSample(s: SparkSession, dir: String): DataFrame = sample(Tables.documents(s, dir))
 }

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redact: masks emails and phones, counts hits, leaves clean text alone") {
+    val docs = Seq(
+      (0L, "contact bob.smith+x@example.co.uk or 555-123-4567 today"),
+      (1L, "no pii here at all"),
+      (2L, "two mails: a@b.io c@d.org and +1 555.321.7654 also 999 888 7777")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones")))).toMap
+    assert(out(0L) == ((1, 1)))
+    assert(out(1L) == ((0, 0)))
+    assert(out(2L) == ((2, 2)))
+    // the redacted hash of a clean doc equals the hash of its raw text
+    val clean = TextAnalysis.redact(docs).filter(col("doc_id") === 1L)
+      .select("redacted_hash").as[String].head()
+    val raw = docs.filter(col("doc_id") === 1L)
+      .select(md5(col("text"))).as[String].head()
+    assert(clean == raw)
+  }
+
+  test("sample: deterministic, repeatable, rate roughly honored") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val a = TextAnalysis.sample(docs).select("doc_id").as[Long].collect().toSeq
+    val b = TextAnalysis.sample(docs).select("doc_id").as[Long].collect().toSeq
+    assert(a == b) // no RNG state: identical on every run
+    val n = docs.count().toDouble
+    assert(a.length > n * 0.15 && a.length < n * 0.45) // ~30% ± slack
+    // sample at 100% keeps everything
+    assert(TextAnalysis.sample(docs, 100).count() == docs.count())
+  }
+}
