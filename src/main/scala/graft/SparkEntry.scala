@@ -49,6 +49,8 @@ object SparkEntry {
     "text_redact" -> (TextAnalysis.qRedact _),
     "corpus_sample" -> (TextAnalysis.qSample _),
     "dedup_exact" -> (Dedup.qExact _),
+    "decontaminate" -> (Dedup.qDecontaminate _),
+    "corpus_pack" -> (Chunker.qPack _),
     "dedup_minhash_lsh" -> (Dedup.qMinhashLsh _),
     "dedup_simhash" -> (Dedup.qSimhash _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(graft.sources.Tables.documents(s, d))),
@@ -103,6 +105,8 @@ object SparkEntry {
     "text_redact" -> TextAnalysis.redactOracle,
     "corpus_sample" -> TextAnalysis.sampleOracle(),
     "dedup_exact" -> Dedup.exactOracle,
+    "decontaminate" -> Dedup.decontaminateOracle,
+    "corpus_pack" -> Chunker.packOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,

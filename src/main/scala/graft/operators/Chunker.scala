@@ -66,4 +66,45 @@ object Chunker {
 
   def query(s: SparkSession, dir: String): DataFrame = chunk(Tables.documents(s, dir))
   val oracle: String = chunkSql()
+
+  // --- sequence packing ----------------------------------------------------
+
+  val PackBudget = 256
+
+  /** Greedy sequence packing: assign documents, in stable (source,
+    * doc_id) order, to consecutive training bins of ~`budget` tokens —
+    * the standard "pack short documents into fixed-length sequences"
+    * pretraining step. A document starts a new bin when the running
+    * total would cross the budget boundary (bin = floor(preceding-total
+    * / budget); oversized docs own as many bins as they span).
+    *
+    * Scale: one window per source partition (running sum over narrow
+    * rows) — the same shuffle shape as sessionization; no token data
+    * moves, only counts.
+    */
+  def pack(docs: DataFrame, budget: Int = PackBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("bin_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget).cast("long"))
+      .orderBy("source", "doc_id")
+  }
+
+  def packSql(budget: Int = PackBudget): String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, source, len($TextAnalysisToks) AS n_tokens FROM documents)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+       |    / $budget) AS BIGINT) AS bin_id
+       |FROM toked
+       |ORDER BY source, doc_id""".stripMargin
+
+  private def TextAnalysisToks: String = TextAnalysis.sqlToks
+
+  def qPack(s: SparkSession, dir: String): DataFrame = pack(Tables.documents(s, dir))
+  val packOracle: String = packSql()
 }

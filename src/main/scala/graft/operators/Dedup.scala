@@ -510,9 +510,61 @@ object Dedup {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // --- decontamination -----------------------------------------------------
+
+  val BenchStride = 50
+
+  /** Train/test decontamination: flag corpus documents that collide with
+    * a benchmark document (every [[BenchStride]]-th doc stands in for the
+    * held-out eval set) on either signal real pipelines use —
+    * `exact`  : normalized content fingerprint equality;
+    * `ngram`  : shared minimum 3-shingle hash (1-perm MinHash — the
+    *            n-gram-overlap decontamination of GPT-3-style corpus
+    *            builds, at candidate granularity).
+    * At scale the benchmark signature set is tiny next to the corpus —
+    * it broadcasts, and decontamination is a map-side hash probe over
+    * one corpus scan (never a corpus-corpus shuffle).
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      array_min(transform(shingles(tokens(col("text")), 3), s => portableHash(s)))
+        .as("msh"))
+    val bench = sigs.filter(col("doc_id") % BenchStride === 0)
+      .select(col("doc_id").as("bench_id"), col("fp").as("bfp"), col("msh").as("bmsh"))
+    sigs.join(broadcast(bench),
+        col("fp") === col("bfp") || col("msh") === col("bmsh"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select(col("doc_id"), col("bench_id"),
+        when(col("fp") === col("bfp"), "exact").otherwise("ngram").as("match_type"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val decontaminateOracle: String = {
+    val shingleSql =
+      s"""CASE WHEN len(toks) >= 3
+         |  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+    s"""WITH toked AS (SELECT doc_id, ${TextAnalysis.sqlToks} AS toks FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,
+       |    list_min(list_transform($shingleSql,
+       |      s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))) AS msh
+       |  FROM toked),
+       |bench AS (
+       |  SELECT doc_id AS bench_id, fp AS bfp, msh AS bmsh FROM sigs
+       |  WHERE doc_id % $BenchStride = 0)
+       |SELECT doc_id, bench_id,
+       |  CASE WHEN fp = bfp THEN 'exact' ELSE 'ngram' END AS match_type
+       |FROM sigs JOIN bench ON fp = bfp OR msh = bmsh
+       |WHERE doc_id <> bench_id
+       |ORDER BY doc_id, bench_id""".stripMargin
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def qExact(s: SparkSession, dir: String): DataFrame = exact(Tables.documents(s, dir))
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = decontaminate(Tables.documents(s, dir))
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = minhashLsh(Tables.documents(s, dir))
   def qSimhash(s: SparkSession, dir: String): DataFrame = simhash(Tables.documents(s, dir))
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = ngramJaccard(Tables.documents(s, dir))

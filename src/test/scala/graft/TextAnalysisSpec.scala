@@ -25,6 +25,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean == raw)
   }
 
+  test("pack: bins respect arrival order and the token budget boundary") {
+    val docs = Seq(
+      (0L, "a b c", "s"),    // 3 tokens, cum-before 0  -> bin 0
+      (1L, "d e f g", "s"),  // 4 tokens, cum-before 3  -> bin 0
+      (2L, "h i", "s"),      // 2 tokens, cum-before 7  -> bin 0
+      (3L, "j k l", "s"),    // 3 tokens, cum-before 9  -> bin 1 (budget 8)
+      (4L, "m", "t")         // other source: its own bin 0
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Chunker.pack(docs, budget = 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("bin_id")).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("decontaminate: exact and ngram collisions with the benchmark set") {
+    val docs = Seq(
+      (0L, "The Quick, Brown Fox! jumps high"),     // benchmark (0 % 50 == 0)
+      (7L, "the quick brown fox jumps high"),       // normalized-equal -> exact
+      (9L, "unrelated words only here nothing shared"),
+      (50L, "totally distinct benchmark row indeed") // benchmark, no twin
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val out = graft.operators.Dedup.decontaminate(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"),
+        r.getAs[String]("match_type")))
+    assert(out.toSeq == Seq((7L, 0L, "exact")))
+  }
+
   test("sample: deterministic, repeatable, rate roughly honored") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
     val a = TextAnalysis.sample(docs).select("doc_id").as[Long].collect().toSeq
