@@ -47,6 +47,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.qFingerprints _),
     "text_lm_score" -> (TextAnalysis.qLmScore _),
     "text_redact" -> (TextAnalysis.qRedact _),
+    "text_repetition" -> (TextAnalysis.qRepetition _),
+    "corpus_stats" -> (TextAnalysis.qCorpusStats _),
     "corpus_sample" -> (TextAnalysis.qSample _),
     "dedup_exact" -> (Dedup.qExact _),
     "decontaminate" -> (Dedup.qDecontaminate _),
@@ -103,6 +105,8 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintsOracle,
     "text_lm_score" -> TextAnalysis.lmScoreOracle,
     "text_redact" -> TextAnalysis.redactOracle,
+    "text_repetition" -> TextAnalysis.repetitionOracle,
+    "corpus_stats" -> TextAnalysis.corpusStatsOracle,
     "corpus_sample" -> TextAnalysis.sampleOracle(),
     "dedup_exact" -> Dedup.exactOracle,
     "decontaminate" -> Dedup.decontaminateOracle,

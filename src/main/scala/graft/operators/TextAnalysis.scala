@@ -170,6 +170,70 @@ object TextAnalysis {
        |FROM toked
        |ORDER BY doc_id""".stripMargin
 
+  // --- repetition metrics --------------------------------------------------
+
+  /** Gopher-style repetition signals: duplicate-token fraction and the
+    * fraction of the doc covered by its most frequent bigram — the
+    * filter family that catches boilerplate / keyword-stuffed /
+    * looping-generator text. Pure per-row array expressions (the bigram
+    * mode is a distinct×occurrences scan over ≤ n² tiny string pairs —
+    * one-off quality pass, identical in DuckDB).
+    */
+  def repetition(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        shingles(col("toks"), 2).as("bigrams"))
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 4).as("dup_token_ratio"),
+        round(array_max(transform(array_distinct(col("bigrams")),
+          b => org.apache.spark.sql.functions.size(
+            filter(col("bigrams"), x => x === b)))).cast("double") /
+          size(col("bigrams")), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+
+  val repetitionOracle: String =
+    s"""WITH toked AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |big AS (
+       |  SELECT doc_id, toks,
+       |    list_transform(range(1, len(toks)), i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS bigrams
+       |  FROM toked WHERE len(toks) >= 2)
+       |SELECT doc_id,
+       |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS dup_token_ratio,
+       |  round(CAST(list_max(list_transform(list_distinct(bigrams),
+       |      b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE)
+       |    / len(bigrams), 4) AS top_bigram_frac
+       |FROM big
+       |ORDER BY doc_id""".stripMargin
+
+  // --- corpus-level rollup -------------------------------------------------
+
+  /** One-row corpus report: size, token volume, language mix, mean
+    * quality signals — the summary a pipeline run logs per snapshot.
+    * Composes the per-doc text ops into a single aggregate (tiny final
+    * row; the scan is one pass).
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("lang"), size(col("toks")).as("n"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("uniq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").cast("long").as("total_tokens"),
+        round(avg("n"), 4).as("avg_tokens"),
+        sum((col("lang") === "en").cast("long")).cast("long").as("n_en"),
+        round(avg("uniq"), 4).as("avg_uniq_ratio"))
+
+  val corpusStatsOracle: String =
+    s"""WITH toked AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents)
+       |SELECT count(*) AS n_docs,
+       |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+       |  round(avg(len(toks)), 4) AS avg_tokens,
+       |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  round(avg(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)), 4) AS avg_uniq_ratio
+       |FROM toked""".stripMargin
+
   // --- PII redaction -------------------------------------------------------
 
   /** Email/phone redaction — the scrub pass every training-data pipeline
@@ -234,5 +298,7 @@ object TextAnalysis {
   def qFingerprints(s: SparkSession, dir: String): DataFrame = fingerprints(Tables.documents(s, dir))
   def qLmScore(s: SparkSession, dir: String): DataFrame = lmScore(Tables.documents(s, dir))
   def qRedact(s: SparkSession, dir: String): DataFrame = redact(Tables.documents(s, dir))
+  def qRepetition(s: SparkSession, dir: String): DataFrame = repetition(Tables.documents(s, dir))
+  def qCorpusStats(s: SparkSession, dir: String): DataFrame = corpusStats(Tables.documents(s, dir))
   def qSample(s: SparkSession, dir: String): DataFrame = sample(Tables.documents(s, dir))
 }

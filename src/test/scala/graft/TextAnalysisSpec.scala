@@ -51,6 +51,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq((7L, 0L, "exact")))
   }
 
+  test("repetition: looping text scores high, varied text scores low") {
+    val docs = Seq(
+      (0L, "buy now buy now buy now buy now"),
+      (1L, "every word here is completely different")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.repetition(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Double]("dup_token_ratio"), r.getAs[Double]("top_bigram_frac")))).toMap
+    assert(out(0L)._1 == 0.75)       // 8 tokens, 2 distinct
+    assert(out(0L)._2 > 0.5)         // "buy now" dominates bigrams
+    assert(out(1L)._1 == 0.0)
+    assert(out(1L)._2 <= 0.2)        // 6 tokens -> 5 bigrams, all distinct
+  }
+
+  test("corpus stats: one-row rollup with consistent totals") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val r = graft.operators.TextAnalysis.corpusStats(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    assert(r.getAs[Long]("total_tokens") > 0)
+    assert(r.getAs[Long]("n_en") <= r.getAs[Long]("n_docs"))
+    val avgUniq = r.getAs[Double]("avg_uniq_ratio")
+    assert(avgUniq > 0.0 && avgUniq <= 1.0)
+  }
+
   test("sample: deterministic, repeatable, rate roughly honored") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
     val a = TextAnalysis.sample(docs).select("doc_id").as[Long].collect().toSeq
