@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{CosineSimilarity, TermFrequencies, WordShingles}
+import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, TermFrequencies, WordShingles}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, so the
   * Text2SQL surface (and any `spark.sql` user) can call them directly:
@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_shingles(tokenArray, k) with literal k")
         WordShingles(children.head,
           children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product(arrayA, arrayB)")
+        DotProduct(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("term_frequencies"),

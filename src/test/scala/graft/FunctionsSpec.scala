@@ -73,6 +73,10 @@ class FunctionsSpec extends SparkSpec {
       "SELECT term_frequencies(array('a','b','a','c'), 'a', 'z') AS t")
       .as[Seq[Long]].head()
     assert(tf == Seq(4L, 2L, 0L)) // [dl, tf('a'), tf('z')]
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(dp == 11.0)
   }
 
   test("fingerprint is whitespace/punct-insensitive") {
