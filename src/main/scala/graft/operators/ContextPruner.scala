@@ -44,8 +44,8 @@ object ContextPruner {
        |  FROM cand JOIN documents ON cand.doc_id = documents.doc_id),
        |running AS (
        |  SELECT doc_id, score, n_tokens,
-       |    sum(n_tokens) OVER (ORDER BY score DESC, doc_id
-       |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
        |  FROM counted)
        |SELECT doc_id, score, n_tokens, cum_tokens
        |FROM running

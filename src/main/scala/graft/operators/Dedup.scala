@@ -357,8 +357,12 @@ object Dedup {
     val d = transform(col("embedding"), x => x.cast("double"))
     val normed = embs
       .select(col("vec_id"),
+        // clamp the norm: a zero vector would give 0/0 = NaN, and NaN
+        // sorts ABOVE the threshold in both Spark and DuckDB — the clamp
+        // makes zero vectors score 0.0 against everything instead
         explode(array(struct(
-          sqrt(aggregate(d, lit(0.0d), (acc, v) => acc + v * v)).as("nrm"),
+          greatest(sqrt(aggregate(d, lit(0.0d), (acc, v) => acc + v * v)),
+            lit(1e-30d)).as("nrm"),
           d.as("ed")))).as("s"))
       .select(col("vec_id"),
         transform(col("s.ed"), x => x / col("s.nrm")).as("en"))
@@ -380,7 +384,7 @@ object Dedup {
     * eager init would capture 0 (object vals initialize in order).
     */
   lazy val embeddingNearDupOracle: String = {
-    val norm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val norm = "greatest(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-30)"
     s"""WITH normed AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE) / $norm) AS en

@@ -94,8 +94,8 @@ object Events {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
       |sess AS (
       |  SELECT user_id, ts_s,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  max(ts_s) - min(ts_s) AS duration_s

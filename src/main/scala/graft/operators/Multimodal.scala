@@ -115,7 +115,12 @@ object Multimodal {
           val p = r.getAs[Array[Byte]](1)
           val out = new Array[Byte](n)
           var i = 0
-          while (i < n) { out(i) = if (p.isEmpty) 0 else p((i * p.length) / n); i += 1 }
+          // Long index math: i*p.length overflows Int for MB-scale
+          // payloads × megapixel targets
+          while (i < n) {
+            out(i) = if (p.isEmpty) 0 else p(((i.toLong * p.length) / n).toInt)
+            i += 1
+          }
           Row(id, w, h, out)
         }
       }

@@ -105,6 +105,11 @@ object RetrievalEval {
     perQuery
       .join(broadcast(labelCounts), Seq("q_label"))
       .withColumn("ideal_k", least(lit(k), col("n_label") - 1))
+      // a query whose label is unique in the corpus (n_label=1) has no
+      // achievable relevant neighbor: ideal_k=0 would make idcg
+      // degenerate (sequence(1,0) is DESCENDING in Spark; range(1,1) is
+      // empty in DuckDB) — drop such queries identically in both engines
+      .filter(col("ideal_k") >= 1)
       .withColumn("idcg", aggregate(sequence(lit(1), col("ideal_k")), lit(0.0d),
         (acc, i) => acc + lit(1.0) / (log(i.cast("double") + 1.0) / log(lit(2.0)))))
       .agg(count(lit(1)).as("n_queries"),
@@ -136,7 +141,8 @@ object RetrievalEval {
        |  SELECT q_id, dcg,
        |    list_sum(list_transform(range(1, least($k, n_label - 1) + 1),
        |      i -> CAST(1.0 AS DOUBLE) / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)))) AS idcg
-       |  FROM per_query JOIN label_counts USING (q_label))
+       |  FROM per_query JOIN label_counts USING (q_label)
+       |  WHERE least($k, n_label - 1) >= 1)
        |SELECT count(*) AS n_queries, round(avg(dcg / idcg), 4) AS mean_ndcg
        |FROM with_ideal""".stripMargin
 

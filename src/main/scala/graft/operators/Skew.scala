@@ -22,14 +22,17 @@ object Skew {
 
   /** Equi-join `big ⋈ small` on `bigKey == smallKey`, with the big side
     * salted `salts` ways and the small side replicated per salt.
-    * `bigSaltSource` picks the spreading hash input (default: a cheap
-    * uniform spreader over the big side's rows).
+    * `bigSaltSource` picks the spreading hash input; the default hashes
+    * ALL of the big side's columns — deterministic row CONTENT, never
+    * partition ids or monotonically_increasing_id, so a fetch-failure
+    * stage retry recomputes identical salts (the SPARK-23207 class of
+    * shuffle-replay divergence can't lose or duplicate rows here).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, salts: Int,
-                 bigSaltSource: Column = spark_partition_id()): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(hash(bigSaltSource, monotonically_increasing_id()), lit(salts)))
+                 bigSaltSource: Column = null): DataFrame = {
+    val src = Option(bigSaltSource).getOrElse(hash(big.columns.map(col): _*))
+    val saltedBig = big.withColumn("__salt", pmod(src, lit(salts)))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedSmall,

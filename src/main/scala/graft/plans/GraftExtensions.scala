@@ -32,8 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) => {
-        require(children.length == 2 && children(1).foldable,
-          "word_shingles(tokenArray, k) with literal k")
+        require(children.length == 2 && children(1).foldable &&
+          children(1).eval() != null,
+          "word_shingles(tokenArray, k) with non-null literal k")
         WordShingles(children.head,
           children(1).eval().asInstanceOf[Number].intValue())
       }))
@@ -48,8 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("term_frequencies"),
       new ExpressionInfo(classOf[TermFrequencies].getName, "term_frequencies"),
       (children: Seq[Expression]) => {
-        require(children.length >= 2 && children.tail.forall(_.foldable),
-          "term_frequencies(tokenArray, term1, term2, ...) with literal terms")
+        // foldable alone admits a NULL literal whose eval() is null —
+        // fail analysis with a clear message instead of NPE at plan time
+        require(children.length >= 2 &&
+          children.tail.forall(c => c.foldable && c.eval() != null),
+          "term_frequencies(tokenArray, term1, term2, ...) with non-null literal terms")
         TermFrequencies(children.head,
           children.tail.map(_.eval().toString))
       }))
