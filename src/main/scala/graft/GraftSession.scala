@@ -16,6 +16,16 @@ object GraftSession {
     configure(SparkSession.builder().master(s"local[$cores]").appName("graft"))
       .getOrCreate()
 
+  // Every unpartitioned window in graft (Reranker, PromptAssembly,
+  // ContextPruner) runs over an already-top-k-bounded candidate set
+  // (≤ ~50 rows by construction), where a single-partition window is the
+  // RIGHT plan — WindowExec's blanket "No Partition Defined" warning is a
+  // false alarm there and floods benchmark logs, so it's raised to ERROR.
+  // Corpus-scale windows (sessionize, per-query ranking) are all keyed.
+  org.apache.logging.log4j.core.config.Configurator.setLevel(
+    "org.apache.spark.sql.execution.window.WindowExec",
+    org.apache.logging.log4j.Level.ERROR)
+
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "32")

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition operators for training-data assembly: weighted
+  * source mixing (up/down-sampling to a target language/domain mixture)
+  * and per-group length-distribution quantiles (the knobs a pretraining
+  * data recipe is written in).
+  */
+object CorpusOps {
+
+  // --- weighted corpus mixing ---------------------------------------------
+
+  /** Target mixture: epochs per language — >1 upsamples (integer repeats
+    * + a deterministic fractional lottery), <1 downsamples. The classic
+    * data-recipe rebalance (cf. the sampling weights tables in the LLaMA /
+    * Gopher training-mix descriptions).
+    */
+  val MixWeights: Seq[(String, Double)] = Seq(
+    "en" -> 2.25, "de" -> 1.0, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.25)
+
+  /** Each doc emits `floor(w)` copies plus one more iff its hash-lottery
+    * draw falls under frac(w). Determinism: the draw is a portable md5
+    * hash of the doc_id (stable under repartitioning, reshuffling, and
+    * engine — same rows come out in Spark and DuckDB; no RNG state, so a
+    * retry or a 1000-executor run picks the identical sample). `copy_idx`
+    * keys the repeats so downstream packing/shuffling can treat copies as
+    * distinct rows. Map-side only: no shuffle at all until the output
+    * ordering (which real pipelines drop).
+    */
+  def mix(docs: DataFrame, weights: Seq[(String, Double)] = MixWeights): DataFrame = {
+    val w: Column = weights.foldRight(lit(0.0)) { case ((l, wt), acc) =>
+      when(col("lang") === l, lit(wt)).otherwise(acc)
+    }
+    val u = (portableHash(concat(lit("mix:"), col("doc_id"))) % 10000)
+      .cast("double") / 10000.0
+    docs.select(col("doc_id"), col("lang"), w.as("w"), u.as("u"))
+      .withColumn("n_copies",
+        (floor(col("w")) + when(col("u") < col("w") - floor(col("w")), 1)
+          .otherwise(0)).cast("int"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  def mixOracle(weights: Seq[(String, Double)] = MixWeights): String = {
+    val cases = weights.map { case (l, wt) => s"WHEN '$l' THEN $wt" }.mkString(" ")
+    s"""WITH weighted AS (
+       |  SELECT doc_id, lang,
+       |    CASE lang $cases ELSE 0.0 END AS w,
+       |    CAST(CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS DOUBLE) / 10000.0 AS u
+       |  FROM documents),
+       |counted AS (
+       |  SELECT doc_id, lang,
+       |    CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS INT) AS n
+       |  FROM weighted)
+       |SELECT doc_id, lang, CAST(unnest(range(1, n + 1)) AS INT) AS copy_idx
+       |FROM counted WHERE n > 0
+       |ORDER BY doc_id, copy_idx""".stripMargin
+  }
+
+  // --- per-group length quantiles -----------------------------------------
+
+  /** Exact per-language doc-length quantiles (linear interpolation — the
+    * same definition as DuckDB's quantile_cont). Exact percentile sorts
+    * within each group; at 100 TB swap `percentile` for
+    * `approx_percentile(n_chars, array(...), accuracy)` — a sketch
+    * aggregation with map-side partial merge, no per-group sort — and
+    * keep this exact form as its small-SF oracle (see the spec, which
+    * bounds the sketch's error against this query).
+    */
+  def quantiles(docs: DataFrame): DataFrame =
+    docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(expr("percentile(n_chars, 0.25)"), 2).as("p25"),
+      round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+      round(expr("percentile(n_chars, 0.75)"), 2).as("p75"),
+      round(expr("percentile(n_chars, 0.95)"), 2).as("p95"))
+      .orderBy("lang")
+
+  val quantilesOracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  round(quantile_cont(n_chars, 0.25), 2) AS p25,
+      |  round(quantile_cont(n_chars, 0.5), 2) AS p50,
+      |  round(quantile_cont(n_chars, 0.75), 2) AS p75,
+      |  round(quantile_cont(n_chars, 0.95), 2) AS p95
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  def qMix(s: SparkSession, dir: String): DataFrame = mix(Tables.documents(s, dir))
+  def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    quantiles(Tables.documents(s, dir))
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster resolution — the last stage of a real dedup
+  * pipeline. Near-dup detectors ([[Dedup.minhashLsh]] etc.) emit PAIRS;
+  * the corpus decision needs CLUSTERS: connected components over the
+  * pair graph, one canonical survivor per component (the min doc_id),
+  * everything else dropped. (The reference app dedups implicitly via
+  * doc_id upsert on index — `weaviate_interface_v4.py:409` — which only
+  * catches exact id collisions; content-level dedup needs this graph
+  * closure.)
+  *
+  * Spark formulation: iterated min-label propagation with pointer
+  * jumping (label ← label(label)) — the classic O(log n)-round
+  * Hash-to-Min / two-phase CC construction (Rastogi et al., "Finding
+  * Connected Components in MapReduce"). Each round is two narrow
+  * equi-joins on (id, label) tables:
+  *   1. propagate: label(v) ← min(label(v), min label over neighbors)
+  *   2. compress:  label(v) ← label(label(v))
+  * and the frontier is localCheckpoint'ed so the plan doesn't grow with
+  * the iteration count (iterative lineage otherwise compounds
+  * exponentially in Catalyst).
+  *
+  * At 100 TB: edges (near-dup pairs) are a tiny fraction of the corpus;
+  * labels are 2 longs per doc. Rounds = O(log max-cluster-diameter) —
+  * near-dup clusters are shallow in practice (dups of a common source),
+  * so 2-4 rounds. Each round shuffles only the label table on doc_id;
+  * the edge table is cached pre-partitioned on `src` so its shuffle is
+  * paid once. The driver-side loop is control flow only (one Long per
+  * round crosses the driver), never data.
+  */
+object DedupClusters {
+
+  /** Connected components over undirected `pairs(d1, d2)`, labeled with
+    * the component-min doc_id, over the full `docs` universe (docs in no
+    * pair are their own singleton cluster).
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("dst_label")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("dst_label").as("nbr_label"))
+      val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val jumped = propagated.as("a")
+        .join(propagated.select(col("doc_id").as("lbl_key"), col("label").as("ll")).as("b"),
+          col("a.label") === col("b.lbl_key"), "left")
+        .select(col("a.doc_id"), coalesce(col("ll"), col("a.label")).as("label"))
+        .localCheckpoint()
+      changed = jumped.as("n")
+        .join(labels.select(col("doc_id"), col("label").as("old_label")).as("o"), "doc_id")
+        .filter(col("label") =!= col("old_label")).count()
+      labels = jumped
+    }
+    edges.unpersist()
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE — enumerate every label
+    * reachable from each node through the pair graph, keep the min.
+    * Exponentially more work than the Spark pointer-jumping form (it
+    * materializes all reachable pairs), which is exactly why it's the
+    * oracle and not the engine.
+    */
+  def clustersOracle(pairsSql: String): String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT d1, d2 FROM ($pairsSql)),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT d2 AS src, d1 AS dst FROM pairs),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.label
+       |  FROM reach r JOIN edges e ON r.doc_id = e.src)
+       |SELECT doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
+       |  doc_id = min(label) AS is_canonical
+       |FROM reach
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  def query(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(s, dir)
+    clusters(docs, Dedup.minhashLsh(docs))
+  }
+
+  val oracle: String = clustersOracle(Dedup.minhashLshOracle)
+}

@@ -82,6 +82,60 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Point-in-time (as-of) join: each event joined to the SAME user's most
+    * recent purchase at-or-before it — the temporal-correctness join
+    * feature stores need (no future leakage). Spark has no ASOF JOIN
+    * operator; the scalable formulation is the union-marker trick: union
+    * the probe and reference streams, ONE window over (user, time) carries
+    * the last-seen reference value forward, filter back to probe rows.
+    * Linear, a single shuffle on user_id — never a range join (a range
+    * join would be O(events × purchases) per user at 100 TB) and never a
+    * per-row subquery. Markers sort BEFORE probes at equal timestamps
+    * (src 0 < 1) so an event at exactly the purchase time matches it,
+    * matching DuckDB ASOF's `>=` semantics.
+    */
+  def asofLastPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), tsSeconds("ts").as("ts_s"),
+        col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_s").as("p_ts"))
+    val tagged = ev
+      .select(col("user_id"), col("ts_s"), col("event_id"),
+        lit(null).cast("bigint").as("p_ts"), lit(1).as("src"))
+      .unionByName(purchases.select(col("user_id"), col("p_ts").as("ts_s"),
+        lit(null).cast("bigint").as("event_id"), col("p_ts"), lit(0).as("src")))
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "src")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_purchase_ts", last("p_ts", ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      // INNER as-of for the oracle gate: events before the user's first
+      // purchase drop out (oracle outputs stay null-free by policy —
+      // SURVEY §6; left-join semantics = skip this filter, spec-covered)
+      .filter(col("last_purchase_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        col("last_purchase_ts"),
+        (col("ts_s") - col("last_purchase_ts")).as("secs_since_purchase"))
+      .orderBy("event_id")
+  }
+
+  /** Oracle: DuckDB's native ASOF JOIN — an independent implementation
+    * of the same point-in-time semantics.
+    */
+  val asofOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |    event_type
+      |  FROM events),
+      |p AS (SELECT user_id, ts_s AS p_ts FROM ev WHERE event_type = 'purchase')
+      |SELECT ev.event_id, ev.user_id, ev.ts_s,
+      |  p.p_ts AS last_purchase_ts,
+      |  ev.ts_s - p.p_ts AS secs_since_purchase
+      |FROM ev ASOF JOIN p
+      |  ON ev.user_id = p.user_id AND ev.ts_s >= p.p_ts
+      |ORDER BY event_id""".stripMargin
+
   val sessionizeOracle: String =
     """WITH base AS (
       |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

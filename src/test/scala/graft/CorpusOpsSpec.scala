@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{CorpusOps, Events}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("mix upsamples by floor(w) or floor(w)+1 copies and keys them") {
+    val docs = Tables.documents(spark, dir)
+    val out = CorpusOps.mix(docs)
+    val perDoc = out.groupBy("doc_id", "lang").agg(count(lit(1)).as("n"),
+      max("copy_idx").as("max_idx"))
+    // copies are 1..n (copy_idx keys the repeats densely)
+    assert(perDoc.filter(col("n") =!= col("max_idx")).count() == 0)
+    val byLang = perDoc.groupBy("lang")
+      .agg(min("n").as("lo"), max("n").as("hi")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = CorpusOps.MixWeights.toMap
+    byLang.foreach { case (l, (lo, hi)) =>
+      assert(lo >= math.floor(w(l)).toLong.max(1L) &&
+        hi <= math.ceil(w(l)).toLong,
+        s"$l copies in [$lo,$hi] outside [floor,ceil] of ${w(l)}")
+    }
+  }
+
+  test("mix is deterministic under repartitioning (no RNG state)") {
+    val docs = Tables.documents(spark, dir)
+    val a = CorpusOps.mix(docs).collect().toSeq
+    val b = CorpusOps.mix(docs.repartition(13)).collect().toSeq
+    assert(a == b)
+  }
+
+  test("mix downsampling hits the target rate within lottery tolerance") {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.filter(col("lang") === "zh").count().toDouble
+    val kept = CorpusOps.mix(docs).filter(col("lang") === "zh").count().toDouble
+    // w=0.25: binomial(n, .25) — loose 5-sigma band, deterministic draw
+    val sigma = math.sqrt(n * 0.25 * 0.75)
+    assert(math.abs(kept - 0.25 * n) <= 5 * sigma + 1)
+  }
+
+  test("quantiles are monotone and approx_percentile tracks exact at scale") {
+    val docs = Tables.documents(spark, dir)
+    val exact = CorpusOps.quantiles(docs).collect()
+    exact.foreach { r =>
+      val Seq(p25, p50, p75, p95) =
+        Seq("p25", "p50", "p75", "p95").map(r.getAs[Double])
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95)
+    }
+    // the 100 TB swap-in: sketch agg within 5% of the exact per-group sort
+    val approx = docs.groupBy("lang").agg(
+      expr("approx_percentile(n_chars, 0.5, 10000)").as("a50")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("a50")).toMap
+    exact.foreach { r =>
+      val rel = math.abs(approx(r.getAs[String]("lang")) - r.getAs[Double]("p50")) /
+        r.getAs[Double]("p50")
+      assert(rel <= 0.05, s"approx p50 off by ${rel * 100}%")
+    }
+  }
+
+  test("asof join: no future leakage, self-match at purchase time") {
+    val out = Events.asofLastPurchase(spark, dir).cache()
+    assert(out.filter(col("last_purchase_ts") > col("ts_s")).count() == 0)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"))
+    val joined = out.join(ev, "event_id")
+    // a purchase event's nearest at-or-before purchase is itself
+    assert(joined.filter(col("event_type") === "purchase" &&
+      (col("last_purchase_ts") =!= col("ts_s") || col("last_purchase_ts").isNull))
+      .count() == 0)
+    // inner as-of: output has no nulls, and the dropped events are
+    // exactly those before their user's first purchase
+    assert(out.filter(col("last_purchase_ts").isNull).count() == 0)
+    val firstPurchase = out.join(ev, "event_id")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts_s").as("first_p"))
+    val all = Tables.events(spark, dir)
+      .select(col("event_id"), expr("ts div 1000000000").as("ts_s"), col("user_id"))
+    val dropped = all.join(out.select("event_id"), Seq("event_id"), "left_anti")
+      .join(firstPurchase, Seq("user_id"), "left")
+    assert(dropped.filter(col("first_p").isNotNull && col("ts_s") >= col("first_p"))
+      .count() == 0)
+    assert(out.count() + dropped.count() == all.count())
+    out.unpersist()
+  }
+}
