@@ -39,35 +39,56 @@ object DedupClusters {
     * pair are their own singleton cluster).
     */
   def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    // materialize the pair detector's output ONCE — the undirected edge
+    // union otherwise evaluates the whole upstream pipeline (MinHash,
+    // shingling, the LSH self-join) twice, once per union branch
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
+    val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(p.select(col("d2").as("src"), col("d1").as("dst")))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    // iterate ONLY over nodes that appear in some pair: a doc in no pair
+    // can never change label, and pair-nodes are a tiny fraction of the
+    // corpus (the whole point of dedup) — this keeps every per-round
+    // table at |V(pairs)|, not |corpus|; singletons rejoin at the end
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
+      // propagate; old_label rides along so convergence needs no re-join
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("dst_label").as("nbr_label"))
       val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      val jumped = propagated.as("a")
-        .join(propagated.select(col("doc_id").as("lbl_key"), col("label").as("ll")).as("b"),
-          col("a.label") === col("b.lbl_key"), "left")
-        .select(col("a.doc_id"), coalesce(col("ll"), col("a.label")).as("label"))
-        .localCheckpoint()
-      changed = jumped.as("n")
-        .join(labels.select(col("doc_id"), col("label").as("old_label")).as("o"), "doc_id")
-        .filter(col("label") =!= col("old_label")).count()
-      labels = jumped
+        .localCheckpoint() // the jump self-join below reads it TWICE —
+                           // unmaterialized it would evaluate the whole
+                           // propagate subtree once per side
+      changed = propagated.filter(col("label") =!= col("old_label")).count()
+      if (changed == 0) {
+        // propagation fixed point ⇒ every label is already its component
+        // min (a non-min label would still have an improving neighbor
+        // path) — skip the jump join on the final round
+        labels = propagated.drop("old_label")
+      } else {
+        val jumped = propagated.as("a")
+          .join(propagated.select(col("doc_id").as("lbl_key"), col("label").as("ll")).as("b"),
+            col("a.label") === col("b.lbl_key"), "left")
+          .select(col("a.doc_id"),
+            coalesce(col("ll"), col("a.label")).as("label"))
+          .localCheckpoint()
+        labels = jumped
+      }
     }
     edges.unpersist()
-    labels
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        (col("doc_id") === col("label")).as("is_canonical"))
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("label", "pair_label"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pair_label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
   }
 
