@@ -63,6 +63,40 @@ object CorpusOps {
        |ORDER BY doc_id, copy_idx""".stripMargin
   }
 
+  // --- deterministic train/val/test split ---------------------------------
+
+  /** 98/1/1 split boundaries in hash-lottery basis points. */
+  val SplitBounds: Seq[(String, Int)] = Seq("train" -> 9800, "val" -> 9900, "test" -> 10000)
+
+  /** Holdout assignment by portable content-keyed hash — stable under
+    * repartitioning, appends, and engine (no RNG state, no sampleBy):
+    * a doc keeps its split forever, which is what makes eval sets
+    * trustworthy across corpus refreshes. Map-side only; the split is
+    * uniform within every stratum because the hash is independent of
+    * lang/source (spec asserts per-language proportions).
+    */
+  def split(docs: DataFrame): DataFrame = {
+    val u = portableHash(concat(lit("split:"), col("doc_id"))) % 10000
+    val splitCol = SplitBounds.foldRight(lit(null).cast("string")) {
+      case ((name, hi), acc) => when(u < hi, lit(name)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), splitCol.as("split"))
+      .orderBy("doc_id")
+  }
+
+  val splitOracle: String = {
+    val cases = SplitBounds.reverse.foldLeft("NULL") { case (acc, (name, hi)) =>
+      s"CASE WHEN u < $hi THEN '$name' ELSE $acc END"
+    }
+    s"""WITH hashed AS (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS u
+       |  FROM documents)
+       |SELECT doc_id, lang, $cases AS split
+       |FROM hashed
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --- per-group length quantiles -----------------------------------------
 
   /** Exact per-language doc-length quantiles (linear interpolation — the
@@ -93,6 +127,7 @@ object CorpusOps {
       |ORDER BY lang""".stripMargin
 
   def qMix(s: SparkSession, dir: String): DataFrame = mix(Tables.documents(s, dir))
+  def qSplit(s: SparkSession, dir: String): DataFrame = split(Tables.documents(s, dir))
   def qQuantiles(s: SparkSession, dir: String): DataFrame =
     quantiles(Tables.documents(s, dir))
 }

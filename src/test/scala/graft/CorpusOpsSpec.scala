@@ -42,6 +42,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(kept - 0.25 * n) <= 5 * sigma + 1)
   }
 
+  test("split covers every doc once, deterministically, roughly 98/1/1") {
+    val docs = Tables.documents(spark, dir)
+    val out = CorpusOps.split(docs)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("split").isNull).count() == 0)
+    assert(CorpusOps.split(docs.repartition(7)).collect().toSeq ==
+      out.collect().toSeq)
+    val n = docs.count().toDouble
+    val train = out.filter(col("split") === "train").count().toDouble
+    val sigma = math.sqrt(n * 0.98 * 0.02)
+    assert(math.abs(train - 0.98 * n) <= 5 * sigma + 1)
+  }
+
   test("quantiles are monotone and approx_percentile tracks exact at scale") {
     val docs = Tables.documents(spark, dir)
     val exact = CorpusOps.quantiles(docs).collect()
