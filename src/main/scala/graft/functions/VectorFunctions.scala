@@ -40,6 +40,16 @@ object VectorFunctions {
       .toAggregateExpression())
   }
 
+  /** As [[topKByScore]], with an opaque long payload carried per winner
+    * (struct field `payload`) — avoids a corpus re-join to recover
+    * per-neighbor attributes after the heap aggregation.
+    */
+  def topKByScore(score: Column, id: Column, k: Int, payload: Column): Column = {
+    import org.apache.spark.sql.graftshim.TopKByScore
+    Shims.column(TopKByScore(Shims.expression(score), Shims.expression(id), k,
+      Shims.expression(payload)).toAggregateExpression())
+  }
+
   /** Reference/fallback cosine using only built-in functions. */
   def cosineSimHof(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))

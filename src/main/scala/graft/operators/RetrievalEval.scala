@@ -3,7 +3,6 @@ package graft.operators
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retrieval evaluation — the Spark-native
@@ -27,27 +26,38 @@ object RetrievalEval {
   val QueryStride = 10
   val TopK = 10
 
-  def labelPrecision(embs: DataFrame, stride: Int = QueryStride,
-                     k: Int = TopK): DataFrame = {
+  /** Scored fan-out shared by both metrics: corpus × broadcast queries,
+    * reduced per query by the bounded-heap [[topKByScore]] aggregate
+    * carrying each neighbor's label as the heap payload. Unlike the
+    * window formulation (which shuffles and sorts EVERY scored row),
+    * only k winners per partition per query reach the shuffle, and the
+    * best-first array index IS the rank — no WindowExec anywhere.
+    */
+  private def topkWithLabels(embs: DataFrame, stride: Int, k: Int): DataFrame = {
     val queries = embs.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("q_emb"))
-    val scored = embs.select(col("vec_id"), col("label"), col("embedding"))
+    embs.select(col("vec_id"), col("label"), col("embedding"))
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
         cosineSim(col("embedding"), col("q_emb")).as("score"))
-    val ranked = scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("score"), asc("vec_id"))))
-      .filter(col("rn") <= k)
-    val perQuery = ranked.groupBy("q_id")
+      .groupBy("q_id", "q_label")
+      .agg(topKByScore(col("score"), col("vec_id"), k,
+        col("label").cast("long")).as("top"))
+  }
+
+  def labelPrecision(embs: DataFrame, stride: Int = QueryStride,
+                     k: Int = TopK): DataFrame = {
+    // the heap emits best-first ⇒ array_position of the first
+    // label-match is exactly the window form's min(rn | relevant)
+    topkWithLabels(embs, stride, k)
+      .select(col("q_id"),
+        array_position(transform(col("top"), t => t.getField("payload")),
+          col("q_label").cast("long")).as("pos"))
       .agg(
-        max(when(col("label") === col("q_label"), 1).otherwise(0)).as("hit"),
-        min(when(col("label") === col("q_label"), col("rn"))).as("first_rel"))
-    perQuery.agg(
-      count(lit(1)).as("n_queries"),
-      round(avg(col("hit").cast("double")), 4).as("hit_rate"),
-      round(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))), 4).as("mrr"))
+        count(lit(1)).as("n_queries"),
+        round(avg(when(col("pos") > 0, 1.0).otherwise(0.0)), 4).as("hit_rate"),
+        round(avg(when(col("pos") > 0, lit(1.0) / col("pos")).otherwise(0.0)), 4).as("mrr"))
   }
 
   def labelPrecisionSql(stride: Int = QueryStride, k: Int = TopK): String =
@@ -85,23 +95,18 @@ object RetrievalEval {
     * `ln(i+1)/ln(2)` identically in Spark and DuckDB.
     */
   def ndcg(embs: DataFrame, stride: Int = QueryStride, k: Int = TopK): DataFrame = {
-    val queries = embs.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-        col("embedding").as("q_emb"))
     val labelCounts = embs.groupBy(col("label").as("q_label"))
       .agg(count(lit(1)).as("n_label"))
-    val scored = embs.select(col("vec_id"), col("label"), col("embedding"))
-      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
-        cosineSim(col("embedding"), col("q_emb")).as("score"))
-    val ranked = scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("score"), asc("vec_id"))))
-      .filter(col("rn") <= k)
-    val perQuery = ranked.groupBy("q_id", "q_label")
-      .agg(sum(when(col("label") === col("q_label"),
-        lit(1.0) / (log(col("rn") + 1.0) / log(lit(2.0))))
-        .otherwise(0.0)).as("dcg"))
+    // dcg folds over the best-first heap array: index i ⇒ rank i+1 ⇒
+    // discount 1/log2(i+2) — identical to the window form's rn discount
+    val perQuery = topkWithLabels(embs, stride, k)
+      .select(col("q_id"), col("q_label"),
+        aggregate(
+          transform(col("top"), (t, i) =>
+            when(t.getField("payload") === col("q_label").cast("long"),
+              lit(1.0) / (log(i.cast("double") + 2.0) / log(lit(2.0))))
+              .otherwise(lit(0.0d))),
+          lit(0.0d), (acc, x) => acc + x).as("dcg"))
     perQuery
       .join(broadcast(labelCounts), Seq("q_label"))
       .withColumn("ideal_k", least(lit(k), col("n_label") - 1))

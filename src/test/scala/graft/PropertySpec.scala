@@ -16,7 +16,7 @@ class PropertySpec extends SparkSpec {
       val xs = Seq.fill(n)((rnd.nextInt(10) / 2.0, rnd.nextLong().abs % 100))
       val buf = new TopKBuffer(k)
       xs.foreach { case (s, i) => buf.insert(s, i) }
-      val got = buf.sortedBestFirst.toSeq
+      val got = buf.sortedBestFirst.toSeq.map { case (s, i, _) => (s, i) }
       // duplicates allowed in buffer; compare against naive WITH duplicates
       val naiveDup = xs.sortWith((a, b) =>
         a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)).take(k)
