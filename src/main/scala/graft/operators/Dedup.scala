@@ -79,10 +79,12 @@ object Dedup {
         array((0 until NumHashes).map(i => col(s"m_$i")): _*).as("sig"))
   }
 
-  /** Candidate pairs via banded LSH + exact Jaccard verification. */
-  def minhashLsh(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignature(docs)
-    val bands = sigs.select(col("doc_id"),
+  /** Banded LSH signatures: one row per (doc, band) with the band's
+    * md5-compressed minhash slice — the join key of every LSH pairing
+    * and the record layout of the materialized band index.
+    */
+  def bandSignatures(docs: DataFrame): DataFrame =
+    minhashSignature(docs).select(col("doc_id"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band_id"),
           md5(concat_ws("-",
@@ -90,6 +92,10 @@ object Dedup {
               element_at(col("sig"), b * RowsPerBand + r + 1)): _*)).as("band_sig"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
+
+  /** Candidate pairs via banded LSH + exact Jaccard verification. */
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val bands = bandSignatures(docs)
     val cands = bands.as("l").join(bands.as("r"),
         col("l.band_id") === col("r.band_id") &&
           col("l.band_sig") === col("r.band_sig") &&
@@ -148,6 +154,68 @@ object Dedup {
        |        / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE), 4) >= $JaccardThreshold
        |ORDER BY d1, d2""".stripMargin
   }
+
+  // --- incremental near-dup (new batch vs materialized band index) --------
+
+  /** Fraction selector for the synthetic "new batch": doc_id % 5 == 4
+    * (an interleaved 20% — id-ranges would make the split degenerate).
+    */
+  val NewMod = 5
+
+  /** Materialize a corpus's band signatures, band-partitioned — the
+    * standing index a daily-batch dedup probes instead of re-minhashing
+    * 100 TB. Append-able: each ingested batch lands its own signatures.
+    */
+  def writeBandIndex(docs: DataFrame, path: String): Unit =
+    bandSignatures(docs).write.mode("overwrite")
+      .partitionBy("band_id").parquet(path)
+
+  /** Incremental near-dup: ONLY the new batch is tokenized, shingled and
+    * minhashed; the existing corpus participates through its band index
+    * (narrow (doc_id, band_sig) rows, no text). Candidates = new docs
+    * colliding with an indexed doc or an earlier new doc; verification
+    * re-reads text for candidate ids only. At 100 TB the per-batch cost
+    * is O(|batch| + collisions), independent of corpus size — the full
+    * [[minhashLsh]] would re-shingle the whole corpus every day.
+    */
+  def incremental(docs: DataFrame, indexBands: DataFrame): DataFrame = {
+    val newDocs = docs.filter(pmod(col("doc_id"), lit(NewMod)) === NewMod - 1)
+    val newBands = bandSignatures(newDocs)
+    val probed = indexBands.select("doc_id", "band_id", "band_sig")
+      .union(newBands)
+    val cands = newBands.as("n").join(probed.as("o"),
+        col("n.band_id") === col("o.band_id") &&
+          col("n.band_sig") === col("o.band_sig") &&
+          (pmod(col("o.doc_id"), lit(NewMod)) =!= NewMod - 1 ||
+            col("o.doc_id") < col("n.doc_id")))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("dup_of"))
+      .distinct()
+    val sets = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), ShingleK)).as("sset"))
+    cands
+      .join(sets.select(col("doc_id").as("new_id"), col("sset").as("s1")), Seq("new_id"))
+      .join(sets.select(col("doc_id").as("dup_of"), col("sset").as("s2")), Seq("dup_of"))
+      .select(col("new_id"), col("dup_of"),
+        round(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("new_id", "dup_of")
+  }
+
+  /** Oracle: the full-corpus verified pair set, symmetrized and filtered
+    * to (new ← existing-or-earlier-new) — band collision and Jaccard are
+    * symmetric, so incremental probing must surface exactly these rows.
+    */
+  val incrementalOracle: String =
+    s"""WITH pairs AS (SELECT d1, d2, jaccard FROM ($minhashLshOracle)),
+       |sym AS (
+       |  SELECT d1 AS new_id, d2 AS dup_of, jaccard FROM pairs
+       |  UNION ALL
+       |  SELECT d2 AS new_id, d1 AS dup_of, jaccard FROM pairs)
+       |SELECT new_id, dup_of, jaccard FROM sym
+       |WHERE new_id % $NewMod = ${NewMod - 1}
+       |  AND (dup_of % $NewMod <> ${NewMod - 1} OR dup_of < new_id)
+       |ORDER BY new_id, dup_of""".stripMargin
 
   // --- SimHash -------------------------------------------------------------
 
@@ -568,6 +636,18 @@ object Dedup {
   // --- wiring --------------------------------------------------------------
 
   def qExact(s: SparkSession, dir: String): DataFrame = exact(Tables.documents(s, dir))
+
+  /** Build the existing-corpus band index (transient, like the keyword
+    * index query), then probe it with the interleaved new batch.
+    */
+  def qIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val existing = docs.filter(pmod(col("doc_id"), lit(NewMod)) =!= NewMod - 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_band_index").toString
+    writeBandIndex(existing, path)
+    incremental(docs, s.read.parquet(path))
+  }
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = decontaminate(Tables.documents(s, dir))
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = minhashLsh(Tables.documents(s, dir))
   def qSimhash(s: SparkSession, dir: String): DataFrame = simhash(Tables.documents(s, dir))

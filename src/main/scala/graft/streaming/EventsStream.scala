@@ -83,4 +83,38 @@ object EventsStream {
           closed.iterator
       }
   }
+
+  case class AsofEv(event_id: Long, user_id: Long, ts_s: Long, is_purchase: Boolean)
+  case class AsofOut(event_id: Long, user_id: Long, ts_s: Long,
+                     last_purchase_ts: Long, secs_since_purchase: Long)
+
+  /** Streaming twin of [[graft.operators.Events.asofLastPurchase]]: the
+    * per-user state is ONE long (the latest purchase time) — the as-of
+    * "index" a feature store keeps hot. Within a micro-batch events are
+    * processed in event-time order with purchases first at equal
+    * timestamps, so a purchase matches itself exactly like the batch
+    * union-marker form; across batches the state carries the running
+    * maximum. Inner semantics: events before the user's first purchase
+    * emit nothing (same as the batch oracle-gated query).
+    */
+  def asofLastPurchase(events: Dataset[AsofEv]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[AsofEv], state: GroupState[Long]) =>
+          val sorted = evs.toSeq
+            .sortBy(e => (e.ts_s, if (e.is_purchase) 0 else 1, e.event_id))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ListBuffer[AsofOut]()
+          sorted.foreach { e =>
+            if (e.is_purchase && e.ts_s > last) last = e.ts_s
+            if (last != Long.MinValue) {
+              out += AsofOut(e.event_id, userId, e.ts_s, last, e.ts_s - last)
+            }
+          }
+          if (last != Long.MinValue) state.update(last)
+          out.iterator
+      }
+  }
 }

@@ -98,4 +98,27 @@ class DedupSpec extends SparkSpec {
     val stats = Dedup.lshBucketStats(embs)
     assert(stats.agg(sum("n_vecs")).as[Long].head() == embs.count())
   }
+
+  test("incremental probe equals full-corpus pairs restricted to the new batch") {
+    val corpus = sources.Tables.documents(spark, TestSpark.Sf001)
+    val full = Dedup.minhashLsh(corpus).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Double]("jaccard")))
+    val expected = (full.map { case (a, b, j) => (b, a, j) } ++ full)
+      .filter { case (n, o, _) =>
+        n % Dedup.NewMod == Dedup.NewMod - 1 &&
+          (o % Dedup.NewMod != Dedup.NewMod - 1 || o < n) }
+      .sortBy(p => (p._1, p._2)).toSeq
+    val got = Dedup.qIncremental(spark, TestSpark.Sf001).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("jaccard"))).toSeq
+    assert(got == expected)
+  }
+
+  test("band index lands band-partitioned on disk") {
+    val docs = sources.Tables.documents(spark, TestSpark.Sf0001)
+    val path = java.nio.file.Files.createTempDirectory("band_idx_spec").toString
+    Dedup.writeBandIndex(docs, path)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert((0 until Dedup.Bands).forall(b => dirs.contains(s"band_id=$b")))
+  }
 }

@@ -64,6 +64,30 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming as-of matches the batch point-in-time join") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = TestSpark.Sf0001
+    val evs = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("ts_s"),
+        (col("event_type") === "purchase").as("is_purchase"))
+      .as[EventsStream.AsofEv].collect().sortBy(e => (e.ts_s, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[EventsStream.AsofEv]
+    val q = EventsStream.asofLastPurchase(input.toDS()).writeStream
+      .format("memory").queryName("asof_stream").outputMode("append").start()
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    val got = spark.table("asof_stream").as[EventsStream.AsofOut].collect()
+      .map(o => (o.event_id, o.user_id, o.ts_s, o.last_purchase_ts,
+        o.secs_since_purchase)).sortBy(_._1).toSeq
+    val want = Events.asofLastPurchase(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == want)
+    q.stop()
+  }
+
   test("streaming query serving matches the batch multi-query search") {
     import graft.streaming.ServeStream
     implicit val sqlCtx = spark.sqlContext
