@@ -29,10 +29,14 @@ object ContextPruner {
 
   def search(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // join the top-k BEFORE tokenizing: n_tokens is computed for the k
+    // candidates only, not the whole corpus (the pre-join projection
+    // would tokenize every document to feed a 10-row join)
     val ranked = KeywordSearch.bm25(docs, KeywordSearch.QueryTerms)
-      .join(docs.select(col("doc_id").as("d2"), tokenCount(col("text")).as("n_tokens")),
+      .join(docs.select(col("doc_id").as("d2"), col("text")),
         col("doc_id") === col("d2"))
-      .drop("d2")
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .drop("d2", "text")
     prune(ranked)
   }
 

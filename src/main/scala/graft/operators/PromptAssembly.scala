@@ -29,8 +29,9 @@ object PromptAssembly {
   def query(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val hits = KeywordSearch.bm25(docs, KeywordSearch.QueryTerms, 5)
-      .join(docs.select(col("doc_id").as("d2"),
-        substring(col("text"), 1, 40).as("snippet")), col("doc_id") === col("d2"))
+      .join(docs.select(col("doc_id").as("d2"), col("text")),
+        col("doc_id") === col("d2"))
+      .withColumn("snippet", substring(col("text"), 1, 40)).drop("text")
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(desc("score"), asc("doc_id"))))
     assemble(hits.select(col("rk"), col("snippet")))

@@ -52,10 +52,13 @@ object Reranker {
   /** BM25 first stage (retrieve_limit=50) → lexical cross-rerank. */
   def search(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // join first, tokenize after: the cross-scorer needs token sets for
+    // the top-RetrieveLimit candidates only, not the whole corpus
     val candidates = KeywordSearch.bm25(docs, KeywordSearch.QueryTerms, RetrieveLimit)
-      .join(docs.select(col("doc_id").as("d2"), array_distinct(tokens(col("text"))).as("tok_set")),
+      .join(docs.select(col("doc_id").as("d2"), col("text")),
         col("doc_id") === col("d2"))
-      .drop("d2")
+      .withColumn("tok_set", array_distinct(tokens(col("text"))))
+      .drop("d2", "text")
     rerank(candidates, KeywordSearch.QueryTerms)
   }
 
