@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{CorpusOps, Events, RetrievalEval, VectorSearch}
+import graft.sources.Tables
+
+/** Physical-plan contracts for the scale-critical operators added in R2:
+  * these assert the SHAPE that makes the 100 TB story true, so a
+  * refactor that silently reintroduces a sort/join/shuffle fails here
+  * long before a cluster run would.
+  */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private val dir = TestSpark.Sf0001
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.count() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("as-of join is window-only: no join operator, one user shuffle") {
+    val plan = planOf(Events.asofLastPurchase(spark, dir))
+    assert(!plan.contains("Join"), s"as-of should not plan any join:\n$plan")
+    assert(plan.contains("Window"), "as-of ranks via a single keyed window")
+  }
+
+  test("retrieval eval ranks via the bounded heap, never a window sort") {
+    Seq(RetrievalEval.query(spark, dir), RetrievalEval.queryNdcg(spark, dir))
+      .foreach { df =>
+        val plan = planOf(df)
+        assert(!plan.contains("Window"), s"eval must not window-sort:\n$plan")
+        assert(plan.contains("top_k_by_score"),
+          "eval should aggregate through TopKByScore")
+      }
+  }
+
+  test("batch vector search aggregates through the heap, not a window") {
+    val plan = planOf(VectorSearch.batchSearch(spark, dir))
+    assert(plan.contains("top_k_by_score") && !plan.contains("WindowExec"))
+  }
+
+  test("corpus mixing and split are map-side: no exchange before the output sort") {
+    Seq(CorpusOps.mix(Tables.documents(spark, dir)),
+      CorpusOps.split(Tables.documents(spark, dir))).foreach { df =>
+      val plan = planOf(df)
+      // exactly the one rangepartitioning exchange of the final orderBy
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      val reused = "ReusedExchange".r.findAllIn(plan).length
+      assert(exchanges - reused <= 1, s"unexpected shuffles:\n$plan")
+    }
+  }
+}
