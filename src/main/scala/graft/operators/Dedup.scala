@@ -642,10 +642,10 @@ object Dedup {
     */
   def qIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val existing = docs.filter(pmod(col("doc_id"), lit(NewMod)) =!= NewMod - 1)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_band_index").toString
-    writeBandIndex(existing, path)
+    val path = IndexCache.getOrBuild("band_idx", dir) { p =>
+      writeBandIndex(docs.filter(
+        pmod(col("doc_id"), lit(NewMod)) =!= NewMod - 1), p)
+    }
     incremental(docs, s.read.parquet(path))
   }
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = decontaminate(Tables.documents(s, dir))

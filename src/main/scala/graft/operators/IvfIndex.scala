@@ -150,9 +150,11 @@ object IvfIndex {
 
   /** Search the materialized index: cell filter prunes partitions. */
   def searchIndex(spark: SparkSession, path: String, qEmb: DataFrame,
-                  cells: Seq[Int], k: Int = TopK): DataFrame =
+                  cells: Seq[Int], k: Int = TopK,
+                  excludeVecId: Option[Long] = None): DataFrame =
     spark.read.parquet(path)
       .filter(col("cell").isin(cells: _*))
+      .filter(excludeVecId.map(col("vec_id") =!= _).getOrElse(lit(true)))
       .join(broadcast(qEmb))
       .select(col("vec_id"), col("cell"),
         round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
@@ -163,4 +165,23 @@ object IvfIndex {
   def qSearch(s: SparkSession, dir: String): DataFrame =
     search(Tables.embeddings(s, dir), VectorSearch.QueryVecId)
   val qSearchOracle: String = searchSql(VectorSearch.QueryVecId)
+
+  /** Rows-only driver query: materialize the cell-partitioned index,
+    * rank centroids, then search ONLY the nprobe pruned partitions on
+    * disk (the spec asserts PartitionFilters; the driver sees the same
+    * top-k the in-memory `ivf_search` oracle checks).
+    */
+  def qSearchMaterialized(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val path = IndexCache.getOrBuild("ivf_idx", dir)(writeIndex(e, _))
+    val q = e.filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    val cells = centroidArrays(e).join(broadcast(q))
+      .select(col("cell"),
+        round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
+      .orderBy(desc("cscore"), asc("cell")).limit(NProbe)
+      .collect().map(_.getInt(0))
+    searchIndex(s, path, q, cells.toSeq,
+      excludeVecId = Some(VectorSearch.QueryVecId))
+  }
 }

@@ -126,6 +126,16 @@ object KeywordIndex {
   def qDictionary(s: SparkSession, dir: String): DataFrame =
     dictionary(Tables.documents(s, dir))
 
+  /** Rows-only driver query: full postings materialization + search that
+    * reads ONLY the query terms' term_bucket partitions from disk (the
+    * partition-pruned path the spec asserts via PartitionFilters).
+    */
+  def qSearchMaterialized(s: SparkSession, dir: String): DataFrame = {
+    val path = IndexCache.getOrBuild("kw_idx", dir)(
+      writeIndex(Tables.documents(s, dir), _))
+    searchIndex(s, path, KeywordSearch.QueryTerms)
+  }
+
   /** In-line build + indexed search; must equal `kw_search_bm25` bitwise.
     *
     * The transient build is cheaper than the materialized one: postings

@@ -128,4 +128,14 @@ object Multimodal {
   }
 
   def qMeta(s: SparkSession, dir: String): DataFrame = meta(Tables.documents(s, dir))
+
+  /** Rows-only driver query: binary-in/binary-out resize over the whole
+    * corpus (stubbed codec, real partition-parallel batch shape), with a
+    * digest instead of raw bytes so the dump stays compact.
+    */
+  def qResize(s: SparkSession, dir: String): DataFrame =
+    resize(Tables.documents(s, dir), 8, 8)
+      .select(col("doc_id"), col("width"), col("height"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy("doc_id")
 }

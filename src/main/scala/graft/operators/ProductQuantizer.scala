@@ -36,20 +36,60 @@ object ProductQuantizer {
     transform(d, x => x / sqrt(aggregate(d, lit(0.0d), (a, v) => a + v * v)))
   }
 
-  /** Per-subspace seeded k-means over the normalized corpus. */
+  /** Per-subspace seeded k-means over the normalized TRAINING SAMPLE.
+    *
+    * Deliberately driver-side: PQ codebooks are trained on a bounded
+    * sample (callers pass one — `qAdcSearch` strides 10%; faiss does
+    * exactly this) and the result is m·k·(d/m) doubles, so Lloyd's
+    * iterations on the collected sample cost milliseconds, where one
+    * MLlib fit PER SUBSPACE costs seconds of job-scheduling overhead at
+    * ANY scale. Deterministic: stride-seeded init, fixed iteration
+    * count, no RNG.
+    */
   def train(embs: DataFrame, m: Int = M, k: Int = K, seed: Long = 42L): Model = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val sub = Dim / m
-    val normed = embs.select(normalized(col("embedding")).as("e"))
+    val sample = embs.select(normalized(col("embedding")).as("e"))
+      .orderBy(col("e")) // stable order → stable init regardless of partitioning
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ training sample is empty")
     val codebooks = (0 until m).map { j =>
-      val sliced = normed.select(
-        array_to_vector(slice(col("e"), j * sub + 1, sub)).as("features"))
-      val model = new KMeans().setK(k).setSeed(seed + j)
-        .setFeaturesCol("features").setPredictionCol("c").fit(sliced)
-      model.clusterCenters.map(_.toArray.toSeq).toSeq
+      val vecs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      lloyd(vecs, k, seed + j).map(_.toSeq).toSeq
     }
     Model(m, Dim, codebooks)
+  }
+
+  /** Deterministic Lloyd's: stride init over the (stably ordered)
+    * sample, `iters` fixed refinement passes, empty clusters keep their
+    * centroid.
+    */
+  private def lloyd(xs: Array[Array[Double]], k: Int, seed: Long,
+                    iters: Int = 10): Array[Array[Double]] = {
+    val n = xs.length
+    val d = xs(0).length
+    val off = math.abs(seed % n).toInt
+    var cents = Array.tabulate(k)(i => xs(((i.toLong * n) / k + off).toInt % n).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      xs.foreach { x =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val t = x(i) - cents(c)(i); dist += t * t; i += 1 }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best); var i = 0
+        while (i < d) { s(i) += x(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else cents(c))
+      it += 1
+    }
+    cents
   }
 
   /** Encode the corpus: one `array<int>` of m codes per vector. */
@@ -98,6 +138,24 @@ object ProductQuantizer {
     * as in [[IvfIndex.search]]; swapping in the k-means assigner changes
     * nothing downstream.
     */
+  /** Driver-facing rows-only queries (no SQL oracle — seeded k-means
+    * codebooks aren't SQL-expressible; the spec suite carries the
+    * equivalence/recall proofs instead). Codebooks train on a 10%
+    * hash-stride SAMPLE — the production shape: PQ training reads a
+    * sliver, encoding streams the full corpus.
+    */
+  def qAdcSearch(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.embeddings(s, dir)
+    val model = train(e.filter(col("vec_id") % 10 === 0))
+    searchAdc(e, model, VectorSearch.QueryVecId)
+  }
+
+  def qIvfAdcSearch(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.embeddings(s, dir)
+    val model = train(e.filter(col("vec_id") % 10 === 0))
+    searchIvfAdc(e, model, VectorSearch.QueryVecId)
+  }
+
   def searchIvfAdc(embs: DataFrame, model: Model, queryVecId: Long,
                    nprobe: Int = IvfIndex.NProbe,
                    k: Int = VectorSearch.TopK): DataFrame = {
