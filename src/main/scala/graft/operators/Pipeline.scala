@@ -21,7 +21,9 @@ object Pipeline {
     val docs = Tables.documents(s, dir)
     val keepQuality = TextAnalysis.quality(docs)
       .filter(col("passes_filter")).select("doc_id")
-    val keepCanonical = DedupClusters.clusters(docs, Dedup.minhashLsh(docs))
+    // consumes the standing pair set via DedupClusters.query (pairs
+    // materialize once per source dir — the corpus-refresh shape)
+    val keepCanonical = DedupClusters.query(s, dir)
       .filter(col("is_canonical")).select("doc_id")
     val clean = docs.join(keepQuality, "doc_id").join(keepCanonical, "doc_id")
     Chunker.pack(clean)
