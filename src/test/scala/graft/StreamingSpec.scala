@@ -88,6 +88,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming sequence packing matches the oracle-checked batch bins") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = TestSpark.Sf0001
+    val batch = graft.operators.Chunker.qPack(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("n_tokens").toLong, r.getAs[Long]("bin_id")))
+      .sortBy(t => (t._2, t._1)).toSeq
+    val docs = batch.map { case (id, src, n, _) =>
+      graft.streaming.CorpusStream.Doc(id, src, n) }
+      .sortBy(d => (d.source, d.doc_id))
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val input = MemoryStream[graft.streaming.CorpusStream.Doc]
+    val q = graft.streaming.CorpusStream
+      .pack(input.toDS(), graft.operators.Chunker.PackBudget)
+      .writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val got = spark.table("pack_stream")
+      .as[graft.streaming.CorpusStream.PackedDoc].collect()
+      .map(p => (p.doc_id, p.source, p.n_tokens, p.bin_id))
+      .sortBy(t => (t._2, t._1)).toSeq
+    assert(got == batch)
+    q.stop()
+  }
+
   test("streaming query serving matches the batch multi-query search") {
     import graft.streaming.ServeStream
     implicit val sqlCtx = spark.sqlContext
