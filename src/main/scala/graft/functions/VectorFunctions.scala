@@ -24,6 +24,25 @@ object VectorFunctions {
   def dotNative(a: Column, b: Column): Column =
     Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
 
+  /** Codegen'd multi-table random-hyperplane LSH signature: one fused
+    * pass emits `array<long>` of `planes.length / bits` bucket ids
+    * (plane `g*bits+b` contributes bit `b` of bucket `g`). Bit-identical
+    * to the interpreted zip_with/aggregate form it replaces.
+    */
+  def lshBuckets(emb: Column, planes: Seq[Seq[Double]], bits: Int): Column = {
+    import org.apache.spark.sql.graftshim.LshHyperplaneBuckets
+    Shims.column(LshHyperplaneBuckets(Shims.expression(emb), planes, bits))
+  }
+
+  /** Codegen'd symmetric int8 scalar quantization:
+    * `struct(scale, qv: array<int>)` in one fused pass. Bit-identical to
+    * the three-`transform` HOF form it replaces.
+    */
+  def sq8Quantize(emb: Column): Column = {
+    import org.apache.spark.sql.graftshim.Sq8Quantize
+    Shims.column(Sq8Quantize(Shims.expression(emb)))
+  }
+
   /** Dot product via zip_with/aggregate (no custom expression needed). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)

@@ -93,6 +93,30 @@ object Dedup {
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
 
+  /** Shingle-hash array as a pure column — the shared subexpression of
+    * the per-row signature form. Callers must materialize it behind a
+    * Generate barrier (`explode(array(...))`) or CollapseProject will
+    * re-hash every shingle once per permutation.
+    */
+  def shingleHashes(text: Column): Column =
+    transform(shingles(tokens(text), ShingleK), s => portableHash(s) % P)
+
+  /** Per-row banded signatures from a materialized shingle-hash array —
+    * NO shuffle (the streaming-ingest form; [[bandSignatures]] is the
+    * batch explode+groupBy form). Bit-identical to it: min over the
+    * hash array equals the groupBy min over exploded rows. Returns
+    * `array<string>` indexed by band.
+    */
+  def bandSigsFromHashes(hs: Column): Column = {
+    val mins = Perms.map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % P))
+    }
+    array((0 until Bands).map { b =>
+      md5(concat_ws("-",
+        (0 until RowsPerBand).map(r => mins(b * RowsPerBand + r)): _*))
+    }: _*)
+  }
+
   /** Candidate pairs via banded LSH + exact Jaccard verification. */
   def minhashLsh(docs: DataFrame): DataFrame = {
     val bands = bandSignatures(docs)
@@ -277,13 +301,25 @@ object Dedup {
           shiftright(col("simhash"), b * 8).bitwiseAND(255).as("block_val"))
       }: _*)).as("blk"))
       .select(col("doc_id"), col("simhash"), col("blk.block_id"), col("blk.block_val"))
+    // A pair colliding in several blocks would surface once per collision;
+    // instead of a (d1, d2)-distinct over the ~|buckets| x |bucket|^2
+    // candidate stream (a full extra shuffle), keep a pair only at its
+    // FIRST matching block — bytes 0..k-1 of the XOR must be nonzero —
+    // which emits each pair exactly once, map-side.
+    val xorH = col("l.simhash").bitwiseXOR(col("r.simhash"))
+    def byteDiffers(j: Int) =
+      shiftright(xorH, j * 8).bitwiseAND(255) =!= 0
+    val firstMatch = (0 until SimHashBlocks).map { k =>
+      (0 until k).map(byteDiffers)
+        .foldLeft(col("l.block_id") === k)(_ && _)
+    }.reduce(_ || _)
     blocks.as("l").join(blocks.as("r"),
         col("l.block_id") === col("r.block_id") &&
           col("l.block_val") === col("r.block_val") &&
           col("l.doc_id") < col("r.doc_id"))
+      .filter(firstMatch)
       .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
-      .distinct()
+        bit_count(xorH).as("hamming"))
       .filter(col("hamming") <= HammingThreshold)
       .orderBy("d1", "d2")
   }
@@ -486,7 +522,10 @@ object Dedup {
       }
     }
 
-  private def planeBit(embedding: Column, planeIdx: Int, bit: Int): Column = {
+  /** Interpreted reference form of one plane's sign bit — kept for the
+    * spec cross-check against the codegen'd [[lshBuckets]] path.
+    */
+  private[graft] def planeBitHof(embedding: Column, planeIdx: Int, bit: Int): Column = {
     val dotp = aggregate(
       zip_with(embedding, typedLit(Hyperplanes(planeIdx).map(_.toDouble)),
         (x, y) => x.cast("double") * y),
@@ -494,9 +533,14 @@ object Dedup {
     when(dotp >= 0, 1L << bit).otherwise(0L)
   }
 
-  /** Random-hyperplane bucket id (sign bit per plane) as a column. */
+  private def doublePlanes(n: Int): Seq[Seq[Double]] =
+    Hyperplanes.take(n).map(_.map(_.toDouble))
+
+  /** Random-hyperplane bucket id (sign bit per plane) as a column —
+    * codegen'd single pass ([[graft.functions.VectorFunctions.lshBuckets]]).
+    */
   def lshBucket(embedding: Column): Column =
-    (0 until LshPlanes).map(i => planeBit(embedding, i, i)).reduce(_ + _)
+    element_at(lshBuckets(embedding, doublePlanes(LshPlanes), LshPlanes), 1)
 
   /** Random-hyperplane signature histogram: the bucketing primitive for
     * cosine LSH. Near-dup pairs at scale are then joined within buckets
@@ -519,15 +563,10 @@ object Dedup {
     * quadratic cross product entirely.
     */
   def embeddingNearDupLsh(embs: DataFrame): DataFrame = {
-    val tableBuckets = (0 until LshTables).map { t =>
-      struct(lit(t).as("table_id"),
-        (0 until PlanesPerTable)
-          .map(j => planeBit(col("embedding"), t * PlanesPerTable + j, j))
-          .reduce(_ + _).as("bucket"))
-    }
     val sig = embs.select(col("vec_id"),
-      explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.table_id"), col("tb.bucket"))
+      posexplode(lshBuckets(col("embedding"),
+        doublePlanes(LshTables * PlanesPerTable), PlanesPerTable))
+        .as(Seq("table_id", "bucket")))
     val cands = sig.as("l").join(sig.as("r"),
         col("l.table_id") === col("r.table_id") &&
           col("l.bucket") === col("r.bucket") &&

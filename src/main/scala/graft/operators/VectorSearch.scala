@@ -101,10 +101,21 @@ object VectorSearch {
     * replays the quantizer bit-for-bit.
     */
   def quantize(embs: DataFrame): DataFrame = {
-    val asD = transform(col("embedding"), x => x.cast("double"))
     // Generate barrier (see KeywordSearch.termStatsZeroShuffle): without
-    // it, CollapseProject inlines `scale` into the transform lambda and
-    // the per-vector max gets recomputed for every element (O(d^2)/row).
+    // it, CollapseProject would re-evaluate the quantizer once per
+    // extracted struct field.
+    embs
+      .select(col("vec_id"), col("label"),
+        explode(array(sq8Quantize(col("embedding")))).as("s"))
+      .select(col("vec_id"), col("label"), col("s.scale").as("scale"),
+        col("s.qv").as("qv"))
+  }
+
+  /** Interpreted reference form of [[quantize]] — kept for the spec
+    * cross-check against the codegen'd [[sq8Quantize]] path.
+    */
+  private[graft] def quantizeHof(embs: DataFrame): DataFrame = {
+    val asD = transform(col("embedding"), x => x.cast("double"))
     embs
       .select(col("vec_id"), col("label"),
         explode(array(struct(

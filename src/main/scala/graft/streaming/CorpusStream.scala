@@ -1,6 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import graft.functions.TextFunctions.tokens
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twin of the corpus-side batch operators

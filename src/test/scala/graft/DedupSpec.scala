@@ -99,6 +99,23 @@ class DedupSpec extends SparkSpec {
     assert(stats.agg(sum("n_vecs")).as[Long].head() == embs.count())
   }
 
+  test("codegen lsh signature equals the interpreted hyperplane form") {
+    val embs = sources.Tables.embeddings(spark, TestSpark.Sf001)
+    val nPlanes = Dedup.LshTables * Dedup.PlanesPerTable
+    val native = embs.select(col("vec_id"),
+      graft.functions.VectorFunctions.lshBuckets(col("embedding"),
+        Dedup.Hyperplanes.take(nPlanes).map(_.map(_.toDouble)),
+        Dedup.PlanesPerTable).as("b"))
+    val hof = embs.select(col("vec_id"),
+      array((0 until Dedup.LshTables).map { t =>
+        (0 until Dedup.PlanesPerTable)
+          .map(j => Dedup.planeBitHof(col("embedding"), t * Dedup.PlanesPerTable + j, j))
+          .reduce(_ + _)
+      }: _*).as("b"))
+    assert(native.orderBy("vec_id").collect().map(_.toString).toSeq ==
+      hof.orderBy("vec_id").collect().map(_.toString).toSeq)
+  }
+
   test("incremental probe equals full-corpus pairs restricted to the new batch") {
     val corpus = sources.Tables.documents(spark, TestSpark.Sf001)
     val full = Dedup.minhashLsh(corpus).collect()

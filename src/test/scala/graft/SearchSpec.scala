@@ -82,6 +82,18 @@ class SearchSpec extends SparkSpec {
       s"sq8 recall too low: ${exact.intersect(quantized).size}/10")
   }
 
+  test("codegen sq8 quantization equals the interpreted transform form") {
+    val embs = Tables.embeddings(spark, TestSpark.Sf001)
+    val native = VectorSearch.quantize(embs).orderBy("vec_id").collect()
+    val hof = VectorSearch.quantizeHof(embs).orderBy("vec_id").collect()
+    assert(native.length == hof.length)
+    native.zip(hof).foreach { case (n, h) =>
+      assert(n.getAs[Double]("scale") == h.getAs[Double]("scale"))
+      assert(n.getSeq[Int](n.fieldIndex("qv")).toList ==
+        h.getSeq[Int](h.fieldIndex("qv")).toList)
+    }
+  }
+
   test("ivf search with nprobe covering all cells equals brute force") {
     val embs = Tables.embeddings(spark, TestSpark.Sf0001)
     val brute = VectorSearch.topK(embs, 7L, 10).select("vec_id").as[Long].collect().toSeq
