@@ -114,6 +114,50 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming clean-corpus ingest equals batch quality+probe+pack") {
+    import graft.operators.{Chunker, Dedup, TextAnalysis}
+    import graft.streaming.CorpusStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val oldDocs = docs.filter(pmod(col("doc_id"), lit(Dedup.NewMod)) =!= Dedup.NewMod - 1)
+    val newDocs = docs.filter(pmod(col("doc_id"), lit(Dedup.NewMod)) === Dedup.NewMod - 1)
+    val tmp = java.nio.file.Files.createTempDirectory("clean_stream").toString
+    Dedup.writeBandIndex(oldDocs, s"$tmp/bands")
+    val bandIndex = spark.read.parquet(s"$tmp/bands")
+    // batch expected: same quality rules, same index probe, same packing
+    val qual = TextAnalysis.quality(newDocs)
+      .filter(col("passes_filter")).select("doc_id")
+    val colliding = Dedup.bandSignatures(newDocs).as("n")
+      .join(bandIndex.as("o"),
+        col("n.band_id") === col("o.band_id") &&
+          col("n.band_sig") === col("o.band_sig"))
+      .select(col("n.doc_id")).distinct()
+    val cleanBatch = newDocs.join(qual, "doc_id")
+      .join(colliding, Seq("doc_id"), "left_anti")
+    val want = Chunker.pack(cleanBatch).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("n_tokens").toLong, r.getAs[Long]("bin_id")))
+      .sortBy(t => (t._2, t._1)).toSeq
+    assert(want.nonEmpty)
+    // stream the new batch in two halves, (source, doc_id)-ordered
+    val inDocs = newDocs.select("doc_id", "source", "text")
+      .as[CorpusStream.CleanDoc].collect()
+      .sortBy(d => (d.source, d.doc_id)).toSeq
+    val (b1, b2) = inDocs.splitAt(inDocs.length / 2)
+    val input = MemoryStream[CorpusStream.CleanDoc]
+    val q = CorpusStream.cleanPack(input.toDS(), bandIndex, Chunker.PackBudget)
+      .writeStream.format("memory").queryName("clean_stream")
+      .outputMode("append").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val got = spark.table("clean_stream")
+      .as[CorpusStream.PackedDoc].collect()
+      .map(p => (p.doc_id, p.source, p.n_tokens, p.bin_id))
+      .sortBy(t => (t._2, t._1)).toSeq
+    assert(got == want)
+    q.stop()
+  }
+
   test("streaming query serving matches the batch multi-query search") {
     import graft.streaming.ServeStream
     implicit val sqlCtx = spark.sqlContext
