@@ -65,6 +65,25 @@ object TextFunctions {
     Shims.column(TermFrequencies(Shims.expression(toks), terms))
   }
 
+  /** Whole-document SimHash over a token array in one native pass — no
+    * explode, no shuffle. Null for an empty array (the exploded
+    * groupBy form emits no row for a tokenless doc). Backed by
+    * [[org.apache.spark.sql.graftshim.SimHash]].
+    */
+  def simhashNative(toks: Column, bits: Int): Column = {
+    import org.apache.spark.sql.graftshim.{Shims, SimHash}
+    Shims.column(SimHash(Shims.expression(toks), bits))
+  }
+
+  /** MinHash signature over a shingle array in one native pass — no
+    * explode, no shuffle. Null for an empty array. Backed by
+    * [[org.apache.spark.sql.graftshim.MinHashSig]].
+    */
+  def minhashSig(shingleArr: Column, perms: Seq[(Long, Long)], p: Long): Column = {
+    import org.apache.spark.sql.graftshim.{MinHashSig, Shims}
+    Shims.column(MinHashSig(Shims.expression(shingleArr), perms, p))
+  }
+
   /** Reference formulation of [[shingles]] via built-in higher-order
     * functions only (kept for cross-checking the native expression).
     */

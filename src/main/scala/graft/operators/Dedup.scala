@@ -57,17 +57,26 @@ object Dedup {
   }
 
   /** doc_id → minhash signature (array of NumHashes longs): shingle →
-    * portable hash → min over (a*h + b) mod p per permutation.
-    *
-    * Formulated as explode + one partial-aggregated groupBy rather than
-    * per-row higher-order functions: each shingle is hashed exactly ONCE
-    * (the HOF form gets inlined by CollapseProject and re-hashes every
-    * shingle NumHashes times — measured 10x slower), map-side combine
-    * shrinks the shuffle to NumHashes longs per doc per partition, and
-    * the aggregation Exchange is reused by both sides of the LSH
-    * self-join downstream.
+    * portable hash → min over (a*h + b) mod p per permutation — ONE
+    * native pass over the shingle array
+    * ([[graft.functions.TextFunctions.minhashSig]]): each shingle is
+    * hashed exactly once and every permutation's minimum runs in
+    * registers. Map-side only — NO explode, NO aggregate, NO shuffle
+    * (measured equal to the exploded groupBy form at sf0.1 locally;
+    * at scale it removes the signature shuffle entirely and serves the
+    * streaming ingest path). The Generate barrier stops CollapseProject
+    * from re-evaluating the signature once per consuming band column.
     */
-  def minhashSignature(docs: DataFrame): DataFrame = {
+  def minhashSignature(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array(minhashSig(shingles(tokens(col("text")), ShingleK),
+          Perms, P))).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Exploded groupBy formulation of [[minhashSignature]] — kept for
+    * the spec cross-check against the codegen'd single-pass form.
+    */
+  private[graft] def minhashSignatureExploded(docs: DataFrame): DataFrame = {
     val hs = docs
       .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleK)).as("sh"))
       .select(col("doc_id"), (portableHash(col("sh")) % P).as("h"))
@@ -87,35 +96,17 @@ object Dedup {
     minhashSignature(docs).select(col("doc_id"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band_id"),
-          md5(concat_ws("-",
-            (0 until RowsPerBand).map(r =>
-              element_at(col("sig"), b * RowsPerBand + r + 1)): _*)).as("band_sig"))
+          bandSigFromSignature(col("sig"), b).as("band_sig"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
 
-  /** Shingle-hash array as a pure column — the shared subexpression of
-    * the per-row signature form. Callers must materialize it behind a
-    * Generate barrier (`explode(array(...))`) or CollapseProject will
-    * re-hash every shingle once per permutation.
+  /** Band signature `b` (md5 over the band's minhash slice) from a
+    * materialized signature column — the shared arithmetic of
+    * [[bandSignatures]] and the streaming ingest path.
     */
-  def shingleHashes(text: Column): Column =
-    transform(shingles(tokens(text), ShingleK), s => portableHash(s) % P)
-
-  /** Per-row banded signatures from a materialized shingle-hash array —
-    * NO shuffle (the streaming-ingest form; [[bandSignatures]] is the
-    * batch explode+groupBy form). Bit-identical to it: min over the
-    * hash array equals the groupBy min over exploded rows. Returns
-    * `array<string>` indexed by band.
-    */
-  def bandSigsFromHashes(hs: Column): Column = {
-    val mins = Perms.map { case (a, b) =>
-      array_min(transform(hs, h => (lit(a) * h + lit(b)) % P))
-    }
-    array((0 until Bands).map { b =>
-      md5(concat_ws("-",
-        (0 until RowsPerBand).map(r => mins(b * RowsPerBand + r)): _*))
-    }: _*)
-  }
+  def bandSigFromSignature(sig: Column, b: Int): Column =
+    md5(concat_ws("-",
+      (0 until RowsPerBand).map(r => element_at(sig, b * RowsPerBand + r + 1)): _*))
 
   /** Candidate pairs via banded LSH + exact Jaccard verification. */
   def minhashLsh(docs: DataFrame): DataFrame = {
@@ -245,10 +236,23 @@ object Dedup {
 
   val SimHashBits = 32
 
-  /** 32-bit SimHash per document: explode tokens, one shuffle keyed by
-    * doc_id with 32 partial-aggregated bit sums, reassemble the hash.
+  /** 32-bit SimHash per document — ONE native pass over the token
+    * array ([[graft.functions.TextFunctions.simhashNative]]): map-side
+    * only, NO explode and NO shuffle (the exploded 32-column groupBy
+    * form is kept below for the cross-check spec). A tokenless doc
+    * hashes to null and is dropped, matching the exploded form which
+    * emits no row for it.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        simhashNative(tokens(col("text")), SimHashBits).as("simhash"))
+      .filter(col("simhash").isNotNull)
+      .orderBy("doc_id")
+
+  /** Exploded groupBy formulation of [[simhash]] — kept for the spec
+    * cross-check against the codegen'd single-pass form.
+    */
+  private[graft] def simhashExploded(docs: DataFrame): DataFrame = {
     val toked = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", portableHash(col("tok")))
     val bitSums = (0 until SimHashBits).map { b =>

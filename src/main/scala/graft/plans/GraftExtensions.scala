@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, TermFrequencies, WordShingles}
+import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, SimHash, Sq8Quantize, TermFrequencies, WordShingles}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, so the
   * Text2SQL surface (and any `spark.sql` user) can call them directly:
@@ -44,6 +44,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_product(arrayA, arrayB)")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable &&
+          children(1).eval() != null,
+          "simhash(tokenArray, bits) with non-null literal bits")
+        SimHash(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sq8_quantize"),
+      new ExpressionInfo(classOf[Sq8Quantize].getName, "sq8_quantize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "sq8_quantize(array)")
+        Sq8Quantize(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("term_frequencies"),

@@ -31,10 +31,11 @@ object CorpusStream {
     * per band, all stateless) → greedy token-budget packing ([[pack]],
     * the only stateful stage: ONE long per source).
     *
-    * At scale: signatures are map-side expressions behind a Generate
-    * barrier (shingles hashed once, not once per permutation); each band
-    * probe reads only that band's partition of the index; nothing
-    * shuffles except the per-source packing state.
+    * At scale: signatures are ONE native pass per doc
+    * ([[org.apache.spark.sql.graftshim.MinHashSig]], behind a Generate
+    * barrier so the four band extracts share it); each band probe reads
+    * only that band's partition of the index; nothing shuffles except
+    * the per-source packing state.
     */
   def cleanPack(docs: Dataset[CleanDoc], bandIndex: DataFrame,
                 budget: Int): Dataset[PackedDoc] = {
@@ -43,12 +44,14 @@ object CorpusStream {
     val qual = docs.toDF().filter(size(toks) >= 10 && size(toks) <= 1000 &&
       size(filter(toks, t => t.isin(TextAnalysis.StopEn.map(lit): _*))) > 0)
     val sigs = qual
-      .select(col("doc_id"), col("source"), col("text"),
-        explode(array(Dedup.shingleHashes(col("text")))).as("hs"))
-      .select(Seq(col("doc_id"), col("source"),
-        size(tokens(col("text"))).as("n_tokens")) ++
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"),
+        explode(array(graft.functions.TextFunctions.minhashSig(
+          graft.functions.TextFunctions.shingles(tokens(col("text")), Dedup.ShingleK),
+          Dedup.Perms, Dedup.P))).as("sig"))
+      .select(Seq(col("doc_id"), col("source"), col("n_tokens")) ++
         (0 until Dedup.Bands).map(b =>
-          element_at(Dedup.bandSigsFromHashes(col("hs")), b + 1).as(s"sig_$b")): _*)
+          Dedup.bandSigFromSignature(col("sig"), b).as(s"sig_$b")): _*)
     val survived = (0 until Dedup.Bands).foldLeft(sigs) { case (df, b) =>
       df.join(
         bandIndex.filter(col("band_id") === b)

@@ -99,6 +99,22 @@ class DedupSpec extends SparkSpec {
     assert(stats.agg(sum("n_vecs")).as[Long].head() == embs.count())
   }
 
+  test("codegen minhash signature equals the exploded groupBy form") {
+    val real = sources.Tables.documents(spark, TestSpark.Sf001)
+    val native = Dedup.minhashSignature(real)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val exploded = Dedup.minhashSignatureExploded(real)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(native.nonEmpty && native == exploded)
+  }
+
+  test("codegen simhash equals the exploded groupBy form") {
+    val real = sources.Tables.documents(spark, TestSpark.Sf001)
+    val native = Dedup.simhash(real).collect().map(_.toString).toSeq
+    val exploded = Dedup.simhashExploded(real).collect().map(_.toString).toSeq
+    assert(native.nonEmpty && native == exploded)
+  }
+
   test("codegen lsh signature equals the interpreted hyperplane form") {
     val embs = sources.Tables.embeddings(spark, TestSpark.Sf001)
     val nPlanes = Dedup.LshTables * Dedup.PlanesPerTable

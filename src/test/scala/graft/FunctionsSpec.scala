@@ -77,6 +77,14 @@ class FunctionsSpec extends SparkSpec {
       "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .as[Double].head()
     assert(dp == 11.0)
+    val sq = spark.sql(
+      "SELECT sq8_quantize(array(0.5D, -1.0D)).qv AS q").as[Seq[Int]].head()
+    assert(sq == Seq(64, -127)) // floor(.5*127/1+.5)=64, floor(-127.5+.5)=-127
+    val shv = spark.sql(
+      "SELECT simhash(array('a'), 4) AS h").as[Long].head()
+    assert(shv >= 0L && shv < 16L)
+    assert(spark.sql("SELECT simhash(array_remove(array('a'), 'a'), 4) AS h")
+      .head().isNullAt(0))
   }
 
   test("fingerprint is whitespace/punct-insensitive") {
