@@ -74,13 +74,15 @@ object SparkEntry {
     "eval_retrieval" -> (RetrievalEval.query _),
     "eval_ndcg" -> (RetrievalEval.queryNdcg _),
     "multimodal_meta" -> (Multimodal.qMeta _),
-    // rows-only checks (no SQL oracle — k-means codebooks, on-disk
-    // partition-pruned layouts, and binary transforms aren't
-    // SQL-expressible; the spec suite carries their equivalence proofs)
-    "pq_adc_search" -> (ProductQuantizer.qAdcSearch _),
-    "ivf_pq_search" -> (ProductQuantizer.qIvfAdcSearch _),
+    // materialized-index searches: oracle-checked — the partition-pruned
+    // on-disk path must reproduce the inline search's result exactly
     "ivf_search_materialized" -> (IvfIndex.qSearchMaterialized _),
     "kw_search_materialized" -> (KeywordIndex.qSearchMaterialized _),
+    // rows-only checks (no SQL oracle — k-means codebooks and binary
+    // transforms aren't SQL-expressible; the spec suite carries their
+    // equivalence proofs)
+    "pq_adc_search" -> (ProductQuantizer.qAdcSearch _),
+    "ivf_pq_search" -> (ProductQuantizer.qIvfAdcSearch _),
     "multimodal_resize" -> (Multimodal.qResize _)
   )
 
@@ -108,6 +110,8 @@ object SparkEntry {
     "doc_count" -> KeywordSearch.docCountOracle,
     "kw_index_dictionary" -> KeywordIndex.dictionaryOracle,
     "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,
+    "kw_search_materialized" -> KeywordIndex.searchIndexedOracle,
+    "ivf_search_materialized" -> IvfIndex.qSearchMaterializedOracle,
     "vector_search_topk" -> VectorSearch.searchOracle,
     "vector_search_batch" -> VectorSearch.batchSearchOracle,
     "vector_search_quantized" -> VectorSearch.searchQuantizedOracle,

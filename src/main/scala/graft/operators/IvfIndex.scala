@@ -166,6 +166,15 @@ object IvfIndex {
     search(Tables.embeddings(s, dir), VectorSearch.QueryVecId)
   val qSearchOracle: String = searchSql(VectorSearch.QueryVecId)
 
+  /** The materialized-index search is the SAME query over the cell
+    * layout (cell == label by construction), so its oracle is
+    * [[searchSql]] with the column renamed — the correctness gate
+    * proves the on-disk pruned path reproduces the inline search.
+    */
+  val qSearchMaterializedOracle: String =
+    searchSql(VectorSearch.QueryVecId)
+      .replace("SELECT vec_id, label,", "SELECT vec_id, label AS cell,")
+
   /** Rows-only driver query: materialize the cell-partitioned index,
     * rank centroids, then search ONLY the nprobe pruned partitions on
     * disk (the spec asserts PartitionFilters; the driver sees the same

@@ -77,6 +77,24 @@ class PropertySpec extends SparkSpec {
     native.foreach { case (id, tfs) => assert(tfs == reference(id), s"doc $id") }
   }
 
+  test("native simhash/minhash equal their exploded forms on random docs") {
+    // adversarial vocabulary: tiny (forced collisions), punctuation,
+    // digits, repeated tokens, single-token and near-empty docs
+    val vocab = Seq("a", "b", "ab", "a1", "7", "the", "x-y", "Zz")
+    val docs = (0 until 60).map { id =>
+      val n = if (id < 5) id else 1 + rnd.nextInt(40)
+      (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val nativeSim = Dedup.simhash(docs).collect().map(_.toString).toSeq
+    val explodedSim = Dedup.simhashExploded(docs).collect().map(_.toString).toSeq
+    assert(nativeSim == explodedSim)
+    val nativeMin = Dedup.minhashSignature(docs)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val explodedMin = Dedup.minhashSignatureExploded(docs)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(nativeMin == explodedMin)
+  }
+
   test("empty corpus: search and dedup operators return empty, not errors") {
     import graft.operators._
     import org.apache.spark.sql.functions._
