@@ -55,6 +55,7 @@ object SparkEntry {
     "text_redact" -> (TextAnalysis.qRedact _),
     "text_repetition" -> (TextAnalysis.qRepetition _),
     "corpus_stats" -> (TextAnalysis.qCorpusStats _),
+    "corpus_vocab" -> (TextAnalysis.qVocab _),
     "corpus_sample" -> (TextAnalysis.qSample _),
     "dedup_exact" -> (Dedup.qExact _),
     "decontaminate" -> (Dedup.qDecontaminate _),
@@ -133,6 +134,7 @@ object SparkEntry {
     "text_redact" -> TextAnalysis.redactOracle,
     "text_repetition" -> TextAnalysis.repetitionOracle,
     "corpus_stats" -> TextAnalysis.corpusStatsOracle,
+    "corpus_vocab" -> TextAnalysis.vocabOracle,
     "corpus_sample" -> TextAnalysis.sampleOracle(),
     "dedup_exact" -> Dedup.exactOracle,
     "decontaminate" -> Dedup.decontaminateOracle,

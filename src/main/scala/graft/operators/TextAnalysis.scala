@@ -234,6 +234,33 @@ object TextAnalysis {
        |  round(avg(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)), 4) AS avg_uniq_ratio
        |FROM toked""".stripMargin
 
+  // --- vocabulary report ---------------------------------------------------
+
+  val VocabK = 50
+
+  /** Top-k corpus vocabulary by term frequency (with document
+    * frequency) — the vocab/stopword-building pass of a pretraining
+    * pipeline and the data behind df-ordered prefix filtering
+    * ([[Dedup.ngramJaccard]]). Scale shape: explode → two-phase
+    * partial aggregation (count + distinct-doc count), then heap top-k
+    * (TakeOrderedAndProject) — never a full sort of the vocabulary.
+    */
+  def vocab(docs: DataFrame, k: Int = VocabK): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy(desc("tf"), asc("term"))
+      .limit(k)
+
+  val vocabOracle: String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, unnest($sqlToks) AS term FROM documents)
+       |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |FROM toked
+       |GROUP BY term
+       |ORDER BY tf DESC, term
+       |LIMIT $VocabK""".stripMargin
+
   // --- PII redaction -------------------------------------------------------
 
   /** Email/phone redaction — the scrub pass every training-data pipeline
@@ -300,5 +327,6 @@ object TextAnalysis {
   def qRedact(s: SparkSession, dir: String): DataFrame = redact(Tables.documents(s, dir))
   def qRepetition(s: SparkSession, dir: String): DataFrame = repetition(Tables.documents(s, dir))
   def qCorpusStats(s: SparkSession, dir: String): DataFrame = corpusStats(Tables.documents(s, dir))
+  def qVocab(s: SparkSession, dir: String): DataFrame = vocab(Tables.documents(s, dir))
   def qSample(s: SparkSession, dir: String): DataFrame = sample(Tables.documents(s, dir))
 }

@@ -65,6 +65,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 <= 0.2)        // 6 tokens -> 5 bigrams, all distinct
   }
 
+  test("vocab: top-k terms by tf with df, deterministic tiebreak") {
+    val docs = Seq(
+      (0L, "spark spark spark flink"),
+      (1L, "spark flink duck duck"),
+      (2L, "beam beam beam beam")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocab(docs, k = 3).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df")))
+    assert(out.toSeq == Seq(("beam", 4L, 1L), ("spark", 4L, 2L), ("duck", 2L, 1L)))
+  }
+
   test("corpus stats: one-row rollup with consistent totals") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
     val r = graft.operators.TextAnalysis.corpusStats(docs).collect().head
