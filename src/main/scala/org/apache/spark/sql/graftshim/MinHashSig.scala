@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * to the exploded groupBy form (cross-checked in DedupSpec):
   * `m_i = min over shingles of (a_i * (h % p) + b_i) % p`.
   *
-  * Returns null for an empty shingle array (the exploded form emits no
+  * Returns null for an empty or all-null shingle array (the exploded form emits no
   * row) — in practice the shingler always yields at least one shingle.
   */
 case class MinHashSig(child: Expression, perms: Seq[(Long, Long)], p: Long)
@@ -34,18 +34,24 @@ case class MinHashSig(child: Expression, perms: Seq[(Long, Long)], p: Long)
     if (n == 0) return null
     val k = aArr.length
     val mins = Array.fill(k)(Long.MaxValue)
+    var any = false
     var i = 0
     while (i < n) {
-      val h = GraftHash.md5Prefix15(sh.getUTF8String(i)) % p
-      var j = 0
-      while (j < k) {
-        val v = (aArr(j) * h + bArr(j)) % p
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      // null elements are skipped (shinglers never emit them; guard for
+      // direct callers)
+      if (!sh.isNullAt(i)) {
+        any = true
+        val h = GraftHash.md5Prefix15(sh.getUTF8String(i)) % p
+        var j = 0
+        while (j < k) {
+          val v = (aArr(j) * h + bArr(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(mins)
+    if (!any) null else UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,22 +61,26 @@ case class MinHashSig(child: Expression, perms: Seq[(Long, Long)], p: Long)
       val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      val any = ctx.freshName("any")
       val k = aArr.length
       s"""
          |final int $n = $a.numElements();
-         |if ($n == 0) {
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $any = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  $any = true;
+         |  final long $h = org.apache.spark.sql.graftshim.GraftHash.md5Prefix15(
+         |    $a.getUTF8String($i)) % ${p}L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    final long $v = ($aRef[$j] * $h + $bRef[$j]) % ${p}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |if (!$any) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long[] $mins = new long[$k];
-         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    final long $h = org.apache.spark.sql.graftshim.GraftHash.md5Prefix15(
-         |      $a.getUTF8String($i)) % ${p}L;
-         |    for (int $j = 0; $j < $k; $j++) {
-         |      final long $v = ($aRef[$j] * $h + $bRef[$j]) % ${p}L;
-         |      if ($v < $mins[$j]) $mins[$j] = $v;
-         |    }
-         |  }
          |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
          |}
        """.stripMargin

@@ -35,7 +35,7 @@ object GraftHash {
   * its portable hash; bit `b` of the result is set when the vote sum
   * is positive.
   *
-  * Returns null for an empty token array — the exploded form emits no
+  * Returns null for an empty or all-null token array — the exploded form emits no
   * row for a tokenless doc, so callers filter those out identically.
   */
 case class SimHash(child: Expression, bits: Int)
@@ -53,15 +53,22 @@ case class SimHash(child: Expression, bits: Int)
     val n = toks.numElements()
     if (n == 0) return null
     val votes = new Array[Int](bits)
+    var any = false
     var i = 0
     while (i < n) {
-      val h = GraftHash.md5Prefix15(toks.getUTF8String(i))
-      var b = 0
-      while (b < bits) {
-        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1
+      // null elements cast no votes (tokenizers never emit them; guard
+      // for direct SQL callers)
+      if (!toks.isNullAt(i)) {
+        any = true
+        val h = GraftHash.md5Prefix15(toks.getUTF8String(i))
+        var b = 0
+        while (b < bits) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1
+        }
       }
       i += 1
     }
+    if (!any) return null
     var out = 0L
     var b = 0
     while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
@@ -73,19 +80,23 @@ case class SimHash(child: Expression, bits: Int)
       val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
       val i = ctx.freshName("i"); val b = ctx.freshName("b")
       val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      val any = ctx.freshName("any")
       s"""
          |final int $n = $a.numElements();
-         |if ($n == 0) {
+         |int[] $votes = new int[$bits];
+         |boolean $any = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  $any = true;
+         |  final long $h = org.apache.spark.sql.graftshim.GraftHash.md5Prefix15(
+         |    $a.getUTF8String($i));
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |if (!$any) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int[] $votes = new int[$bits];
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    final long $h = org.apache.spark.sql.graftshim.GraftHash.md5Prefix15(
-         |      $a.getUTF8String($i));
-         |    for (int $b = 0; $b < $bits; $b++) {
-         |      $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
-         |    }
-         |  }
          |  long $out = 0L;
          |  for (int $b = 0; $b < $bits; $b++) {
          |    if ($votes[$b] > 0) $out |= (1L << $b);
