@@ -343,27 +343,39 @@ object Dedup {
   val JaccardN = 1
   val NgramThreshold = 0.6
 
-  /** Set-similarity self-join within `source` blocks, via PREFIX
-    * FILTERING (AllPairs/SSJoin family): order every doc's tokens by
-    * global rarity (df asc, tok), index only the first
-    * `|d| - ceil(tau*|d|) + 1` tokens — any pair with Jaccard >= tau
-    * provably shares an indexed token — then verify candidates exactly
-    * with an intersect/union over the full sets.
+  /** Set-similarity self-join within `source` blocks — ADAPTIVE:
+    *
+    *  - general path ([[prefixSetPairs]]): PREFIX FILTERING
+    *    (AllPairs/SSJoin family): order every doc's tokens by global
+    *    rarity (df asc, tok), index only the first
+    *    `|d| - ceil(tau*|d|) + 1` tokens — any pair with Jaccard >= tau
+    *    provably shares an indexed token — then verify candidates
+    *    exactly with an intersect/union over the full sets;
+    *  - tiny-vocabulary path ([[maskSetPairs]], distinct corpus
+    *    vocabulary <= 64 terms — one cheap driver-side count decides):
+    *    every token SET is one 64-bit mask and Jaccard is
+    *    `popcount(and)/popcount(or)` — O(1) per pair, no candidate
+    *    distinct, no token-array shuffles. Result-identical to the
+    *    prefix path (spec-cross-checked): same integer
+    *    intersection/union arithmetic, same rounding.
     *
     * The registered oracle stays the NAIVE full inverted-index spec:
-    * hash-equality of the two is the exactness proof. On the synthetic
-    * 30-word vocabulary the naive index degenerates to ~19M pairs at
-    * sf0.1; the prefix index cuts candidate generation ~6x, and on real
-    * (sparse-vocabulary) corpora the gap grows unboundedly.
+    * hash-equality of the two is the exactness proof. The synthetic
+    * corpus has a 31-word vocabulary, so the mask path carries the
+    * benchmark; real (sparse-vocabulary) corpora take the prefix path,
+    * whose candidate cut over naive grows unboundedly.
     */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // 1. canonicalize: similarity is a function of the token SET, so
     //    compute per distinct set, not per doc (exact-dup-heavy and
-    //    small-vocabulary corpora collapse dramatically).
+    //    small-vocabulary corpora collapse dramatically). Materialized
+    //    ONCE (localCheckpoint — the DedupClusters frontier pattern):
+    //    four consumers (members, sets, vocab count, mask/prefix build)
+    //    would otherwise each re-tokenize the corpus.
     val docSets = docs.select(col("doc_id"), col("source"),
       array_sort(array_distinct(tokens(col("text")))).as("tset"))
       .withColumn("set_key", md5(array_join(col("tset"), "\u0001")))
+      .localCheckpoint()
     val members = docSets.select("doc_id", "source", "set_key")
     val sets = docSets.select("source", "set_key", "tset")
       .dropDuplicates("source", "set_key")
@@ -375,7 +387,63 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
         lit(1.0).as("jaccard"))
-    // 3. distinct-set pairs via exact prefix filtering (rarity order).
+    // 3. distinct-set pairs with exact verification. Path chosen by ONE
+    //    bounded driver-side probe (the driver-side pattern of the PQ
+    //    codebook fit): pull at most 65 distinct terms — tiny however
+    //    large the corpus — and take the mask path iff the whole
+    //    vocabulary fit in 64.
+    val vocabProbe = sets.select(explode(col("tset")).as("tok"))
+      .distinct().limit(65).collect().map(_.getString(0))
+    val setPairs =
+      if (vocabProbe.length <= 64) maskSetPairs(sets, vocabProbe.sorted)
+      else prefixSetPairs(sets)
+    // 4. expand set pairs back to doc pairs.
+    val crossSet = setPairs
+      .join(members.select(col("source"), col("set_key").as("k1"), col("doc_id").as("da")),
+        Seq("source", "k1"))
+      .join(members.select(col("source"), col("set_key").as("k2"), col("doc_id").as("db")),
+        Seq("source", "k2"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("jaccard"))
+    sameSet.unionByName(crossSet)
+      .orderBy(desc("jaccard"), asc("d1"), asc("d2"))
+  }
+
+  /** Tiny-vocabulary verification: one bitmask per distinct set (term →
+    * bit via a LITERAL map — the vocabulary was already probed driver-
+    * side, so no dictionary job, no join), pairs verified IN the join
+    * with two popcounts. The masked side is |distinct sets| narrow rows,
+    * so the whole pair stage is one self-join with an O(1) residual and
+    * no array data on the wire; the PPJoin size filter stays as the
+    * in-join prune.
+    */
+  private[graft] def maskSetPairs(sets: DataFrame, vocab: Seq[String]): DataFrame = {
+    val bitOf = typedLit(vocab.zipWithIndex.toMap)
+    val masked = sets
+      .select(col("source"), col("set_key"), col("tsize"),
+        explode(col("tset")).as("tok"))
+      .withColumn("bit", element_at(bitOf, col("tok")))
+      .groupBy("source", "set_key", "tsize")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
+    val nInter = bit_count(col("l.mask").bitwiseAND(col("r.mask")))
+    val nUnion = bit_count(col("l.mask").bitwiseOR(col("r.mask")))
+    masked.as("l").join(masked.as("r"),
+        col("l.source") === col("r.source") &&
+          col("l.set_key") < col("r.set_key") &&
+          col("r.tsize") * lit(NgramThreshold) <= col("l.tsize") &&
+          col("l.tsize") * lit(NgramThreshold) <= col("r.tsize"))
+      .select(col("l.source").as("source"),
+        col("l.set_key").as("k1"), col("r.set_key").as("k2"),
+        round(nInter.cast("double") / nUnion.cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= NgramThreshold)
+  }
+
+  /** General verification: exact prefix filtering (rarity order) with
+    * PPJoin size + positional in-join prunes, then intersect/union over
+    * the full sets for surviving candidates.
+    */
+  private[graft] def prefixSetPairs(sets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val inv = sets.select(col("source"), col("set_key"), col("tsize"),
       explode(col("tset")).as("tok"))
     val tokDf = inv.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -406,7 +474,7 @@ object Dedup {
       .select(col("l.source").as("source"),
         col("l.set_key").as("k1"), col("r.set_key").as("k2"))
       .distinct()
-    val setPairs = cands
+    cands
       .join(sets.select(col("source"), col("set_key").as("k1"),
         col("tset").as("s1"), col("tsize").as("n1")), Seq("source", "k1"))
       .join(sets.select(col("source"), col("set_key").as("k2"),
@@ -416,16 +484,6 @@ object Dedup {
         round(col("n_inter").cast("double") /
           (col("n1") + col("n2") - col("n_inter")).cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= NgramThreshold)
-    // 4. expand set pairs back to doc pairs.
-    val crossSet = setPairs
-      .join(members.select(col("source"), col("set_key").as("k1"), col("doc_id").as("da")),
-        Seq("source", "k1"))
-      .join(members.select(col("source"), col("set_key").as("k2"), col("doc_id").as("db")),
-        Seq("source", "k2"))
-      .select(least(col("da"), col("db")).as("d1"),
-        greatest(col("da"), col("db")).as("d2"), col("jaccard"))
-    sameSet.unionByName(crossSet)
-      .orderBy(desc("jaccard"), asc("d1"), asc("d2"))
   }
 
   val ngramJaccardOracle: String =

@@ -99,6 +99,25 @@ class DedupSpec extends SparkSpec {
     assert(stats.agg(sum("n_vecs")).as[Long].head() == embs.count())
   }
 
+  test("jaccard mask path equals prefix path on the real corpus") {
+    import graft.functions.TextFunctions.tokens
+    val real = sources.Tables.documents(spark, TestSpark.Sf001)
+    val sets = real.select(col("doc_id"), col("source"),
+      array_sort(array_distinct(tokens(col("text")))).as("tset"))
+      .withColumn("set_key", md5(array_join(col("tset"), "")))
+      .select("source", "set_key", "tset")
+      .dropDuplicates("source", "set_key")
+      .withColumn("tsize", size(col("tset")))
+    val vocab = sets.select(explode(col("tset")).as("tok"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(vocab.length <= 64, "fixture vocabulary must fit the mask path")
+    val mask = Dedup.maskSetPairs(sets, vocab)
+      .orderBy("source", "k1", "k2").collect().map(_.toString).toSeq
+    val prefix = Dedup.prefixSetPairs(sets)
+      .orderBy("source", "k1", "k2").collect().map(_.toString).toSeq
+    assert(mask.nonEmpty && mask == prefix)
+  }
+
   test("codegen minhash signature equals the exploded groupBy form") {
     val real = sources.Tables.documents(spark, TestSpark.Sf001)
     val native = Dedup.minhashSignature(real)
