@@ -59,6 +59,7 @@ object SparkEntry {
     "corpus_sample" -> (TextAnalysis.qSample _),
     "dedup_exact" -> (Dedup.qExact _),
     "decontaminate" -> (Dedup.qDecontaminate _),
+    "decontaminate_bloom" -> (Dedup.qDecontaminateBloom _),
     "corpus_pack" -> (Chunker.qPack _),
     "dedup_minhash_lsh" -> (Dedup.qMinhashLsh _),
     "dedup_clusters" -> (DedupClusters.query _),
@@ -141,6 +142,9 @@ object SparkEntry {
     "corpus_sample" -> TextAnalysis.sampleOracle(),
     "dedup_exact" -> Dedup.exactOracle,
     "decontaminate" -> Dedup.decontaminateOracle,
+    // equivalence oracle: the bloom-pruned path must reproduce the
+    // exact broadcast-probe decontamination bitwise
+    "decontaminate_bloom" -> Dedup.decontaminateOracle,
     "corpus_pack" -> Chunker.packOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
     "dedup_clusters" -> DedupClusters.oracle,

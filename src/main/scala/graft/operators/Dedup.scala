@@ -734,6 +734,47 @@ object Dedup {
        |ORDER BY doc_id, bench_id""".stripMargin
   }
 
+  /** Bloom-filtered decontamination — the 100 TB form of
+    * [[decontaminate]]. The broadcast-everything probe ships EVERY
+    * benchmark signature to every task; at web-benchmark scale (tens of
+    * millions of signatures) that broadcast is the bottleneck. Here the
+    * benchmark side folds into two fixed-size bloom sketches (one per
+    * signal — Spark's own runtime-filter `BloomFilterAggregate`), the
+    * corpus probes them MAP-SIDE (`might_contain` over `xxhash64`, no
+    * false negatives), and only the surviving sliver pays the exact
+    * verification join that removes bloom false positives. Output is
+    * bit-identical to [[decontaminate]] — the registered oracle IS the
+    * exact form's SQL, so the hash match proves the equivalence.
+    */
+  def decontaminateBloom(docs: DataFrame,
+                         expectedBenchItems: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.graftshim.BloomShim
+    val sigs = docs.select(col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      array_min(transform(shingles(tokens(col("text")), 3), s => portableHash(s)))
+        .as("msh"))
+    val bench = sigs.filter(col("doc_id") % BenchStride === 0)
+      .select(col("doc_id").as("bench_id"), col("fp").as("bfp"), col("msh").as("bmsh"))
+    // the scalar-subquery step: two fixed-size sketches built in one
+    // tiny aggregation over the benchmark side
+    val blooms = bench.agg(
+      BloomShim.bloomAgg(xxhash64(col("bfp")), expectedBenchItems).as("bf_fp"),
+      BloomShim.bloomAgg(xxhash64(col("bmsh")), expectedBenchItems).as("bf_msh"))
+      .collect()(0)
+    val bfFp = blooms.getAs[Array[Byte]]("bf_fp")
+    val bfMsh = blooms.getAs[Array[Byte]]("bf_msh")
+    if (bfFp == null || bfMsh == null) decontaminate(docs) // empty bench
+    else sigs
+      .filter(BloomShim.mightContain(bfFp, xxhash64(col("fp"))) ||
+        BloomShim.mightContain(bfMsh, xxhash64(col("msh"))))
+      .join(broadcast(bench),
+        col("fp") === col("bfp") || col("msh") === col("bmsh"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select(col("doc_id"), col("bench_id"),
+        when(col("fp") === col("bfp"), "exact").otherwise("ngram").as("match_type"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def qExact(s: SparkSession, dir: String): DataFrame = exact(Tables.documents(s, dir))
@@ -750,6 +791,7 @@ object Dedup {
     incremental(docs, s.read.parquet(path))
   }
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = decontaminate(Tables.documents(s, dir))
+  def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = decontaminateBloom(Tables.documents(s, dir))
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = minhashLsh(Tables.documents(s, dir))
   def qSimhash(s: SparkSession, dir: String): DataFrame = simhash(Tables.documents(s, dir))
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = ngramJaccard(Tables.documents(s, dir))

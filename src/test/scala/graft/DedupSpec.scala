@@ -99,6 +99,34 @@ class DedupSpec extends SparkSpec {
     assert(stats.agg(sum("n_vecs")).as[Long].head() == embs.count())
   }
 
+  test("bloom decontamination equals the exact broadcast probe") {
+    val real = sources.Tables.documents(spark, TestSpark.Sf001)
+    val exact = Dedup.decontaminate(real).collect().map(_.toString).toSeq
+    val bloom = Dedup.decontaminateBloom(real).collect().map(_.toString).toSeq
+    assert(exact.nonEmpty && bloom == exact)
+    // a tighter sketch (more false positives for the verify join to
+    // kill) must not change the output either
+    val tiny = Dedup.decontaminateBloom(real, expectedBenchItems = 4)
+      .collect().map(_.toString).toSeq
+    assert(tiny == exact)
+  }
+
+  test("adaptive jaccard takes the prefix path on a >64-term vocabulary") {
+    import spark.implicits._
+    // 70 distinct tokens force the general path through the SAME
+    // dispatch the driver query uses; a planted near-dup must surface
+    val vocab = (0 until 70).map(i => f"tok$i%02d")
+    val base = vocab.take(30).mkString(" ")
+    val docs = Seq(
+      (1L, base + " tok68", "s"),
+      (2L, base + " tok69", "s"),           // jaccard 30/32 with doc 1
+      (3L, vocab.drop(30).take(35).mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
   test("jaccard mask path equals prefix path on the real corpus") {
     import graft.functions.TextFunctions.tokens
     val real = sources.Tables.documents(spark, TestSpark.Sf001)
