@@ -67,15 +67,17 @@ object AnswerEval {
       .groupBy("q_id").agg(collect_list(col("tok")).as("c_union"))
     val inputs = docs.filter(col("doc_id") % stride === 0)
       .select(col("doc_id").as("q_id"), array_distinct(tokens(col("text"))).as("i_toks"))
+    // denominators clamped to >=1: a doc that tokenizes to nothing
+    // scores 0, never NaN (NaN semantics diverge between engines)
     val judged = actual.join(ctx, Seq("q_id")).join(inputs, Seq("q_id"))
       .select(col("q_id"),
-        round(inter(col("a_toks"), col("c_union")) / size(col("a_toks")), 4)
-          .as("grounding"),
+        round(inter(col("a_toks"), col("c_union")) /
+          greatest(size(col("a_toks")), lit(1)), 4).as("grounding"),
         round(lit(2.0) * inter(col("a_toks"), col("i_toks")) /
-          (size(col("a_toks")) + size(col("i_toks"))).cast("double"), 4)
+          greatest(size(col("a_toks")) + size(col("i_toks")), lit(1)).cast("double"), 4)
           .as("relevance_f1"),
-        round(inter(col("a_toks"), col("i_toks")) / size(col("i_toks")), 4)
-          .as("coverage"))
+        round(inter(col("a_toks"), col("i_toks")) /
+          greatest(size(col("i_toks")), lit(1)), 4).as("coverage"))
     judged
       .withColumn("score",
         round((col("grounding") + col("relevance_f1") + col("coverage")) / 3.0, 4))
@@ -119,11 +121,11 @@ object AnswerEval {
        |judged AS (
        |  SELECT q_id,
        |    round(CAST(len(list_intersect(a_toks, c_union)) AS DOUBLE)
-       |      / CAST(len(a_toks) AS DOUBLE), 4) AS grounding,
+       |      / CAST(greatest(len(a_toks), 1) AS DOUBLE), 4) AS grounding,
        |    round(2.0 * CAST(len(list_intersect(a_toks, i_toks)) AS DOUBLE)
-       |      / CAST(len(a_toks) + len(i_toks) AS DOUBLE), 4) AS relevance_f1,
+       |      / CAST(greatest(len(a_toks) + len(i_toks), 1) AS DOUBLE), 4) AS relevance_f1,
        |    round(CAST(len(list_intersect(a_toks, i_toks)) AS DOUBLE)
-       |      / CAST(len(i_toks) AS DOUBLE), 4) AS coverage
+       |      / CAST(greatest(len(i_toks), 1) AS DOUBLE), 4) AS coverage
        |  FROM actual JOIN ctx USING (q_id) JOIN inputs USING (q_id)),
        |cases AS (
        |  SELECT q_id, grounding, relevance_f1, coverage,
