@@ -79,17 +79,32 @@ class DedupSpec extends SparkSpec {
     assert((out.head.getAs[Long]("v1"), out.head.getAs[Long]("v2")) == (0L, 1L))
   }
 
-  test("lsh-blocked near-dup is a subset of brute force with decent recall") {
+  test("lsh-blocked near-dup recall matches the s-curve prediction") {
     val embs = sources.Tables.embeddings(spark, TestSpark.Sf001)
-    val brute = Dedup.embeddingNearDup(embs).collect()
-      .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
+    val bruteRows = Dedup.embeddingNearDup(embs).collect()
+    val brute = bruteRows.map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
     val lsh = Dedup.embeddingNearDupLsh(embs).collect()
       .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
     assert(lsh.subsetOf(brute))
     if (brute.nonEmpty) {
       val recall = lsh.size.toDouble / brute.size
-      info(s"LSH recall at threshold ${Dedup.CosineDupThreshold}: $recall (${lsh.size}/${brute.size})")
-      assert(recall > 0.0) // 8 planes on near-orthogonal synthetic pairs: low bar
+      // analytic OR-amplified sign-LSH catch probability per TRUE pair:
+      //   p(c) = 1 - (1 - (1 - arccos(c)/pi)^planes)^tables
+      // mean over the actual pair cosines = the expected recall; the
+      // measured value must sit in a tolerance band around it (14 pairs
+      // at sf0.001-scale variance), proving the banding implements the
+      // s-curve rather than clearing an arbitrary bar. At this 0.45
+      // threshold the curve is intentionally mid-slope: near-dup LSH is
+      // tuned for high-cosine pairs, and the exact verify + replayed
+      // oracle already pin the algorithm itself.
+      val expected = bruteRows.map { r =>
+        val theta = math.acos(math.min(1.0, r.getAs[Double]("cosine")))
+        val pTable = math.pow(1.0 - theta / math.Pi, Dedup.PlanesPerTable)
+        1.0 - math.pow(1.0 - pTable, Dedup.LshTables)
+      }.sum / brute.size
+      info(f"LSH recall at ${Dedup.CosineDupThreshold}: $recall%.3f " +
+        f"(${lsh.size}/${brute.size}), s-curve expectation $expected%.3f")
+      assert(math.abs(recall - expected) <= 0.35)
     }
   }
 
