@@ -9,7 +9,11 @@ object Bench {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: the only stdout contract is the one JSON line; WARN would
+    // interleave benign single-partition-window notices (k-row candidate
+    // windows are globally ordered BY DESIGN; every corpus-scale window
+    // in the library is keyed — see PLANS.md)
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen/executor warmup so the first timed query isn't charged
     // for session spin-up.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
