@@ -38,6 +38,32 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.contains("top_k_by_score") && !plan.contains("WindowExec"))
   }
 
+  test("answer eval ranks through the heap and judges on k-row joins") {
+    val plan = planOf(graft.operators.AnswerEval.queryCases(spark, dir))
+    assert(!plan.contains("WindowExec"),
+      s"answer eval must not window-sort the corpus:\n$plan")
+    assert(plan.contains("top_k_by_score"),
+      "per-query top-k should run through the bounded heap")
+  }
+
+  test("bloom decontamination probes map-side before any join") {
+    val plan = planOf(graft.operators.Dedup.qDecontaminateBloom(spark, dir))
+    assert(plan.contains("might_contain"),
+      s"the bloom probe must appear in the corpus-side plan:\n$plan")
+    // the probe is a Filter on the scan side, below the verify join:
+    // after the join the condition would reference both sides
+    val joinIdx = plan.indexOf("Join")
+    val probeIdx = plan.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "bloom filter should sit under (printed after) the verify join")
+  }
+
+  test("fine-tune selection is a bounded heap, windows only over the k winners") {
+    val plan = planOf(graft.operators.FinetuneData.query(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"train/val selection should heap-select, not globally sort:\n$plan")
+  }
+
   test("corpus mixing and split are map-side: no exchange before the output sort") {
     Seq(CorpusOps.mix(Tables.documents(spark, dir)),
       CorpusOps.split(Tables.documents(spark, dir))).foreach { df =>
