@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.topKByScore
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -151,6 +152,121 @@ object KeywordSearch {
        |ORDER BY score DESC, doc_id
        |LIMIT $topK""".stripMargin
   }
+
+  // --- batch serving pattern ----------------------------------------------
+
+  val BatchStride = 100
+  val BatchTerms = 3
+  val BatchK = 5
+
+  /** Multi-query BM25 in ONE postings pass — the keyword twin of
+    * [[VectorSearch.batchTopK]] and the shape a million-query eval or
+    * backfill takes at 100 TB. The fixed-terms column formulation of
+    * [[bm25]] can't serve per-query term sets, so this is the
+    * postings-join form:
+    *   - postings (doc_id, term, tf) + per-doc length build once (the
+    *     [[KeywordIndex]] batch_index_data layout, transient here);
+    *   - the query-term table (a few rows per query) BROADCASTS into
+    *     the postings join — the corpus never reshuffles per query;
+    *   - df is computed only for the distinct query terms, matched rows
+    *     reduce per (q_id, doc_id), and per-query top-k runs through
+    *     the bounded heap — no window over scored rows.
+    * Golden queries: every [[BatchStride]]-th doc, its [[BatchTerms]]
+    * rarest corpus tokens as the query string (rarity = df asc, the
+    * [[FinetuneData]] probe pattern — portable, deterministic), the
+    * query's own doc excluded from its results.
+    */
+  def bm25Batch(docs: DataFrame, stride: Int = BatchStride,
+                nTerms: Int = BatchTerms, k: Int = BatchK): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // dl is a MAP-SIDE projection (len of the token array == sum of tf);
+    // no doc-keyed aggregation anywhere
+    val dl = docs.select(col("doc_id"), tokenCount(col("text")).cast("double").as("dl"))
+      .filter(col("dl") > 0)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    // df comes from the postings aggregate (rows are distinct (doc,term)
+    // already) restricted by broadcast semi-join to the query docs'
+    // terms — the full vocabulary is never distinct'd or counted
+    val qtoks = docs.filter(col("doc_id") % stride === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    val qdict = postings
+      .join(broadcast(qtoks.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    // rarest-token query assembly on the stride sample only
+    val qterms = qtoks.join(broadcast(qdict), "term")
+      .groupBy("q_id")
+      .agg(slice(array_sort(collect_list(
+        concat(lpad(col("df").cast("string"), 10, "0"), lit("#"), col("term")))),
+        1, nTerms).as("padded"))
+      .select(col("q_id"), explode(col("padded")).as("p"))
+      .select(col("q_id"), substring(col("p"), 12, 1000).as("term"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5))
+    val tfD = col("tf").cast("double")
+    val scored = postings.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(qdict), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        (idf * (tfD * (K1 + 1)) /
+          (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy("q_id", "doc_id").agg(sum("s").as("raw_score"))
+    scored.groupBy("q_id")
+      .agg(topKByScore(col("raw_score"), col("doc_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("doc_id"),
+        round(col("t.score"), 4).as("score"))
+      .orderBy("q_id", "rn")
+  }
+
+  def bm25BatchSql(stride: Int = BatchStride, nTerms: Int = BatchTerms,
+                   k: Int = BatchK): String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM documents),
+       |postings AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM postings GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dict AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toked) GROUP BY 1),
+       |qtoks AS (
+       |  SELECT doc_id AS q_id, unnest(list_distinct(${TextAnalysis.sqlToks})) AS term
+       |  FROM documents WHERE doc_id % $stride = 0),
+       |qterms AS (
+       |  SELECT q_id, substring(p, 12, 1000) AS term
+       |  FROM (
+       |    SELECT q_id, unnest(
+       |      (list_sort(list(lpad(CAST(df AS VARCHAR), 10, '0') || '#' || term)))[1:$nTerms]) AS p
+       |    FROM qtoks JOIN dict USING (term)
+       |    GROUP BY q_id)),
+       |scored AS (
+       |  SELECT q_id, doc_id,
+       |    sum(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * ${K1 + 1})
+       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl.dl / avgdl))) AS raw_score
+       |  FROM postings
+       |  JOIN qterms USING (term)
+       |  JOIN dict USING (term)
+       |  JOIN dl USING (doc_id), stats
+       |  WHERE doc_id <> q_id
+       |  GROUP BY q_id, doc_id),
+       |ranked AS (
+       |  SELECT q_id, doc_id, raw_score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, doc_id, round(raw_score, 4) AS score
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+
+  def batchSearch(s: SparkSession, dir: String): DataFrame =
+    bm25Batch(Tables.documents(s, dir))
+
+  val batchSearchOracle: String = bm25BatchSql()
 
   // --- wired queries -------------------------------------------------------
 

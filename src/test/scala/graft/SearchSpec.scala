@@ -228,6 +228,34 @@ class SearchSpec extends SparkSpec {
     assert(row.getAs[String]("prompt") == "1. first snippet\n2. second snippet")
   }
 
+  test("batch bm25 per-query results equal the single-query search") {
+    val docs = Tables.documents(spark, TestSpark.Sf001)
+    val batch = KeywordSearch.bm25Batch(docs).collect()
+    assert(batch.nonEmpty)
+    val qid = batch.head.getAs[Long]("q_id")
+    // reconstruct the query's rarest-token terms exactly as the batch does
+    val dict = docs.select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val terms = docs.filter(col("doc_id") === qid)
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+      .join(dict, "term")
+      .orderBy(asc("df"), asc("term"))
+      .limit(KeywordSearch.BatchTerms)
+      .select("term").as[String].collect().toSeq.sorted
+    // single-query bm25 with self excluded, cut to the batch k
+    val single = KeywordSearch.bm25(docs, terms, topK = KeywordSearch.BatchK + 1)
+      .filter(col("doc_id") =!= qid)
+      .limit(KeywordSearch.BatchK)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    val fromBatch = batch.filter(_.getAs[Long]("q_id") == qid)
+      .sortBy(_.getAs[Int]("rn"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    assert(fromBatch == single)
+  }
+
   test("eval: perfect and impossible retrieval bound the metrics") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f), 0), (10L, Array(0.99f, 0.01f), 0),
