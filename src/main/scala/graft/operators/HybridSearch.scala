@@ -103,6 +103,95 @@ object HybridSearch {
        |LIMIT $k""".stripMargin
   }
 
+  // --- batch serving pattern ----------------------------------------------
+
+  val BatchK = 5
+
+  /** Multi-query hybrid search in one composition — completes the batch
+    * triad (vector [[VectorSearch.batchTopK]], keyword
+    * [[KeywordSearch.bm25Batch]], hybrid here). Per golden query (every
+    * [[KeywordSearch.BatchStride]]-th doc: its embedding + its rarest
+    * corpus tokens), both signals fan out once — the vector side over
+    * the broadcast query batch, the keyword side through the shared
+    * postings pass — LEFT-join on (q_id, doc_id) (docs matching no query
+    * term carry kscore 0, exactly the single-query `base` semantics),
+    * min-max normalize PER QUERY (one groupBy over the fan-out, Q-row
+    * broadcast back), fuse with alpha, rank through the bounded heap.
+    * Same documented normalization semantics as [[fused]], over the
+    * self-excluded corpus.
+    */
+  def fusedBatch(docs: DataFrame, embs: DataFrame,
+                 stride: Int = KeywordSearch.BatchStride,
+                 nTerms: Int = KeywordSearch.BatchTerms,
+                 alpha: Double = Alpha, k: Int = BatchK): DataFrame = {
+    val queries = embs.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val vparts = embs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        cosineSim(col("embedding"), col("q_emb")).as("vscore"))
+    val kparts = KeywordSearch.batchKwRaw(docs, stride, nTerms)
+    val joined = vparts.join(kparts, Seq("q_id", "doc_id"), "left")
+      .withColumn("kscore", coalesce(col("raw_score"), lit(0.0)))
+    val qstats = joined.groupBy("q_id").agg(
+      min("vscore").as("vmin"), max("vscore").as("vmax"),
+      min("kscore").as("kmin"), max("kscore").as("kmax"))
+    val fscore = round(
+      lit(alpha) * (col("vscore") - col("vmin")) /
+        when(col("vmax") === col("vmin"), 1.0).otherwise(col("vmax") - col("vmin")) +
+        lit(1 - alpha) * (col("kscore") - col("kmin")) /
+          when(col("kmax") === col("kmin"), 1.0).otherwise(col("kmax") - col("kmin")),
+      4)
+    joined.join(broadcast(qstats), Seq("q_id"))
+      .select(col("q_id"), col("doc_id"), fscore.as("fs"))
+      .groupBy("q_id")
+      .agg(graft.functions.VectorFunctions.topKByScore(col("fs"), col("doc_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("doc_id"),
+        col("t.score").as("score"))
+      .orderBy("q_id", "rn")
+  }
+
+  def fusedBatchSql(stride: Int = KeywordSearch.BatchStride,
+                    nTerms: Int = KeywordSearch.BatchTerms,
+                    alpha: Double = Alpha, k: Int = BatchK): String =
+    s"""WITH ${KeywordSearch.batchKwRawSqlCtes(stride, nTerms)},
+       |queries AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id % $stride = 0),
+       |vparts AS (
+       |  SELECT q_id, vec_id AS doc_id,
+       |    ${VectorSearch.cosineSql("embedding", "q_emb")} AS vscore
+       |  FROM embeddings JOIN queries ON vec_id <> q_id),
+       |joined AS (
+       |  SELECT vparts.q_id, vparts.doc_id, vscore,
+       |    coalesce(raw_score, 0.0) AS kscore
+       |  FROM vparts LEFT JOIN scored
+       |    ON vparts.q_id = scored.q_id AND vparts.doc_id = scored.doc_id),
+       |qstats AS (
+       |  SELECT q_id, min(vscore) AS vmin, max(vscore) AS vmax,
+       |    min(kscore) AS kmin, max(kscore) AS kmax
+       |  FROM joined GROUP BY 1),
+       |fusedt AS (
+       |  SELECT q_id, doc_id,
+       |    round($alpha * (vscore - vmin) /
+       |            (CASE WHEN vmax = vmin THEN 1.0 ELSE vmax - vmin END)
+       |        + ${1 - alpha} * (kscore - kmin) /
+       |            (CASE WHEN kmax = kmin THEN 1.0 ELSE kmax - kmin END), 4) AS score
+       |  FROM joined JOIN qstats USING (q_id)),
+       |ranked AS (
+       |  SELECT q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+       |  FROM fusedt
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, doc_id, score
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+
+  def batchSearch(s: SparkSession, dir: String): DataFrame =
+    fusedBatch(Tables.documents(s, dir), Tables.embeddings(s, dir))
+
+  val batchSearchOracle: String = fusedBatchSql()
+
   def search(s: SparkSession, dir: String): DataFrame =
     fused(Tables.documents(s, dir), Tables.embeddings(s, dir),
       KeywordSearch.QueryTerms, VectorSearch.QueryVecId)

@@ -178,6 +178,20 @@ object KeywordSearch {
     */
   def bm25Batch(docs: DataFrame, stride: Int = BatchStride,
                 nTerms: Int = BatchTerms, k: Int = BatchK): DataFrame = {
+    val scored = batchKwRaw(docs, stride, nTerms)
+    scored.groupBy("q_id")
+      .agg(topKByScore(col("raw_score"), col("doc_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("doc_id"),
+        round(col("t.score"), 4).as("score"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** The pre-ranking stage of [[bm25Batch]]: BM25 scores for every
+    * (query, matching doc) pair. Shared with the batch hybrid fusion.
+    */
+  private[operators] def batchKwRaw(docs: DataFrame, stride: Int = BatchStride,
+                                    nTerms: Int = BatchTerms): DataFrame = {
     val postings = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -216,17 +230,14 @@ object KeywordSearch {
           (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
           .as("s"))
       .groupBy("q_id", "doc_id").agg(sum("s").as("raw_score"))
-    scored.groupBy("q_id")
-      .agg(topKByScore(col("raw_score"), col("doc_id"), k).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
-      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("doc_id"),
-        round(col("t.score"), 4).as("score"))
-      .orderBy("q_id", "rn")
+    scored
   }
 
-  def bm25BatchSql(stride: Int = BatchStride, nTerms: Int = BatchTerms,
-                   k: Int = BatchK): String =
-    s"""WITH toked AS (
+  /** The CTE chain producing `scored(q_id, doc_id, raw_score)` — shared
+    * by [[bm25BatchSql]] and the batch-hybrid oracle.
+    */
+  private[operators] def batchKwRawSqlCtes(stride: Int, nTerms: Int): String =
+    s"""toked AS (
        |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM documents),
        |postings AS (
        |  SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
@@ -253,7 +264,11 @@ object KeywordSearch {
        |  JOIN dict USING (term)
        |  JOIN dl USING (doc_id), stats
        |  WHERE doc_id <> q_id
-       |  GROUP BY q_id, doc_id),
+       |  GROUP BY q_id, doc_id)""".stripMargin
+
+  def bm25BatchSql(stride: Int = BatchStride, nTerms: Int = BatchTerms,
+                   k: Int = BatchK): String =
+    s"""WITH ${batchKwRawSqlCtes(stride, nTerms)},
        |ranked AS (
        |  SELECT q_id, doc_id, raw_score,
        |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS rn

@@ -256,6 +256,34 @@ class SearchSpec extends SparkSpec {
     assert(fromBatch == single)
   }
 
+  test("batch hybrid at alpha=1 ranks exactly like the batch vector search") {
+    val docs = Tables.documents(spark, TestSpark.Sf001)
+    val embs = Tables.embeddings(spark, TestSpark.Sf001)
+    // min-max normalization is monotonic, so pure-vector fusion must
+    // reproduce the vector heap ranking (same k, same tie-breaks)
+    val hybrid = HybridSearch.fusedBatch(docs, embs, alpha = 1.0)
+      .select("q_id", "rn", "doc_id").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rn"), r.getAs[Long]("doc_id"))).toSeq
+    val vector = VectorSearch.batchTopK(embs)
+      .select(col("q_id"), col("rn"), col("vec_id").as("doc_id")).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rn"), r.getAs[Long]("doc_id"))).toSeq
+    assert(hybrid.nonEmpty && hybrid == vector)
+  }
+
+  test("batch hybrid scores stay in [0,1] and rank descending per query") {
+    val docs = Tables.documents(spark, TestSpark.Sf001)
+    val embs = Tables.embeddings(spark, TestSpark.Sf001)
+    val rows = HybridSearch.fusedBatch(docs, embs).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val s = r.getAs[Double]("score"); s >= 0.0 && s <= 1.0
+    })
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      val byRn = g.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("score")).toSeq
+      assert(byRn == byRn.sorted.reverse)
+    }
+  }
+
   test("eval: perfect and impossible retrieval bound the metrics") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f), 0), (10L, Array(0.99f, 0.01f), 0),
