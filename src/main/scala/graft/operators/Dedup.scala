@@ -775,6 +775,73 @@ object Dedup {
       .orderBy("doc_id", "bench_id")
   }
 
+  // --- cross-document repeated spans (boilerplate profile) -----------------
+
+  /** Span length (tokens) for the repeated-span profile. */
+  val SpanK = 8
+  /** Keep threshold: documents above this duplicated-span fraction are
+    * flagged for removal.
+    */
+  val SpanDupRatioMax = 0.5
+
+  /** Cross-document repeated-span profile — the span-level exact-dedup
+    * signal of the C4 / "Deduplicating Training Data" (Lee et al. 2021)
+    * family: doc-level near-dup (MinHash et al.) misses boilerplate that
+    * recurs INSIDE otherwise-distinct documents, so pipelines also count,
+    * per document, how many of its token k-grams appear verbatim in other
+    * documents. Output per doc: distinct span count, spans shared with
+    * ≥1 other doc, the duplicated fraction, and the keep flag at
+    * [[SpanDupRatioMax]].
+    *
+    * Scale design: spans are hashed to 60-bit longs map-side (the
+    * portable md5 hash — only 8-byte keys shuffle, never span text); the
+    * global span→doc-count is one partial-aggregated groupBy, re-joined
+    * to the span stream by the SAME key — both sides arrive
+    * hash-partitioned on `h`, so AQE plans the second hop without an
+    * extra exchange of the aggregate. Nothing is quadratic: cost is
+    * O(total tokens) rows through two hash shuffles.
+    */
+  def spanProfile(docs: DataFrame, k: Int = SpanK): DataFrame = {
+    val spans = docs.select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), k))).as("span"))
+      .select(col("doc_id"), portableHash(col("span")).as("h"))
+    val counts = spans.groupBy("h").agg(count(lit(1)).as("n_docs"))
+    spans.join(counts, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("n_docs") >= 2).cast("long")).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4).as("dup_ratio"))
+      .withColumn("keep", col("dup_ratio") <= SpanDupRatioMax)
+      .orderBy("doc_id")
+  }
+
+  val spanProfileOracle: String = {
+    val shingleSql =
+      s"""CASE WHEN len(toks) >= $SpanK
+         |    THEN list_transform(range(1, len(toks) - ${SpanK - 2}), i -> array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' '))
+         |    ELSE [array_to_string(toks, ' ')] END""".stripMargin
+    s"""WITH toked AS (SELECT doc_id, ${TextAnalysis.sqlToks} AS toks FROM documents),
+       |spans AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST('0x' || substring(md5(span), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest($shingleSql) AS span FROM toked)),
+       |counts AS (SELECT h, count(*) AS n_docs FROM spans GROUP BY 1),
+       |profiled AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+       |  FROM spans JOIN counts USING (h)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_spans, n_dup_spans,
+       |  round(CAST(n_dup_spans AS DOUBLE) / n_spans, 4) AS dup_ratio,
+       |  round(CAST(n_dup_spans AS DOUBLE) / n_spans, 4) <= $SpanDupRatioMax AS keep
+       |FROM profiled
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def qSpanProfile(s: SparkSession, dir: String): DataFrame =
+    spanProfile(Tables.documents(s, dir))
+
   // --- wiring --------------------------------------------------------------
 
   def qExact(s: SparkSession, dir: String): DataFrame = exact(Tables.documents(s, dir))

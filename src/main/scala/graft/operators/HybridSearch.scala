@@ -103,6 +103,86 @@ object HybridSearch {
        |LIMIT $k""".stripMargin
   }
 
+  // --- ranked (reciprocal-rank) fusion -------------------------------------
+
+  /** RRF constant (Weaviate's rankedFusion / the Cormack-Clarke-Buettcher
+    * default): contribution of a list position is `1 / (RrfK0 + rank)`.
+    */
+  val RrfK0 = 60
+  /** Per-modality candidate-list length fed into the fusion. */
+  val RrfLimit = 20
+
+  /** Hybrid search with RANKED fusion — Weaviate's other `fusion_type`
+    * (`HybridFusion.RANKED`; the reference's `hybrid_search` exposes the
+    * default relative-score fusion, ranked fusion is the same API's
+    * alternate mode). Each modality contributes its top-[[RrfLimit]] list;
+    * a document scores the sum over lists of `1/(60 + rank)`, absent
+    * lists contribute 0.
+    *
+    * Scale design: both candidate lists are heap top-L (no corpus sort),
+    * so ranking/fusion/metadata-enrichment all run on ≤ 2L rows; the final
+    * source lookup joins the fused k rows BROADCAST against the corpus —
+    * the corpus is scanned exactly twice (once per modality signal), same
+    * as relative-score fusion.
+    */
+  def fusedRrf(docs: DataFrame, embs: DataFrame, terms: Seq[String],
+               queryVecId: Long, limit: Int = RrfLimit, k: Int = TopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // candidate-list windows are over ≤ `limit` rows BY CONSTRUCTION —
+    // single-partition is the right plan (cf. Reranker)
+    val kwR = KeywordSearch.bm25(docs, terms, limit)
+      .select(col("doc_id"), col("score").as("kscore"))
+      .withColumn("rn_k",
+        row_number().over(Window.orderBy(desc("kscore"), asc("doc_id"))))
+      .select("doc_id", "rn_k")
+    val vecR = VectorSearch.topK(embs, queryVecId, limit)
+      .select(col("vec_id").as("doc_id"), col("score").as("vscore"))
+      .withColumn("rn_v",
+        row_number().over(Window.orderBy(desc("vscore"), asc("doc_id"))))
+      .select("doc_id", "rn_v")
+    val fusedTop = kwR.join(vecR, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK0) + col("rn_k")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK0) + col("rn_v")), lit(0.0)),
+          6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(fusedTop), Seq("doc_id"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
+  def fusedRrfSql(terms: Seq[String], queryVecId: Long,
+                  limit: Int = RrfLimit, k: Int = TopK): String =
+    s"""WITH kw AS (SELECT doc_id, score AS kscore FROM (
+       |${KeywordSearch.bm25Sql(terms, limit)}) t),
+       |kwr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY kscore DESC, doc_id) AS rn_k
+       |  FROM kw),
+       |vec AS (SELECT vec_id AS doc_id, score AS vscore FROM (
+       |${VectorSearch.topKSql(queryVecId, limit)}) t),
+       |vr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY vscore DESC, doc_id) AS rn_v
+       |  FROM vec),
+       |fused AS (
+       |  SELECT coalesce(kwr.doc_id, vr.doc_id) AS doc_id,
+       |    round(coalesce(CAST(1 AS DOUBLE) / ($RrfK0 + rn_k), 0)
+       |        + coalesce(CAST(1 AS DOUBLE) / ($RrfK0 + rn_v), 0), 6) AS score
+       |  FROM kwr FULL JOIN vr ON kwr.doc_id = vr.doc_id),
+       |topk AS (
+       |  SELECT doc_id, score FROM fused ORDER BY score DESC, doc_id LIMIT $k)
+       |SELECT topk.doc_id, source, score
+       |FROM topk JOIN documents ON topk.doc_id = documents.doc_id
+       |ORDER BY score DESC, topk.doc_id""".stripMargin
+
+  def searchRrf(s: SparkSession, dir: String): DataFrame =
+    fusedRrf(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      KeywordSearch.QueryTerms, VectorSearch.QueryVecId)
+
+  val searchRrfOracle: String =
+    fusedRrfSql(KeywordSearch.QueryTerms, VectorSearch.QueryVecId)
+
   // --- batch serving pattern ----------------------------------------------
 
   val BatchK = 5

@@ -153,6 +153,108 @@ object KeywordSearch {
        |LIMIT $topK""".stripMargin
   }
 
+  // --- multi-property (BM25F-style) search ---------------------------------
+
+  /** `query_properties` benchmark instance: content-like `text` at weight
+    * 1 and the short `source` field boosted 2x — the Weaviate
+    * `['content', 'title^2']` shape on the graft schema.
+    */
+  val MultiFields: Seq[(String, Double)] = Seq("text" -> 1.0, "source" -> 2.0)
+  val MultiFieldTerms: Seq[String] = Seq("spark", "hash", "src3")
+
+  /** Multi-property BM25 — the reference's `query_properties=[...]`
+    * argument (weaviate_interface_v4.py:201/319: BM25 across several
+    * properties, Lucene `field^boost` weighting). Each field is scored as
+    * an independent BM25 corpus (its own dl/avgdl/df — the BM25F
+    * per-field-normalization family) and a document's score is the
+    * weighted sum over fields where it matches.
+    *
+    * Scale design: one [[termStats]] pass per field (tiny fields like
+    * `source`/title cost a map-side projection), each pass broadcast-joins
+    * its own 1-row stats; the per-field score rows UNION (no outer join
+    * fan-out) into a single doc-keyed partial-agg sum, and the global
+    * top-k is the usual heap. Metadata enrichment joins the k winners
+    * broadcast against the corpus.
+    */
+  def bm25MultiField(docs: DataFrame, terms: Seq[String] = MultiFieldTerms,
+                     fields: Seq[(String, Double)] = MultiFields,
+                     topK: Int = TopK): DataFrame = {
+    val perField = fields.map { case (field, weight) =>
+      val base = termStats(docs.withColumn("text", col(field)), terms)
+      val aggCols = count(lit(1)).as("n_docs") +: avg("dl").as("avgdl") +:
+        terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+      val stats = base.agg(aggCols.head, aggCols.tail: _*)
+      val perTerm = terms.indices.map { i =>
+        val tf = col(s"tf_$i").cast("double")
+        val df = col(s"df_$i").cast("double")
+        val idf = log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5))
+        when(tf > 0,
+          idf * (tf * (K1 + 1)) /
+            (tf + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+          .otherwise(0.0)
+      }
+      base.join(broadcast(stats))
+        .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+        .select(col("doc_id"), (perTerm.reduce(_ + _) * weight).as("ws"))
+    }
+    val top = perField.reduce(_ unionByName _)
+      .groupBy("doc_id").agg(round(sum("ws"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(topK)
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .join(broadcast(top), Seq("doc_id"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
+  def bm25MultiFieldSql(terms: Seq[String] = MultiFieldTerms,
+                        fields: Seq[(String, Double)] = MultiFields,
+                        topK: Int = TopK): String = {
+    val fieldCtes = fields.zipWithIndex.map { case ((field, weight), fi) =>
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, t -> t = '$t')) AS tf_$i"
+      }.mkString(",\n      ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+      val scores = terms.indices.map { i =>
+        s"""(CASE WHEN tf_$i > 0 THEN
+           |        ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+           |        * (CAST(tf_$i AS DOUBLE) * ${K1 + 1}) / (CAST(tf_$i AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl))
+           |      ELSE 0.0 END)""".stripMargin
+      }.mkString("\n      + ")
+      val anyTf = terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+      s"""base_$fi AS (
+         |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         |      $tfs
+         |  FROM (SELECT doc_id,
+         |          list_filter(regexp_split_to_array(lower($field), '[^a-z0-9]+'), t -> t <> '') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) > 0),
+         |stats_$fi AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, $dfs FROM base_$fi),
+         |scored_$fi AS (
+         |  SELECT doc_id,
+         |    ($scores) * $weight AS ws
+         |  FROM base_$fi, stats_$fi
+         |  WHERE $anyTf)""".stripMargin
+    }
+    val unioned = fields.indices.map(fi => s"SELECT * FROM scored_$fi")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${fieldCtes.mkString(",\n")},
+       |unioned AS (
+       |  $unioned),
+       |topk AS (
+       |  SELECT doc_id, round(CAST(sum(ws) AS DOUBLE), 4) AS score
+       |  FROM unioned GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id LIMIT $topK)
+       |SELECT topk.doc_id, source, lang, score
+       |FROM topk JOIN documents ON topk.doc_id = documents.doc_id
+       |ORDER BY score DESC, topk.doc_id""".stripMargin
+  }
+
+  def searchMultiField(s: SparkSession, dir: String): DataFrame =
+    bm25MultiField(Tables.documents(s, dir))
+
+  val searchMultiFieldOracle: String = bm25MultiFieldSql()
+
   // --- batch serving pattern ----------------------------------------------
 
   val BatchStride = 100

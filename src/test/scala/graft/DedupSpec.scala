@@ -216,4 +216,35 @@ class DedupSpec extends SparkSpec {
     val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
     assert((0 until Dedup.Bands).forall(b => dirs.contains(s"band_id=$b")))
   }
+
+  test("span profile: verbatim duplicates share every span, unique docs none") {
+    // 12-token docs → 5 spans each at k=8; docs 0/1 are normalized-equal
+    val out = Dedup.spanProfile(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Double]("dup_ratio"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(out(0L)._2 == 1.0 && !out(0L)._3) // all spans shared with doc 1
+    assert(out(1L)._2 == 1.0 && !out(1L)._3)
+    assert(out(3L)._2 == 0.0 && out(3L)._3)  // nothing shared
+    // doc 2 differs by one token: its spans containing 'cat' are unique,
+    // spans before the change are shared with docs 0/1
+    assert(out(2L)._2 > 0.0 && out(2L)._2 < 1.0)
+    assert(out(0L)._1 == 5)
+  }
+
+  test("span profile: span counts come from distinct spans per doc") {
+    import spark.implicits._
+    // internal repetition: the same 8-gram repeated within ONE doc must
+    // count once and stay non-duplicated (cross-doc signal only)
+    val rep = Seq(
+      (0L, "a b c d e f g h a b c d e f g h", "s0"),
+      (1L, "totally different words one two three four five six seven", "s1")
+    ).toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val out = Dedup.spanProfile(rep).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))).toMap
+    // 16 tokens → 9 windows, but window i and i+8 repeat → distinct < 9
+    assert(out(0L)._1 < 9)
+    assert(out(0L)._2 == 0 && out(1L)._2 == 0)
+  }
 }

@@ -318,4 +318,52 @@ class SearchSpec extends SparkSpec {
     val m = RetrievalEval.ndcg(embs, stride = 10, k = 2).collect().head
     assert(m.getAs[Double]("mean_ndcg") == 1.0)
   }
+
+  test("rrf fusion: scores are exactly the reciprocal-rank sums of the two lists") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val embs = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+    val terms = KeywordSearch.QueryTerms
+    val L = HybridSearch.RrfLimit
+    val kwRank = KeywordSearch.bm25(docs, terms, L).collect()
+      .map(_.getAs[Long]("doc_id")).zipWithIndex
+      .map { case (d, i) => d -> (i + 1) }.toMap
+    val vecRank = VectorSearch.topK(embs, VectorSearch.QueryVecId, L).collect()
+      .map(_.getAs[Long]("vec_id")).zipWithIndex
+      .map { case (d, i) => d -> (i + 1) }.toMap
+    val out = HybridSearch.fusedRrf(docs, embs, terms, VectorSearch.QueryVecId)
+      .collect()
+    assert(out.length == HybridSearch.TopK)
+    out.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val expected =
+        kwRank.get(d).map(rk => 1.0 / (HybridSearch.RrfK0 + rk)).getOrElse(0.0) +
+          vecRank.get(d).map(rv => 1.0 / (HybridSearch.RrfK0 + rv)).getOrElse(0.0)
+      assert(r.getAs[Double]("score") == math.rint(expected * 1e6) / 1e6,
+        s"doc $d")
+    }
+    // fusion is over list positions, not raw scores: the top fused doc
+    // must appear in at least one modality list
+    assert(out.map(_.getAs[Long]("doc_id"))
+      .forall(d => kwRank.contains(d) || vecRank.contains(d)))
+  }
+
+  test("multifield bm25: single text field at weight 1 reduces to plain bm25") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val terms = KeywordSearch.QueryTerms
+    val multi = KeywordSearch.bm25MultiField(docs, terms, Seq("text" -> 1.0))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val plain = KeywordSearch.bm25(docs, terms).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(multi.toSeq == plain.toSeq)
+  }
+
+  test("multifield bm25: boosted source field lifts its docs") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    // src3 matches only via the boosted source field; with the boost the
+    // top-k must contain src3 docs that plain text bm25 would not return
+    val out = KeywordSearch.bm25MultiField(docs).collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getAs[String]("source") == "src3"),
+      "expected source-field matches to surface")
+  }
 }
