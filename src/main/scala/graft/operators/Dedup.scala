@@ -802,11 +802,17 @@ object Dedup {
     * O(total tokens) rows through two hash shuffles.
     */
   def spanProfile(docs: DataFrame, k: Int = SpanK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spans = docs.select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), k))).as("span"))
       .select(col("doc_id"), portableHash(col("span")).as("h"))
-    val counts = spans.groupBy("h").agg(count(lit(1)).as("n_docs"))
-    spans.join(counts, Seq("h"))
+    // count-over-partition window instead of agg+self-join: the agg
+    // branch would prune doc_id, so the exploded+hashed span stream
+    // cannot share an exchange with the join branch and would be
+    // computed twice (measured). The window shuffles the stream ONCE on
+    // the 60-bit span key (high-cardinality — no skew) and counts within
+    // the partition.
+    spans.withColumn("n_docs", count(lit(1)).over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum((col("n_docs") >= 2).cast("long")).as("n_dup_spans"))

@@ -210,11 +210,32 @@ object HybridSearch {
       .select(col("q_id"), col("vec_id").as("doc_id"),
         cosineSim(col("embedding"), col("q_emb")).as("vscore"))
     val kparts = KeywordSearch.batchKwRaw(docs, stride, nTerms)
+    // Per-query normalization stats WITHOUT re-materializing the dense
+    // |corpus|×|queries| LEFT JOIN a second time (the join is not below
+    // an exchange both consumers share, so it would be computed per
+    // consumer — measured 2x the fan-out cost at sf0.1):
+    //  - vector min/max partial-aggregate straight off the cosine pass;
+    //  - keyword min/max derive from the SPARSE scored rows only. Docs
+    //    matching no query term carry an implicit kscore 0, so a query
+    //    matching fewer than n_corpus-1 docs clamps its range to include
+    //    0; a query with NO matching docs is all zeros.
+    val nCorpus = embs.agg(count(lit(1)).as("n_corpus"))
+    val vstats = vparts.groupBy("q_id")
+      .agg(min("vscore").as("vmin"), max("vscore").as("vmax"))
+    val kagg = kparts.groupBy("q_id")
+      .agg(min("raw_score").as("krmin"), max("raw_score").as("krmax"),
+        count(lit(1)).as("n_matched"))
+    val qstats = vstats.join(kagg, Seq("q_id"), "left")
+      .join(broadcast(nCorpus))
+      .select(col("q_id"), col("vmin"), col("vmax"),
+        when(col("n_matched").isNull, lit(0.0))
+          .when(col("n_matched") < col("n_corpus") - 1, least(col("krmin"), lit(0.0)))
+          .otherwise(col("krmin")).as("kmin"),
+        when(col("n_matched").isNull, lit(0.0))
+          .when(col("n_matched") < col("n_corpus") - 1, greatest(col("krmax"), lit(0.0)))
+          .otherwise(col("krmax")).as("kmax"))
     val joined = vparts.join(kparts, Seq("q_id", "doc_id"), "left")
       .withColumn("kscore", coalesce(col("raw_score"), lit(0.0)))
-    val qstats = joined.groupBy("q_id").agg(
-      min("vscore").as("vmin"), max("vscore").as("vmax"),
-      min("kscore").as("kmin"), max("kscore").as("kmax"))
     val fscore = round(
       lit(alpha) * (col("vscore") - col("vmin")) /
         when(col("vmax") === col("vmin"), 1.0).otherwise(col("vmax") - col("vmin")) +
