@@ -49,6 +49,103 @@ object Reranker {
       .orderBy(desc("cross_score"), asc("doc_id"))
   }
 
+  // --- MMR diversification -------------------------------------------------
+
+  /** MMR relevance weight λ; the redundancy weight is kept as its OWN
+    * constant (not computed as 1-λ): `1 - 0.7` is 0.30000000000000004 in
+    * IEEE doubles while a SQL `0.3` literal is 0.3 — the oracle replays
+    * the exact arithmetic only if both engines parse the same literals.
+    */
+  val MmrLambda = 0.7
+  val MmrGamma = 0.3
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) —
+    * the diversified context-assembly stage RAG serving adds on top of
+    * plain similarity ranking: greedily pick the candidate maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` so near-duplicate passages
+    * don't crowd the prompt (the reference assembles top-k directly,
+    * notebooks discuss redundant-context pollution; MMR is the standard
+    * fix).
+    *
+    * Scale shape: relevance top-C and the C×C candidate sim matrix are
+    * declarative (heap top-k + broadcast self-join over C=50 rows); only
+    * the inherently sequential k-step greedy runs imperatively, over ONE
+    * packed row (k·C ≈ 500 comparisons) — the corpus is never touched
+    * after the first-stage heap.
+    */
+  def mmrRerank(embs: DataFrame, queryVecId: Long = graft.operators.VectorSearch.QueryVecId,
+                c: Int = RetrieveLimit, k: Int = TopK,
+                lambda: Double = MmrLambda, gamma: Double = MmrGamma): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cand = graft.operators.VectorSearch.topK(embs, queryVecId, c)
+      .select(col("vec_id"), col("score"))
+    val cemb = embs.join(broadcast(cand), Seq("vec_id"))
+      .select(col("vec_id"), col("score"), col("embedding"))
+    val psim = cemb.as("a")
+      .join(broadcast(cemb.select(col("vec_id").as("v2"), col("embedding").as("e2"))),
+        col("vec_id") =!= col("v2"))
+      .select(col("vec_id").as("d1"), col("v2").as("d2"),
+        round(cosineSim(col("embedding"), col("e2")), 6).as("sim"))
+    val packed = cemb
+      .agg(collect_list(struct(col("vec_id").as("_1"), col("score").as("_2"))).as("rels"))
+      .join(psim.agg(collect_list(
+        struct(col("d1").as("_1"), col("d2").as("_2"), col("sim").as("_3"))).as("sims")))
+      .as[(Seq[(Long, Double)], Seq[(Long, Long, Double)])]
+    packed.flatMap { case (rels, sims) =>
+      val rel = rels.toMap
+      val simMap = sims.map { case (a, b, s) => (a, b) -> s }.toMap
+      val ids = rels.map(_._1).sorted
+      var picked = List.empty[Long]
+      (1 to math.min(k, ids.size)).map { rn =>
+        val (bestDoc, bestScore) = ids.filterNot(picked.contains).map { d =>
+          val ms = if (picked.isEmpty) 0.0
+            else picked.map(p => simMap((d, p))).max
+          d -> (lambda * rel(d) - gamma * ms)
+        }.minBy { case (d, s) => (-s, d) }
+        picked ::= bestDoc
+        (rn, bestDoc, bestScore)
+      }
+    }.toDF("rn", "doc_id", "mmr_score")
+      .withColumn("mmr_score", round(col("mmr_score"), 4))
+      .orderBy("rn")
+  }
+
+  def mmrOracle(queryVecId: Long = graft.operators.VectorSearch.QueryVecId,
+                c: Int = RetrieveLimit, k: Int = TopK): String =
+    s"""WITH RECURSIVE cand AS (
+       |  SELECT vec_id AS doc_id, score FROM (
+       |${graft.operators.VectorSearch.topKSql(queryVecId, c)}) t),
+       |emb AS (
+       |  SELECT vec_id AS doc_id, embedding FROM embeddings
+       |  WHERE vec_id IN (SELECT doc_id FROM cand)),
+       |psim AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    round(${graft.operators.VectorSearch.cosineSql("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM emb a JOIN emb b ON a.doc_id <> b.doc_id),
+       |sel AS (
+       |  (SELECT 1 AS rn, doc_id, $MmrLambda * score AS mmr_score, [doc_id] AS picked
+       |   FROM cand ORDER BY score DESC, doc_id LIMIT 1)
+       |  UNION ALL
+       |  SELECT rn + 1, nxt.doc_id, nxt.mmr_score, list_append(picked, nxt.doc_id)
+       |  FROM sel, LATERAL (
+       |    SELECT c.doc_id,
+       |      $MmrLambda * c.score - $MmrGamma *
+       |        (SELECT max(sim) FROM psim
+       |         WHERE psim.d1 = c.doc_id AND list_contains(sel.picked, psim.d2)) AS mmr_score
+       |    FROM cand c
+       |    WHERE NOT list_contains(sel.picked, c.doc_id)
+       |    ORDER BY mmr_score DESC, c.doc_id LIMIT 1) nxt
+       |  WHERE rn < $k)
+       |SELECT rn, doc_id, round(mmr_score, 4) AS mmr_score
+       |FROM sel ORDER BY rn""".stripMargin
+
+  def searchMmr(s: SparkSession, dir: String): DataFrame =
+    mmrRerank(Tables.embeddings(s, dir))
+
+  val searchMmrOracle: String = mmrOracle()
+
   /** BM25 first stage (retrieve_limit=50) → lexical cross-rerank. */
   def search(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)

@@ -261,6 +261,45 @@ object TextAnalysis {
        |ORDER BY tf DESC, term
        |LIMIT $VocabK""".stripMargin
 
+  // --- BPE pair statistics -------------------------------------------------
+
+  val PairStatsK = 30
+
+  /** Adjacent-token-pair frequencies — the corpus-scan half of one BPE
+    * merge round (Sennrich et al. 2016: the merge candidate IS the
+    * most-frequent adjacent pair): tf = total adjacent occurrences, df =
+    * documents containing the pair. Tokenizer training at 100 TB is
+    * bottlenecked on exactly this scan; the merge loop itself is
+    * driver-side control flow over the tiny pair table.
+    *
+    * Scale shape: pairs come from the native word-shingle loop (k=2 —
+    * one pass per row, no self-zip of exploded tokens), then one
+    * partial-aggregated groupBy and a heap top-k. Same plan family as
+    * the vocabulary report.
+    */
+  def pairStats(docs: DataFrame, k: Int = PairStatsK): DataFrame =
+    docs.filter(tokenCount(col("text")) >= 2)
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 2)).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy(desc("tf"), asc("pair"))
+      .limit(k)
+
+  val pairStatsOracle: String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, $sqlToks AS toks FROM documents),
+       |pairs AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS pair
+       |  FROM toked WHERE len(toks) >= 2)
+       |SELECT pair, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |FROM pairs
+       |GROUP BY pair
+       |ORDER BY tf DESC, pair
+       |LIMIT $PairStatsK""".stripMargin
+
   // --- PII redaction -------------------------------------------------------
 
   /** Email/phone redaction — the scrub pass every training-data pipeline
@@ -328,5 +367,6 @@ object TextAnalysis {
   def qRepetition(s: SparkSession, dir: String): DataFrame = repetition(Tables.documents(s, dir))
   def qCorpusStats(s: SparkSession, dir: String): DataFrame = corpusStats(Tables.documents(s, dir))
   def qVocab(s: SparkSession, dir: String): DataFrame = vocab(Tables.documents(s, dir))
+  def qPairStats(s: SparkSession, dir: String): DataFrame = pairStats(Tables.documents(s, dir))
   def qSample(s: SparkSession, dir: String): DataFrame = sample(Tables.documents(s, dir))
 }

@@ -163,6 +163,144 @@ object VectorSearch {
        |LIMIT $TopK""".stripMargin
   }
 
+  // --- grouped search (Weaviate group_by) -----------------------------------
+
+  val GroupsLimit = 5
+  val ObjectsPerGroup = 2
+
+  /** Near-vector search with result grouping — the v4 client's
+    * `GroupBy(prop, number_of_groups, objects_per_group)` argument on
+    * `near_vector` (same API family as reference
+    * `weaviate_interface_v4.py:246`'s query surface): hits group by a
+    * metadata property, groups rank by their best hit, each group
+    * returns its top objects.
+    *
+    * Scale design: per-group top-k runs through the bounded heap (k per
+    * group per partition shuffles, never all scored rows); group ranking
+    * then operates on |groups| rows. No corpus-wide window.
+    */
+  def topKGrouped(embs: DataFrame, docs: DataFrame,
+                  queryVecId: Long = QueryVecId, groups: Int = GroupsLimit,
+                  perGroup: Int = ObjectsPerGroup): DataFrame = {
+    import graft.functions.VectorFunctions.topKByScore
+    val q = embs.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val scored = embs.filter(col("vec_id") =!= queryVecId)
+      .join(docs.select(col("doc_id"), col("source")), col("vec_id") === col("doc_id"))
+      .join(broadcast(q))
+      .select(col("source"), col("vec_id"),
+        round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
+    val grouped = scored.groupBy("source")
+      .agg(topKByScore(col("score"), col("vec_id"), perGroup).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("source"), (col("i") + 1).as("rn"),
+        col("t.id").as("vec_id"), col("t.score").as("score"))
+    // groups rank by their best hit (rn=1 row), deterministic tiebreak
+    val groupRank = grouped.filter(col("rn") === 1)
+      .select(col("source"), col("score").as("best_score"))
+      .orderBy(desc("best_score"), asc("source"))
+      .limit(groups)
+      .select(col("source"), col("best_score"))
+    grouped.join(broadcast(groupRank), Seq("source"))
+      .select(col("source"), col("best_score"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(desc("best_score"), asc("source"), asc("rn"))
+  }
+
+  def topKGroupedSql(queryVecId: Long = QueryVecId, groups: Int = GroupsLimit,
+                     perGroup: Int = ObjectsPerGroup): String =
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),
+       |scored AS (
+       |  SELECT source, vec_id,
+       |    round(${cosineSql("embedding", "q_emb")}, 4) AS score
+       |  FROM embeddings JOIN documents ON vec_id = doc_id, q
+       |  WHERE vec_id <> $queryVecId),
+       |grouped AS (
+       |  SELECT source, vec_id, score,
+       |    row_number() OVER (PARTITION BY source ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $perGroup),
+       |grouprank AS (
+       |  SELECT source, score AS best_score
+       |  FROM grouped WHERE rn = 1
+       |  ORDER BY best_score DESC, source
+       |  LIMIT $groups)
+       |SELECT grouped.source, best_score, rn, vec_id, score
+       |FROM grouped JOIN grouprank ON grouped.source = grouprank.source
+       |ORDER BY best_score DESC, grouped.source, rn""".stripMargin
+
+  def searchGrouped(s: SparkSession, dir: String): DataFrame =
+    topKGrouped(Tables.embeddings(s, dir), Tables.documents(s, dir))
+
+  val searchGroupedOracle: String = topKGroupedSql()
+
+  // --- autocut ---------------------------------------------------------------
+
+  val AutocutJumps = 2
+  val AutocutFactor = 2.0
+  val AutocutCandidates = 20
+
+  /** Autocut — truncate a ranked result list at score discontinuities
+    * instead of a fixed k (the v4 client's `auto_limit` argument, same
+    * query surface as the reference's `limit`). Deterministic variant: a
+    * "jump" is a gap between consecutive scores exceeding
+    * [[AutocutFactor]] × the mean gap of the candidate list; results
+    * keep up to (exclusive) the `jumps`-th jump. All computed with
+    * windows over the top-[[AutocutCandidates]] list — the corpus only
+    * pays the first-stage heap.
+    */
+  def topKAutocut(embs: DataFrame, queryVecId: Long = QueryVecId,
+                  candidates: Int = AutocutCandidates,
+                  jumps: Int = AutocutJumps): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = topK(embs, queryVecId, candidates)
+    // ≤ candidates rows by construction: single-partition windows are the
+    // right plan (cf. Reranker)
+    val w = Window.orderBy(desc("score"), asc("vec_id"))
+    val gapped = cand
+      .withColumn("rn", row_number().over(w))
+      .withColumn("gap", coalesce(col("score") - lead("score", 1).over(w), lit(0.0)))
+    val stats = gapped.filter(col("rn") < candidates)
+      .agg(avg("gap").as("mean_gap"))
+    gapped.join(broadcast(stats))
+      .withColumn("is_jump",
+        (col("gap") > col("mean_gap") * AutocutFactor).cast("int"))
+      .withColumn("jumps_before",
+        coalesce(sum("is_jump").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .filter(col("jumps_before") < jumps)
+      .select(col("rn"), col("vec_id"), col("label"), col("score"))
+      .orderBy("rn")
+  }
+
+  def topKAutocutSql(queryVecId: Long = QueryVecId,
+                     candidates: Int = AutocutCandidates,
+                     jumps: Int = AutocutJumps): String =
+    s"""WITH cand AS (SELECT * FROM (
+       |${topKSql(queryVecId, candidates)}) t),
+       |gapped AS (
+       |  SELECT vec_id, label, score,
+       |    row_number() OVER (ORDER BY score DESC, vec_id) AS rn,
+       |    coalesce(score - lead(score, 1) OVER (ORDER BY score DESC, vec_id), 0.0) AS gap
+       |  FROM cand),
+       |stats AS (SELECT avg(gap) AS mean_gap FROM gapped WHERE rn < $candidates),
+       |marked AS (
+       |  SELECT rn, vec_id, label, score,
+       |    CASE WHEN gap > mean_gap * $AutocutFactor THEN 1 ELSE 0 END AS is_jump
+       |  FROM gapped, stats),
+       |cut AS (
+       |  SELECT rn, vec_id, label, score,
+       |    coalesce(sum(is_jump) OVER (ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jumps_before
+       |  FROM marked)
+       |SELECT rn, vec_id, label, score
+       |FROM cut WHERE jumps_before < $jumps
+       |ORDER BY rn""".stripMargin
+
+  def searchAutocut(s: SparkSession, dir: String): DataFrame =
+    topKAutocut(Tables.embeddings(s, dir))
+
+  val searchAutocutOracle: String = topKAutocutSql()
+
   // --- batch serving pattern ----------------------------------------------
 
   val BatchStride = 100

@@ -347,6 +347,71 @@ class SearchSpec extends SparkSpec {
       .forall(d => kwRank.contains(d) || vecRank.contains(d)))
   }
 
+  test("grouped search: per-group caps and group ordering by best hit") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val embs = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+    val out = VectorSearch.topKGrouped(embs, docs).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource.size <= VectorSearch.GroupsLimit)
+    bySource.values.foreach { rows =>
+      assert(rows.length <= VectorSearch.ObjectsPerGroup)
+      // within-group ranks are dense from 1 and ordered by score
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rows.length))
+    }
+    // group order: non-increasing best_score
+    val bests = out.filter(_.getAs[Int]("rn") == 1).map(_.getAs[Double]("best_score"))
+    assert(bests.sameElements(bests.sortBy(-_)))
+  }
+
+  test("autocut: keeps a prefix and stops before the configured jump") {
+    val embs = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+    val full = VectorSearch.topK(embs, VectorSearch.QueryVecId,
+      VectorSearch.AutocutCandidates).collect().map(_.getAs[Long]("vec_id"))
+    val cut = VectorSearch.topKAutocut(embs).collect()
+    assert(cut.nonEmpty && cut.length <= full.length)
+    // the cut list is exactly a PREFIX of the full ranking
+    assert(cut.map(_.getAs[Long]("vec_id")).toSeq == full.take(cut.length).toSeq)
+    // ranks are dense
+    assert(cut.map(_.getAs[Int]("rn")).toSeq == (1 to cut.length))
+  }
+
+  test("pair stats: counts adjacent occurrences, not co-occurrence") {
+    val d = Seq((0L, "a b a b c", "s0"), (1L, "b a x", "s0"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val out = TextAnalysis.pairStats(d).collect()
+      .map(r => r.getAs[String]("pair") -> (r.getAs[Long]("tf"), r.getAs[Long]("df"))).toMap
+    assert(out("a b") == (2L, 1L)) // twice in doc 0 only
+    assert(out("b a") == (2L, 2L)) // once per doc
+    assert(out("b c") == (1L, 1L))
+    assert(out("a x") == (1L, 1L))
+  }
+
+  test("mmr rerank: near-duplicate of the top hit is demoted below a diverse hit") {
+    // query 0; docs 1,2 nearly identical (sim ≈ 1) and most relevant;
+    // doc 3 less relevant but on the OTHER side of the query (negative
+    // sim to doc 1). Plain ranking: 1,2,3. MMR at λ=0.7 pays doc 2's
+    // redundancy penalty (≈0.3) while doc 3 gains from its negative
+    // similarity: 1,3,2.
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.70f, 0.70f, 0.00f), 0),
+      (2L, Array(0.70f, 0.71f, 0.00f), 0),
+      (3L, Array(0.50f, -0.87f, 0.00f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Reranker.mmrRerank(embs, queryVecId = 0L, c = 3, k = 3)
+      .collect().map(r => r.getAs[Int]("rn") -> r.getAs[Long]("doc_id"))
+    assert(out.toSeq == Seq(1 -> 1L, 2 -> 3L, 3 -> 2L))
+  }
+
+  test("mmr rerank: rank 1 is the pure-relevance winner with score λ·rel") {
+    val embs = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+    val top = VectorSearch.topK(embs, VectorSearch.QueryVecId, 1).collect().head
+    val first = Reranker.mmrRerank(embs).collect().head
+    assert(first.getAs[Long]("doc_id") == top.getAs[Long]("vec_id"))
+    assert(first.getAs[Double]("mmr_score") ==
+      math.rint(Reranker.MmrLambda * top.getAs[Double]("score") * 1e4) / 1e4)
+  }
+
   test("multifield bm25: single text field at weight 1 reduces to plain bm25") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
     val terms = KeywordSearch.QueryTerms
