@@ -67,6 +67,66 @@ object Chunker {
   def query(s: SparkSession, dir: String): DataFrame = chunk(Tables.documents(s, dir))
   val oracle: String = chunkSql()
 
+  // --- small-to-big expansion ----------------------------------------------
+
+  /** Small-to-big context expansion — the reference's `expanded_content`
+    * property (`src/database/properties_template.py:64`: "Expanded window
+    * of the content field for additional context", toggled by
+    * `small_to_big` in `data_models.py:49`): retrieval matches the small
+    * chunk, generation reads the chunk ± one neighbor window. Each chunk
+    * row carries its expansion bounds and the expanded window's token
+    * count + content hash.
+    *
+    * Scale: identical narrow shape to [[chunk]] — the expansion is a
+    * second slice over the SAME token array in the same map stage; no
+    * shuffle, no self-join of chunks against neighbors.
+    */
+  def chunkExpanded(docs: DataFrame, size: Int = ChunkSize,
+                    overlap: Int = Overlap): DataFrame = {
+    val stride = size - overlap
+    val n = org.apache.spark.sql.functions.size(col("toks"))
+    val nChunks = greatest(
+      ceil((n - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
+    val expFrom = greatest(col("chunk_id") - 1, lit(0))
+    val expTo = least(col("chunk_id") + 1, col("n_chunks") - 1)
+    val expLen = (expTo - expFrom) * stride + size
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), nChunks.as("n_chunks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        expFrom.as("exp_from"), expTo.as("exp_to"),
+        org.apache.spark.sql.functions.size(
+          slice(col("toks"), expFrom * stride + 1, expLen)).as("expanded_tokens"),
+        md5(array_join(
+          slice(col("toks"), expFrom * stride + 1, expLen), " ")).as("expanded_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def chunkExpandedSql(size: Int = ChunkSize, overlap: Int = Overlap): String = {
+    val stride = size - overlap
+    val from = s"greatest(chunk_id - 1, 0)"
+    val to = s"least(chunk_id + 1, n_chunks - 1)"
+    s"""WITH toked AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, toks,
+       |    greatest(CAST(ceil((len(toks) - $overlap) / $stride.0) AS BIGINT), 1) AS n_chunks,
+       |    unnest(range(0, greatest(CAST(ceil((len(toks) - $overlap) / $stride.0) AS BIGINT), 1))) AS chunk_id
+       |  FROM toked)
+       |SELECT doc_id, chunk_id,
+       |  $from AS exp_from, $to AS exp_to,
+       |  len(list_slice(toks, $from * $stride + 1, $to * $stride + $size)) AS expanded_tokens,
+       |  md5(array_to_string(list_slice(toks, $from * $stride + 1, $to * $stride + $size), ' ')) AS expanded_hash
+       |FROM ch
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  def qExpand(s: SparkSession, dir: String): DataFrame =
+    chunkExpanded(Tables.documents(s, dir))
+  val expandOracle: String = chunkExpandedSql()
+
   // --- sequence packing ----------------------------------------------------
 
   val PackBudget = 256

@@ -45,4 +45,27 @@ class ChunkerSpec extends SparkSpec {
       .filter(col("sum_t") =!= col("expected"))
     assert(joined.count() == 0)
   }
+
+  test("small-to-big expansion: interior chunks span chunk-1..chunk+1, edges clip") {
+    import spark.implicits._
+    // 80 tokens → 3 chunks at size=32/stride=24 (starts 0, 24, 48)
+    val text = (1 to 80).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val out = Chunker.chunkExpanded(docs).collect()
+      .map(r => r.getAs[Int]("chunk_id") ->
+        (r.getAs[Int]("exp_from"), r.getAs[Int]("exp_to"),
+          r.getAs[Int]("expanded_tokens"), r.getAs[String]("expanded_hash"))).toMap
+    assert(out.keySet == Set(0, 1, 2))
+    assert((out(0)._1, out(0)._2) == (0, 1)) // clipped at doc start
+    assert((out(1)._1, out(1)._2) == (0, 2)) // full ±1 window
+    assert((out(2)._1, out(2)._2) == (1, 2)) // clipped at doc end
+    // interior chunk expands to the whole 80-token doc (tokens 1..80)
+    val toks = (1 to 80).map(i => s"w$i")
+    assert(out(1)._3 == 80)
+    assert(out(1)._4 == java.security.MessageDigest.getInstance("MD5")
+      .digest(toks.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+    // edge chunk 0 covers tokens 1..56 (chunks 0-1)
+    assert(out(0)._3 == 56)
+  }
 }

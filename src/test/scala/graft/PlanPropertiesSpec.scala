@@ -74,4 +74,30 @@ class PlanPropertiesSpec extends SparkSpec {
       assert(exchanges - reused <= 1, s"unexpected shuffles:\n$plan")
     }
   }
+
+  test("grouped search caps per group through the heap, never a corpus window") {
+    val plan = planOf(VectorSearch.searchGrouped(spark, dir))
+    assert(plan.contains("top_k_by_score") && !plan.contains("WindowExec"),
+      s"per-group top-k must aggregate, not window-sort:\n$plan")
+  }
+
+  test("small-to-big expansion is narrow: no exchange before the output sort") {
+    val plan = planOf(graft.operators.Chunker.qExpand(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    val reused = "ReusedExchange".r.findAllIn(plan).length
+    assert(exchanges - reused <= 1,
+      s"expansion must not shuffle or self-join chunks:\n$plan")
+    assert(!plan.contains("Join"), s"no chunk-neighbor join expected:\n$plan")
+  }
+
+  test("batch hybrid fusion materializes the dense fan-out join exactly once") {
+    val plan = planOf(graft.operators.HybridSearch.batchSearch(spark, dir))
+    // the |corpus|x|queries| side is the only SMJ/BHJ on (q_id, doc_id);
+    // the normalization stats must come from the sparse aggregates, so
+    // the dense join operator appears once in the executed plan
+    val dense = plan.linesIterator.count(l =>
+      l.contains("Join") && l.contains("q_id") && l.contains("doc_id")
+        && l.contains("LeftOuter"))
+    assert(dense == 1, s"expected exactly one dense LEFT JOIN, got $dense:\n$plan")
+  }
 }
