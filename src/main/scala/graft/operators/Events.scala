@@ -40,6 +40,39 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Sliding-window aggregation — 1-hour windows every 15 minutes via
+    * Spark's native `window(col, duration, slide)` fan-out (each event
+    * lands in duration/slide = 4 windows, materialized MAP-SIDE by the
+    * TimeWindow expression; the aggregation still shuffles once on
+    * (window, event_type) with partial aggregation, so at 100 TB the
+    * cost is 4× the map rows of [[hourly]], not 4 passes).
+    * Window starts align to epoch multiples of the slide — the oracle
+    * replays the same alignment in integer arithmetic.
+    */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(timestamp_seconds(tsSeconds("ts")).as("t"),
+        col("event_type"), col("value"))
+      .groupBy(window(col("t"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("win_start", "event_type")
+
+  val slidingOracle: String =
+    """WITH sec AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type, value
+      |  FROM events),
+      |fan AS (
+      |  SELECT make_timestamp((((s // 900) - k) * 900) * 1000000) AS win_start,
+      |    event_type, value
+      |  FROM sec, unnest([0, 1, 2, 3]) AS t(k))
+      |SELECT win_start, event_type, count(*) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM fan
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Gap-based sessionization (30-min inactivity): lag + cumulative sum —
     * the classic two-window one-shuffle formulation. Partitioned by user,
     * so at 100 TB this scales with the user-key cardinality and AQE handles

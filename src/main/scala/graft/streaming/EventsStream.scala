@@ -37,6 +37,18 @@ object EventsStream {
       .select(col("w.start").cast("timestamp_ntz").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Watermarked SLIDING aggregation (streaming twin of
+    * [[graft.operators.Events.sliding]]): 1-hour windows every 15
+    * minutes — same TimeWindow fan-out, state keyed by (window, type).
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup — idempotent ingest: drop replayed events by
     * id within the watermark horizon (state bounded by the watermark, so
     * a continuous pipeline doesn't accumulate unbounded keys).

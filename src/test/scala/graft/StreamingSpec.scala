@@ -24,6 +24,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("streaming sliding agg equals the oracle-checked batch result") {
+    val streamed = EventsStream.sliding(
+      EventsStream.readEvents(spark, TestSpark.Sf0001))
+    val q = streamed.writeStream
+      .format("memory").queryName("sliding_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sliding_stream")
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toString)
+    val want = Events.sliding(spark, TestSpark.Sf0001).collect().map(_.toString)
+    assert(got.sameElements(want))
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     val streamed = EventsStream.dedupedEvents(
       EventsStream.readEvents(spark, TestSpark.Sf0001))
