@@ -802,17 +802,26 @@ object Dedup {
     * O(total tokens) rows through two hash shuffles.
     */
   def spanProfile(docs: DataFrame, k: Int = SpanK): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spans = docs.select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), k))).as("span"))
       .select(col("doc_id"), portableHash(col("span")).as("h"))
-    // count-over-partition window instead of agg+self-join: the agg
-    // branch would prune doc_id, so the exploded+hashed span stream
-    // cannot share an exchange with the join branch and would be
-    // computed twice (measured). The window shuffles the stream ONCE on
-    // the 60-bit span key (high-cardinality — no skew) and counts within
-    // the partition.
-    spans.withColumn("n_docs", count(lit(1)).over(Window.partitionBy("h")))
+      // explicit repartition so the span→count aggregate AND the
+      // count-join read the SAME exchange (ReusedExchange): without it
+      // the agg branch column-prunes doc_id and partial-aggregates
+      // before its shuffle, so the exploded+hashed stream is computed
+      // twice (measured 2x). A count-over-partition window would also
+      // evaluate once, but it must BUFFER each h-partition in one task —
+      // a corpus-wide boilerplate span (the exact thing this operator
+      // detects) would serialize; the join form lets AQE skew-split the
+      // probe side.
+      .repartition(col("h"))
+    // count(doc_id), not count(*): doc_id is never null so the result is
+    // identical, but the reference keeps doc_id in the aggregate's input
+    // projection — otherwise column pruning gives this branch an
+    // (h)-only exchange that can't unify with the join branch's
+    // (doc_id, h) exchange and the reuse above never happens
+    val counts = spans.groupBy("h").agg(count(col("doc_id")).as("n_docs"))
+    spans.join(counts, Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum((col("n_docs") >= 2).cast("long")).as("n_dup_spans"))

@@ -209,7 +209,15 @@ object HybridSearch {
     val vparts = embs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("doc_id"),
         cosineSim(col("embedding"), col("q_emb")).as("vscore"))
+    // keyword scores restricted to the EMBEDDED universe up front: the
+    // dense fan-out domain is `embeddings`, and the corpora are not
+    // guaranteed 1:1 (sf0.1 testdata: 5000 documents, 2000 embeddings) —
+    // an un-embedded document's keyword match must contribute to neither
+    // the fusion nor the normalization stats (caught by the sf0.1 oracle
+    // run: sparse stats over all documents skewed kmax and every fused
+    // score with it)
     val kparts = KeywordSearch.batchKwRaw(docs, stride, nTerms)
+      .join(embs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "semi")
     // Per-query normalization stats WITHOUT re-materializing the dense
     // |corpus|×|queries| LEFT JOIN a second time (the join is not below
     // an exchange both consumers share, so it would be computed per

@@ -278,9 +278,13 @@ object TextAnalysis {
     * the vocabulary report.
     */
   def pairStats(docs: DataFrame, k: Int = PairStatsK): DataFrame =
-    docs.filter(tokenCount(col("text")) >= 2)
-      .select(col("doc_id"),
-        explode(shingles(tokens(col("text")), 2)).as("pair"))
+    // explode(array(..)) is the Generate barrier (see
+    // KeywordSearch.termStatsZeroShuffle): without it the pushed-down
+    // size() filter and the shingle projection would each re-run the
+    // regex tokenization per row
+    docs.select(col("doc_id"), explode(array(tokens(col("text")))).as("toks"))
+      .filter(org.apache.spark.sql.functions.size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
       .orderBy(desc("tf"), asc("pair"))

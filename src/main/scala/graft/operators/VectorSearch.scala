@@ -259,7 +259,12 @@ object VectorSearch {
     val gapped = cand
       .withColumn("rn", row_number().over(w))
       .withColumn("gap", coalesce(col("score") - lead("score", 1).over(w), lit(0.0)))
-    val stats = gapped.filter(col("rn") < candidates)
+    // the LAST row's gap is undefined (coalesced to 0) — exclude it by
+    // the ACTUAL list length, not the requested `candidates`, so a
+    // filtered/small corpus doesn't deflate the mean with the artificial
+    // terminal zero
+    val stats = gapped.join(broadcast(gapped.agg(max("rn").as("mx"))))
+      .filter(col("rn") < col("mx"))
       .agg(avg("gap").as("mean_gap"))
     gapped.join(broadcast(stats))
       .withColumn("is_jump",
@@ -282,7 +287,9 @@ object VectorSearch {
        |    row_number() OVER (ORDER BY score DESC, vec_id) AS rn,
        |    coalesce(score - lead(score, 1) OVER (ORDER BY score DESC, vec_id), 0.0) AS gap
        |  FROM cand),
-       |stats AS (SELECT avg(gap) AS mean_gap FROM gapped WHERE rn < $candidates),
+       |stats AS (
+       |  SELECT avg(gap) AS mean_gap FROM gapped
+       |  WHERE rn < (SELECT max(rn) FROM gapped)),
        |marked AS (
        |  SELECT rn, vec_id, label, score,
        |    CASE WHEN gap > mean_gap * $AutocutFactor THEN 1 ELSE 0 END AS is_jump

@@ -35,12 +35,12 @@ class PlanPropertiesSpec extends SparkSpec {
 
   test("batch vector search aggregates through the heap, not a window") {
     val plan = planOf(VectorSearch.batchSearch(spark, dir))
-    assert(plan.contains("top_k_by_score") && !plan.contains("WindowExec"))
+    assert(plan.contains("top_k_by_score") && !plan.contains("Window"))
   }
 
   test("answer eval ranks through the heap and judges on k-row joins") {
     val plan = planOf(graft.operators.AnswerEval.queryCases(spark, dir))
-    assert(!plan.contains("WindowExec"),
+    assert(!plan.contains("Window"),
       s"answer eval must not window-sort the corpus:\n$plan")
     assert(plan.contains("top_k_by_score"),
       "per-query top-k should run through the bounded heap")
@@ -77,7 +77,7 @@ class PlanPropertiesSpec extends SparkSpec {
 
   test("grouped search caps per group through the heap, never a corpus window") {
     val plan = planOf(VectorSearch.searchGrouped(spark, dir))
-    assert(plan.contains("top_k_by_score") && !plan.contains("WindowExec"),
+    assert(plan.contains("top_k_by_score") && !plan.contains("Window"),
       s"per-group top-k must aggregate, not window-sort:\n$plan")
   }
 
