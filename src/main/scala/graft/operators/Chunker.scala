@@ -32,14 +32,24 @@ object Chunker {
     * inside Structured Streaming (sort is not allowed on unbounded
     * streams; ordering there is the sink's concern).
     */
-  def chunkUnsorted(docs: DataFrame, size: Int = ChunkSize, overlap: Int = Overlap): DataFrame = {
+  /** The shared tokenize → chunk-count → fan-out scaffold: one row per
+    * (doc_id, chunk_id) carrying `toks` and `n_chunks` — the single
+    * definition of how many chunks a document has, consumed by both the
+    * chunker and the small-to-big expansion so they can never disagree.
+    */
+  private def chunkRows(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
     val stride = size - overlap
     val n = org.apache.spark.sql.functions.size(col("toks"))
     val nChunks = greatest(
       ceil((n - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id"), col("toks"), nChunks.as("n_chunks"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+  }
+
+  def chunkUnsorted(docs: DataFrame, size: Int = ChunkSize, overlap: Int = Overlap): DataFrame = {
+    val stride = size - overlap
+    chunkRows(docs, size, overlap)
       .select(col("doc_id"), col("chunk_id"),
         org.apache.spark.sql.functions.size(
           slice(col("toks"), col("chunk_id") * stride + 1, lit(size))).as("n_tokens"),
@@ -84,15 +94,10 @@ object Chunker {
   def chunkExpanded(docs: DataFrame, size: Int = ChunkSize,
                     overlap: Int = Overlap): DataFrame = {
     val stride = size - overlap
-    val n = org.apache.spark.sql.functions.size(col("toks"))
-    val nChunks = greatest(
-      ceil((n - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
     val expFrom = greatest(col("chunk_id") - 1, lit(0))
     val expTo = least(col("chunk_id") + 1, col("n_chunks") - 1)
     val expLen = (expTo - expFrom) * stride + size
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"), nChunks.as("n_chunks"),
-        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+    chunkRows(docs, size, overlap)
       .select(col("doc_id"), col("chunk_id"),
         expFrom.as("exp_from"), expTo.as("exp_to"),
         org.apache.spark.sql.functions.size(

@@ -37,18 +37,8 @@ object HybridSearch {
       min("vscore").as("vmin") +: max("vscore").as("vmax") +:
       terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
     val stats = base.agg(aggCols.head, aggCols.tail: _*)
-    val kwScore = terms.indices.map { i =>
-      val tf = col(s"tf_$i").cast("double")
-      val df = col(s"df_$i").cast("double")
-      val idf = log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5))
-      when(tf > 0,
-        idf * (tf * (KeywordSearch.K1 + 1)) /
-          (tf + lit(KeywordSearch.K1) *
-            (lit(1 - KeywordSearch.B) + lit(KeywordSearch.B) * col("dl") / col("avgdl"))))
-        .otherwise(0.0)
-    }.reduce(_ + _)
     val scored = base.join(broadcast(stats))
-      .withColumn("kscore", kwScore)
+      .withColumn("kscore", KeywordSearch.bm25ScoreCol(terms))
     val kstats = scored.agg(min("kscore").as("kmin"), max("kscore").as("kmax"))
     scored.join(broadcast(kstats))
       .select(col("doc_id"), col("source"),
@@ -69,13 +59,7 @@ object HybridSearch {
     }.mkString(",\n    ")
     val dfs = terms.indices.map(i =>
       s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
-    val k1 = KeywordSearch.K1; val b = KeywordSearch.B
-    val kscore = terms.indices.map { i =>
-      s"""(CASE WHEN tf_$i > 0 THEN
-         |      ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
-         |      * (CAST(tf_$i AS DOUBLE) * ${k1 + 1}) / (CAST(tf_$i AS DOUBLE) + $k1 * (1 - $b + $b * dl / avgdl))
-         |    ELSE 0.0 END)""".stripMargin
-    }.mkString("\n    + ")
+    val kscore = KeywordSearch.bm25ScoreSql(terms)
     s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),
        |base AS (
        |  SELECT doc_id, source, CAST(len(toks) AS DOUBLE) AS dl,

@@ -37,6 +37,31 @@ object KeywordSearch {
 
   def tfCol(t: String): Column = size(filter(col("toks"), x => x === t))
 
+  /** Σ over terms of the Robertson BM25 term score, as a column over the
+    * conventional stat columns `tf_i`/`df_i`/`dl`/`avgdl`/`n_docs` — the
+    * ONE copy of the scoring formula every scorer (plain, multi-field,
+    * hybrid) composes.
+    */
+  private[operators] def bm25ScoreCol(terms: Seq[String]): Column =
+    terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val df = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5))
+      when(tf > 0,
+        idf * (tf * (K1 + 1)) /
+          (tf + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+        .otherwise(0.0)
+    }.reduce(_ + _)
+
+  /** The SQL rendering of [[bm25ScoreCol]] (same stat column names). */
+  private[operators] def bm25ScoreSql(terms: Seq[String]): String =
+    terms.indices.map { i =>
+      s"""(CASE WHEN tf_$i > 0 THEN
+         |      ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+         |      * (CAST(tf_$i AS DOUBLE) * ${K1 + 1}) / (CAST(tf_$i AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl))
+         |    ELSE 0.0 END)""".stripMargin
+    }.mkString("\n    + ")
+
   /** Per-doc length + query-term frequencies in ONE tokenization pass:
     * explode tokens, partial-aggregated groupBy keyed by the doc. The
     * naive column-per-tf form gets its `tokens()` alias inlined by
@@ -102,19 +127,10 @@ object KeywordSearch {
     val aggCols = count(lit(1)).as("n_docs") +: avg("dl").as("avgdl") +:
       terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
     val stats = base.agg(aggCols.head, aggCols.tail: _*)
-    val perTerm = terms.indices.map { i =>
-      val tf = col(s"tf_$i").cast("double")
-      val df = col(s"df_$i").cast("double")
-      val idf = log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5))
-      when(tf > 0,
-        idf * (tf * (K1 + 1)) /
-          (tf + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
-        .otherwise(0.0)
-    }
     base.join(broadcast(stats))
       .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
       .select(col("doc_id"), col("source"), col("lang"),
-        round(perTerm.reduce(_ + _), 4).as("score"))
+        round(bm25ScoreCol(terms), 4).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(topK)
   }
@@ -126,12 +142,7 @@ object KeywordSearch {
     }.mkString(",\n    ")
     val dfs = terms.indices.map(i =>
       s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
-    val scores = terms.indices.map { i =>
-      s"""(CASE WHEN tf_$i > 0 THEN
-         |      ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
-         |      * (CAST(tf_$i AS DOUBLE) * ${K1 + 1}) / (CAST(tf_$i AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl))
-         |    ELSE 0.0 END)""".stripMargin
-    }.mkString("\n    + ")
+    val scores = bm25ScoreSql(terms)
     val anyTf = terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
     s"""WITH toked AS (
        |  SELECT doc_id, source, lang,
@@ -184,18 +195,9 @@ object KeywordSearch {
       val aggCols = count(lit(1)).as("n_docs") +: avg("dl").as("avgdl") +:
         terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
       val stats = base.agg(aggCols.head, aggCols.tail: _*)
-      val perTerm = terms.indices.map { i =>
-        val tf = col(s"tf_$i").cast("double")
-        val df = col(s"df_$i").cast("double")
-        val idf = log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5))
-        when(tf > 0,
-          idf * (tf * (K1 + 1)) /
-            (tf + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
-          .otherwise(0.0)
-      }
       base.join(broadcast(stats))
         .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
-        .select(col("doc_id"), (perTerm.reduce(_ + _) * weight).as("ws"))
+        .select(col("doc_id"), (bm25ScoreCol(terms) * weight).as("ws"))
     }
     val top = perField.reduce(_ unionByName _)
       .groupBy("doc_id").agg(round(sum("ws"), 4).as("score"))
@@ -215,12 +217,7 @@ object KeywordSearch {
       }.mkString(",\n      ")
       val dfs = terms.indices.map(i =>
         s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
-      val scores = terms.indices.map { i =>
-        s"""(CASE WHEN tf_$i > 0 THEN
-           |        ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
-           |        * (CAST(tf_$i AS DOUBLE) * ${K1 + 1}) / (CAST(tf_$i AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl))
-           |      ELSE 0.0 END)""".stripMargin
-      }.mkString("\n      + ")
+      val scores = bm25ScoreSql(terms)
       val anyTf = terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
       s"""base_$fi AS (
          |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,

@@ -68,4 +68,11 @@ class ChunkerSpec extends SparkSpec {
     // edge chunk 0 covers tokens 1..56 (chunks 0-1)
     assert(out(0)._3 == 56)
   }
+
+  test("chunker and expansion agree on every document's chunk ids") {
+    val docs = sources.Tables.documents(spark, TestSpark.Sf0001)
+    val a = Chunker.chunk(docs).select("doc_id", "chunk_id")
+    val b = Chunker.chunkExpanded(docs).select("doc_id", "chunk_id")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
 }
