@@ -33,4 +33,34 @@ object Catalog {
     */
   def docCount(spark: SparkSession, name: String): Long =
     spark.table(name).count()
+
+  val PageSize = 10
+  val PageOffset = 20
+
+  /** Filtered, sorted, paginated object listing — the v4 client's
+    * `fetch_objects(filters=, sort=, limit=, offset=)` browse surface
+    * (the non-search read path of the reference's collection API).
+    *
+    * Scale note: ORDER BY + OFFSET/LIMIT plans as TakeOrderedAndProject
+    * with limit = offset + pageSize — a bounded heap per partition, never
+    * a global sort. Deep pagination (offset ≫ page) degrades by design;
+    * at scale a keyset cursor (WHERE (n_chars, doc_id) < last_seen) keeps
+    * every page a heap of size `pageSize` — same plan shape, so the
+    * offset form is the API-parity query and the cursor form is the
+    * documented 100 TB idiom.
+    */
+  def fetchObjectsPage(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.documents(spark, dir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(desc("n_chars"), asc("doc_id"))
+      .offset(PageOffset)
+      .limit(PageSize)
+
+  val fetchObjectsPageOracle: String =
+    s"""SELECT doc_id, source, n_chars
+       |FROM documents
+       |WHERE lang = 'en'
+       |ORDER BY n_chars DESC, doc_id
+       |LIMIT $PageSize OFFSET $PageOffset""".stripMargin
 }

@@ -97,6 +97,46 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- deterministic global shuffle → training shards ---------------------
+
+  val NumShards = 8
+
+  /** Deterministic global shuffle: every doc gets a pseudo-random but
+    * content-determined position in one of [[NumShards]] shards — the
+    * shuffled-shard layout training data loaders consume. No RNG state:
+    * the permutation is the portable-hash order, so a retry, a different
+    * partitioning, or another engine produces the identical shard files
+    * (and appending new docs doesn't reorder existing ones within their
+    * hash neighborhood).
+    *
+    * Scale design: shard assignment is map-side; the only shuffle is the
+    * repartition-by-shard, and the within-shard sort is exactly the sort
+    * the shard writer needs anyway (`repartition(shard).sortWithinPartitions`
+    * in the write path). No global total order is ever materialized — the
+    * hash IS the order, so 100 TB shuffles in one exchange with keyed
+    * sorts, never a corpus-wide orderBy.
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int = NumShards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = portableHash(concat(lit("shuffle:"), col("doc_id")))
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  def shuffleShardsOracle(nShards: Int = NumShards): String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM documents)
+       |SELECT doc_id, CAST(h % $nShards AS INT) AS shard,
+       |  row_number() OVER (PARTITION BY h % $nShards ORDER BY h, doc_id) AS pos
+       |FROM hashed
+       |ORDER BY shard, pos""".stripMargin
+
   // --- per-group length quantiles -----------------------------------------
 
   /** Exact per-language doc-length quantiles (linear interpolation — the

@@ -169,6 +169,44 @@ object Events {
       |  ON ev.user_id = p.user_id AND ev.ts_s >= p.p_ts
       |ORDER BY event_id""".stripMargin
 
+  /** CDC-style latest-per-key compaction: collapse the event log to each
+    * (user, event_type)'s most recent row — the upsert/compaction shape
+    * every incrementally-maintained table (feature store, index refresh,
+    * changelog materialization) needs.
+    *
+    * Scale design: `max(struct(ts, event_id, value))` is an ordinary
+    * partial-aggregable aggregate — each map task keeps ONE candidate row
+    * per key before the single shuffle, so 100 TB of history compacts
+    * with no per-key sort and no window (the window formulation shuffles
+    * AND sorts every historical row). `event_id` is unique, so the
+    * struct comparison never reaches `value` — ties at the same second
+    * resolve deterministically by event id in both engines.
+    */
+  def latest(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        struct(tsSeconds("ts").as("ts_s"), col("event_id"), col("value")).as("c"))
+      .groupBy("user_id", "event_type")
+      .agg(max("c").as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.ts_s").as("last_ts_s"), col("m.event_id").as("last_event_id"),
+        round(col("m.value"), 2).as("last_value"))
+      .orderBy("user_id", "event_type")
+
+  /** Oracle: independent window formulation (row_number over ts desc). */
+  val latestOracle: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+      |                                event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type, ts_s AS last_ts_s,
+      |  event_id AS last_event_id, round(value, 2) AS last_value
+      |FROM ranked WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   val sessionizeOracle: String =
     """WITH base AS (
       |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

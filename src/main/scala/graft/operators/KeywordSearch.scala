@@ -403,6 +403,23 @@ object KeywordSearch {
   val searchFilterFuzzyOracle: String =
     bm25Sql(QueryTerms, whereSql = "WHERE source LIKE '%1%'")
 
+  /** Compound boolean metadata filter — the v4 client's
+    * `Filter.all_of` / `Filter.any_of` combinators (same filter surface
+    * the reference builds its `SearchFilter` on, ref L495-515): here
+    * lang = 'en' AND (source LIKE '%1%' OR n_chars > 300). The whole
+    * predicate tree is one Catalyst filter pushed below tokenization —
+    * only surviving docs pay the explode, and at the parquet scan the
+    * conjunct legs prune row groups via min/max stats.
+    */
+  def searchFilterCompound(s: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(s, dir), QueryTerms,
+      docFilter = col("lang") === "en" &&
+        (col("source").like("%1%") || col("n_chars") > 300))
+
+  val searchFilterCompoundOracle: String =
+    bm25Sql(QueryTerms,
+      whereSql = "WHERE lang = 'en' AND (source LIKE '%1%' OR n_chars > 300)")
+
   /** Collection doc count (`get_doc_count`, ref L170). */
   def docCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))

@@ -22,4 +22,18 @@ class CatalogSpec extends SparkSpec {
     // re-register for other suites sharing the session
     Tables.registerAll(spark, TestSpark.Sf0001)
   }
+
+  test("fetch_objects page: sorted page equals the offset slice of the full sort") {
+    import org.apache.spark.sql.functions._
+    val page = Catalog.fetchObjectsPage(spark, TestSpark.Sf0001).collect()
+    val full = Tables.documents(spark, TestSpark.Sf0001)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(desc("n_chars"), asc("doc_id"))
+      .collect()
+    assert(page.toSeq == full.slice(Catalog.PageOffset,
+      Catalog.PageOffset + Catalog.PageSize).toSeq)
+    // pagination never duplicates or skips across consecutive pages
+    assert(page.length == Catalog.PageSize)
+  }
 }

@@ -55,6 +55,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(train - 0.98 * n) <= 5 * sigma + 1)
   }
 
+  test("shuffle shards: covers every doc once, positions dense, deterministic") {
+    val docs = Tables.documents(spark, dir)
+    val out = CorpusOps.shuffleShards(docs)
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    // positions are 1..n within each shard (dense, no gaps)
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+    assert(perShard.filter(col("n") =!= col("mx") || col("mn") =!= 1).count() == 0)
+    // deterministic under repartitioning — no RNG state
+    assert(CorpusOps.shuffleShards(docs.repartition(11)).collect().toSeq ==
+      out.collect().toSeq)
+  }
+
+  test("shuffle shards: order is genuinely shuffled and shards balanced") {
+    val docs = Tables.documents(spark, dir)
+    val out = CorpusOps.shuffleShards(docs)
+    // within a shard, doc_ids must NOT be in sorted order (else it's not a
+    // shuffle): count order inversions in shard 0's position sequence
+    val seq0 = out.filter(col("shard") === 0).orderBy("pos")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val inversions = seq0.sliding(2).count { case Seq(a, b) => a > b; case _ => false }
+    assert(inversions > seq0.length / 10, s"only $inversions inversions in ${seq0.length}")
+    // shard sizes within 5 sigma of uniform
+    val n = docs.count().toDouble
+    val p = 1.0 / CorpusOps.NumShards
+    val sigma = math.sqrt(n * p * (1 - p))
+    val sizes = out.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == CorpusOps.NumShards)
+    sizes.foreach(s => assert(math.abs(s - n * p) <= 5 * sigma + 1))
+  }
+
   test("quantiles are monotone and approx_percentile tracks exact at scale") {
     val docs = Tables.documents(spark, dir)
     val exact = CorpusOps.quantiles(docs).collect()

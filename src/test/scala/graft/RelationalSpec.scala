@@ -38,4 +38,23 @@ class RelationalSpec extends SparkSpec {
     assert(agg.getLong(0) == nEvents)
     assert(agg.getLong(1) >= 0)
   }
+
+  test("latest compaction: one row per key, carries that key's max-ts event") {
+    import org.apache.spark.sql.functions._
+    val out = Events.latest(spark, TestSpark.Sf0001)
+    val ev = sources.Tables.events(spark, TestSpark.Sf0001)
+    assert(out.count() ==
+      ev.select("user_id", "event_type").distinct().count())
+    // the compacted ts is the key's true max (second precision)
+    val expectMax = ev.groupBy("user_id", "event_type")
+      .agg(max(expr("ts div 1000000000")).as("mx"))
+    val joined = out.join(expectMax, Seq("user_id", "event_type"))
+    assert(joined.filter(col("last_ts_s") =!= col("mx")).count() == 0)
+    // and the event_id actually belongs to an event at that key + second
+    val valid = out.join(ev.select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("last_ts_s"),
+        col("event_id").as("last_event_id")),
+      Seq("user_id", "event_type", "last_ts_s", "last_event_id"))
+    assert(valid.count() == out.count())
+  }
 }

@@ -54,6 +54,18 @@ class SearchSpec extends SparkSpec {
     assert(!filtered.collect().map(_.getAs[Long]("doc_id")).contains(2L))
   }
 
+  test("compound filter: AND/OR predicate equals bm25 over the pre-filtered corpus") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val pred = col("lang") === "en" &&
+      (col("source").like("%1%") || col("n_chars") > 300)
+    val viaFilterArg = KeywordSearch.bm25(docs, KeywordSearch.QueryTerms,
+      docFilter = pred).collect().toSeq
+    val viaPrefiltered = KeywordSearch.bm25(docs.filter(pred),
+      KeywordSearch.QueryTerms).collect().toSeq
+    assert(viaFilterArg == viaPrefiltered)
+    assert(viaFilterArg.nonEmpty)
+  }
+
   test("vector search: self-similar vector ranks first") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f), 0),
