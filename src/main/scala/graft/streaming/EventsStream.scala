@@ -58,6 +58,25 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming twin of [[graft.operators.Events.latest]]: the SAME
+    * partial-aggregable `max(struct(...))` runs as a streaming
+    * aggregation, so the state store holds exactly ONE candidate struct
+    * per (user, type), merged in place each micro-batch — the
+    * continuously-maintained compaction/upsert view a feature store or
+    * serving index reads. Update/complete output; no watermark needed
+    * because the state is O(keys), not O(events).
+    */
+  def latest(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"),
+        struct(col("ts").cast("long").as("ts_s"), col("event_id"),
+          col("value")).as("c"))
+      .groupBy("user_id", "event_type")
+      .agg(max("c").as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.ts_s").as("last_ts_s"), col("m.event_id").as("last_event_id"),
+        round(col("m.value"), 2).as("last_value"))
+
   case class Ev(user_id: Long, ts_s: Long)
   case class SessState(sessionId: Long, firstTs: Long, lastTs: Long, n: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_s: Long)

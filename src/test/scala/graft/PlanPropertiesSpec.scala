@@ -100,4 +100,31 @@ class PlanPropertiesSpec extends SparkSpec {
         && l.contains("LeftOuter"))
     assert(dense == 1, s"expected exactly one dense LEFT JOIN, got $dense:\n$plan")
   }
+
+  test("latest compaction partial-aggregates: no window, no per-key sort") {
+    val plan = planOf(Events.latest(spark, dir))
+    assert(!plan.contains("Window"), s"compaction must not window:\n$plan")
+    // a partial (map-side) aggregate precedes the single shuffle, so each
+    // map task sends ONE candidate per key
+    assert(plan.contains("partial_max") || plan.contains("partial max")
+      || "HashAggregate.*max".r.findFirstIn(plan).isDefined,
+      s"expected partial max aggregation:\n$plan")
+  }
+
+  test("paginated fetch plans as a bounded heap, not a global sort") {
+    val plan = planOf(graft.operators.Catalog.fetchObjectsPage(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"offset+limit should ride the top-k heap:\n$plan")
+    assert(!plan.contains("Sort "), s"no global sort expected:\n$plan")
+  }
+
+  test("shuffle shards: one exchange, sorts are keyed to the shard") {
+    val plan = planOf(CorpusOps.shuffleShards(Tables.documents(spark, dir)))
+    // shard assignment is map-side; the window partitions by shard — the
+    // only non-reused exchanges are the shard hash partitioning and the
+    // final output ordering's range partitioning
+    val exchanges = "Exchange".r.findAllIn(plan).length -
+      "ReusedExchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected ≤2 exchanges (shard hash + output range):\n$plan")
+  }
 }

@@ -40,6 +40,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("streaming latest compaction equals the oracle-checked batch result") {
+    val streamed = EventsStream.latest(
+      EventsStream.readEvents(spark, TestSpark.Sf0001))
+    val q = streamed.writeStream
+      .format("memory").queryName("latest_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("latest_stream")
+      .orderBy("user_id", "event_type")
+      .collect().map(_.toString)
+    val want = Events.latest(spark, TestSpark.Sf0001).collect().map(_.toString)
+    assert(got.sameElements(want))
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     val streamed = EventsStream.dedupedEvents(
       EventsStream.readEvents(spark, TestSpark.Sf0001))
