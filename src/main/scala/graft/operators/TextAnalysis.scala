@@ -304,6 +304,119 @@ object TextAnalysis {
        |ORDER BY tf DESC, pair
        |LIMIT $PairStatsK""".stripMargin
 
+  // --- BPE segmentation apply ----------------------------------------------
+
+  /** Fixed merge table (priority order) — the output of BPE training
+    * (Sennrich et al. 2016; [[pairStats]] is the corpus scan of one
+    * training round). Constants, like [[KeywordSearch.QueryTerms]], so
+    * both engines replay the identical segmentation.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "s" -> "t", "a" -> "r", "t" -> "a", "ta" -> "b",
+    "o" -> "w", "e" -> "y", "ar" -> "t", "st" -> "r")
+
+  /** Apply a learned BPE merge table to the corpus vocabulary: each
+    * dictionary term splits to characters, then each merge (in priority
+    * order) joins every left-to-right non-overlapping occurrence of its
+    * pair — the tokenizer-apply step of the BPE story whose
+    * learning-side corpus scan is [[pairStats]].
+    *
+    * The merge loop is an unrolled chain of codegen'd `replace` calls
+    * over a space-delimited piece string (boundaries keep a pair from
+    * matching inside a previously merged piece). Left-to-right
+    * non-overlapping replacement is the defined semantics in BOTH
+    * engines, so the oracle replays the segmentation bitwise — including
+    * the boundary-sharing case where directly adjacent occurrences of
+    * the same pair consume their shared separator.
+    *
+    * Scale design: the merge chain is a pure map over the DICTIONARY
+    * (distinct terms), not the corpus — 100 TB of text funnels through
+    * one distinct-aggregate into a vocabulary-sized segmentation job;
+    * re-tokenizing the corpus is then a broadcast join of the
+    * segmentation table.
+    */
+  def bpeEncode(docs: DataFrame): DataFrame = {
+    val dict = docs.select(explode(tokens(col("text"))).as("term")).distinct()
+      .withColumn("s0", concat(lit(" "), regexp_replace(col("term"), "(.)", "$1 ")))
+    val merged = BpeMerges.zipWithIndex.foldLeft(dict) {
+      case (df, ((a, b), i)) =>
+        df.withColumn(s"s${i + 1}", expr(s"replace(s$i, ' $a $b ', ' $a$b ')"))
+    }
+    merged.select(col("term"),
+      trim(col(s"s${BpeMerges.length}")).as("encoded"))
+      .withColumn("n_pieces", size(split(col("encoded"), " ")))
+      .orderBy("term")
+  }
+
+  val bpeEncodeOracle: String = {
+    val chain = BpeMerges.foldLeft("s") { case (acc, (a, b)) =>
+      s"replace($acc, ' $a $b ', ' $a$b ')"
+    }
+    s"""WITH dict AS (SELECT DISTINCT unnest($sqlToks) AS term FROM documents),
+       |spaced AS (
+       |  SELECT term, ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS s
+       |  FROM dict)
+       |SELECT term, trim($chain) AS encoded,
+       |  len(string_split(trim($chain), ' ')) AS n_pieces
+       |FROM spaced
+       |ORDER BY term""".stripMargin
+  }
+
+  // --- bigram LM scoring ---------------------------------------------------
+
+  /** Bigram-LM document score: mean log conditional probability
+    * ln(c(w_{i-1} w_i) / c(w_{i-1} ·)) over the doc's bigrams, with both
+    * counts from the corpus itself — the conditional-perplexity upgrade
+    * of [[lmScore]]'s unigram filter (the CCNet/KenLM perplexity-filter
+    * family, with the corpus standing in for the reference LM).
+    *
+    * Scale design: the bigram scan reuses the native 2-shingle pass
+    * (one explode, partial-aggregated counts); prefix counts derive from
+    * the bigram table itself (sum over first token — no second corpus
+    * scan). The count tables here ride broadcast joins; past broadcast
+    * size the same plan runs as two keyed shuffle joins on pair/tok1 —
+    * swap `broadcast()` off, nothing else changes.
+    */
+  def lmBigram(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), explode(array(tokens(col("text")))).as("toks"))
+      .filter(org.apache.spark.sql.functions.size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("pair"))
+    val pairCounts = pairs.groupBy("pair").agg(count(lit(1)).as("c_pair"))
+    val prefixCounts = pairCounts
+      .groupBy(split(col("pair"), " ").getItem(0).as("tok1"))
+      .agg(sum("c_pair").as("c_prefix"))
+    pairs.join(broadcast(pairCounts), "pair")
+      .withColumn("tok1", split(col("pair"), " ").getItem(0))
+      .join(broadcast(prefixCounts), "tok1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c_pair").cast("double") / col("c_prefix"))), 4)
+          .as("bigram_lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val lmBigramOracle: String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, $sqlToks AS toks FROM documents),
+       |pairs AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS pair
+       |  FROM toked WHERE len(toks) >= 2),
+       |pc AS (SELECT pair, count(*) AS c_pair FROM pairs GROUP BY pair),
+       |pfx AS (
+       |  SELECT string_split(pair, ' ')[1] AS tok1,
+       |    CAST(sum(c_pair) AS BIGINT) AS c_prefix
+       |  FROM pc GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(avg(ln(CAST(c_pair AS DOUBLE) / c_prefix)), 4) AS bigram_lm_score
+       |FROM pairs
+       |JOIN pc USING (pair)
+       |JOIN pfx ON string_split(pair, ' ')[1] = pfx.tok1
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // --- PII redaction -------------------------------------------------------
 
   /** Email/phone redaction — the scrub pass every training-data pipeline
@@ -372,5 +485,7 @@ object TextAnalysis {
   def qCorpusStats(s: SparkSession, dir: String): DataFrame = corpusStats(Tables.documents(s, dir))
   def qVocab(s: SparkSession, dir: String): DataFrame = vocab(Tables.documents(s, dir))
   def qPairStats(s: SparkSession, dir: String): DataFrame = pairStats(Tables.documents(s, dir))
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = bpeEncode(Tables.documents(s, dir))
+  def qLmBigram(s: SparkSession, dir: String): DataFrame = lmBigram(Tables.documents(s, dir))
   def qSample(s: SparkSession, dir: String): DataFrame = sample(Tables.documents(s, dir))
 }

@@ -25,6 +25,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean == raw)
   }
 
+  test("bpe encode: merges apply in priority order with left-to-right semantics") {
+    val docs = Seq(
+      (0L, "fast table key row part stream")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getAs[Int]("n_pieces")))).toMap
+    // (s,t) then (a,r): f a st / (a,r)+(ar,t): p art
+    assert(out("fast") == (("f a st", 3)))
+    assert(out("part") == (("p art", 2)))
+    // (t,a) then (ta,b): tab l e
+    assert(out("table") == (("tab l e", 3)))
+    // (e,y): k ey ; (o,w): r ow
+    assert(out("key") == (("k ey", 2)))
+    assert(out("row") == (("r ow", 2)))
+    // (s,t) then (st,r): str e a m — a merged piece keeps merging
+    assert(out("stream") == (("str e a m", 4)))
+  }
+
+  test("bpe encode: dictionary is distinct terms, every term segmented") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val out = TextAnalysis.bpeEncode(docs)
+    val nTerms = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+      .distinct().count()
+    assert(out.count() == nTerms)
+    // pieces reassemble to the original term
+    val broken = out.filter(
+      regexp_replace(col("encoded"), " ", "") =!= col("term")).count()
+    assert(broken == 0)
+  }
+
+  test("bigram lm: corpus-frequent transitions score higher than rare ones") {
+    val docs = Seq(
+      (0L, "a b a b a b a b"),   // only the dominant transitions
+      (1L, "a b a b a b a c")    // ends in the rare a->c transition
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmBigram(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(0L) > out(1L))
+    // corpus counts over BOTH docs: c(a b)=7, c(b a)=6, c(a c)=1,
+    // prefix counts: a->8, b->6; doc 0 = (4·ln(7/8) + 3·ln(6/6)) / 7
+    val expect0 = (4 * math.log(7.0 / 8) + 3 * math.log(1.0)) / 7
+    assert(math.abs(out(0L) - expect0) < 1e-3)
+  }
+
   test("pack: bins respect arrival order and the token budget boundary") {
     val docs = Seq(
       (0L, "a b c", "s"),    // 3 tokens, cum-before 0  -> bin 0
