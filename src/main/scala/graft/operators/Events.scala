@@ -93,6 +93,27 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Native `session_window` formulation of [[sessionize]] — the
+    * built-in Catalyst session operator (MergingSessionsExec family)
+    * instead of the two-window lag + cumulative-sum plan: one
+    * aggregation keyed on (user, session), sessions merged by the
+    * engine, no second windowing pass. Spark's merge rule is half-open
+    * `[ts, ts + gap)`, so gap = 1801 s reproduces the lag form's
+    * "strictly more than 1800 s apart closes" semantics exactly —
+    * spec-pinned equal per user. The session end is `last + gap`, so
+    * duration = end − start − gap.
+    */
+  def sessionizeNative(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), timestamp_seconds(tsSeconds("ts")).as("t"))
+      .groupBy(col("user_id"), session_window(col("t"), "1801 seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").cast("long").as("start_s"),
+        (col("w.end").cast("long") - col("w.start").cast("long") - 1801)
+          .as("duration_s"),
+        col("n_events"))
+      .orderBy("user_id", "start_s")
+
   /** Semi-structured extraction: pull typed values out of the JSON props
     * column (codegen'd get_json_object — at scale this runs inside the
     * scan stage, no UDF).

@@ -39,6 +39,20 @@ class RelationalSpec extends SparkSpec {
     assert(agg.getLong(1) >= 0)
   }
 
+  test("native session_window equals the lag+cumsum sessionization") {
+    import org.apache.spark.sql.functions._
+    // per user, the ordered (n_events, duration_s) session sequences match
+    val viaLag = Events.sessionize(spark, TestSpark.Sf0001)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "n_events", "duration_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaNative = Events.sessionizeNative(spark, TestSpark.Sf0001)
+      .orderBy("user_id", "start_s")
+      .select("user_id", "n_events", "duration_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaNative == viaLag)
+  }
+
   test("latest compaction: one row per key, carries that key's max-ts event") {
     import org.apache.spark.sql.functions._
     val out = Events.latest(spark, TestSpark.Sf0001)

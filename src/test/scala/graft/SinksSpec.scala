@@ -65,6 +65,39 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readTimeRange(spark, tmp, lo, hi).count() == events.count())
   }
 
+  test("z-order layout: files cover compact rectangles in BOTH dimensions") {
+    val events = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), expr("ts div 1000000000").as("ts_s"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    Sinks.writeZOrdered(events, "user_id", "ts_s", s"$base/z")
+    // linear baseline: single-column sort by user_id
+    events.repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(s"$base/linear")
+
+    assert(spark.read.parquet(s"$base/z").count() == events.count())
+
+    val bounds = events.agg(min("user_id"), max("user_id"),
+      min("ts_s"), max("ts_s")).head()
+    val (uLo, uHi) = (bounds.getLong(0).toDouble, bounds.getLong(1).toDouble)
+    val (tLo, tHi) = (bounds.getLong(2).toDouble, bounds.getLong(3).toDouble)
+    def meanSpan(path: String, c: String, lo: Double, hi: Double): Double = {
+      val spans = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val r = spark.read.parquet(f.toString).agg(min(c), max(c)).head()
+          (r.getLong(1) - r.getLong(0)).toDouble / (hi - lo)
+        }
+      spans.sum / spans.length
+    }
+    // z-order: every file is narrow in BOTH dimensions …
+    assert(meanSpan(s"$base/z", "user_id", uLo, uHi) < 0.7)
+    assert(meanSpan(s"$base/z", "ts_s", tLo, tHi) < 0.7)
+    // … while the single-column sort leaves the second dimension
+    // unclustered (each file spans ~the full time range)
+    assert(meanSpan(s"$base/linear", "user_id", uLo, uHi) < 0.2)
+    assert(meanSpan(s"$base/linear", "ts_s", tLo, tHi) > 0.85)
+  }
+
   test("json round-trip preserves the corpus") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("json_rt").toString + "/docs"
