@@ -32,6 +32,97 @@ object Pipeline {
       .orderBy("source", "bin_id")
   }
 
+  /** Per-doc decision log — the audit artifact a production corpus
+    * refresh emits alongside the cleaned data: every document's verdict
+    * on each gate (quality, duplicate-canonical, decontamination), the
+    * final keep flag, and the FIRST failing gate as the drop reason.
+    * Makes the pipeline debuggable ("why did doc X disappear?") and the
+    * gate mix monitorable (group by reason = the run's funnel report).
+    *
+    * Scale design: three keyed joins on doc_id (quality and cluster
+    * verdicts are corpus-sized — shuffle joins; the contaminated id set
+    * is benchmark-collision-sized — broadcast); the verdict columns and
+    * reason CASE are map-side expressions above them.
+    */
+  def decisionLog(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val quality = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("passes_filter"))
+    val canon = DedupClusters.query(s, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    val contaminated = Dedup.qDecontaminate(s, dir)
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    docs.select(col("doc_id"), col("source"))
+      .join(quality, "doc_id")
+      .join(canon, "doc_id")
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        col("passes_filter").as("quality_keep"), col("is_canonical"),
+        coalesce(col("hit"), lit(false)).as("contaminated"))
+      .withColumn("keep",
+        col("quality_keep") && col("is_canonical") && !col("contaminated"))
+      .withColumn("reason",
+        when(!col("quality_keep"), "quality")
+          .when(!col("is_canonical"), "duplicate")
+          .when(col("contaminated"), "contaminated")
+          .otherwise("kept"))
+      .orderBy("doc_id")
+  }
+
+  val decisionLogOracle: String = {
+    val stopEn = TextAnalysis.StopEn.map(w => s"'$w'").mkString(", ")
+    val shingleSql =
+      s"""CASE WHEN len(toks) >= 3
+         |  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+    s"""WITH RECURSIVE
+       |toked AS (
+       |  SELECT doc_id, source, ${TextAnalysis.sqlToks} AS toks FROM documents),
+       |quality AS (
+       |  SELECT doc_id,
+       |    (len(toks) >= 10 AND len(toks) <= 1000
+       |     AND len(list_filter(toks, t -> t IN ($stopEn))) > 0) AS quality_keep
+       |  FROM toked),
+       |pairs AS (SELECT d1, d2 FROM (${Dedup.minhashLshOracle})),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT d2 AS src, d1 AS dst FROM pairs),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.label
+       |  FROM reach r JOIN edges e ON r.doc_id = e.src),
+       |canon AS (
+       |  SELECT doc_id, doc_id = min(label) AS is_canonical
+       |  FROM reach GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,
+       |    list_min(list_transform($shingleSql,
+       |      s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))) AS msh
+       |  FROM toked),
+       |bench AS (
+       |  SELECT doc_id AS bench_id, fp AS bfp, msh AS bmsh FROM sigs
+       |  WHERE doc_id % ${Dedup.BenchStride} = 0),
+       |cont AS (
+       |  SELECT DISTINCT s.doc_id
+       |  FROM sigs s JOIN bench b ON (s.fp = b.bfp OR s.msh = b.bmsh)
+       |  WHERE s.doc_id <> b.bench_id)
+       |SELECT t.doc_id, t.source, q.quality_keep, c.is_canonical,
+       |  (cont.doc_id IS NOT NULL) AS contaminated,
+       |  (q.quality_keep AND c.is_canonical AND cont.doc_id IS NULL) AS keep,
+       |  CASE WHEN NOT q.quality_keep THEN 'quality'
+       |       WHEN NOT c.is_canonical THEN 'duplicate'
+       |       WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+       |       ELSE 'kept' END AS reason
+       |FROM toked t
+       |JOIN quality q USING (doc_id)
+       |JOIN canon c USING (doc_id)
+       |LEFT JOIN cont ON t.doc_id = cont.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val oracle: String = {
     val stopEn = TextAnalysis.StopEn.map(w => s"'$w'").mkString(", ")
     s"""WITH RECURSIVE

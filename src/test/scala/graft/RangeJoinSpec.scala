@@ -48,4 +48,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.filter(col("n_docs") < 1).count() == 0)
     out.unpersist()
   }
+
+  test("decision log: one verdict per doc, reason is the first failing gate") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val log = Pipeline.decisionLog(spark, dir).cache()
+    assert(log.count() == docs.count())
+    // keep ⇔ all three gates pass
+    assert(log.filter(col("keep") =!=
+      (col("quality_keep") && col("is_canonical") && !col("contaminated")))
+      .count() == 0)
+    // reason priority: quality > duplicate > contaminated > kept
+    assert(log.filter(!col("quality_keep") && col("reason") =!= "quality").count() == 0)
+    assert(log.filter(col("quality_keep") && !col("is_canonical") &&
+      col("reason") =!= "duplicate").count() == 0)
+    assert(log.filter(col("reason") === "kept" && !col("keep")).count() == 0)
+    // the quality+canonical universe matches the clean-pack pipeline's
+    // doc accounting (cleanPack has no contamination gate)
+    val packed = Pipeline.cleanPack(spark, dir)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(log.filter(col("quality_keep") && col("is_canonical")).count() == packed)
+    log.unpersist()
+  }
 }
