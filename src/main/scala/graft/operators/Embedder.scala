@@ -71,4 +71,64 @@ object Embedder {
 
   def query(s: SparkSession, dir: String): DataFrame =
     chunkEmbedSearch(Tables.documents(s, dir))
+
+  // --- parent-document retrieval -------------------------------------------
+
+  val ParentK = 5
+
+  /** Parent-document retrieval — the retrieval half of the reference's
+    * small-to-big pattern (`small_to_big`, data_models.py:49: search the
+    * fine-grained chunks, return the parent context): chunks are scored
+    * against the query, each parent document ranks by its BEST chunk
+    * (max-pooling late aggregation), ties broken toward the earliest
+    * chunk; the chunk count rides along for context-assembly budgeting.
+    *
+    * Scale design: chunk scoring is the same fused map as
+    * [[chunkEmbedSearch]]; the per-parent pooling is an ordinary
+    * partial-aggregable `max(struct)` (ONE candidate per parent per map
+    * task crosses the wire — never all chunks), and the parent ranking
+    * is the top-k heap. Oracle is an independent window formulation.
+    */
+  def parentSearch(docs: DataFrame, k: Int = ParentK): DataFrame = {
+    val chunks = Chunker.chunk(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_hash"))
+    chunks
+      .withColumn("emb", embed(col("chunk_hash")))
+      .withColumn("q_emb", embed(lit(QueryText)))
+      .select(col("doc_id"), col("chunk_id"),
+        round(cosineSim(col("emb"), col("q_emb")), 4).as("score"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("score"), (-col("chunk_id")).as("neg_cid"),
+          col("chunk_id"))).as("m"),
+        count(lit(1)).as("n_chunks"))
+      .select(col("doc_id"), col("m.chunk_id").as("best_chunk"),
+        col("m.score").as("best_score"), col("n_chunks"))
+      .orderBy(desc("best_score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  val parentSearchOracle: String =
+    s"""WITH chunks AS (${Chunker.chunkSql()}),
+       |scored AS (
+       |  SELECT doc_id, chunk_id,
+       |    round(${VectorSearch.cosineSql("emb", "q_emb", Dim)}, 4) AS score
+       |  FROM (
+       |    SELECT doc_id, chunk_id,
+       |      ${embedSql("chunk_hash")} AS emb,
+       |      ${embedSql(s"'$QueryText'")} AS q_emb
+       |    FROM chunks) t),
+       |ranked AS (
+       |  SELECT doc_id, chunk_id, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, chunk_id) AS rn
+       |  FROM scored),
+       |agg AS (SELECT doc_id, count(*) AS n_chunks FROM scored GROUP BY doc_id)
+       |SELECT ranked.doc_id, chunk_id AS best_chunk, score AS best_score, n_chunks
+       |FROM ranked JOIN agg ON ranked.doc_id = agg.doc_id
+       |WHERE rn = 1
+       |ORDER BY best_score DESC, ranked.doc_id
+       |LIMIT $ParentK""".stripMargin
+
+  def queryParent(s: SparkSession, dir: String): DataFrame =
+    parentSearch(Tables.documents(s, dir))
 }

@@ -221,6 +221,23 @@ class SearchSpec extends SparkSpec {
     assert(a.forall(r => r.getAs[Double]("score") >= -1.0 && r.getAs[Double]("score") <= 1.0))
   }
 
+  test("parent retrieval: parents rank by their best chunk, pooling is exact") {
+    import graft.operators.Embedder
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val out = Embedder.parentSearch(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted.reverse)
+    // recompute the pooling from ALL chunk scores
+    val all = Embedder.chunkEmbedSearch(docs, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val expect = all.groupBy(_._1).map { case (d, cs) =>
+      val best = cs.minBy(c => (-c._3, c._2))
+      (d, best._2, best._3, cs.length.toLong)
+    }.toSeq.sortBy(t => (-t._3, t._1)).take(Embedder.ParentK)
+    assert(out.toSeq == expect)
+  }
+
   test("search render: hms pads and wraps, url is synthesized") {
     val r = Seq((3725L, "abc", "PL9")).toDF("secs", "vid", "pl")
       .select(SearchRender.hms(col("secs")).as("t"),
