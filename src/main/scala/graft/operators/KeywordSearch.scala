@@ -276,8 +276,18 @@ object KeywordSearch {
     * query's own doc excluded from its results.
     */
   def bm25Batch(docs: DataFrame, stride: Int = BatchStride,
-                nTerms: Int = BatchTerms, k: Int = BatchK): DataFrame = {
-    val scored = batchKwRaw(docs, stride, nTerms)
+                nTerms: Int = BatchTerms, k: Int = BatchK): DataFrame =
+    rankKwScored(batchKwRaw(docs, stride, nTerms), k)
+
+  /** [[bm25Batch]] over an arbitrary query-doc predicate (micro-batch
+    * serving entry — global corpus stats, see [[batchKwRawFor]]).
+    */
+  private[graft] def bm25BatchFor(docs: DataFrame, queryPred: Column,
+                                  nTerms: Int = BatchTerms,
+                                  k: Int = BatchK): DataFrame =
+    rankKwScored(batchKwRawFor(docs, queryPred, nTerms), k)
+
+  private def rankKwScored(scored: DataFrame, k: Int): DataFrame = {
     scored.groupBy("q_id")
       .agg(topKByScore(col("raw_score"), col("doc_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
@@ -290,7 +300,17 @@ object KeywordSearch {
     * (query, matching doc) pair. Shared with the batch hybrid fusion.
     */
   private[operators] def batchKwRaw(docs: DataFrame, stride: Int = BatchStride,
-                                    nTerms: Int = BatchTerms): DataFrame = {
+                                    nTerms: Int = BatchTerms): DataFrame =
+    batchKwRawFor(docs, col("doc_id") % stride === 0, nTerms)
+
+  /** [[batchKwRaw]] for an arbitrary query-doc predicate — the micro-batch
+    * serving entry ([[graft.streaming.ServeStream.bm25Serve]] passes the
+    * batch's query ids). Corpus statistics stay GLOBAL (computed over all
+    * docs, not the query set), so any query's score is identical whichever
+    * batch it arrives in.
+    */
+  private[graft] def batchKwRawFor(docs: DataFrame, queryPred: Column,
+                                   nTerms: Int = BatchTerms): DataFrame = {
     val postings = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -302,7 +322,7 @@ object KeywordSearch {
     // df comes from the postings aggregate (rows are distinct (doc,term)
     // already) restricted by broadcast semi-join to the query docs'
     // terms — the full vocabulary is never distinct'd or counted
-    val qtoks = docs.filter(col("doc_id") % stride === 0)
+    val qtoks = docs.filter(queryPred)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
     val qdict = postings

@@ -31,4 +31,31 @@ object ServeStream {
         cosineSim(col("embedding"), col("q_emb")).as("score"), col("vec_id"))
       .groupBy("q_id")
       .agg(topKByScore(col("score"), col("vec_id"), k).as("top"))
+
+  /** Micro-batch KEYWORD serving — the streaming twin of
+    * [[graft.operators.KeywordSearch.bm25Batch]]. BM25 is a multi-stage
+    * plan (postings build, query-term df, per-pair reduce, per-query
+    * heap), which a single streaming aggregation can't express — so each
+    * micro-batch runs the FULL batch plan over its query set via
+    * `foreachBatch`, the Structured Streaming idiom for per-batch
+    * multi-stage computation. Corpus statistics are global (static
+    * side), so a query's scores are identical whichever micro-batch it
+    * arrives in — spec-verified against the batch run. `batchId` gives
+    * the sink exactly-once replay semantics; at scale the static
+    * postings side is the MATERIALIZED index
+    * ([[graft.operators.KeywordIndex]]), not a per-batch rebuild.
+    */
+  def bm25Serve(queryIds: DataFrame, docs: DataFrame, k: Int)
+               (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryIds.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ids = batch.select("q_id").collect().map(_.getLong(0))
+        if (ids.nonEmpty) {
+          val ranked = graft.operators.KeywordSearch.bm25BatchFor(
+            docs, col("doc_id").isin(ids: _*), k = k)
+          sink(ranked, batchId)
+        }
+      }
+      .start()
 }

@@ -223,6 +223,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("micro-batch bm25 serving equals the batch run regardless of batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val allIds = Seq(0L, 7L, 23L, 31L, 42L)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+    val input = MemoryStream[Long]
+    val q = graft.streaming.ServeStream.bm25Serve(
+      input.toDS().toDF("q_id"), docs, 5) { (ranked, _) =>
+      buf ++= ranked.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    }
+    input.addData(allIds.take(2): _*); q.processAllAvailable()
+    input.addData(allIds.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val want = graft.operators.KeywordSearch.bm25BatchFor(
+      docs, col("doc_id").isin(allIds: _*), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(buf.sortBy(t => (t._1, t._2)).toSeq == want.sortBy(t => (t._1, t._2)).toSeq)
+    assert(buf.nonEmpty)
+  }
+
   test("streaming index ingest lands the batch pipeline's rows cell-partitioned") {
     import graft.streaming.IndexStream
     val tmp = java.nio.file.Files.createTempDirectory("idx_stream").toString
