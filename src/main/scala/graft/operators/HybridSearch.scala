@@ -187,8 +187,22 @@ object HybridSearch {
   def fusedBatch(docs: DataFrame, embs: DataFrame,
                  stride: Int = KeywordSearch.BatchStride,
                  nTerms: Int = KeywordSearch.BatchTerms,
-                 alpha: Double = Alpha, k: Int = BatchK): DataFrame = {
-    val queries = embs.filter(col("vec_id") % stride === 0)
+                 alpha: Double = Alpha, k: Int = BatchK): DataFrame =
+    fusedBatchFor(docs, embs, col("vec_id") % stride === 0,
+      col("doc_id") % stride === 0, nTerms, alpha, k)
+
+  /** [[fusedBatch]] over an arbitrary query-id predicate pair (vector
+    * side keys on vec_id, keyword side on doc_id) — the micro-batch
+    * serving entry ([[graft.streaming.ServeStream.hybridServe]]).
+    * Normalization stats are per query and corpus stats global, so a
+    * query's fused scores are batch-split invariant.
+    */
+  private[graft] def fusedBatchFor(docs: DataFrame, embs: DataFrame,
+                                   vecPred: Column, docPred: Column,
+                                   nTerms: Int = KeywordSearch.BatchTerms,
+                                   alpha: Double = Alpha,
+                                   k: Int = BatchK): DataFrame = {
+    val queries = embs.filter(vecPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val vparts = embs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("doc_id"),
@@ -200,7 +214,7 @@ object HybridSearch {
     // the fusion nor the normalization stats (caught by the sf0.1 oracle
     // run: sparse stats over all documents skewed kmax and every fused
     // score with it)
-    val kparts = KeywordSearch.batchKwRaw(docs, stride, nTerms)
+    val kparts = KeywordSearch.batchKwRawFor(docs, docPred, nTerms)
       .join(embs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "semi")
     // Per-query normalization stats WITHOUT re-materializing the dense
     // |corpus|×|queries| LEFT JOIN a second time (the join is not below

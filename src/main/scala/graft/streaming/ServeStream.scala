@@ -58,4 +58,26 @@ object ServeStream {
         }
       }
       .start()
+
+  /** Micro-batch HYBRID serving — the alpha-fused twin of [[bm25Serve]]:
+    * both signals fan out over the micro-batch's query set (vector side
+    * one corpus pass, keyword side one postings pass), per-query min-max
+    * normalization and fusion run inside the batch plan. Per-query
+    * normalization stats + global corpus stats ⇒ fused scores are
+    * batch-split invariant (spec-verified against the batch fusion).
+    */
+  def hybridServe(queryIds: DataFrame, docs: DataFrame, embs: DataFrame,
+                  k: Int)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryIds.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ids = batch.select("q_id").collect().map(_.getLong(0))
+        if (ids.nonEmpty) {
+          val ranked = graft.operators.HybridSearch.fusedBatchFor(
+            docs, embs, col("vec_id").isin(ids: _*),
+            col("doc_id").isin(ids: _*), k = k)
+          sink(ranked, batchId)
+        }
+      }
+      .start()
 }

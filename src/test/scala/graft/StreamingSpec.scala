@@ -244,6 +244,29 @@ class StreamingSpec extends SparkSpec {
     assert(buf.nonEmpty)
   }
 
+  test("micro-batch hybrid serving equals the batch fusion across a batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val embs = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+    val allIds = Seq(0L, 7L, 23L, 42L)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+    val input = MemoryStream[Long]
+    val q = graft.streaming.ServeStream.hybridServe(
+      input.toDS().toDF("q_id"), docs, embs, 5) { (ranked, _) =>
+      buf ++= ranked.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    }
+    input.addData(allIds.take(1): _*); q.processAllAvailable()
+    input.addData(allIds.drop(1): _*); q.processAllAvailable()
+    q.stop()
+    val want = graft.operators.HybridSearch.fusedBatchFor(
+      docs, embs, col("vec_id").isin(allIds: _*),
+      col("doc_id").isin(allIds: _*), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(buf.sortBy(t => (t._1, t._2)).toSeq == want.sortBy(t => (t._1, t._2)).toSeq)
+    assert(buf.nonEmpty)
+  }
+
   test("streaming index ingest lands the batch pipeline's rows cell-partitioned") {
     import graft.streaming.IndexStream
     val tmp = java.nio.file.Files.createTempDirectory("idx_stream").toString
