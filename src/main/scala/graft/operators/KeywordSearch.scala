@@ -355,9 +355,10 @@ object KeywordSearch {
   /** The CTE chain producing `scored(q_id, doc_id, raw_score)` — shared
     * by [[bm25BatchSql]] and the batch-hybrid oracle.
     */
-  private[operators] def batchKwRawSqlCtes(stride: Int, nTerms: Int): String =
+  private[operators] def batchKwRawSqlCtes(stride: Int, nTerms: Int,
+                                           src: String = "documents"): String =
     s"""toked AS (
-       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM documents),
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM $src),
        |postings AS (
        |  SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM postings GROUP BY 1),
@@ -365,7 +366,7 @@ object KeywordSearch {
        |dict AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toked) GROUP BY 1),
        |qtoks AS (
        |  SELECT doc_id AS q_id, unnest(list_distinct(${TextAnalysis.sqlToks})) AS term
-       |  FROM documents WHERE doc_id % $stride = 0),
+       |  FROM $src WHERE doc_id % $stride = 0),
        |qterms AS (
        |  SELECT q_id, substring(p, 12, 1000) AS term
        |  FROM (

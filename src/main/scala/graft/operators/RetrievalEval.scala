@@ -151,6 +151,67 @@ object RetrievalEval {
        |SELECT count(*) AS n_queries, round(avg(dcg / idcg), 4) AS mean_ndcg
        |FROM with_ideal""".stripMargin
 
+  // --- keyword-retriever evaluation ---------------------------------------
+
+  /** Hit-rate@k + MRR@k for the KEYWORD retriever — the reference's
+    * `execute_evaluation` runs the same metric loop per search type
+    * (kw / vector / hybrid, retrieval_evaluation.py:361-392); this is
+    * the keyword leg over the same golden labels. Queries are the batch
+    * BM25 probes (rarest-token query strings); a hit is a retrieved doc
+    * sharing the query doc's label. Evaluation runs over the LABELED
+    * universe (documents ⊇ embeddings — semi-join first, so every query
+    * and every hit carries a label). Queries with no BM25 match at all
+    * drop out of the metric base, mirroring the reference's skip of
+    * empty responses.
+    *
+    * Scale shape: the ranked lists are k×|queries| rows; both label
+    * joins are keyed lookups on that small set, never a corpus-wide
+    * enrichment.
+    */
+  def labelPrecisionKw(docs: DataFrame, embs: DataFrame,
+                       stride: Int = KeywordSearch.BatchStride,
+                       nTerms: Int = KeywordSearch.BatchTerms,
+                       k: Int = KeywordSearch.BatchK): DataFrame = {
+    val corpus = docs.join(embs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "semi")
+    val ranked = KeywordSearch.bm25Batch(corpus, stride, nTerms, k)
+    val labels = embs.select(col("vec_id").as("doc_id"), col("label"))
+    val qlabels = embs.select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    ranked
+      .join(labels, "doc_id")
+      .join(qlabels, "q_id")
+      .groupBy("q_id")
+      .agg(max(when(col("label") === col("q_label"), 1).otherwise(0)).as("hit"),
+        min(when(col("label") === col("q_label"), col("rn"))).as("first_rel"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("hit").cast("double")), 4).as("hit_rate"),
+        round(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))), 4).as("mrr"))
+  }
+
+  def labelPrecisionKwSql(stride: Int = KeywordSearch.BatchStride,
+                          nTerms: Int = KeywordSearch.BatchTerms,
+                          k: Int = KeywordSearch.BatchK): String =
+    s"""WITH embdocs AS (
+       |  SELECT d.doc_id, d.text
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |${KeywordSearch.batchKwRawSqlCtes(stride, nTerms, "embdocs")},
+       |ranked AS (
+       |  SELECT q_id, doc_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $k),
+       |per_query AS (
+       |  SELECT q_id,
+       |    max(CASE WHEN e.label = q.label THEN 1 ELSE 0 END) AS hit,
+       |    min(CASE WHEN e.label = q.label THEN rn END) AS first_rel
+       |  FROM ranked
+       |  JOIN embeddings e ON ranked.doc_id = e.vec_id
+       |  JOIN embeddings q ON ranked.q_id = q.vec_id
+       |  GROUP BY q_id)
+       |SELECT count(*) AS n_queries,
+       |  round(avg(CAST(hit AS DOUBLE)), 4) AS hit_rate,
+       |  round(avg(coalesce(CAST(1.0 AS DOUBLE) / first_rel, CAST(0.0 AS DOUBLE))), 4) AS mrr
+       |FROM per_query""".stripMargin
+
   def query(s: SparkSession, dir: String): DataFrame =
     labelPrecision(Tables.embeddings(s, dir))
 
@@ -160,4 +221,9 @@ object RetrievalEval {
     ndcg(Tables.embeddings(s, dir))
 
   val ndcgOracle: String = ndcgSql()
+
+  def queryKw(s: SparkSession, dir: String): DataFrame =
+    labelPrecisionKw(Tables.documents(s, dir), Tables.embeddings(s, dir))
+
+  val kwOracle: String = labelPrecisionKwSql()
 }

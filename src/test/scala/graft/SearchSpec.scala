@@ -324,6 +324,18 @@ class SearchSpec extends SparkSpec {
     assert(m.getAs[Double]("mrr") == 1.0)
   }
 
+  test("keyword retrieval eval: metrics bounded, mrr never exceeds hit rate") {
+    import graft.operators.RetrievalEval
+    val r = RetrievalEval.labelPrecisionKw(
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001),
+      graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)).head()
+    val (n, hr, mrr) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(n > 0)
+    assert(hr >= 0.0 && hr <= 1.0)
+    // every hit contributes at most 1 to MRR and exactly 1 to hit rate
+    assert(mrr <= hr + 1e-9)
+  }
+
   test("ndcg: relevant doc at rank 2 with one relevant total scores 1/log2(3)") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f), 0),  // the only query (stride 10)
