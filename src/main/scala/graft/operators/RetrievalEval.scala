@@ -173,7 +173,22 @@ object RetrievalEval {
                        nTerms: Int = KeywordSearch.BatchTerms,
                        k: Int = KeywordSearch.BatchK): DataFrame = {
     val corpus = docs.join(embs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "semi")
-    val ranked = KeywordSearch.bm25Batch(corpus, stride, nTerms, k)
+    metricsOverRanked(KeywordSearch.bm25Batch(corpus, stride, nTerms, k), embs)
+  }
+
+  /** The HYBRID leg of the per-search-type evaluation: same golden
+    * labels and metric tail over the alpha-fused batch ranking.
+    */
+  def labelPrecisionHybrid(docs: DataFrame, embs: DataFrame,
+                           stride: Int = KeywordSearch.BatchStride,
+                           nTerms: Int = KeywordSearch.BatchTerms,
+                           k: Int = KeywordSearch.BatchK): DataFrame =
+    metricsOverRanked(HybridSearch.fusedBatch(docs, embs, stride, nTerms, k = k), embs)
+
+  /** Shared metric tail: hit-rate@k + MRR@k over a ranked list
+    * (q_id, rn, doc_id, …) with label-match relevance.
+    */
+  private def metricsOverRanked(ranked: DataFrame, embs: DataFrame): DataFrame = {
     val labels = embs.select(col("vec_id").as("doc_id"), col("label"))
     val qlabels = embs.select(col("vec_id").as("q_id"), col("label").as("q_label"))
     ranked
@@ -186,6 +201,28 @@ object RetrievalEval {
         round(avg(col("hit").cast("double")), 4).as("hit_rate"),
         round(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))), 4).as("mrr"))
   }
+
+  /** SQL rendering of [[metricsOverRanked]] over a ranked subquery. */
+  private def metricsSqlOver(rankedSql: String): String =
+    s"""WITH ranked AS ($rankedSql),
+       |per_query AS (
+       |  SELECT q_id,
+       |    max(CASE WHEN e.label = q.label THEN 1 ELSE 0 END) AS hit,
+       |    min(CASE WHEN e.label = q.label THEN rn END) AS first_rel
+       |  FROM ranked
+       |  JOIN embeddings e ON ranked.doc_id = e.vec_id
+       |  JOIN embeddings q ON ranked.q_id = q.vec_id
+       |  GROUP BY q_id)
+       |SELECT count(*) AS n_queries,
+       |  round(avg(CAST(hit AS DOUBLE)), 4) AS hit_rate,
+       |  round(avg(coalesce(CAST(1.0 AS DOUBLE) / first_rel, CAST(0.0 AS DOUBLE))), 4) AS mrr
+       |FROM per_query""".stripMargin
+
+  def labelPrecisionHybridSql(stride: Int = KeywordSearch.BatchStride,
+                              nTerms: Int = KeywordSearch.BatchTerms,
+                              k: Int = KeywordSearch.BatchK): String =
+    metricsSqlOver(
+      s"SELECT q_id, rn, doc_id FROM (\n${HybridSearch.fusedBatchSql(stride, nTerms, k = k)}\n) h")
 
   def labelPrecisionKwSql(stride: Int = KeywordSearch.BatchStride,
                           nTerms: Int = KeywordSearch.BatchTerms,
@@ -226,4 +263,9 @@ object RetrievalEval {
     labelPrecisionKw(Tables.documents(s, dir), Tables.embeddings(s, dir))
 
   val kwOracle: String = labelPrecisionKwSql()
+
+  def queryHybrid(s: SparkSession, dir: String): DataFrame =
+    labelPrecisionHybrid(Tables.documents(s, dir), Tables.embeddings(s, dir))
+
+  val hybridOracle: String = labelPrecisionHybridSql()
 }

@@ -334,6 +334,12 @@ class SearchSpec extends SparkSpec {
     assert(hr >= 0.0 && hr <= 1.0)
     // every hit contributes at most 1 to MRR and exactly 1 to hit rate
     assert(mrr <= hr + 1e-9)
+    // the hybrid leg evaluates the same query set with the same bounds
+    val h = RetrievalEval.labelPrecisionHybrid(
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001),
+      graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)).head()
+    assert(h.getLong(0) > 0)
+    assert(h.getDouble(2) <= h.getDouble(1) + 1e-9)
   }
 
   test("ndcg: relevant doc at rank 2 with one relevant total scores 1/log2(3)") {
