@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-shaped client facade — the method-for-method counterpart of
+  * the reference's `WeaviateWCS` client
+  * (`src/database/weaviate_interface_v4.py`): a user of the reference
+  * switches by replacing the Weaviate client object with this one and
+  * keeping their call sites (`keyword_search` → [[keywordSearch]],
+  * `vector_search` → [[vectorSearch]], `hybrid_search` →
+  * [[hybridSearch]], `get_doc_count` → [[getDocCount]],
+  * `show_all_collections` → [[showAllCollections]]); `filter=` maps to a
+  * Catalyst predicate `Column`, `return_properties` to `.select`.
+  *
+  * The query-embedding slot (`_create_query_vector`, ref L289) is the
+  * deterministic hashing featurizer ([[operators.Embedder.embed]])
+  * standing in for the SentenceTransformer call — with a served model
+  * the produced column has the same shape and everything downstream is
+  * unchanged.
+  */
+class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64) {
+
+  private def docs: DataFrame = Tables.documents(spark, dir)
+  private def embs: DataFrame = Tables.embeddings(spark, dir)
+
+  /** The reference tokenizes the request server-side; same split as the
+    * corpus tokenizer, duplicates collapsed.
+    */
+  private def requestTerms(request: String): Seq[String] =
+    request.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+
+  private def requestVector(request: String): DataFrame =
+    spark.range(1).select(
+      Embedder.embed(lit(request), embedDim).cast("array<float>").as("q_emb"))
+
+  /** `keyword_search(request, limit, filter)` — BM25 over the corpus. */
+  def keywordSearch(request: String, limit: Int = 10,
+                    filter: Column = lit(true)): DataFrame =
+    KeywordSearch.bm25(docs, requestTerms(request), limit, filter)
+
+  /** `vector_search(request, limit, filter)` — near-vector over the
+    * embedded request; the metadata filter prunes before scoring.
+    */
+  def vectorSearch(request: String, limit: Int = 10,
+                   filter: Column = lit(true)): DataFrame =
+    embs
+      .join(docs.filter(filter).select(col("doc_id"), col("source"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .join(broadcast(requestVector(request)))
+      .select(col("doc_id"), col("source"), col("lang"),
+        round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(limit)
+
+  /** `hybrid_search(request, alpha, limit, filter)` — relative-score
+    * fusion of the two signals for one request.
+    */
+  def hybridSearch(request: String, alpha: Double = HybridSearch.Alpha,
+                   limit: Int = 10, filter: Column = lit(true)): DataFrame =
+    HybridSearch.fusedWithQuery(docs, embs, requestTerms(request),
+      requestVector(request), alpha, limit, filter)
+
+  /** `get_doc_count(collection)` */
+  def getDocCount(): Long = docs.count()
+
+  /** `show_all_collections()` */
+  def showAllCollections(): Seq[String] = Catalog.listCollections(spark)
+
+  /** `show_collection_properties(collection)` */
+  def showCollectionProperties(name: String): DataFrame =
+    Catalog.collectionProperties(spark, name)
+}

@@ -23,8 +23,18 @@ object HybridSearch {
 
   def fused(docs: DataFrame, embs: DataFrame, terms: Seq[String],
             queryVecId: Long, alpha: Double = Alpha, k: Int = TopK,
-            docFilter: Column = lit(true)): DataFrame = {
-    val q = embs.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
+            docFilter: Column = lit(true)): DataFrame =
+    fusedWithQuery(docs, embs, terms,
+      embs.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb")),
+      alpha, k, docFilter)
+
+  /** [[fused]] against an arbitrary 1-row query-vector frame `q(q_emb)`
+    * — the entry the client facade uses with an embedded request string
+    * ([[graft.GraftClient.hybridSearch]]).
+    */
+  def fusedWithQuery(docs: DataFrame, embs: DataFrame, terms: Seq[String],
+                     q: DataFrame, alpha: Double = Alpha, k: Int = TopK,
+                     docFilter: Column = lit(true)): DataFrame = {
     // single-pass term stats (see KeywordSearch.termStats) + vector score
     val base = KeywordSearch.termStats(docs, terms, docFilter)
       .join(embs.select(col("vec_id"), col("embedding")),

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.KeywordSearch
+import org.apache.spark.sql.functions._
+
+class GraftClientSpec extends SparkSpec {
+
+  private val client = new GraftClient(TestSpark.spark, TestSpark.Sf0001)
+
+  test("keywordSearch on the benchmark request equals the oracle-gated bm25 query") {
+    val viaClient = client.keywordSearch(KeywordSearch.QueryTerms.mkString(" "))
+      .collect().toSeq
+    val direct = KeywordSearch.search(spark, TestSpark.Sf0001).collect().toSeq
+    assert(viaClient == direct)
+  }
+
+  test("vectorSearch embeds the request and returns a deterministic ranked page") {
+    val a = client.vectorSearch("spark hash join fast", limit = 7).collect()
+    val b = client.vectorSearch("spark hash join fast", limit = 7).collect()
+    assert(a.toSeq == b.toSeq && a.length == 7)
+    val scores = a.map(_.getDouble(3))
+    assert(scores.sameElements(scores.sorted.reverse))
+    assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
+    // the metadata filter prunes results
+    val filtered = client.vectorSearch("spark hash join fast", limit = 7,
+      filter = col("lang") === "en").collect()
+    assert(filtered.forall(_.getString(2) == "en"))
+  }
+
+  test("hybridSearch at alpha=1 ranks exactly like vectorSearch") {
+    val req = "spark hash join fast"
+    val hybridIds = client.hybridSearch(req, alpha = 1.0, limit = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val vectorIds = client.vectorSearch(req, limit = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hybridIds == vectorIds)
+  }
+
+  test("collection surface: doc count and catalog passthroughs") {
+    assert(client.getDocCount() ==
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001).count())
+    graft.sources.Tables.registerAll(spark, TestSpark.Sf0001)
+    assert(client.showAllCollections().contains("documents"))
+    val props = client.showCollectionProperties("documents").collect()
+      .map(_.getAs[String]("name"))
+    assert(props.contains("text"))
+  }
+}
