@@ -166,6 +166,69 @@ object CorpusOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // --- snapshot diff -------------------------------------------------------
+
+  /** Strides carving the two synthetic snapshot views out of the one
+    * driver table (so the oracle replays the exact same versions):
+    * docs ≡ 5 (mod 17) are missing from the PREVIOUS snapshot (→ added),
+    * docs ≡ 3 (mod 29) are missing from the CURRENT one (→ removed),
+    * docs ≡ 4 (mod 23) carry perturbed text in the previous snapshot
+    * (→ changed).
+    */
+  val DiffAddStride = 17
+  val DiffRemoveStride = 29
+  val DiffChangeStride = 23
+
+  /** Corpus snapshot diff — the audit an incremental refresh emits:
+    * classify every doc added / removed / changed / unchanged by content
+    * fingerprint. Both sides reduce map-side to (doc_id, fingerprint);
+    * the diff is ONE keyed full-outer join — at 100 TB the fingerprint
+    * columns are a few % of corpus bytes, and id-bucketed snapshot
+    * layouts make the join exchange-free ([[graft.sources.Sinks
+    * .writeBucketed]]). Downstream: `added ∪ changed` is exactly the
+    * batch the incremental dedup probe ([[Dedup.qIncremental]]) and the
+    * index appenders consume.
+    */
+  def snapshotDiff(curr: DataFrame, prev: DataFrame): DataFrame =
+    curr.select(col("doc_id"), fingerprint(col("text")).as("fp_new"))
+      .join(prev.select(col("doc_id"), fingerprint(col("text")).as("fp_old")),
+        Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_new") =!= col("fp_old"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+
+  def qDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val curr = docs.filter(col("doc_id") % DiffRemoveStride =!= 3)
+    val prev = docs.filter(col("doc_id") % DiffAddStride =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % DiffChangeStride === 4,
+          concat(col("text"), lit(" rev1"))).otherwise(col("text")))
+    snapshotDiff(curr, prev)
+  }
+
+  val diffOracle: String =
+    s"""WITH curr AS (
+       |  SELECT doc_id, md5(array_to_string(${graft.operators.TextAnalysis.sqlToks}, ' ')) AS fp_new
+       |  FROM documents WHERE doc_id % $DiffRemoveStride <> 3),
+       |prev0 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $DiffChangeStride = 4 THEN text || ' rev1' ELSE text END AS text
+       |  FROM documents WHERE doc_id % $DiffAddStride <> 5),
+       |prev AS (
+       |  SELECT doc_id, md5(array_to_string(${graft.operators.TextAnalysis.sqlToks}, ' ')) AS fp_old
+       |  FROM prev0)
+       |SELECT doc_id,
+       |  CASE WHEN fp_old IS NULL THEN 'added'
+       |       WHEN fp_new IS NULL THEN 'removed'
+       |       WHEN fp_new <> fp_old THEN 'changed'
+       |       ELSE 'unchanged' END AS status
+       |FROM curr FULL JOIN prev USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def qMix(s: SparkSession, dir: String): DataFrame = mix(Tables.documents(s, dir))
   def qSplit(s: SparkSession, dir: String): DataFrame = split(Tables.documents(s, dir))
   def qQuantiles(s: SparkSession, dir: String): DataFrame =

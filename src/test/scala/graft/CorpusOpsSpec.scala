@@ -87,6 +87,27 @@ class CorpusOpsSpec extends SparkSpec {
     sizes.foreach(s => assert(math.abs(s - n * p) <= 5 * sigma + 1))
   }
 
+  test("snapshot diff: every stride lands in its class, union covers both versions") {
+    val out = CorpusOps.qDiff(spark, dir).cache()
+    val byStatus = out.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(byStatus.keySet))
+    // classes follow the carving strides exactly
+    val docs = Tables.documents(spark, dir)
+    val nAdded = docs.filter(col("doc_id") % CorpusOps.DiffAddStride === 5 &&
+      col("doc_id") % CorpusOps.DiffRemoveStride =!= 3).count()
+    val nRemoved = docs.filter(col("doc_id") % CorpusOps.DiffRemoveStride === 3 &&
+      col("doc_id") % CorpusOps.DiffAddStride =!= 5).count()
+    assert(byStatus("added") == nAdded)
+    assert(byStatus("removed") == nRemoved)
+    // every doc of either version appears exactly once
+    assert(out.count() == docs.filter(
+      col("doc_id") % CorpusOps.DiffRemoveStride =!= 3 ||
+        col("doc_id") % CorpusOps.DiffAddStride =!= 5).count())
+    out.unpersist()
+  }
+
   test("quantiles are monotone and approx_percentile tracks exact at scale") {
     val docs = Tables.documents(spark, dir)
     val exact = CorpusOps.quantiles(docs).collect()
