@@ -37,10 +37,33 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64) {
     spark.range(1).select(
       Embedder.embed(lit(request), embedDim).cast("array<float>").as("q_emb"))
 
-  /** `keyword_search(request, limit, filter)` — BM25 over the corpus. */
+  /** `keyword_search(request, query_properties, limit, filter)` — BM25
+    * over the corpus. `queryProperties` accepts the reference's
+    * `field^boost` syntax (ref L213: `['content','title^2']`); multiple
+    * or boosted fields route to the BM25F scorer.
+    */
   def keywordSearch(request: String, limit: Int = 10,
-                    filter: Column = lit(true)): DataFrame =
-    KeywordSearch.bm25(docs, requestTerms(request), limit, filter)
+                    filter: Column = lit(true),
+                    queryProperties: Seq[String] = Seq("text")): DataFrame = {
+    val fields = queryProperties.map { p =>
+      p.split("\\^") match {
+        case Array(f, b) => f -> b.toDouble
+        case Array(f)    => f -> 1.0
+      }
+    }
+    if (fields == Seq("text" -> 1.0))
+      KeywordSearch.bm25(docs, requestTerms(request), limit, filter)
+    else
+      KeywordSearch.bm25MultiField(docs.filter(filter),
+        requestTerms(request), fields, limit)
+  }
+
+  /** `return_properties` — project a search result to the requested
+    * properties (score always rides along, as the reference's metadata
+    * does).
+    */
+  def withProperties(result: DataFrame, properties: Seq[String]): DataFrame =
+    result.select((properties :+ "score").map(col): _*)
 
   /** `vector_search(request, limit, filter)` — near-vector over the
     * embedded request; the metadata filter prunes before scoring.

@@ -14,6 +14,25 @@ class GraftClientSpec extends SparkSpec {
     assert(viaClient == direct)
   }
 
+  test("query_properties boost syntax routes to the multifield scorer") {
+    import graft.operators.KeywordSearch
+    val req = KeywordSearch.MultiFieldTerms.mkString(" ")
+    val viaClient = client.keywordSearch(req,
+      queryProperties = Seq("text", "source^2.0")).collect().toSeq
+    val direct = KeywordSearch.bm25MultiField(
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001),
+      KeywordSearch.MultiFieldTerms, Seq("text" -> 1.0, "source" -> 2.0), 10)
+      .collect().toSeq
+    assert(viaClient == direct && viaClient.nonEmpty)
+  }
+
+  test("return_properties projects the result page") {
+    val page = client.withProperties(
+      client.keywordSearch("spark hash join fast"), Seq("doc_id", "source"))
+    assert(page.columns.toSeq == Seq("doc_id", "source", "score"))
+    assert(page.count() > 0)
+  }
+
   test("vectorSearch embeds the request and returns a deterministic ranked page") {
     val a = client.vectorSearch("spark hash join fast", limit = 7).collect()
     val b = client.vectorSearch("spark hash join fast", limit = 7).collect()
