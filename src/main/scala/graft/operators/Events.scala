@@ -214,6 +214,57 @@ object Events {
         round(col("m.value"), 2).as("last_value"))
       .orderBy("user_id", "event_type")
 
+  /** Cohort retention matrix — users cohorted by first-activity day,
+    * each (cohort, day-offset) cell counting distinct users still
+    * active, with the retention rate against the cohort's size. The
+    * standard product-analytics rollup over an event stream.
+    *
+    * Scale design: activity first reduces to DISTINCT (user, day) —
+    * partial-aggregable, one shuffle, and it makes the per-cell count a
+    * plain count(*) (no countDistinct anywhere). First-day-per-user is
+    * a min aggregate over that set (second keyed shuffle), rejoined on
+    * user_id; cohort sizes are an offset-0 self-aggregate broadcast
+    * back (|days| rows). Three keyed shuffles total, each with map-side
+    * combine.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val epochDay = expr("ts div 1000000000 div 86400")
+    val activity = Tables.events(s, dir)
+      .select(col("user_id"), epochDay.as("day")).distinct()
+    val firstDay = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val cells = activity.join(firstDay, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val cohortSizes = cells.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("n_cohort"))
+    cells.join(broadcast(cohortSizes), "cohort_day")
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("cohort_day").cast("int"))
+          .cast("timestamp_ntz").as("cohort_date"),
+        col("day_offset"), col("n_users"), col("n_cohort"),
+        round(col("n_users").cast("double") / col("n_cohort"), 4).as("retention"))
+      .orderBy("cohort_date", "day_offset")
+  }
+
+  val cohortRetentionOracle: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |first_day AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id),
+      |cells AS (
+      |  SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+      |  FROM activity JOIN first_day USING (user_id)
+      |  GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT cohort_day, n_users AS n_cohort FROM cells WHERE day_offset = 0)
+      |SELECT CAST(DATE '1970-01-01' + CAST(cohort_day AS INT) AS TIMESTAMP) AS cohort_date,
+      |  day_offset, n_users, n_cohort,
+      |  round(CAST(n_users AS DOUBLE) / n_cohort, 4) AS retention
+      |FROM cells JOIN sizes USING (cohort_day)
+      |ORDER BY cohort_date, day_offset""".stripMargin
+
   /** Oracle: independent window formulation (row_number over ts desc). */
   val latestOracle: String =
     """WITH ranked AS (

@@ -53,6 +53,22 @@ class RelationalSpec extends SparkSpec {
     assert(viaNative == viaLag)
   }
 
+  test("cohort retention: offset-0 cells are 1.0, cohort sizes cover every user") {
+    import org.apache.spark.sql.functions._
+    val out = Events.cohortRetention(spark, TestSpark.Sf0001).cache()
+    // the anchor cell of every cohort retains everyone
+    assert(out.filter(col("day_offset") === 0 && col("retention") =!= 1.0).count() == 0)
+    // no cell exceeds its cohort
+    assert(out.filter(col("n_users") > col("n_cohort")).count() == 0)
+    // cohort sizes partition the user base
+    val totalUsers = sources.Tables.events(spark, TestSpark.Sf0001)
+      .select("user_id").distinct().count()
+    val cohortSum = out.filter(col("day_offset") === 0)
+      .agg(sum("n_users")).head().getLong(0)
+    assert(cohortSum == totalUsers)
+    out.unpersist()
+  }
+
   test("latest compaction: one row per key, carries that key's max-ts event") {
     import org.apache.spark.sql.functions._
     val out = Events.latest(spark, TestSpark.Sf0001)
