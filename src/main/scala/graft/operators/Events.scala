@@ -246,6 +246,60 @@ object Events {
       .orderBy("cohort_date", "day_offset")
   }
 
+  val FunnelWindowS = 3600L
+
+  /** Ordered funnel conversion (view → click → purchase): a user
+    * completes step k only with a step-k event STRICTLY AFTER their
+    * first step-(k-1) completion and within the [[FunnelWindowS]]
+    * conversion window — the product-analytics funnel.
+    *
+    * Scale design: each stage is a type-filtered min aggregate re-keyed
+    * on user (k keyed partial-agg shuffles for a k-step funnel) — never
+    * a per-user event-sequence sort or a sessionized scan; the
+    * type filters prune each stage's input at the parquet scan.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), tsSeconds("ts").as("ts_s"), col("event_type"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_s").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts_s") > col("t1") && col("ts_s") <= col("t1") + FunnelWindowS)
+      .groupBy("user_id").agg(min("ts_s").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts_s") > col("t2") && col("ts_s") <= col("t2") + FunnelWindowS)
+      .groupBy("user_id").agg(min("ts_s").as("t3"))
+    t1.agg(count(lit(1)).as("n_view"))
+      .join(t2.agg(count(lit(1)).as("n_click")))
+      .join(t3.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view"), 4).as("conv_click"),
+        round(col("n_purchase").cast("double") / col("n_click"), 4).as("conv_purchase"))
+  }
+
+  val funnelOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+      |  FROM events),
+      |t1 AS (
+      |  SELECT user_id, min(ts_s) AS t1 FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT ev.user_id, min(ts_s) AS t2
+      |  FROM ev JOIN t1 USING (user_id)
+      |  WHERE event_type = 'click' AND ts_s > t1 AND ts_s <= t1 + 3600
+      |  GROUP BY ev.user_id),
+      |t3 AS (
+      |  SELECT ev.user_id, min(ts_s) AS t3
+      |  FROM ev JOIN t2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts_s > t2 AND ts_s <= t2 + 3600
+      |  GROUP BY ev.user_id)
+      |SELECT (SELECT count(*) FROM t1) AS n_view,
+      |  (SELECT count(*) FROM t2) AS n_click,
+      |  (SELECT count(*) FROM t3) AS n_purchase,
+      |  round(CAST((SELECT count(*) FROM t2) AS DOUBLE) / (SELECT count(*) FROM t1), 4) AS conv_click,
+      |  round(CAST((SELECT count(*) FROM t3) AS DOUBLE) / (SELECT count(*) FROM t2), 4) AS conv_purchase""".stripMargin
+
   val cohortRetentionOracle: String =
     """WITH activity AS (
       |  SELECT DISTINCT user_id,

@@ -69,6 +69,15 @@ class RelationalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("funnel: stages are ordered and monotonically shrinking") {
+    val r = Events.funnel(spark, TestSpark.Sf0001).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p)
+    assert(v > 0)
+    // a window this tight must actually exclude someone on this corpus
+    assert(c < v)
+  }
+
   test("latest compaction: one row per key, carries that key's max-ts event") {
     import org.apache.spark.sql.functions._
     val out = Events.latest(spark, TestSpark.Sf0001)
