@@ -6,8 +6,10 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native codegen'd cosine similarity over `array<float>` / `array<double>`
-  * / `array<int>` (int arrays serve the SQ8-quantized path — cosine is
-  * scale-invariant, so quantized codes score without dequantization).
+  * / `array<int>` / `array<byte>` (int/byte arrays serve the
+  * SQ8-quantized path — cosine is scale-invariant, so quantized codes
+  * score without dequantization; the byte form is the 1-byte/dim
+  * MATERIALIZED hot copy).
   *
   * This is the hot-path primitive behind vector search
   * (reference `src/database/weaviate_interface_v4.py:246` near_vector
@@ -30,8 +32,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType), ArrayType(IntegerType)),
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType), ArrayType(IntegerType)))
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType),
+      ArrayType(IntegerType), ArrayType(ByteType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType),
+      ArrayType(IntegerType), ArrayType(ByteType)))
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
@@ -39,12 +43,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private def getter(e: Expression, arr: String, i: String): String = e.dataType match {
     case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
     case ArrayType(IntegerType, _) => s"(double) $arr.getInt($i)"
+    case ArrayType(ByteType, _) => s"(double) $arr.getByte($i)"
     case _ => s"$arr.getDouble($i)"
   }
 
   private def evalGet(e: Expression, arr: ArrayData, i: Int): Double = e.dataType match {
     case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
     case ArrayType(IntegerType, _) => arr.getInt(i).toDouble
+    case ArrayType(ByteType, _) => arr.getByte(i).toDouble
     case _ => arr.getDouble(i)
   }
 

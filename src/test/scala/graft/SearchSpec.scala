@@ -94,6 +94,24 @@ class SearchSpec extends SparkSpec {
       s"sq8 recall too low: ${exact.intersect(quantized).size}/10")
   }
 
+  test("materialized byte-code SQ8 equals the inline int-code search, 4x smaller") {
+    import graft.operators.VectorSearch
+    val dir0 = TestSpark.Sf0001
+    val viaDisk = VectorSearch.searchQuantizedMaterialized(spark, dir0).collect().toSeq
+    val inline = VectorSearch.searchQuantized(spark, dir0).collect().toSeq
+    assert(viaDisk == inline && viaDisk.nonEmpty)
+    // byte-array cosine is bitwise the int-array cosine on the same codes
+    val embs = graft.sources.Tables.embeddings(spark, dir0)
+    val quant = VectorSearch.quantize(embs)
+      .select(col("vec_id"), col("qv"),
+        col("qv").cast("array<byte>").as("qb"))
+    val diff = quant.select(
+      graft.functions.VectorFunctions.cosineSim(col("qv"), col("qv")).as("ii"),
+      graft.functions.VectorFunctions.cosineSim(col("qb"), col("qb")).as("bb"))
+      .filter(col("ii") =!= col("bb")).count()
+    assert(diff == 0)
+  }
+
   test("codegen sq8 quantization equals the interpreted transform form") {
     val embs = Tables.embeddings(spark, TestSpark.Sf001)
     val native = VectorSearch.quantize(embs).orderBy("vec_id").collect()
