@@ -33,9 +33,19 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64) {
   private def requestTerms(request: String): Seq[String] =
     request.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
 
-  private def requestVector(request: String): DataFrame =
+  /** Corpus vector dimension, checked once — a query embedded at the
+    * wrong width would otherwise score over the truncated common prefix
+    * silently (CosineSimilarity sums min(len) elements).
+    */
+  private lazy val corpusDim: Int =
+    embs.select(size(col("embedding"))).head().getInt(0)
+
+  private def requestVector(request: String): DataFrame = {
+    require(embedDim == corpusDim,
+      s"embedDim=$embedDim does not match the corpus dimension $corpusDim")
     spark.range(1).select(
       Embedder.embed(lit(request), embedDim).cast("array<float>").as("q_emb"))
+  }
 
   /** `keyword_search(request, query_properties, limit, filter)` — BM25
     * over the corpus. `queryProperties` accepts the reference's
@@ -47,8 +57,10 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64) {
                     queryProperties: Seq[String] = Seq("text")): DataFrame = {
     val fields = queryProperties.map { p =>
       p.split("\\^") match {
-        case Array(f, b) => f -> b.toDouble
-        case Array(f)    => f -> 1.0
+        case Array(f, b) if scala.util.Try(b.toDouble).isSuccess => f -> b.toDouble
+        case Array(f) => f -> 1.0
+        case _ => throw new IllegalArgumentException(
+          s"malformed query property '$p' — expected 'field' or 'field^boost'")
       }
     }
     if (fields == Seq("text" -> 1.0))
@@ -63,7 +75,7 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64) {
     * does).
     */
   def withProperties(result: DataFrame, properties: Seq[String]): DataFrame =
-    result.select((properties :+ "score").map(col): _*)
+    result.select((properties.filterNot(_ == "score") :+ "score").map(col): _*)
 
   /** `vector_search(request, limit, filter)` — near-vector over the
     * embedded request; the metadata filter prunes before scoring.

@@ -273,8 +273,12 @@ object Events {
       .join(t2.agg(count(lit(1)).as("n_click")))
       .join(t3.agg(count(lit(1)).as("n_purchase")))
       .select(col("n_view"), col("n_click"), col("n_purchase"),
-        round(col("n_click").cast("double") / col("n_view"), 4).as("conv_click"),
-        round(col("n_purchase").cast("double") / col("n_click"), 4).as("conv_purchase"))
+        // empty-stage conversion is DEFINED as 0.0 (Spark's null-on-/0
+        // and DuckDB's IEEE NaN would otherwise diverge)
+        when(col("n_view") === 0, 0.0).otherwise(
+          round(col("n_click").cast("double") / col("n_view"), 4)).as("conv_click"),
+        when(col("n_click") === 0, 0.0).otherwise(
+          round(col("n_purchase").cast("double") / col("n_click"), 4)).as("conv_purchase"))
   }
 
   val funnelOracle: String =
@@ -297,8 +301,10 @@ object Events {
       |SELECT (SELECT count(*) FROM t1) AS n_view,
       |  (SELECT count(*) FROM t2) AS n_click,
       |  (SELECT count(*) FROM t3) AS n_purchase,
-      |  round(CAST((SELECT count(*) FROM t2) AS DOUBLE) / (SELECT count(*) FROM t1), 4) AS conv_click,
-      |  round(CAST((SELECT count(*) FROM t3) AS DOUBLE) / (SELECT count(*) FROM t2), 4) AS conv_purchase""".stripMargin
+      |  CASE WHEN (SELECT count(*) FROM t1) = 0 THEN 0.0
+      |       ELSE round(CAST((SELECT count(*) FROM t2) AS DOUBLE) / (SELECT count(*) FROM t1), 4) END AS conv_click,
+      |  CASE WHEN (SELECT count(*) FROM t2) = 0 THEN 0.0
+      |       ELSE round(CAST((SELECT count(*) FROM t3) AS DOUBLE) / (SELECT count(*) FROM t2), 4) END AS conv_purchase""".stripMargin
 
   val cohortRetentionOracle: String =
     """WITH activity AS (

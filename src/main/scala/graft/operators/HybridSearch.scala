@@ -211,8 +211,21 @@ object HybridSearch {
                                    vecPred: Column, docPred: Column,
                                    nTerms: Int = KeywordSearch.BatchTerms,
                                    alpha: Double = Alpha,
+                                   k: Int = BatchK): DataFrame =
+    fusedBatchSel(docs, embs, _.filter(vecPred), _.filter(docPred),
+      nTerms, alpha, k)
+
+  /** [[fusedBatchFor]] with selector functions for both query sides —
+    * the serving path passes broadcast semi-joins of the micro-batch's
+    * id frame (see [[KeywordSearch.batchKwRawSel]]).
+    */
+  private[graft] def fusedBatchSel(docs: DataFrame, embs: DataFrame,
+                                   selectVecQueries: DataFrame => DataFrame,
+                                   selectDocQueries: DataFrame => DataFrame,
+                                   nTerms: Int = KeywordSearch.BatchTerms,
+                                   alpha: Double = Alpha,
                                    k: Int = BatchK): DataFrame = {
-    val queries = embs.filter(vecPred)
+    val queries = selectVecQueries(embs)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val vparts = embs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("doc_id"),
@@ -224,7 +237,7 @@ object HybridSearch {
     // the fusion nor the normalization stats (caught by the sf0.1 oracle
     // run: sparse stats over all documents skewed kmax and every fused
     // score with it)
-    val kparts = KeywordSearch.batchKwRawFor(docs, docPred, nTerms)
+    val kparts = KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms)
       .join(embs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "semi")
     // Per-query normalization stats WITHOUT re-materializing the dense
     // |corpus|×|queries| LEFT JOIN a second time (the join is not below

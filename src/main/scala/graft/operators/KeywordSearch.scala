@@ -287,6 +287,13 @@ object KeywordSearch {
                                   k: Int = BatchK): DataFrame =
     rankKwScored(batchKwRawFor(docs, queryPred, nTerms), k)
 
+  /** [[bm25BatchFor]] over a selector (see [[batchKwRawSel]]). */
+  private[graft] def bm25BatchSel(docs: DataFrame,
+                                  selectQueries: DataFrame => DataFrame,
+                                  nTerms: Int = BatchTerms,
+                                  k: Int = BatchK): DataFrame =
+    rankKwScored(batchKwRawSel(docs, selectQueries, nTerms), k)
+
   private def rankKwScored(scored: DataFrame, k: Int): DataFrame = {
     scored.groupBy("q_id")
       .agg(topKByScore(col("raw_score"), col("doc_id"), k).as("top"))
@@ -310,6 +317,16 @@ object KeywordSearch {
     * batch it arrives in.
     */
   private[graft] def batchKwRawFor(docs: DataFrame, queryPred: Column,
+                                   nTerms: Int = BatchTerms): DataFrame =
+    batchKwRawSel(docs, _.filter(queryPred), nTerms)
+
+  /** [[batchKwRawFor]] with the query-doc set chosen by an arbitrary
+    * selector — the serving path passes a broadcast SEMI-JOIN of the
+    * micro-batch's id frame, so the id set never collects to the driver
+    * or inflates into a literal predicate.
+    */
+  private[graft] def batchKwRawSel(docs: DataFrame,
+                                   selectQueries: DataFrame => DataFrame,
                                    nTerms: Int = BatchTerms): DataFrame = {
     val postings = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -322,7 +339,7 @@ object KeywordSearch {
     // df comes from the postings aggregate (rows are distinct (doc,term)
     // already) restricted by broadcast semi-join to the query docs'
     // terms — the full vocabulary is never distinct'd or counted
-    val qtoks = docs.filter(queryPred)
+    val qtoks = selectQueries(docs)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
     val qdict = postings

@@ -70,8 +70,30 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  val decisionLogOracle: String = {
+  /** Shared CTE fragments — the ONE SQL copy of the quality gate and the
+    * pair-closure chain, composed by BOTH [[oracle]] and
+    * [[decisionLogOracle]] (drift between the two oracles would silently
+    * weaken the gate).
+    */
+  private val qualityGateSql: String = {
     val stopEn = TextAnalysis.StopEn.map(w => s"'$w'").mkString(", ")
+    s"""(len(toks) >= 10 AND len(toks) <= 1000
+       |     AND len(list_filter(toks, t -> t IN ($stopEn))) > 0)""".stripMargin
+  }
+
+  private val closureCtesSql: String =
+    s"""pairs AS (SELECT d1, d2 FROM (${Dedup.minhashLshOracle})),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT d2 AS src, d1 AS dst FROM pairs),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.label
+       |  FROM reach r JOIN edges e ON r.doc_id = e.src)""".stripMargin
+
+  val decisionLogOracle: String = {
     val shingleSql =
       s"""CASE WHEN len(toks) >= 3
          |  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
@@ -81,19 +103,9 @@ object Pipeline {
        |  SELECT doc_id, source, ${TextAnalysis.sqlToks} AS toks FROM documents),
        |quality AS (
        |  SELECT doc_id,
-       |    (len(toks) >= 10 AND len(toks) <= 1000
-       |     AND len(list_filter(toks, t -> t IN ($stopEn))) > 0) AS quality_keep
+       |    $qualityGateSql AS quality_keep
        |  FROM toked),
-       |pairs AS (SELECT d1, d2 FROM (${Dedup.minhashLshOracle})),
-       |edges AS (
-       |  SELECT d1 AS src, d2 AS dst FROM pairs
-       |  UNION ALL
-       |  SELECT d2 AS src, d1 AS dst FROM pairs),
-       |reach AS (
-       |  SELECT doc_id, doc_id AS label FROM documents
-       |  UNION
-       |  SELECT e.dst AS doc_id, r.label
-       |  FROM reach r JOIN edges e ON r.doc_id = e.src),
+       |$closureCtesSql,
        |canon AS (
        |  SELECT doc_id, doc_id = min(label) AS is_canonical
        |  FROM reach GROUP BY doc_id),
@@ -124,24 +136,13 @@ object Pipeline {
   }
 
   val oracle: String = {
-    val stopEn = TextAnalysis.StopEn.map(w => s"'$w'").mkString(", ")
     s"""WITH RECURSIVE
        |toked AS (
        |  SELECT doc_id, source, ${TextAnalysis.sqlToks} AS toks FROM documents),
        |quality AS (
        |  SELECT doc_id FROM toked
-       |  WHERE len(toks) BETWEEN 10 AND 1000
-       |    AND len(list_filter(toks, t -> t IN ($stopEn))) > 0),
-       |pairs AS (SELECT d1, d2 FROM (${Dedup.minhashLshOracle})),
-       |edges AS (
-       |  SELECT d1 AS src, d2 AS dst FROM pairs
-       |  UNION ALL
-       |  SELECT d2 AS src, d1 AS dst FROM pairs),
-       |reach AS (
-       |  SELECT doc_id, doc_id AS label FROM documents
-       |  UNION
-       |  SELECT e.dst AS doc_id, r.label
-       |  FROM reach r JOIN edges e ON r.doc_id = e.src),
+       |  WHERE $qualityGateSql),
+       |$closureCtesSql,
        |canonical AS (
        |  SELECT doc_id FROM reach GROUP BY doc_id HAVING doc_id = min(label)),
        |clean AS (

@@ -227,27 +227,17 @@ object RetrievalEval {
   def labelPrecisionKwSql(stride: Int = KeywordSearch.BatchStride,
                           nTerms: Int = KeywordSearch.BatchTerms,
                           k: Int = KeywordSearch.BatchK): String =
-    s"""WITH embdocs AS (
-       |  SELECT d.doc_id, d.text
-       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
-       |${KeywordSearch.batchKwRawSqlCtes(stride, nTerms, "embdocs")},
-       |ranked AS (
-       |  SELECT q_id, doc_id,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS rn
-       |  FROM scored
-       |  QUALIFY rn <= $k),
-       |per_query AS (
-       |  SELECT q_id,
-       |    max(CASE WHEN e.label = q.label THEN 1 ELSE 0 END) AS hit,
-       |    min(CASE WHEN e.label = q.label THEN rn END) AS first_rel
-       |  FROM ranked
-       |  JOIN embeddings e ON ranked.doc_id = e.vec_id
-       |  JOIN embeddings q ON ranked.q_id = q.vec_id
-       |  GROUP BY q_id)
-       |SELECT count(*) AS n_queries,
-       |  round(avg(CAST(hit AS DOUBLE)), 4) AS hit_rate,
-       |  round(avg(coalesce(CAST(1.0 AS DOUBLE) / first_rel, CAST(0.0 AS DOUBLE))), 4) AS mrr
-       |FROM per_query""".stripMargin
+    // ONE copy of the metric tail (metricsSqlOver) — the ranked list is
+    // a nested-WITH subquery over the embedded-universe corpus
+    metricsSqlOver(
+      s"""WITH embdocs AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |${KeywordSearch.batchKwRawSqlCtes(stride, nTerms, "embdocs")}
+         |SELECT q_id, doc_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS rn
+         |FROM scored
+         |QUALIFY rn <= $k""".stripMargin)
 
   def query(s: SparkSession, dir: String): DataFrame =
     labelPrecision(Tables.embeddings(s, dir))

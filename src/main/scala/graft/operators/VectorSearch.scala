@@ -132,8 +132,15 @@ object VectorSearch {
     * loop over 1/4 the bytes.
     */
   def topKQuantized(embs: DataFrame, queryVecId: Long = QueryVecId,
-                    k: Int = TopK): DataFrame = {
-    val quant = quantize(embs)
+                    k: Int = TopK): DataFrame =
+    rankQuantized(quantize(embs), queryVecId, k)
+
+  /** The ONE copy of the quantized ranking contract — shared by the
+    * inline path and the materialized byte-code path (their common
+    * oracle pins them bitwise equal).
+    */
+  private def rankQuantized(quant: DataFrame, queryVecId: Long,
+                            k: Int): DataFrame = {
     val q = quant.filter(col("vec_id") === queryVecId)
       .select(col("qv").as("q_qv"))
     quant.filter(col("vec_id") =!= queryVecId)
@@ -168,15 +175,7 @@ object VectorSearch {
   def searchQuantizedMaterialized(s: SparkSession, dir: String): DataFrame = {
     val path = IndexCache.getOrBuild("sq8", dir)(
       writeQuantized(Tables.embeddings(s, dir), _))
-    val quant = s.read.parquet(path)
-    val q = quant.filter(col("vec_id") === QueryVecId)
-      .select(col("qv").as("q_qv"))
-    quant.filter(col("vec_id") =!= QueryVecId)
-      .join(broadcast(q))
-      .select(col("vec_id"), col("label"),
-        round(cosineSim(col("qv"), col("q_qv")), 4).as("score"))
-      .orderBy(desc("score"), asc("vec_id"))
-      .limit(TopK)
+    rankQuantized(s.read.parquet(path), QueryVecId, TopK)
   }
 
   val searchQuantizedOracle: String = {

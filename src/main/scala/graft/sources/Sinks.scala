@@ -84,16 +84,17 @@ object Sinks {
     */
   def writeZOrdered(df: DataFrame, ca: String, cb: String, path: String,
                     bits: Int = 12, files: Int = 16): Unit = {
-    val stats = df.agg(min(ca).as("amin"), max(ca).as("amax"),
-      min(cb).as("bmin"), max(cb).as("bmax"))
+    // bounds collected to literals: one pass over the input lineage and
+    // no synthetic stat columns joined in (at 100 TB pass fixed domain
+    // bounds here instead to keep appends stable)
+    val r = df.agg(min(ca).cast("double"), max(ca).cast("double"),
+      min(cb).cast("double"), max(cb).cast("double")).head()
     val n = (1L << bits) - 1
-    def bucketize(c: String, lo: String, hi: String): Column =
-      least(lit(n), ((col(c) - col(lo)).cast("double") /
-        greatest((col(hi) - col(lo)).cast("double"), lit(1.0)) * n).cast("long"))
-    df.join(broadcast(stats))
-      .withColumn("zv", zValue(bucketize(ca, "amin", "amax"),
-        bucketize(cb, "bmin", "bmax"), bits))
-      .drop("amin", "amax", "bmin", "bmax")
+    def bucketize(c: String, lo: Double, hi: Double): Column =
+      least(lit(n), ((col(c) - lo).cast("double") /
+        math.max(hi - lo, 1.0) * n).cast("long"))
+    df.withColumn("zv", zValue(bucketize(ca, r.getDouble(0), r.getDouble(1)),
+        bucketize(cb, r.getDouble(2), r.getDouble(3)), bits))
       .repartitionByRange(files, col("zv"))
       .sortWithinPartitions("zv")
       .write.mode("overwrite").parquet(path)

@@ -50,10 +50,14 @@ object ServeStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryIds.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ids = batch.select("q_id").collect().map(_.getLong(0))
-        if (ids.nonEmpty) {
-          val ranked = graft.operators.KeywordSearch.bm25BatchFor(
-            docs, col("doc_id").isin(ids: _*), k = k)
+        // the id set stays a distributed frame (broadcast semi-join) —
+        // a burst batch never collects to the driver or inflates into a
+        // literal In() predicate
+        val ids = batch.select(col("q_id")).na.drop().distinct()
+        if (!batch.isEmpty) {
+          val ranked = graft.operators.KeywordSearch.bm25BatchSel(
+            docs, _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
+            k = k)
           sink(ranked, batchId)
         }
       }
@@ -71,11 +75,13 @@ object ServeStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryIds.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ids = batch.select("q_id").collect().map(_.getLong(0))
-        if (ids.nonEmpty) {
-          val ranked = graft.operators.HybridSearch.fusedBatchFor(
-            docs, embs, col("vec_id").isin(ids: _*),
-            col("doc_id").isin(ids: _*), k = k)
+        val ids = batch.select(col("q_id")).na.drop().distinct()
+        if (!batch.isEmpty) {
+          val ranked = graft.operators.HybridSearch.fusedBatchSel(
+            docs, embs,
+            _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
+            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
+            k = k)
           sink(ranked, batchId)
         }
       }
