@@ -99,6 +99,20 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64) {
     HybridSearch.fusedWithQuery(docs, embs, requestTerms(request),
       requestVector(request), alpha, limit, filter)
 
+  /** v4 `near_object(uuid)` — seed the vector search with an EXISTING
+    * object's stored vector instead of embedding a request (the
+    * benchmark query `vector_search_topk` is exactly this shape).
+    */
+  def nearObject(vecId: Long, limit: Int = 10): DataFrame =
+    VectorSearch.topK(embs, vecId, limit)
+
+  /** `create_collection(name)` — register a frame as a queryable
+    * collection (temp view; the reference's schema config maps to the
+    * frame's own schema).
+    */
+  def createCollection(name: String, data: DataFrame): Unit =
+    data.createOrReplaceTempView(name)
+
   /** `get_doc_count(collection)` */
   def getDocCount(): Long = docs.count()
 

@@ -55,6 +55,21 @@ class GraftClientSpec extends SparkSpec {
     assert(hybridIds == vectorIds)
   }
 
+  test("nearObject seeds the search with the stored vector of an existing id") {
+    import graft.operators.VectorSearch
+    val viaClient = client.nearObject(VectorSearch.QueryVecId).collect().toSeq
+    val direct = VectorSearch.search(spark, TestSpark.Sf0001).collect().toSeq
+    assert(viaClient == direct && viaClient.nonEmpty)
+  }
+
+  test("createCollection registers a queryable view") {
+    client.createCollection("scratch_docs",
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001))
+    assert(spark.table("scratch_docs").count() == client.getDocCount())
+    assert(client.showAllCollections().contains("scratch_docs"))
+    graft.operators.Catalog.deleteCollection(spark, "scratch_docs")
+  }
+
   test("collection surface: doc count and catalog passthroughs") {
     assert(client.getDocCount() ==
       graft.sources.Tables.documents(spark, TestSpark.Sf0001).count())

@@ -25,6 +25,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean == raw)
   }
 
+  test("approx_count_distinct tracks exact vocabulary counts within rsd") {
+    // the 100 TB swap-in for exact distinct counts in corpus reports:
+    // HLL++ sketch aggregation (map-side partial merge, no distinct
+    // shuffle); error bounded by the configured rsd
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf001)
+    val toks = docs.select(explode(
+      graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val exact = toks.select(countDistinct("tok")).head().getLong(0)
+    val approx = toks.select(approx_count_distinct("tok", 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact) <= math.max(3, (exact * 0.06).toLong),
+      s"approx $approx vs exact $exact")
+    // same bound on a high-cardinality column
+    val exactIds = docs.select(countDistinct("doc_id")).head().getLong(0)
+    val approxIds = docs.select(approx_count_distinct("doc_id", 0.02)).head().getLong(0)
+    assert(math.abs(approxIds - exactIds) <= math.max(3, (exactIds * 0.06).toLong))
+  }
+
   test("bpe encode: merges apply in priority order with left-to-right semantics") {
     val docs = Seq(
       (0L, "fast table key row part stream")
