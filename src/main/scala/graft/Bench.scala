@@ -27,10 +27,23 @@ object Bench {
       }
       name -> times.sorted.apply(1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values keep the per-query map compact (the driver
+    // artifact stores a bounded stdout tail)
+    def f3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = f3(results.map(_._2).sum)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Full artifact to a file (the driver's stdout capture truncates to a
+    // tail, which loses the head of the per-query map — BENCH_full.json
+    // is the complete, parseable copy, committed per round).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_full.json"), line + "\n")
+    catch { case _: Throwable => }
+    println(line)
+    // Short trailer that survives tail-truncation intact: the totals
+    // parse even when the full line above is cut mid-map.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"detail":"BENCH_full.json"}""")
     spark.stop()
   }
 }

@@ -122,4 +122,10 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64) {
   /** `show_collection_properties(collection)` */
   def showCollectionProperties(name: String): DataFrame =
     Catalog.collectionProperties(spark, name)
+
+  /** `show_collection_config(collection)` (ref L131) — schema plus the
+    * engine's vectorizer/index settings for the collection.
+    */
+  def showCollectionConfig(name: String): DataFrame =
+    Catalog.collectionConfig(spark, name)
 }

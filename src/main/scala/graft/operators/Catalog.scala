@@ -24,6 +24,38 @@ object Catalog {
       .select(col("name"), col("dataType"), col("nullable"))
       .orderBy("name")
 
+  /** Full collection configuration (show_collection_config,
+    * weaviate_interface_v4.py:131): the vectorizer/index settings of a
+    * collection. In graft a collection's "config" is its schema plus the
+    * engine's search configuration — the vector column's dimension and
+    * distance metric, the coarse-index geometry (nlist/nprobe), and the
+    * BM25 parameters — one row per setting, alongside one row per
+    * property (mirroring the detailed `list_all` dict the reference
+    * returns).
+    */
+  def collectionConfig(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val df = spark.table(name)
+    val vecCol = df.schema.fields.find(_.dataType.typeName == "array")
+    val props = df.schema.fields.toSeq.map(f =>
+      ("property", f.name, f.dataType.simpleString))
+    val vecDim = vecCol.map { f =>
+      df.select(size(col(f.name))).head().getInt(0)
+    }
+    val cfg = Seq(
+      ("config", "collection", name),
+      ("config", "doc_count", df.count().toString),
+      ("config", "distance_metric", "cosine"),
+      ("config", "vector_index", "ivf"),
+      ("config", "ivf_nprobe", IvfIndex.NProbe.toString),
+      ("config", "bm25_k1", KeywordSearch.K1.toString),
+      ("config", "bm25_b", KeywordSearch.B.toString)) ++
+      vecCol.map(f => ("config", "vector_column", f.name)) ++
+      vecDim.map(d => ("config", "vector_dim", d.toString)) ++
+      props
+    cfg.toDF("kind", "key", "value").orderBy("kind", "key")
+  }
+
   /** Drop a collection registration (delete_collection). */
   def deleteCollection(spark: SparkSession, name: String): Boolean =
     spark.catalog.dropTempView(name)

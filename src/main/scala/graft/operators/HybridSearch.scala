@@ -239,29 +239,84 @@ object HybridSearch {
     // score with it)
     val kparts = KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms)
       .join(embs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "semi")
-    // Per-query normalization stats WITHOUT re-materializing the dense
-    // |corpus|×|queries| LEFT JOIN a second time (the join is not below
-    // an exchange both consumers share, so it would be computed per
-    // consumer — measured 2x the fan-out cost at sf0.1):
-    //  - vector min/max partial-aggregate straight off the cosine pass;
-    //  - keyword min/max derive from the SPARSE scored rows only. Docs
-    //    matching no query term carry an implicit kscore 0, so a query
-    //    matching fewer than n_corpus-1 docs clamps its range to include
-    //    0; a query with NO matching docs is all zeros.
-    val nCorpus = embs.agg(count(lit(1)).as("n_corpus"))
+    fuseTail(vparts, kparts, alpha, k)
+  }
+
+  /** Index-accelerated batch hybrid fusion — the serving-path form: the
+    * vector signal scans only each query's nprobe IVF cells
+    * ([[IvfIndex.batchProbedCells]]) instead of fanning every query over
+    * the whole corpus, and the keyword signal is restricted to the same
+    * pruned candidate set (a search system normalizes over what it
+    * retrieves). Fusion semantics are [[fusedBatchSel]]'s, with the
+    * candidate domain = the probed cells' vectors.
+    */
+  private[graft] def fusedBatchIvf(docs: DataFrame, embs: DataFrame,
+                                   stride: Int = KeywordSearch.BatchStride,
+                                   nTerms: Int = KeywordSearch.BatchTerms,
+                                   nprobe: Int = IvfIndex.NProbe,
+                                   alpha: Double = Alpha,
+                                   k: Int = BatchK): DataFrame =
+    fusedBatchIvfSel(docs, embs, _.filter(col("vec_id") % stride === 0),
+      _.filter(col("doc_id") % stride === 0), nTerms, nprobe, alpha, k)
+
+  private[graft] def fusedBatchIvfSel(docs: DataFrame, embs: DataFrame,
+                                      selectVecQueries: DataFrame => DataFrame,
+                                      selectDocQueries: DataFrame => DataFrame,
+                                      nTerms: Int = KeywordSearch.BatchTerms,
+                                      nprobe: Int = IvfIndex.NProbe,
+                                      alpha: Double = Alpha,
+                                      k: Int = BatchK): DataFrame = {
+    val queries = selectVecQueries(embs)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = IvfIndex.batchProbedCells(embs, queries, nprobe)
+    val vparts = embs.join(broadcast(probed), col("label") === col("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        cosineSim(col("embedding"), col("q_emb")).as("vscore"))
+    // keyword scores restricted to the PRUNED candidate pairs: a doc
+    // outside a query's probed cells contributes to neither fusion nor
+    // that query's normalization stats
+    val kparts = KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms)
+      .join(vparts.select(col("q_id"), col("doc_id")), Seq("q_id", "doc_id"), "semi")
+    fuseTail(vparts, kparts, alpha, k)
+  }
+
+  /** The ONE copy of the per-query normalize + fuse + rank tail, over an
+    * arbitrary candidate frame `vparts(q_id, doc_id, vscore)` and sparse
+    * keyword frame `kparts(q_id, doc_id, raw_score)` (⊆ vparts domain).
+    *
+    * Plan shape: `vparts` goes behind ONE explicit q_id exchange that
+    * every consumer reuses (stats aggregate, fusion join, and — on the
+    * IVF path — the candidate semi-join), so the dense cosine fan-out is
+    * computed and shuffled exactly once; q_id partitioning satisfies the
+    * (q_id, doc_id) join clustering and the final per-query heap, so
+    * nothing downstream re-exchanges. Stats aggregates reference the
+    * full (q_id, doc_id, score) column set on both legs — diverging
+    * column pruning would otherwise split the subtrees and defeat
+    * ReusedExchange (the span-profile lesson).
+    *
+    * Normalization: vector min/max over the candidate set; keyword
+    * min/max from the SPARSE matched rows, range clamped to include the
+    * implicit 0 whenever a candidate matched no query term
+    * (n_matched < n_cand), all-zeros when nothing matched.
+    */
+  private def fuseTail(vparts0: DataFrame, kparts: DataFrame,
+                       alpha: Double, k: Int): DataFrame = {
+    val vparts = vparts0.repartition(col("q_id"))
     val vstats = vparts.groupBy("q_id")
-      .agg(min("vscore").as("vmin"), max("vscore").as("vmax"))
+      .agg(min("vscore").as("vmin"), max("vscore").as("vmax"),
+        count(col("doc_id")).as("n_cand"))
     val kagg = kparts.groupBy("q_id")
       .agg(min("raw_score").as("krmin"), max("raw_score").as("krmax"),
-        count(lit(1)).as("n_matched"))
+        count(col("doc_id")).as("n_matched"))
     val qstats = vstats.join(kagg, Seq("q_id"), "left")
-      .join(broadcast(nCorpus))
       .select(col("q_id"), col("vmin"), col("vmax"),
         when(col("n_matched").isNull, lit(0.0))
-          .when(col("n_matched") < col("n_corpus") - 1, least(col("krmin"), lit(0.0)))
+          .when(col("n_matched") < col("n_cand"), least(col("krmin"), lit(0.0)))
           .otherwise(col("krmin")).as("kmin"),
         when(col("n_matched").isNull, lit(0.0))
-          .when(col("n_matched") < col("n_corpus") - 1, greatest(col("krmax"), lit(0.0)))
+          .when(col("n_matched") < col("n_cand"), greatest(col("krmax"), lit(0.0)))
           .otherwise(col("krmax")).as("kmax"))
     val joined = vparts.join(kparts, Seq("q_id", "doc_id"), "left")
       .withColumn("kscore", coalesce(col("raw_score"), lit(0.0)))
@@ -321,6 +376,55 @@ object HybridSearch {
     fusedBatch(Tables.documents(s, dir), Tables.embeddings(s, dir))
 
   val batchSearchOracle: String = fusedBatchSql()
+
+  /** Oracle for the IVF-pruned batch fusion: the keyword CTE chain and
+    * the per-query probed-cell CTEs compose; the candidate domain is the
+    * probed cells' vectors and — as in [[fusedBatchSql]] — the
+    * normalization stats derive from the coalesced joined frame, which
+    * is equivalent to the engine's sparse-stats + clamp formulation.
+    */
+  def fusedBatchIvfSql(stride: Int = KeywordSearch.BatchStride,
+                       nTerms: Int = KeywordSearch.BatchTerms,
+                       nprobe: Int = IvfIndex.NProbe,
+                       alpha: Double = Alpha, k: Int = BatchK): String =
+    s"""WITH ${KeywordSearch.batchKwRawSqlCtes(stride, nTerms)},
+       |${IvfIndex.batchProbedSqlCtes(s"vec_id % $stride = 0", nprobe)},
+       |vparts AS (
+       |  SELECT p.q_id, e.vec_id AS doc_id,
+       |    ${VectorSearch.cosineSql("e.embedding", "q.q_emb")} AS vscore
+       |  FROM embeddings e
+       |  JOIN probed p ON e.label = p.cell
+       |  JOIN queries q ON q.q_id = p.q_id
+       |  WHERE e.vec_id <> p.q_id),
+       |joined AS (
+       |  SELECT vparts.q_id, vparts.doc_id, vscore,
+       |    coalesce(raw_score, 0.0) AS kscore
+       |  FROM vparts LEFT JOIN scored
+       |    ON vparts.q_id = scored.q_id AND vparts.doc_id = scored.doc_id),
+       |qstats AS (
+       |  SELECT q_id, min(vscore) AS vmin, max(vscore) AS vmax,
+       |    min(kscore) AS kmin, max(kscore) AS kmax
+       |  FROM joined GROUP BY 1),
+       |fusedt AS (
+       |  SELECT q_id, doc_id,
+       |    round($alpha * (vscore - vmin) /
+       |            (CASE WHEN vmax = vmin THEN 1.0 ELSE vmax - vmin END)
+       |        + ${1 - alpha} * (kscore - kmin) /
+       |            (CASE WHEN kmax = kmin THEN 1.0 ELSE kmax - kmin END), 4) AS score
+       |  FROM joined JOIN qstats USING (q_id)),
+       |ranked AS (
+       |  SELECT q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+       |  FROM fusedt
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, doc_id, score
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+
+  def batchSearchIvf(s: SparkSession, dir: String): DataFrame =
+    fusedBatchIvf(Tables.documents(s, dir), Tables.embeddings(s, dir))
+
+  val batchSearchIvfOracle: String = fusedBatchIvfSql()
 
   def search(s: SparkSession, dir: String): DataFrame =
     fused(Tables.documents(s, dir), Tables.embeddings(s, dir),

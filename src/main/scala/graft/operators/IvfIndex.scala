@@ -140,6 +140,108 @@ object IvfIndex {
       .limit(k)
   }
 
+  // --- batch (multi-query) IVF search --------------------------------------
+
+  /** Per-query probed cells: (q_id, cell). The centroid table is nlist
+    * rows, so the ranking join is nlist × |queries| rows — tiny at any
+    * corpus scale (nlist=4096, 1k queries → 4M cheap rows); top-nprobe
+    * per query runs through the bounded heap.
+    */
+  def batchProbedCells(embs: DataFrame, queries: DataFrame,
+                       nprobe: Int = NProbe): DataFrame =
+    centroidArrays(embs).join(broadcast(queries))
+      .select(col("q_id"),
+        round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"),
+        col("cell"))
+      .groupBy("q_id")
+      .agg(topKByScore(col("cscore"), col("cell").cast("long"), nprobe).as("cells"))
+      .select(col("q_id"), explode(col("cells")).as("t"))
+      .select(col("q_id"), col("t.id").cast("int").as("cell"))
+
+  /** Multi-query IVF search — the INDEX-ACCELERATED serving/backfill
+    * path ([[VectorSearch.batchTopK]] is the brute-force form: every
+    * query scans the whole corpus; the continuously-running serving path
+    * must not). Each query is assigned its nprobe cells, the corpus
+    * joins the broadcast (q_id, cell) pairs on the cell key — scanning
+    * only nprobe/nlist of the data per query (and partition-pruning on
+    * disk when the corpus is the cell-partitioned materialized index) —
+    * then the existing per-query bounded heap ranks. Same output shape
+    * as [[VectorSearch.batchTopK]].
+    */
+  def batchSearchIvf(embs: DataFrame,
+                     selectQueries: DataFrame => DataFrame,
+                     nprobe: Int = NProbe,
+                     k: Int = VectorSearch.BatchK): DataFrame = {
+    val queries = selectQueries(embs)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = batchProbedCells(embs, queries, nprobe)
+    embs.join(broadcast(probed), col("label") === col("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("q_emb")).as("raw_score"))
+      .groupBy("q_id")
+      .agg(topKByScore(col("raw_score"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("vec_id"),
+        round(col("t.score"), 4).as("score"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Shared oracle CTEs for the per-query cell ranking (replays
+    * [[batchProbedCells]]: same centroid math, same 6dp rounding, same
+    * (cscore DESC, cell) tie order as the heap).
+    */
+  private[operators] def batchProbedSqlCtes(queriesWhere: String,
+                                            nprobe: Int): String =
+    s"""queries AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM embeddings WHERE $queriesWhere),
+       |cexp AS (
+       |  SELECT label AS cell, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS ev
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT cell, list(cv ORDER BY dim) AS centroid
+       |  FROM (SELECT cell, dim, avg(ev) AS cv FROM cexp GROUP BY 1, 2) t
+       |  GROUP BY cell),
+       |cscored AS (
+       |  SELECT q_id, cell,
+       |    round(${VectorSearch.cosineSql("centroid", "q_emb")}, 6) AS cscore
+       |  FROM cent, queries),
+       |probed AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cscore DESC, cell) AS crn
+       |    FROM cscored) t
+       |  WHERE crn <= $nprobe)""".stripMargin
+
+  def batchSearchIvfSql(stride: Int = VectorSearch.BatchStride,
+                        nprobe: Int = NProbe,
+                        k: Int = VectorSearch.BatchK): String =
+    s"""WITH ${batchProbedSqlCtes(s"vec_id % $stride = 0", nprobe)},
+       |scored AS (
+       |  SELECT p.q_id, e.vec_id,
+       |    ${VectorSearch.cosineSql("e.embedding", "q.q_emb")} AS raw_score
+       |  FROM embeddings e
+       |  JOIN probed p ON e.label = p.cell
+       |  JOIN queries q ON q.q_id = p.q_id
+       |  WHERE e.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, raw_score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, vec_id) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, vec_id, round(raw_score, 4) AS score
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+
+  def qBatchSearch(s: SparkSession, dir: String): DataFrame =
+    batchSearchIvf(Tables.embeddings(s, dir),
+      _.filter(col("vec_id") % VectorSearch.BatchStride === 0))
+
+  val qBatchSearchOracle: String = batchSearchIvfSql()
+
   /** Materialize the IVF index as CELL-PARTITIONED parquet: searches that
     * probe nprobe cells read only those directories (partition pruning at
     * the file-listing level — the 100 TB point of an IVF layout).

@@ -117,7 +117,9 @@ object ProductQuantizer {
 
   /** Approximate top-k by ascending ADC distance. The query vector is
     * looked up on the driver (one tiny collect — the serving analog is
-    * the embedded user query arriving as a literal).
+    * the embedded user query arriving as a literal). Output and ordering
+    * use the 6dp-rounded distance (vec_id tiebreak) so the DuckDB oracle
+    * replaying the same arithmetic ranks identically.
     */
   def searchAdc(embs: DataFrame, model: Model, queryVecId: Long,
                 k: Int = VectorSearch.TopK): DataFrame = {
@@ -126,7 +128,7 @@ object ProductQuantizer {
     val table = adcTable(model, q)
     encode(embs.filter(col("vec_id") =!= queryVecId), model)
       .select(col("vec_id"), col("label"),
-        Shims.column(PqAdcScore(Shims.expression(col("codes")), table)).as("adc"))
+        round(Shims.column(PqAdcScore(Shims.expression(col("codes")), table)), 6).as("adc"))
       .orderBy(asc("adc"), asc("vec_id"))
       .limit(k)
   }
@@ -138,22 +140,128 @@ object ProductQuantizer {
     * as in [[IvfIndex.search]]; swapping in the k-means assigner changes
     * nothing downstream.
     */
-  /** Driver-facing rows-only queries (no SQL oracle — seeded k-means
-    * codebooks aren't SQL-expressible; the spec suite carries the
-    * equivalence/recall proofs instead). Codebooks train on a 10%
-    * hash-stride SAMPLE — the production shape: PQ training reads a
-    * sliver, encoding streams the full corpus.
+  /** Driver-facing queries. Codebooks train on a 10% hash-stride SAMPLE
+    * — the production shape: PQ training reads a sliver, encoding
+    * streams the full corpus. The trained model is cached per source dir
+    * (standing-index semantics, cf. [[IndexCache]]) and its codebooks
+    * are embedded as literal values into the DuckDB oracle: training
+    * itself isn't SQL-expressible, but given the (deterministic,
+    * spec-pinned) codebooks, encode + ADC scoring are pure join +
+    * arithmetic the oracle replays exactly.
     */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+  @volatile private var lastDir: Option[String] = None
+
+  def modelFor(s: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    lastDir = Some(dir)
+    modelCache.computeIfAbsent(dir, _ =>
+      train(graft.sources.Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 10 === 0)))
+  }
+
   def qAdcSearch(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val e = graft.sources.Tables.embeddings(s, dir)
-    val model = train(e.filter(col("vec_id") % 10 === 0))
-    searchAdc(e, model, VectorSearch.QueryVecId)
+    searchAdc(e, modelFor(s, dir), VectorSearch.QueryVecId)
   }
 
   def qIvfAdcSearch(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val e = graft.sources.Tables.embeddings(s, dir)
-    val model = train(e.filter(col("vec_id") % 10 === 0))
-    searchIvfAdc(e, model, VectorSearch.QueryVecId)
+    searchIvfAdc(e, modelFor(s, dir), VectorSearch.QueryVecId)
+  }
+
+  // --- DuckDB oracle ---------------------------------------------------------
+
+  /** Codebooks of the most recently trained model as a SQL literal table
+    * `(j, c, cent DOUBLE[])`. [[graft.Verify]] dumps oracles AFTER
+    * running the queries, so the per-dir cache is populated; Double
+    * round-trips exactly through its shortest decimal representation.
+    */
+  private def codebookValues(model: Model): String =
+    model.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) =>
+        s"($j, $c, [${cent.mkString(", ")}])"
+      }
+    }.mkString(",\n    ")
+
+  private def currentModel: Option[Model] =
+    lastDir.flatMap(d => Option(modelCache.get(d)))
+
+  /** Shared oracle CTEs: literal codebooks, L2-normalized corpus, the
+    * query row, per-(vector, subspace) nearest-centroid encode (strict-<
+    * argmin == ORDER BY d2, c), the per-query ADC table, and the j-ordered
+    * table-lookup sum — every accumulation in the same sequential order
+    * as [[PqEncode]]/[[PqAdcScore]]/[[adcTable]].
+    */
+  private def adcCtes(model: Model, queryVecId: Long,
+                      distsExtra: String): String = {
+    val sub = model.dim / model.m
+    s"""cb AS (SELECT * FROM (VALUES
+       |    ${codebookValues(model)}) AS t(j, c, cent)),
+       |norm AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS e
+       |  FROM embeddings),
+       |q AS (SELECT e AS qe FROM norm WHERE vec_id = $queryVecId),
+       |dists AS (
+       |  SELECT vec_id, label, j, c,
+       |    list_sum(list_transform(range(1, ${sub + 1}), t ->
+       |      (e[j * $sub + t] - cent[t]) * (e[j * $sub + t] - cent[t]))) AS d2
+       |  FROM norm, cb
+       |  WHERE vec_id <> $queryVecId$distsExtra),
+       |enc AS (
+       |  SELECT vec_id, label, j, c,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn
+       |  FROM dists),
+       |tbl AS (
+       |  SELECT j, c,
+       |    list_sum(list_transform(range(1, ${sub + 1}), t ->
+       |      (qe[j * $sub + t] - cent[t]) * (qe[j * $sub + t] - cent[t]))) AS d2
+       |  FROM q, cb),
+       |adcs AS (
+       |  SELECT enc.vec_id, enc.label,
+       |    list_sum(list(tbl.d2 ORDER BY enc.j)) AS adc
+       |  FROM enc JOIN tbl ON enc.j = tbl.j AND enc.c = tbl.c
+       |  WHERE rn = 1
+       |  GROUP BY enc.vec_id, enc.label)""".stripMargin
+  }
+
+  private val emptyOracle = "SELECT 1 AS no_model WHERE 1 = 0"
+
+  def adcSearchOracle: String = currentModel.fold(emptyOracle) { model =>
+    s"""WITH ${adcCtes(model, VectorSearch.QueryVecId, "")}
+       |SELECT vec_id, label, round(adc, 6) AS adc
+       |FROM adcs
+       |ORDER BY round(adc, 6), vec_id
+       |LIMIT ${VectorSearch.TopK}""".stripMargin
+  }
+
+  /** IVF-PQ oracle: [[IvfIndex.searchSql]]'s centroid-ranking CTEs pick
+    * the nprobe cells, then the shared ADC pipeline scores only those
+    * cells' vectors.
+    */
+  def ivfAdcSearchOracle: String = currentModel.fold(emptyOracle) { model =>
+    val qid = VectorSearch.QueryVecId
+    s"""WITH rawq AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $qid),
+       |exploded AS (
+       |  SELECT label AS cell, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS ev
+       |  FROM embeddings),
+       |cent_long AS (
+       |  SELECT cell, dim, avg(ev) AS cv FROM exploded GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cell, list(cv ORDER BY dim) AS centroid FROM cent_long GROUP BY cell),
+       |probed AS (
+       |  SELECT cell FROM cent, rawq
+       |  ORDER BY round(${VectorSearch.cosineSql("centroid", "q_emb")}, 6) DESC, cell
+       |  LIMIT ${IvfIndex.NProbe}),
+       |${adcCtes(model, qid, "\n    AND label IN (SELECT cell FROM probed)")}
+       |SELECT vec_id, label, round(adc, 6) AS adc
+       |FROM adcs
+       |ORDER BY round(adc, 6), vec_id
+       |LIMIT ${VectorSearch.TopK}""".stripMargin
   }
 
   def searchIvfAdc(embs: DataFrame, model: Model, queryVecId: Long,
@@ -176,7 +284,7 @@ object ProductQuantizer {
       embs.filter(col("vec_id") =!= queryVecId)
         .join(broadcast(probed), col("label") === col("cell")), model)
       .select(col("vec_id"), col("label"),
-        Shims.column(PqAdcScore(Shims.expression(col("codes")), table)).as("adc"))
+        round(Shims.column(PqAdcScore(Shims.expression(col("codes")), table)), 6).as("adc"))
       .orderBy(asc("adc"), asc("vec_id"))
       .limit(k)
   }

@@ -32,6 +32,51 @@ object ServeStream {
       .groupBy("q_id")
       .agg(topKByScore(col("score"), col("vec_id"), k).as("top"))
 
+  /** INDEX-ACCELERATED micro-batch vector serving — the continuously-
+    * running path must not brute-force the corpus per query: each
+    * micro-batch's queries are assigned their nprobe IVF cells and only
+    * those cells' vectors are scanned
+    * ([[graft.operators.IvfIndex.batchSearchIvf]]). Cell assignment and
+    * global centroids are batch-split invariant, so a query's result is
+    * identical whichever micro-batch it arrives in.
+    */
+  def vectorServeIvf(queryIds: DataFrame, embs: DataFrame, nprobe: Int,
+                     k: Int)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryIds.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ids = batch.select(col("q_id")).na.drop().distinct()
+        if (!batch.isEmpty) {
+          val ranked = graft.operators.IvfIndex.batchSearchIvf(
+            embs, _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
+            nprobe, k)
+          sink(ranked, batchId)
+        }
+      }
+      .start()
+
+  /** INDEX-ACCELERATED micro-batch hybrid serving — [[hybridServe]] with
+    * the vector leg pruned to each query's nprobe cells and the keyword
+    * leg restricted to the same candidate set
+    * ([[graft.operators.HybridSearch.fusedBatchIvfSel]]).
+    */
+  def hybridServeIvf(queryIds: DataFrame, docs: DataFrame, embs: DataFrame,
+                     nprobe: Int, k: Int)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryIds.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ids = batch.select(col("q_id")).na.drop().distinct()
+        if (!batch.isEmpty) {
+          val ranked = graft.operators.HybridSearch.fusedBatchIvfSel(
+            docs, embs,
+            _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
+            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
+            nprobe = nprobe, k = k)
+          sink(ranked, batchId)
+        }
+      }
+      .start()
+
   /** Micro-batch KEYWORD serving — the streaming twin of
     * [[graft.operators.KeywordSearch.bm25Batch]]. BM25 is a multi-stage
     * plan (postings build, query-term df, per-pair reduce, per-query

@@ -23,6 +23,22 @@ class CatalogSpec extends SparkSpec {
     Tables.registerAll(spark, TestSpark.Sf0001)
   }
 
+  test("show_collection_config: schema properties plus engine search settings") {
+    Tables.registerAll(spark, TestSpark.Sf0001)
+    val cfg = Catalog.collectionConfig(spark, "embeddings").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(cfg(("config", "collection")) == "embeddings")
+    assert(cfg(("config", "distance_metric")) == "cosine")
+    assert(cfg(("config", "vector_column")) == "embedding")
+    assert(cfg(("config", "vector_dim")) == "64")
+    assert(cfg(("config", "bm25_k1")) == "1.2")
+    assert(cfg(("property", "vec_id")) == "bigint")
+    // the client facade surfaces the same frame
+    val viaClient = new GraftClient(spark, TestSpark.Sf0001)
+      .showCollectionConfig("embeddings").collect()
+    assert(viaClient.length == cfg.size)
+  }
+
   test("fetch_objects page: sorted page equals the offset slice of the full sort") {
     import org.apache.spark.sql.functions._
     val page = Catalog.fetchObjectsPage(spark, TestSpark.Sf0001).collect()

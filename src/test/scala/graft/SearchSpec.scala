@@ -477,6 +477,51 @@ class SearchSpec extends SparkSpec {
       math.rint(Reranker.MmrLambda * top.getAs[Double]("score") * 1e4) / 1e4)
   }
 
+  test("batch ivf at full probe equals the brute-force batch vector search") {
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val nlist = embs.select("label").distinct().count().toInt
+    val ivf = IvfIndex.batchSearchIvf(embs,
+      _.filter(col("vec_id") % VectorSearch.BatchStride === 0), nprobe = nlist)
+      .collect().map(_.toSeq)
+    val brute = VectorSearch.batchTopK(embs).collect().map(_.toSeq)
+    assert(ivf.toSeq == brute.toSeq) // probing every cell = no pruning
+  }
+
+  test("batch ivf at nprobe<nlist: results come only from probed cells, recall holds") {
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val queries = embs.filter(col("vec_id") % VectorSearch.BatchStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = IvfIndex.batchProbedCells(embs, queries, IvfIndex.NProbe)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(probed.values.forall(_.size <= IvfIndex.NProbe))
+    val labels = embs.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ivf = IvfIndex.batchSearchIvf(embs,
+      _.filter(col("vec_id") % VectorSearch.BatchStride === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(ivf.forall { case (q, v) => probed(q).contains(labels(v)) })
+    // recall vs brute force — pruned search still finds most true neighbors
+    val brute = VectorSearch.batchTopK(embs)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // synthetic sf0.001 labels are uncorrelated with cosine geometry, so
+    // expected recall is only ≈ nprobe/nlist (0.3) — the floor guards
+    // against a broken probe (≈0), not against the data's cell quality
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    info(f"batch ivf recall@${VectorSearch.BatchK} = $recall%.2f")
+    assert(recall >= 0.1, f"batch ivf recall collapsed: $recall%.2f")
+  }
+
+  test("batch hybrid ivf at full probe equals the brute-force batch hybrid") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val nlist = embs.select("label").distinct().count().toInt
+    val ivf = HybridSearch.fusedBatchIvf(docs, embs, nprobe = nlist)
+      .collect().map(_.toSeq)
+    val brute = HybridSearch.fusedBatch(docs, embs).collect().map(_.toSeq)
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
   test("multifield bm25: single text field at weight 1 reduces to plain bm25") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
     val terms = KeywordSearch.QueryTerms
