@@ -1,0 +1,358 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text2SQL pipeline — the Spark-native counterpart of the reference's
+  * notebook 8 (`notebooks/8-Text2SQL_Week3.ipynb`): a metadata table
+  * (`huberman(id, guests, titles, summaries, view_counts)` in sqlite
+  * there, a derived view over `documents` here), a query ROUTER deciding
+  * sql-vs-regular per request (the notebook's semantic_router — here a
+  * deterministic nearest-centroid router over hashed character trigrams,
+  * trained on the notebook's own route exemplars), and SQL generation +
+  * execution for the sql route (the LLM slot — here a deterministic
+  * template translator covering the reference's training-question
+  * families; a served LLM drops into [[translate]] without changing the
+  * execution surface, which is [[graft.GraftSession.sql]]).
+  *
+  * The driver suite executes the reference's OWN workload: a
+  * deterministic stride sample of `data/rl_sql_train_queries.json`
+  * (300 NL questions), each routed, translated, and executed through
+  * `spark.sql`; the DuckDB oracle executes the SAME generated SQL text
+  * independently, so the correctness gate proves the engine and DuckDB
+  * agree on every generated query's full result set (row count + an
+  * order-independent md5 checksum over canonical row strings).
+  */
+object Text2Sql {
+
+  val QueriesPath = "/root/reference/data/rl_sql_train_queries.json"
+  val SampleStride = 8
+
+  // --- the metadata table ---------------------------------------------------
+
+  /** `huberman` derived deterministically from `documents`: guest ←
+    * source (the filterable metadata analog), title ← synthesized
+    * headline (id + leading words), summary ← text, view_count ← scaled
+    * n_chars. Both engines build it from the same parquet, so generated
+    * SQL over the view is comparable.
+    */
+  def huberman(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("id"),
+      col("source").as("guest"),
+      concat(lit("Episode "), col("doc_id").cast("string"), lit(": "),
+        array_join(slice(split(col("text"), " "), 1, 8), " ")).as("title"),
+      col("text").as("summary"),
+      (col("n_chars") * 97L).cast("bigint").as("view_count"))
+
+  /** The same view as a DuckDB CTE (dialect differs only here — the
+    * generated per-question SQL is engine-portable and runs verbatim).
+    */
+  val hubermanCte: String =
+    """huberman AS (
+      |  SELECT doc_id AS id, source AS guest,
+      |    'Episode ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |      array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS title,
+      |    text AS summary,
+      |    CAST(n_chars * 97 AS BIGINT) AS view_count
+      |  FROM documents)""".stripMargin
+
+  // --- the router -----------------------------------------------------------
+
+  /** Deterministic semantic-router stand-in: hashed character-trigram
+    * bag vectors, one centroid per route from the notebook's route
+    * exemplars (notebook 8, `example_sql_queries` /
+    * `example_regular_queries`), nearest centroid by cosine. Replaces
+    * the reference's trained semantic_router layer; same decision
+    * surface (sql | regular), fully reproducible.
+    */
+  object Router {
+    private val SqlExemplars = Seq(
+      "What are the titles of all the episodes featuring Andrew Huberman?",
+      "How many episodes have a summary that mentions \"neuroscience\"?",
+      "List the guests who have appeared on the podcast more than once.",
+      "What is the title of the most viewed episode?",
+      "How many episodes have over 100,000 views?")
+    private val RegularExemplars = Seq(
+      "What conclusions are drawn about the impact of REM sleep on learning and memory consolidation?",
+      "What dietary strategies does Dr. Rhonda Patrick discuss to enhance cognitive function and delay neurodegenerative diseases?",
+      "What insights does Dr. Andrew Huberman provide about the role of breathwork in modulating the stress response?",
+      "What key takeaways does Dr. Peter Attia provide about exercise and its effects on brain health in his episode on longevity?",
+      "What is the difference between healthspan and longevity?")
+
+    private val D = 512
+
+    private def vec(s: String): Array[Double] = {
+      val t = "  " + s.toLowerCase.replaceAll("[^a-z0-9 ]", " ") + "  "
+      val v = new Array[Double](D)
+      var i = 0
+      while (i + 3 <= t.length) {
+        val h = math.floorMod(
+          scala.util.hashing.MurmurHash3.stringHash(t.substring(i, i + 3), 42), D)
+        v(h) += 1.0
+        i += 1
+      }
+      v
+    }
+
+    private def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+
+    private def centroid(xs: Seq[String]): Array[Double] = {
+      val us = xs.map(x => unit(vec(x)))
+      Array.tabulate(D)(i => us.map(_(i)).sum / us.length)
+    }
+
+    private lazy val sqlC = centroid(SqlExemplars)
+    private lazy val regC = centroid(RegularExemplars)
+
+    private def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+
+    /** "sql" or "regular"; ties break to "sql" (the cheaper wrong path —
+      * a misrouted regular question returns rows instead of prose).
+      */
+    def route(q: String): String = {
+      val v = vec(q)
+      if (cos(v, sqlC) >= cos(v, regC)) "sql" else "regular"
+    }
+  }
+
+  // --- the translator (the LLM slot) ----------------------------------------
+
+  /** One generated query: engine-portable SQL over `huberman`, plus the
+    * output column list (used to build the canonical row string the
+    * checksum hashes).
+    */
+  case class Generated(sql: String, cols: Seq[String])
+
+  private def esc(s: String): String = s.replace("'", "''")
+
+  private def num(s: String): Long = s.replace(",", "").toLong
+
+  /** Deterministic template translator over the reference training set's
+    * question families (counts / averages / totals / max / top-N /
+    * listings over title, summary, guest, view_count predicates). Pure
+    * string rules — the stand-in occupying the reference's
+    * text-generation LLM slot; unrecognized questions return None
+    * (surfaced as `sql_unparsed`, the honest "model could not answer").
+    * Only portable constructs are emitted (lower/LIKE/length, COUNT /
+    * SUM / AVG / MAX, GROUP BY / HAVING, ORDER BY + LIMIT, casts to
+    * DECIMAL / BIGINT) so the SAME text runs in Spark SQL and DuckDB.
+    */
+  def translate(question: String): Option[Generated] = {
+    val q = question.trim
+    val ql = q.toLowerCase
+    // concepts the metadata table does not model
+    if (ql.matches(".*\\b(released|release date|last year|last month|duration|minutes|this year|date)\\b.*"))
+      return None
+
+    // ---- predicates ----
+    val terms = "\"([^\"]+)\"".r.findAllMatchIn(q)
+      .map(_.group(1).replaceAll("[.,!?]+$", "").toLowerCase).toList
+    val guest = "featuring ([A-Z][A-Za-z.\\- ]+?)(?: discussing| in |\\?|$|,)".r
+      .findFirstMatchIn(q).map(_.group(1).trim.replaceAll("[.,?]+$", ""))
+
+    val preds = scala.collection.mutable.ListBuffer.empty[String]
+    guest.foreach(g => preds += s"guest = '${esc(g)}'")
+
+    def like(col: String, t: String) = s"lower($col) LIKE '%${esc(t)}%'"
+    terms.foreach { t =>
+      val p =
+        if (ql.contains("in both title and summary") || ql.contains("in the title and summary") ||
+            ql.contains("in their title and summary") || ql.contains("in the title and the summary"))
+          s"(${like("title", t)} AND ${like("summary", t)})"
+        else if (ql.contains("in the title or summary") || ql.contains("in the title or the summary"))
+          s"(${like("title", t)} OR ${like("summary", t)})"
+        else if (ql.contains("in the summary but not in the title"))
+          s"(${like("summary", t)} AND NOT ${like("title", t)})"
+        else if (ql.contains("in the title but not in the summary"))
+          s"(${like("title", t)} AND NOT ${like("summary", t)})"
+        else if (ql.contains("in the title") || ql.contains("in their title") ||
+                 ql.contains("in its title") || ql.contains("title containing") ||
+                 ql.contains("titles containing") || ql.contains("titles mentioning") ||
+                 ql.contains("title mentioning") || ql.contains(s"""with "${t}" in the title""") ||
+                 ql.contains("in titles"))
+          like("title", t)
+        else
+          like("summary", t)
+      preds += p
+    }
+
+    if (ql.contains("ending with a question mark")) preds += "title LIKE '%?'"
+
+    val cmp = "(more than|over|at least|less than|fewer than|under) ([\\d,]+) (?:views|view counts?)".r
+    cmp.findAllMatchIn(ql).foreach { m =>
+      val op = m.group(1) match {
+        case "more than" | "over" => ">"
+        case "at least" => ">="
+        case _ => "<"
+      }
+      preds += s"view_count $op ${num(m.group(2))}"
+    }
+    "view counts? (less|more) than ([\\d,]+)".r.findFirstMatchIn(ql).foreach { m =>
+      val op = if (m.group(1) == "less") "<" else ">"
+      preds += s"view_count $op ${num(m.group(2))}"
+    }
+    "view counts? between ([\\d,]+) and ([\\d,]+)".r.findFirstMatchIn(ql).foreach { m =>
+      preds += s"view_count BETWEEN ${num(m.group(1))} AND ${num(m.group(2))}"
+    }
+
+    val where = if (preds.isEmpty) "" else "\nWHERE " + preds.distinct.mkString("\n  AND ")
+
+    // ---- projection / aggregate (first match wins) ----
+    val topN = "top ([\\d,]+) most viewed".r.findFirstMatchIn(ql).map(m => num(m.group(1)))
+
+    def gen: Option[Generated] =
+      if (ql.contains("how many guests") || ql.contains("total number of guests"))
+        Some(Generated(s"SELECT count(DISTINCT guest) AS n FROM huberman$where", Seq("n")))
+      else if (ql.startsWith("how many") || ql.contains("total number of episodes"))
+        Some(Generated(s"SELECT count(*) AS n FROM huberman$where", Seq("n")))
+      else if (ql.contains("average length of episode summaries") || ql.contains("average summary length"))
+        Some(Generated(
+          s"SELECT CAST(round(avg(length(summary)), 1) AS DECIMAL(18,1)) AS avg_len FROM huberman$where",
+          Seq("avg_len")))
+      else if (ql.contains("average view count"))
+        Some(Generated(
+          s"SELECT CAST(round(avg(view_count), 1) AS DECIMAL(18,1)) AS avg_views FROM huberman$where",
+          Seq("avg_views")))
+      else if (ql.contains("total view count") || ql.contains("total views"))
+        Some(Generated(
+          s"SELECT CAST(coalesce(sum(view_count), 0) AS BIGINT) AS total_views FROM huberman$where",
+          Seq("total_views")))
+      else if (ql.contains("highest view count") || ql.contains("maximum view count"))
+        Some(Generated(
+          s"SELECT CAST(coalesce(max(view_count), 0) AS BIGINT) AS max_views FROM huberman$where",
+          Seq("max_views")))
+      else if (topN.isDefined)
+        Some(Generated(
+          s"SELECT title FROM huberman$where\nORDER BY view_count DESC, id LIMIT ${topN.get}",
+          Seq("title")))
+      else if (ql.contains("most viewed episode"))
+        Some(Generated(
+          s"SELECT title FROM huberman$where\nORDER BY view_count DESC, id LIMIT 1",
+          Seq("title")))
+      else if (ql.contains("guests who have appeared") && ql.contains("more than once"))
+        Some(Generated(
+          s"SELECT guest FROM huberman$where\nGROUP BY guest HAVING count(*) > 1",
+          Seq("guest")))
+      else if (ql.contains("list the guests") || ql.contains("guests who appeared") ||
+               ql.contains("which guests") || ql.contains("what are the guests"))
+        Some(Generated(s"SELECT DISTINCT guest FROM huberman$where", Seq("guest")))
+      else if (ql.contains("titles and view counts") || ql.contains("titles and the view counts"))
+        Some(Generated(s"SELECT id, title, view_count FROM huberman$where",
+          Seq("id", "title", "view_count")))
+      else if (ql.contains("view counts of") || ql.contains("view count of episodes") ||
+               ql.contains("list the view counts"))
+        Some(Generated(s"SELECT id, title, view_count FROM huberman$where",
+          Seq("id", "title", "view_count")))
+      else if (ql.contains("summaries of"))
+        Some(Generated(s"SELECT id, summary FROM huberman$where", Seq("id", "summary")))
+      else if (ql.contains("titles of") || ql.startsWith("list") ||
+               ql.startsWith("which episodes") || ql.startsWith("what episodes") ||
+               ql.contains("episodes have") || ql.contains("episodes feature"))
+        Some(Generated(s"SELECT id, title FROM huberman$where", Seq("id", "title")))
+      else None
+
+    // a bare listing with no recognized predicate at all would be a
+    // whole-table dump with no question-specific semantics — treat as
+    // not understood (except explicit aggregates, which are meaningful
+    // corpus-wide)
+    gen.filter(g => preds.nonEmpty || topN.isDefined ||
+      g.cols == Seq("n") || ql.contains("guests") ||
+      ql.contains("most viewed") || ql.contains("average"))
+  }
+
+  // --- checksum wrappers (per-engine dialect around portable SQL) -----------
+
+  private def rowStr(cols: Seq[String]): String =
+    s"concat_ws('|', ${cols.map(c => s"CAST($c AS STRING)").mkString(", ")})"
+
+  /** First 32 md5 bits per row, summed order-independently. */
+  def sparkWrap(g: Generated): String =
+    s"""SELECT count(*) AS n_rows,
+       |  CAST(coalesce(sum(CAST(conv(substr(md5(rowstr), 1, 8), 16, 10) AS BIGINT)), 0) AS BIGINT) AS checksum
+       |FROM (SELECT ${rowStr(g.cols)} AS rowstr FROM (
+       |${g.sql}
+       |) t) u""".stripMargin
+
+  def duckWrap(g: Generated): String =
+    s"""SELECT count(*) AS n_rows,
+       |  CAST(coalesce(sum(CAST('0x' || substring(md5(rowstr), 1, 8) AS BIGINT)), 0) AS BIGINT) AS checksum
+       |FROM (SELECT ${rowStr(g.cols)} AS rowstr FROM (
+       |${g.sql}
+       |) t) u""".stripMargin
+
+  // --- the driver suite -----------------------------------------------------
+
+  case class Entry(qid: Int, question: String, route: String, gen: Option[Generated])
+
+  private def loadQuestions(): Seq[(Int, String)] = {
+    val f = new java.io.File(QueriesPath)
+    if (f.exists()) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(f)
+      (0 until node.size()).map(i => i -> node.get(i).asText())
+    } else {
+      // offline fallback: synthetic questions in the same template families
+      Seq(
+        "How many episodes have \"the\" in their summary?",
+        "What is the average view count of episodes discussing \"data\"?",
+        "What is the title of the most viewed episode?",
+        "List the guests who have appeared on the podcast more than once.",
+        "What are the titles of the top 5 most viewed episodes?").zipWithIndex.map(_.swap)
+    }
+  }
+
+  /** The deterministic workload sample: every [[SampleStride]]-th
+    * question, routed and translated ONCE (queries and oracle derive
+    * from the same pass, so they agree by construction — the oracle then
+    * re-executes the generated SQL independently in DuckDB).
+    */
+  lazy val entries: Seq[Entry] =
+    loadQuestions().filter(_._1 % SampleStride == 0).map { case (i, q) =>
+      Router.route(q) match {
+        case "regular" => Entry(i, q, "regular", None)
+        case _ =>
+          val g = translate(q)
+          Entry(i, q, if (g.isDefined) "sql" else "sql_unparsed", g)
+      }
+    }
+
+  private def legSql(e: Entry, wrap: Generated => String): String =
+    e.gen match {
+      case Some(g) =>
+        s"""SELECT ${e.qid} AS qid, 'sql' AS route, n_rows, checksum FROM (
+           |${wrap(g)}
+           |) w_${e.qid}""".stripMargin
+      case None =>
+        s"SELECT ${e.qid} AS qid, '${e.route}' AS route, CAST(-1 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS checksum"
+    }
+
+  /** Driver query: run the reference's Text2SQL workload through the
+    * engine. One row per sampled question: its route and, for executed
+    * SQL, the full-result row count and order-independent checksum. All
+    * generated queries execute as ONE union plan through the SQL
+    * passthrough surface — no driver-side result loop.
+    */
+  def qSuite(s: SparkSession, dir: String): DataFrame = {
+    huberman(s, dir).createOrReplaceTempView("huberman")
+    graft.GraftSession.sql(s,
+      entries.map(legSql(_, sparkWrap)).mkString("\nUNION ALL\n") + "\nORDER BY qid")
+  }
+
+  /** The DuckDB oracle: one statement — the huberman CTE plus a UNION ALL
+    * leg per sampled question (generated SQL re-executed verbatim;
+    * non-sql rows as literals).
+    */
+  def suiteOracle: String =
+    s"""WITH $hubermanCte
+       |${entries.map(legSql(_, duckWrap)).mkString("\nUNION ALL\n")}
+       |ORDER BY qid""".stripMargin
+}

@@ -77,6 +77,37 @@ object EventsStream {
         col("m.ts_s").as("last_ts_s"), col("m.event_id").as("last_event_id"),
         round(col("m.value"), 2).as("last_value"))
 
+  /** Run a streaming frame to completion over the available input (one
+    * AvailableNow pass through a memory sink) and return the result —
+    * the harness that puts streaming twins under the driver's DuckDB
+    * oracle gate: the streamed result must hash-match the BATCH twin's
+    * oracle SQL.
+    */
+  private[graft] def runToFrame(spark: SparkSession, streamed: DataFrame,
+                                name: String,
+                                mode: String = "complete"): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  /** Driver query: the streaming latest-key compaction (40e) over the
+    * events file-stream; oracle = the batch CDC compaction's SQL
+    * ([[graft.operators.Events.latestOracle]]).
+    */
+  def qStreamLatest(s: SparkSession, dir: String): DataFrame =
+    runToFrame(s, latest(readEvents(s, dir)), "stream_latest_drv")
+
+  /** Driver query: the streaming hourly windowed aggregation (37);
+    * oracle = the batch time-bucketing SQL
+    * ([[graft.operators.Events.hourlyOracle]]).
+    */
+  def qStreamHourly(s: SparkSession, dir: String): DataFrame =
+    runToFrame(s, hourly(readEvents(s, dir)), "stream_hourly_drv")
+
   case class Ev(user_id: Long, ts_s: Long)
   case class SessState(sessionId: Long, firstTs: Long, lastTs: Long, n: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_s: Long)

@@ -21,6 +21,42 @@ import org.apache.spark.sql.functions._
   */
 object ServeStream {
 
+  /** Driver query: one micro-batch of hybrid serving under the DuckDB
+    * oracle gate. The benchmark query-id set arrives as a memory STREAM,
+    * [[hybridServe]] runs its foreachBatch fusion, and the sink's frame
+    * is returned — because fused scores are batch-split invariant, a
+    * single batch containing the stride queries must hash-match the
+    * BATCH fusion's oracle ([[graft.operators.HybridSearch.batchSearchOracle]]).
+    */
+  def qStreamHybridServe(s: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = graft.sources.Tables.documents(s, dir)
+    val embs = graft.sources.Tables.embeddings(s, dir)
+    // the harness feeds the stream the benchmark query ids (a bounded
+    // driver-side list by construction — the serving plan itself keeps
+    // the id set distributed via the broadcast semi-join)
+    val ids = embs.filter(col("vec_id") % graft.operators.KeywordSearch.BatchStride === 0)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    val input = MemoryStream[Long]
+    val holder = new java.util.concurrent.atomic.AtomicReference[Array[org.apache.spark.sql.Row]](Array.empty)
+    val q = hybridServe(input.toDF().select(col("value").as("q_id")),
+      docs, embs, graft.operators.HybridSearch.BatchK) { (ranked, _) =>
+      holder.set(ranked.collect())
+    }
+    input.addData(ids: _*)
+    q.processAllAvailable(); q.stop()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rn", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(java.util.Arrays.asList(holder.get(): _*), schema)
+      .orderBy("q_id", "rn")
+  }
+
   /** queries(q_id, q_emb) stream × corpus(vec_id, embedding) static →
     * per-query bounded top-k, continuously updated.
     */

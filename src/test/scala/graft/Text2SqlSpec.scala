@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Text2Sql
+
+class Text2SqlSpec extends SparkSpec {
+
+  test("router separates the notebook's sql and regular exemplars") {
+    // the notebook-8 route examples (train==test for the centroid router,
+    // but a collapsed router would still misroute one side)
+    assert(Text2Sql.Router.route("How many episodes have over 100,000 views?") == "sql")
+    assert(Text2Sql.Router.route("What is the title of the most viewed episode?") == "sql")
+    assert(Text2Sql.Router.route(
+      "What is the difference between healthspan and longevity?") == "regular")
+    assert(Text2Sql.Router.route(
+      "What insights does Dr. Andrew Huberman provide about the role of breathwork in modulating the stress response?") == "regular")
+  }
+
+  test("translator covers the training-set template families") {
+    def sqlOf(q: String): String = Text2Sql.translate(q).get.sql
+    assert(sqlOf("""How many episodes have "exercise" mentioned in their summary?""")
+      .contains("lower(summary) LIKE '%exercise%'"))
+    assert(sqlOf("""How many episodes have "exercise" mentioned in their summary?""")
+      .startsWith("SELECT count(*)"))
+    assert(sqlOf("What are the titles of all the episodes featuring Andrew Huberman?")
+      .contains("guest = 'Andrew Huberman'"))
+    val both = sqlOf("""Which episodes have the word "nutrition" in both title and summary?""")
+    assert(both.contains("lower(title) LIKE '%nutrition%'") &&
+      both.contains("lower(summary) LIKE '%nutrition%'"))
+    assert(sqlOf("How many episodes have view counts less than 10,000?")
+      .contains("view_count < 10000"))
+    assert(sqlOf("What are the titles of the top 5 most viewed episodes?")
+      .contains("ORDER BY view_count DESC, id LIMIT 5"))
+    assert(sqlOf("How many guests have appeared on the podcast?")
+      .contains("count(DISTINCT guest)"))
+    assert(sqlOf("""What is the average view count for episodes with "biohacking" in the title?""")
+      .contains("avg(view_count)"))
+    // un-modeled concepts are refused, not guessed
+    assert(Text2Sql.translate(
+      "List the titles of episodes that were released in the last year.").isEmpty)
+  }
+
+  test("suite runs the sampled reference workload end to end") {
+    val df = Text2Sql.qSuite(spark, TestSpark.Sf0001)
+    val rows = df.collect()
+    assert(rows.length == Text2Sql.entries.length)
+    val executed = rows.filter(_.getString(1) == "sql")
+    // most of the rl_sql training sample should route AND translate
+    assert(executed.length >= rows.length / 2,
+      s"only ${executed.length}/${rows.length} questions executed as SQL")
+    // executed queries report real counts (n_rows >= 0)
+    assert(executed.forall(_.getLong(2) >= 0))
+    info(s"${executed.length}/${rows.length} sampled questions executed as SQL")
+  }
+}
