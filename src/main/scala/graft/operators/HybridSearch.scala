@@ -303,7 +303,15 @@ object HybridSearch {
     */
   private def fuseTail(vparts0: DataFrame, kparts: DataFrame,
                        alpha: Double, k: Int): DataFrame = {
-    val vparts = vparts0.repartition(col("q_id"))
+    // (q_id, doc_id) — NOT q_id alone: the fan-out holds ~|corpus| rows
+    // per query, so single-key partitioning would put a whole corpus
+    // copy on one task. The explicit not-null filters keep every
+    // consumer's subtree canonically identical (the join branch would
+    // otherwise push IsNotNull below the exchange asymmetrically and
+    // defeat ReusedExchange — the recorded lm-bigram failure mode).
+    val vparts = vparts0
+      .filter(col("q_id").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("q_id"), col("doc_id"))
     val vstats = vparts.groupBy("q_id")
       .agg(min("vscore").as("vmin"), max("vscore").as("vmax"),
         count(col("doc_id")).as("n_cand"))

@@ -328,6 +328,13 @@ object KeywordSearch {
   private[graft] def batchKwRawSel(docs: DataFrame,
                                    selectQueries: DataFrame => DataFrame,
                                    nTerms: Int = BatchTerms): DataFrame = {
+    // An explicit shared raw-token exchange was measured here and
+    // REJECTED: it deduplicates the tokenize passes but ships exploded
+    // tokens without map-side combine — on repetitive vocabularies
+    // (exactly what dirty web corpora look like) that multiplies the
+    // shuffle volume by the per-doc token duplication factor. The
+    // independent passes below keep every shuffle partially aggregated;
+    // each pass is map-side over the scan.
     val postings = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
