@@ -36,10 +36,15 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Full artifact to a file (the driver's stdout capture truncates to a
     // tail, which loses the head of the per-query map — BENCH_full.json
-    // is the complete, parseable copy, committed per round).
+    // is the complete, parseable copy, committed per round). Written to
+    // the working directory; a failure is reported, never swallowed into
+    // a silently-stale artifact.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_full.json"), line + "\n")
-    catch { case _: Throwable => }
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_full.json"),
+      line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_full.json: $e")
+    }
     println(line)
     // Short trailer that survives tail-truncation intact: the totals
     // parse even when the full line above is cut mid-map.

@@ -34,17 +34,25 @@ object Catalog {
     * returns).
     */
   def collectionConfig(spark: SparkSession, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, NumericType}
     import spark.implicits._
     val df = spark.table(name)
-    val vecCol = df.schema.fields.find(_.dataType.typeName == "array")
+    // the vector column is the first NUMERIC array (a token array<string>
+    // must not be reported as the vectorizer output)
+    val vecCol = df.schema.fields.find(f => f.dataType match {
+      case ArrayType(_: NumericType, _) => true
+      case _ => false
+    })
     val props = df.schema.fields.toSeq.map(f =>
       ("property", f.name, f.dataType.simpleString))
-    val vecDim = vecCol.map { f =>
-      df.select(size(col(f.name))).head().getInt(0)
+    // one bounded probe (LIMIT 1) for the dimension — a config call must
+    // not scan the collection; an empty collection simply omits the row
+    val vecDim = vecCol.flatMap { f =>
+      df.select(size(col(f.name))).limit(1).collect().headOption
+        .map(_.getInt(0))
     }
     val cfg = Seq(
       ("config", "collection", name),
-      ("config", "doc_count", df.count().toString),
       ("config", "distance_metric", "cosine"),
       ("config", "vector_index", "ivf"),
       ("config", "ivf_nprobe", IvfIndex.NProbe.toString),

@@ -276,10 +276,11 @@ object HybridSearch {
         cosineSim(col("embedding"), col("q_emb")).as("vscore"))
     // keyword scores restricted to the PRUNED candidate pairs: a doc
     // outside a query's probed cells contributes to neither fusion nor
-    // that query's normalization stats
-    val kparts = KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms)
-      .join(vparts.select(col("q_id"), col("doc_id")), Seq("q_id", "doc_id"), "semi")
-    fuseTail(vparts, kparts, alpha, k)
+    // that query's normalization stats (the semi-join happens INSIDE
+    // fuseTail against the post-exchange candidate frame, so it reuses
+    // the one materialized fan-out instead of recomputing it)
+    fuseTail(vparts, KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms),
+      alpha, k, restrictKwToCandidates = true)
   }
 
   /** The ONE copy of the per-query normalize + fuse + rank tail, over an
@@ -301,8 +302,9 @@ object HybridSearch {
     * implicit 0 whenever a candidate matched no query term
     * (n_matched < n_cand), all-zeros when nothing matched.
     */
-  private def fuseTail(vparts0: DataFrame, kparts: DataFrame,
-                       alpha: Double, k: Int): DataFrame = {
+  private def fuseTail(vparts0: DataFrame, kparts0: DataFrame,
+                       alpha: Double, k: Int,
+                       restrictKwToCandidates: Boolean = false): DataFrame = {
     // (q_id, doc_id) — NOT q_id alone: the fan-out holds ~|corpus| rows
     // per query, so single-key partitioning would put a whole corpus
     // copy on one task. The explicit not-null filters keep every
@@ -312,6 +314,14 @@ object HybridSearch {
     val vparts = vparts0
       .filter(col("q_id").isNotNull && col("doc_id").isNotNull)
       .repartition(col("q_id"), col("doc_id"))
+    // candidate restriction (IVF path) probes the POST-exchange frame so
+    // the semi-join is a third ReusedExchange consumer, not a recompute
+    // of the pruned fan-out
+    val kparts =
+      if (restrictKwToCandidates)
+        kparts0.join(vparts.select(col("q_id"), col("doc_id")),
+          Seq("q_id", "doc_id"), "semi")
+      else kparts0
     val vstats = vparts.groupBy("q_id")
       .agg(min("vscore").as("vmin"), max("vscore").as("vmax"),
         count(col("doc_id")).as("n_cand"))

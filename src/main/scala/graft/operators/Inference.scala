@@ -33,10 +33,11 @@ object Inference {
   def embedBatched[S](df: DataFrame, inCol: String, outCol: String,
                       maxBatch: Int)
                      (init: () => S)
-                     (model: (S, Seq[String]) => Seq[Array[Float]]): DataFrame =
-    batched(df, inCol, outCol, ArrayType(FloatType, containsNull = false),
-      maxBatch)(init)((s, xs) => model(s, xs.map(_.asInstanceOf[String]))
-        .map(a => a.toSeq))
+                     (model: (S, Seq[String]) => Seq[Array[Float]]): DataFrame = {
+    val idx = df.schema.fieldIndex(inCol)
+    batched[S, String](df, outCol, ArrayType(FloatType, containsNull = false),
+      maxBatch)(_.getString(idx))(init)((s, xs) => model(s, xs).map(_.toSeq))
+  }
 
   /** Append `outCol: double` cross-scores for (query, document) string
     * pair columns — the cross-encoder slot.
@@ -45,34 +46,27 @@ object Inference {
                            outCol: String, maxBatch: Int)
                           (init: () => S)
                           (model: (S, Seq[(String, String)]) => Seq[Double]): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema.add(StructField(outCol, DoubleType, nullable = false))
     val qi = df.schema.fieldIndex(queryCol)
     val di = df.schema.fieldIndex(docCol)
-    val rows = df.rdd.mapPartitions { it =>
-      val session = init()
-      it.grouped(maxBatch).flatMap { batch =>
-        val outs = model(session, batch.map(r => (r.getString(qi), r.getString(di))))
-        require(outs.length == batch.length,
-          s"model returned ${outs.length} outputs for ${batch.length} inputs")
-        batch.lazyZip(outs).map { (r, o) => Row.fromSeq(r.toSeq :+ o) }
-      }
-    }
-    spark.createDataFrame(rows, schema)
+    batched[S, (String, String)](df, outCol, DoubleType, maxBatch)(
+      r => (r.getString(qi), r.getString(di)))(init)(model)
   }
 
-  private def batched[S](df: DataFrame, inCol: String, outCol: String,
-                         outType: DataType, maxBatch: Int)
-                        (init: () => S)
-                        (model: (S, Seq[Any]) => Seq[Any]): DataFrame = {
+  /** The ONE batching core both seams share: extract per-row inputs,
+    * feed the model in bounded batches, reattach outputs positionally.
+    */
+  private def batched[S, A](df: DataFrame, outCol: String,
+                            outType: DataType, maxBatch: Int)
+                           (extract: Row => A)
+                           (init: () => S)
+                           (model: (S, Seq[A]) => Seq[Any]): DataFrame = {
     require(maxBatch >= 1, "maxBatch must be >= 1")
     val spark = df.sparkSession
     val schema = df.schema.add(StructField(outCol, outType, nullable = false))
-    val idx = df.schema.fieldIndex(inCol)
     val rows = df.rdd.mapPartitions { it =>
       val session = init()
       it.grouped(maxBatch).flatMap { batch =>
-        val outs = model(session, batch.map(_.get(idx)))
+        val outs = model(session, batch.map(extract))
         require(outs.length == batch.length,
           s"model returned ${outs.length} outputs for ${batch.length} inputs")
         batch.lazyZip(outs).map { (r, o) => Row.fromSeq(r.toSeq :+ o) }

@@ -242,6 +242,48 @@ object IvfIndex {
 
   val qBatchSearchOracle: String = batchSearchIvfSql()
 
+  /** Batch IVF search over the MATERIALIZED cell-partitioned index: the
+    * broadcast (q_id, cell) probe pairs join the on-disk layout on its
+    * PARTITION column, so DYNAMIC partition pruning restricts the file
+    * scan to the probed cells — the fully-distributed 100 TB serving
+    * read path (no driver-side cell collect anywhere; contrast the
+    * single-query [[qSearchMaterialized]], which materializes its one
+    * probe list on the driver). Spec asserts the dynamic-pruning
+    * predicate on the executed scan and bitwise equality with the
+    * in-memory [[batchSearchIvf]].
+    */
+  def batchSearchIndex(spark: SparkSession, path: String, embs: DataFrame,
+                       selectQueries: DataFrame => DataFrame,
+                       nprobe: Int = NProbe,
+                       k: Int = VectorSearch.BatchK): DataFrame = {
+    val queries = selectQueries(embs)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = batchProbedCells(embs, queries, nprobe)
+    spark.read.parquet(path)
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("q_emb")).as("raw_score"))
+      .groupBy("q_id")
+      .agg(topKByScore(col("raw_score"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("vec_id"),
+        round(col("t.score"), 4).as("score"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Driver query: the materialized batch-IVF search; the registered
+    * oracle IS the inline batch-IVF SQL — the dynamically-pruned
+    * on-disk path must reproduce it exactly.
+    */
+  def qBatchSearchMaterialized(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val path = IndexCache.getOrBuild("ivf_idx", dir)(writeIndex(e, _))
+    batchSearchIndex(s, path, e,
+      _.filter(col("vec_id") % VectorSearch.BatchStride === 0))
+  }
+
   /** Materialize the IVF index as CELL-PARTITIONED parquet: searches that
     * probe nprobe cells read only those directories (partition pruning at
     * the file-listing level — the 100 TB point of an IVF layout).

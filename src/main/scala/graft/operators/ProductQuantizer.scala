@@ -184,8 +184,14 @@ object ProductQuantizer {
       }
     }.mkString(",\n    ")
 
+  /** The oracle embeds ONE model's codebooks; with several dirs trained
+    * in one JVM the "last dir" could silently be the wrong one, so that
+    * case degrades to the loud failing oracle instead (the driver flow
+    * — Verify — is one dir per process, where this is exact).
+    */
   private def currentModel: Option[Model] =
-    lastDir.flatMap(d => Option(modelCache.get(d)))
+    if (modelCache.size() > 1) None
+    else lastDir.flatMap(d => Option(modelCache.get(d)))
 
   /** Shared oracle CTEs: literal codebooks, L2-normalized corpus, the
     * query row, per-(vector, subspace) nearest-centroid encode (strict-<
@@ -228,7 +234,11 @@ object ProductQuantizer {
        |  GROUP BY enc.vec_id, enc.label)""".stripMargin
   }
 
-  private val emptyOracle = "SELECT 1 AS no_model WHERE 1 = 0"
+  /** Referencing a nonexistent column makes the oracle FAIL loudly in
+    * DuckDB rather than compare as a plausible empty result.
+    */
+  private val emptyOracle =
+    "SELECT pq_model_not_trained_or_ambiguous FROM embeddings"
 
   def adcSearchOracle: String = currentModel.fold(emptyOracle) { model =>
     s"""WITH ${adcCtes(model, VectorSearch.QueryVecId, "")}

@@ -41,10 +41,15 @@ object ServeStream {
     val ids = embs.filter(col("vec_id") % graft.operators.KeywordSearch.BatchStride === 0)
       .select(col("vec_id")).as[Long].collect().toSeq
     val input = MemoryStream[Long]
+    // rows ACCUMULATE across micro-batches: the single addData below
+    // yields one batch today, but the harness must not silently drop
+    // batches if the ids ever split (batch-split invariance is the
+    // property under test)
     val holder = new java.util.concurrent.atomic.AtomicReference[Array[org.apache.spark.sql.Row]](Array.empty)
     val q = hybridServe(input.toDF().select(col("value").as("q_id")),
       docs, embs, graft.operators.HybridSearch.BatchK) { (ranked, _) =>
-      holder.set(ranked.collect())
+      val batch = ranked.collect()
+      holder.updateAndGet(prev => prev ++ batch)
     }
     input.addData(ids: _*)
     q.processAllAvailable(); q.stop()

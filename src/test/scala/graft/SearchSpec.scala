@@ -512,6 +512,23 @@ class SearchSpec extends SparkSpec {
     assert(recall >= 0.1, f"batch ivf recall collapsed: $recall%.2f")
   }
 
+  test("materialized batch ivf: dynamic partition pruning, equals the in-memory path") {
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val path = java.nio.file.Files.createTempDirectory("ivf_dpp").toString
+    IvfIndex.writeIndex(embs, path)
+    val sel: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.filter(col("vec_id") % VectorSearch.BatchStride === 0)
+    val mat = IvfIndex.batchSearchIndex(spark, path, embs, sel)
+    mat.collect()
+    val plan = mat.queryExecution.executedPlan.toString
+    // the probed-cell join key is the partition column: the scan must
+    // carry a dynamic-pruning partition filter, not read every cell
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the cell scan:\n$plan")
+    val inMem = IvfIndex.batchSearchIvf(embs, sel).collect().map(_.toSeq)
+    assert(mat.collect().map(_.toSeq).toSeq == inMem.toSeq)
+  }
+
   test("batch hybrid ivf at full probe equals the brute-force batch hybrid") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val embs = Tables.embeddings(spark, TestSpark.Sf0001)
