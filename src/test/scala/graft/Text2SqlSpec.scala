@@ -39,6 +39,25 @@ class Text2SqlSpec extends SparkSpec {
       "List the titles of episodes that were released in the last year.").isEmpty)
   }
 
+  test("translator + router cover most of the FULL 300-question training set") {
+    val f = new java.io.File(Text2Sql.QueriesPath)
+    assume(f.exists(), "reference workload file not present")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(f)
+    val qs = (0 until node.size()).map(node.get(_).asText())
+    val routedSql = qs.filter(Text2Sql.Router.route(_) == "sql")
+    val translated = routedSql.flatMap(Text2Sql.translate)
+    info(s"${routedSql.size}/${qs.size} route to sql; " +
+      s"${translated.size}/${routedSql.size} translate")
+    // the whole file is the reference's SQL-route training set — the
+    // router must send nearly all of it down the sql route, and the
+    // template translator must handle a solid majority
+    assert(routedSql.size >= (qs.size * 9) / 10)
+    assert(translated.size >= (routedSql.size * 7) / 10)
+    // every generated statement names only huberman columns
+    assert(translated.forall(g => g.sql.contains("FROM huberman")))
+  }
+
   test("suite runs the sampled reference workload end to end") {
     val df = Text2Sql.qSuite(spark, TestSpark.Sf0001)
     val rows = df.collect()
