@@ -128,4 +128,13 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64) {
     */
   def showCollectionConfig(name: String): DataFrame =
     Catalog.collectionConfig(spark, name)
+
+  /** `chat_completion(system, user, ...)` (llm_interface.py:68) — the
+    * generation slot: retrieve-then-generate over the request, with the
+    * deterministic extractive generator occupying the LLM position
+    * ([[operators.Generation]]; a served model swaps into the slot via
+    * the [[operators.Inference]] seam without touching this call site).
+    */
+  def chatCompletion(request: String): DataFrame =
+    Generation.extractiveAnswer(docs, requestTerms(request))
 }

@@ -256,6 +256,27 @@ class SearchSpec extends SparkSpec {
     assert(out.toSeq == expect)
   }
 
+  test("extractive generation: cited spans come from retrieved docs and carry query terms") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val row = Generation.extractiveAnswer(docs, KeywordSearch.QueryTerms).head()
+    val n = row.getLong(0)
+    val answer = row.getString(1)
+    assert(n >= 1 && n <= Generation.TopSpans)
+    // citations are [rank] markers within the retrieved top-k
+    val cites = "\\[(\\d+)\\]".r.findAllMatchIn(answer).map(_.group(1).toInt).toSeq
+    assert(cites.nonEmpty && cites.forall(r => r >= 1 && r <= Generation.ContextK))
+    // the best span must actually contain a query term (it was selected
+    // by overlap over docs BM25 already matched)
+    assert(KeywordSearch.QueryTerms.exists(answer.contains))
+    // deterministic across runs
+    val again = Generation.extractiveAnswer(docs, KeywordSearch.QueryTerms).head()
+    assert(again.getString(1) == answer)
+    // the client facade exposes the same slot
+    val viaClient = new GraftClient(spark, TestSpark.Sf0001)
+      .chatCompletion(KeywordSearch.QueryTerms.mkString(" ")).head()
+    assert(viaClient.getString(1) == answer)
+  }
+
   test("search render: hms pads and wraps, url is synthesized") {
     val r = Seq((3725L, "abc", "PL9")).toDF("secs", "vid", "pl")
       .select(SearchRender.hms(col("secs")).as("t"),
