@@ -170,6 +170,73 @@ object ProductQuantizer {
     searchIvfAdc(e, modelFor(s, dir), VectorSearch.QueryVecId)
   }
 
+  // --- batch IVF-PQ (the full serving composition) --------------------------
+
+  /** Multi-query IVF-PQ search — every serving lever stacked: the query
+    * BATCH amortizes one pass, IVF prunes WHICH cells each query scans
+    * ([[IvfIndex.batchProbedCells]]), PQ shrinks WHAT each candidate
+    * costs (m-byte codes, ADC table lookups). Per-query ADC tables are
+    * a TINY frame (|queries|·m·k rows) built declaratively from the
+    * codebooks and broadcast into the candidate scan; the j-ordered
+    * table-lookup sum keeps the accumulation order identical to
+    * [[PqAdcScore]] and the oracle. Candidates rank per query through
+    * the bounded heap on the 6dp-rounded distance (vec_id tiebreak).
+    */
+  def batchSearchIvfAdc(embs: DataFrame, model: Model,
+                        selectQueries: DataFrame => DataFrame,
+                        nprobe: Int = IvfIndex.NProbe,
+                        k: Int = VectorSearch.TopK): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val sub = model.dim / model.m
+    val queries = selectQueries(embs)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = IvfIndex.batchProbedCells(embs, queries, nprobe)
+    // per-query ADC tables: (q_id, j, c, d2) — |queries|·m·k rows
+    val cb = model.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) => (j, c, cent) }
+    }.toDF("j", "c", "cent")
+    val tables = queries
+      .select(col("q_id"), normalized(col("q_emb")).as("qn"))
+      .join(broadcast(cb))
+      .select(col("q_id"), col("j"), col("c"),
+        aggregate(
+          zip_with(slice(col("qn"), col("j") * sub + 1, lit(sub)), col("cent"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, v) => acc + v).as("d2"))
+    // pruned candidates, encoded once per (query, vector) pair; ADC =
+    // the j-ORDERED sum of the m table lookups (cf. PqAdcScore)
+    val cand = embs
+      .join(broadcast(probed), col("label") === col("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Shims.column(PqEncode(
+          Shims.expression(normalized(col("embedding"))), model.codebooks)).as("codes"))
+    val adcs = cand
+      .select(col("q_id"), col("vec_id"), posexplode(col("codes")).as(Seq("j", "c")))
+      .join(broadcast(tables), Seq("q_id", "j", "c"))
+      .groupBy("q_id", "vec_id")
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("j"), col("d2")))),
+          x => x.getField("d2")),
+        lit(0.0d), (acc, v) => acc + v), 6).as("adc"))
+    adcs
+      .groupBy("q_id")
+      .agg(graft.functions.VectorFunctions
+        .topKByScore(-col("adc"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("vec_id"),
+        (-col("t.score")).as("adc"))
+      .orderBy("q_id", "rn")
+  }
+
+  def qBatchIvfAdcSearch(s: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    val e = graft.sources.Tables.embeddings(s, dir)
+    batchSearchIvfAdc(e, modelFor(s, dir),
+      _.filter(col("vec_id") % VectorSearch.BatchStride === 0))
+  }
+
   // --- DuckDB oracle ---------------------------------------------------------
 
   /** Codebooks of the most recently trained model as a SQL literal table
@@ -246,6 +313,61 @@ object ProductQuantizer {
        |FROM adcs
        |ORDER BY round(adc, 6), vec_id
        |LIMIT ${VectorSearch.TopK}""".stripMargin
+  }
+
+  /** Batch IVF-PQ oracle: the per-query probed-cell CTEs compose with a
+    * per-query ADC-table CTE (qn × literal codebooks) and the candidate
+    * encode/score replay — same arithmetic, same j-ordered sums, same
+    * round-before-rank as [[batchSearchIvfAdc]].
+    */
+  def batchIvfAdcSearchOracle: String = currentModel.fold(emptyOracle) { model =>
+    val sub = model.dim / model.m
+    val stride = VectorSearch.BatchStride
+    s"""WITH cb AS (SELECT * FROM (VALUES
+       |    ${codebookValues(model)}) AS t(j, c, cent)),
+       |${IvfIndex.batchProbedSqlCtes(s"vec_id % $stride = 0", IvfIndex.NProbe)},
+       |norm AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS e
+       |  FROM embeddings),
+       |qn AS (
+       |  SELECT q.q_id, n.e AS qnv FROM queries q JOIN norm n ON n.vec_id = q.q_id),
+       |tbls AS (
+       |  SELECT q_id, j, c,
+       |    list_sum(list_transform(range(1, ${sub + 1}), t ->
+       |      (qnv[j * $sub + t] - cent[t]) * (qnv[j * $sub + t] - cent[t]))) AS d2
+       |  FROM qn, cb),
+       |cands AS (
+       |  SELECT p.q_id, e.vec_id
+       |  FROM embeddings e JOIN probed p ON e.label = p.cell
+       |  WHERE e.vec_id <> p.q_id),
+       |dists AS (
+       |  SELECT vec_id, j, c,
+       |    list_sum(list_transform(range(1, ${sub + 1}), t ->
+       |      (e[j * $sub + t] - cent[t]) * (e[j * $sub + t] - cent[t]))) AS d2e
+       |  FROM norm, cb
+       |  WHERE vec_id IN (SELECT vec_id FROM cands)),
+       |enc AS (
+       |  SELECT vec_id, j, c,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2e ASC, c ASC) AS rn
+       |  FROM dists),
+       |adcs AS (
+       |  SELECT cands.q_id, cands.vec_id,
+       |    round(list_sum(list(tbls.d2 ORDER BY enc.j)), 6) AS adc
+       |  FROM cands
+       |  JOIN enc ON enc.vec_id = cands.vec_id AND enc.rn = 1
+       |  JOIN tbls ON tbls.q_id = cands.q_id AND tbls.j = enc.j AND tbls.c = enc.c
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rn
+       |  FROM adcs
+       |  QUALIFY rn <= ${VectorSearch.TopK})
+       |SELECT q_id, rn, vec_id, adc
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
   }
 
   /** IVF-PQ oracle: [[IvfIndex.searchSql]]'s centroid-ranking CTEs pick

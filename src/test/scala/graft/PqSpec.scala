@@ -45,6 +45,21 @@ class PqSpec extends SparkSpec {
     assert(partial.size <= 2) // results come only from probed cells
   }
 
+  test("batch ivf-pq: each query's slice at full probe equals the single-query adc search") {
+    val nlist = embs.select("label").distinct().count().toInt
+    val batch = PQ.batchSearchIvfAdc(embs,
+      model, _.filter(col("vec_id") % 20 === 0), nprobe = nlist)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val qids = batch.map(_._1).distinct
+    assert(qids.nonEmpty)
+    qids.foreach { q =>
+      val slice = batch.filter(_._1 == q).map(t => (t._2, t._3)).toSeq
+      val single = PQ.searchAdc(embs, model, q)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(slice == single, s"q=$q")
+    }
+  }
+
   test("pq adc search overlaps the exact cosine top-k") {
     val exact = VectorSearch.topK(embs, 7L, 10)
       .select("vec_id").as[Long].collect().toSet
