@@ -204,15 +204,23 @@ object ProductQuantizer {
           zip_with(slice(col("qn"), col("j") * sub + 1, lit(sub)), col("cent"),
             (a, b) => (a - b) * (a - b)),
           lit(0.0d), (acc, v) => acc + v).as("d2"))
-    // pruned candidates, encoded once per (query, vector) pair; ADC =
-    // the j-ORDERED sum of the m table lookups (cf. PqAdcScore)
-    val cand = embs
-      .join(broadcast(probed), col("label") === col("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
+    // each DISTINCT vector in the probed-cell union encodes exactly ONCE
+    // (the encode is the expensive leg — per-pair encoding would pay it
+    // |queries| times over shared cells); candidate (q_id, vec_id) pairs
+    // then join the m-byte codes and pay only table lookups. ADC = the
+    // j-ORDERED sum of the m lookups (cf. PqAdcScore).
+    val cells = probed.select(col("cell")).distinct()
+    val encVecs = embs
+      .join(broadcast(cells), col("label") === col("cell"))
+      .select(col("vec_id"),
         Shims.column(PqEncode(
           Shims.expression(normalized(col("embedding"))), model.codebooks)).as("codes"))
-    val adcs = cand
+    val candPairs = embs.select(col("vec_id"), col("label"))
+      .join(broadcast(probed), col("label") === col("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val adcs = candPairs
+      .join(encVecs, Seq("vec_id"))
       .select(col("q_id"), col("vec_id"), posexplode(col("codes")).as(Seq("j", "c")))
       .join(broadcast(tables), Seq("q_id", "j", "c"))
       .groupBy("q_id", "vec_id")
