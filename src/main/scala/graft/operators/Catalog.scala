@@ -49,7 +49,7 @@ object Catalog {
     // not scan the collection; an empty collection simply omits the row
     val vecDim = vecCol.flatMap { f =>
       df.select(size(col(f.name))).limit(1).collect().headOption
-        .map(_.getInt(0))
+        .filter(!_.isNullAt(0)).map(_.getInt(0))
     }
     val cfg = Seq(
       ("config", "collection", name),

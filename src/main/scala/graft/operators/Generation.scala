@@ -42,12 +42,15 @@ object Generation {
     val cand = KeywordSearch.bm25(docs, terms, k)
       .join(docs.select(col("doc_id").as("d2"), col("text")),
         col("doc_id") === col("d2"))
+      .select(col("score"), col("doc_id"), tokens(col("text")).as("tk"))
+      // empty-token docs drop BEFORE rank assignment, matching the
+      // oracle's WHERE-before-row_number order
+      .filter(size(col("tk")) > 0)
       // ≤ k rows by construction: the single-partition window is the
       // right plan (cf. Reranker)
       .withColumn("rk", row_number().over(
         Window.orderBy(desc("score"), asc("doc_id"))))
-      .select(col("rk"), tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) > 0)
+      .select(col("rk"), col("tk"))
     val qArr = array(terms.map(lit): _*)
     val spans = cand
       .select(col("rk"), col("tk"),
@@ -99,7 +102,7 @@ object Generation {
        |    '[' || CAST(rk AS VARCHAR) || '] ' || array_to_string(span, ' ') AS piece
        |  FROM topm)
        |SELECT count(*) AS n_spans,
-       |  string_agg(piece, ' ... ' ORDER BY rn) AS answer
+       |  coalesce(string_agg(piece, ' ... ' ORDER BY rn), '') AS answer
        |FROM numbered""".stripMargin
   }
 

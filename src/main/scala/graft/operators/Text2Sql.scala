@@ -216,11 +216,11 @@ object Text2Sql {
         Some(Generated(s"SELECT count(*) AS n FROM huberman$where", Seq("n")))
       else if (ql.contains("average length of episode summaries") || ql.contains("average summary length"))
         Some(Generated(
-          s"SELECT CAST(round(avg(length(summary)), 1) AS DECIMAL(18,1)) AS avg_len FROM huberman$where",
+          s"SELECT CAST(round(CAST(avg(length(summary)) AS DECIMAL(28,6)), 1) AS DECIMAL(18,1)) AS avg_len FROM huberman$where",
           Seq("avg_len")))
       else if (ql.contains("average view count"))
         Some(Generated(
-          s"SELECT CAST(round(avg(view_count), 1) AS DECIMAL(18,1)) AS avg_views FROM huberman$where",
+          s"SELECT CAST(round(CAST(avg(view_count) AS DECIMAL(28,6)), 1) AS DECIMAL(18,1)) AS avg_views FROM huberman$where",
           Seq("avg_views")))
       else if (ql.contains("total view count") || ql.contains("total views"))
         Some(Generated(
