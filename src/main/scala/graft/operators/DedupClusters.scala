@@ -54,34 +54,40 @@ object DedupClusters {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
+    // Fused round: propagate AND two pointer-jump levels in ONE plan,
+    // every join reading only the PREVIOUS round's materialized label
+    // table — so each round is exactly one checkpoint job (plus a cheap
+    // count over the already-materialized result) instead of the three
+    // serialized jobs of the propagate / count / jump formulation.
+    // Simultaneous update stays correct: labels are monotone
+    // non-increasing and only ever take doc_id values from the same
+    // component, so the fixed point (label(v) ≤ neighbors' labels and
+    // label(v) ≤ label(label(v))) forces a constant label per component,
+    // which monotonicity pins to the component min. Two jump levels per
+    // round give 4× path compression per shuffle-free broadcast join,
+    // trimming the serialized round count further.
     var changed = 1L
     while (changed > 0) {
-      // propagate; old_label rides along so convergence needs no re-join
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("dst_label").as("nbr_label"))
-      val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
+      val jump = labels.select(col("doc_id").as("j_key"), col("label").as("j_lbl"))
+      val jump2 = labels.select(col("doc_id").as("j2_key"), col("label").as("j2_lbl"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .join(jump, col("label") === col("j_key"), "left")
+        .withColumn("l1",
+          least(coalesce(col("nbr_label"), col("label")),
+            coalesce(col("j_lbl"), col("label"))))
+        .join(jump2, col("l1") === col("j2_key"), "left")
         .select(col("doc_id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint() // the jump self-join below reads it TWICE —
-                           // unmaterialized it would evaluate the whole
-                           // propagate subtree once per side
-      changed = propagated.filter(col("label") =!= col("old_label")).count()
-      if (changed == 0) {
-        // propagation fixed point ⇒ every label is already its component
-        // min (a non-min label would still have an improving neighbor
-        // path) — skip the jump join on the final round
-        labels = propagated.drop("old_label")
-      } else {
-        val jumped = propagated.as("a")
-          .join(propagated.select(col("doc_id").as("lbl_key"), col("label").as("ll")).as("b"),
-            col("a.label") === col("b.lbl_key"), "left")
-          .select(col("a.doc_id"),
-            coalesce(col("ll"), col("a.label")).as("label"))
-          .localCheckpoint()
-        labels = jumped
-      }
+          least(col("l1"), coalesce(col("j2_lbl"), col("l1"))).as("label"))
+        .localCheckpoint()
+      // count over a localCheckpoint'd frame scans materialized
+      // partitions only — control flow, not a recompute
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.drop("old_label")
     }
     edges.unpersist()
     docs.select(col("doc_id"))
