@@ -13,7 +13,7 @@ object QTime {
         val t0 = System.nanoTime(); fn(s, dir).count(); (System.nanoTime()-t0)/1e9 }
       val df = fn(s, dir); df.collect()
       val p = df.queryExecution.executedPlan.toString
-      println(f"QT $q%-28s ${ts.sorted.apply(1)}%6.2f s  reused=${p.linesIterator.count(_.contains("ReusedExchange"))}  ex=${p.linesIterator.count(_.contains("Exchange"))}")
+      println(f"QT $q%-28s ${ts.sorted.apply(1)}%6.2f s  runs=${ts.map(t => f"$t%.2f").mkString(",")}  reused=${p.linesIterator.count(_.contains("ReusedExchange"))}  ex=${p.linesIterator.count(_.contains("Exchange"))}")
     }
     s.stop()
   }

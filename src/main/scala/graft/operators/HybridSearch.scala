@@ -227,7 +227,8 @@ object HybridSearch {
                                    k: Int = BatchK): DataFrame = {
     val queries = selectVecQueries(embs)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val vparts = embs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+    val vparts = Tables.parallel(embs)
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("doc_id"),
         cosineSim(col("embedding"), col("q_emb")).as("vscore"))
     // keyword scores restricted to the EMBEDDED universe up front: the
@@ -255,21 +256,41 @@ object HybridSearch {
                                    nTerms: Int = KeywordSearch.BatchTerms,
                                    nprobe: Int = IvfIndex.NProbe,
                                    alpha: Double = Alpha,
-                                   k: Int = BatchK): DataFrame =
+                                   k: Int = BatchK,
+                                   centroids: Option[DataFrame] = None,
+                                   kwIndex: Option[DataFrame] = None): DataFrame =
     fusedBatchIvfSel(docs, embs, _.filter(col("vec_id") % stride === 0),
-      _.filter(col("doc_id") % stride === 0), nTerms, nprobe, alpha, k)
+      _.filter(col("doc_id") % stride === 0), nTerms, nprobe, alpha, k,
+      centroids, kwIndex)
 
+  /** The IVF-fused batch over either the raw corpus (inline index build,
+    * spec-gated ≡ the serving form) or — the serving form, the driver
+    * query — the STANDING index artifacts: materialized centroids
+    * ([[IvfIndex.writeCentroids]]) and batch postings
+    * ([[KeywordSearch.cachedBatchPostings]]). Served, every prep frame
+    * (cell ranking, query terms, df dictionary, corpus stats) is a
+    * column-pruned scan of a compact parquet artifact — nothing
+    * re-tokenizes or re-aggregates the corpus, so the plan is a shallow
+    * diamond instead of the r3 101-exchange tower, and the per-batch
+    * cost is the probe cost (the deployed shape: indexes are built once,
+    * probed forever).
+    */
   private[graft] def fusedBatchIvfSel(docs: DataFrame, embs: DataFrame,
                                       selectVecQueries: DataFrame => DataFrame,
                                       selectDocQueries: DataFrame => DataFrame,
                                       nTerms: Int = KeywordSearch.BatchTerms,
                                       nprobe: Int = IvfIndex.NProbe,
                                       alpha: Double = Alpha,
-                                      k: Int = BatchK): DataFrame = {
+                                      k: Int = BatchK,
+                                      centroids: Option[DataFrame] = None,
+                                      kwIndex: Option[DataFrame] = None): DataFrame = {
     val queries = selectVecQueries(embs)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probed = IvfIndex.batchProbedCells(embs, queries, nprobe)
-    val vparts = embs.join(broadcast(probed), col("label") === col("cell"))
+    val probed = centroids
+      .map(c => IvfIndex.batchProbedCellsFrom(c, queries, nprobe))
+      .getOrElse(IvfIndex.batchProbedCells(embs, queries, nprobe))
+    val vparts = Tables.parallel(embs)
+      .join(broadcast(probed), col("label") === col("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("vec_id").as("doc_id"),
@@ -279,8 +300,10 @@ object HybridSearch {
     // that query's normalization stats (the semi-join happens INSIDE
     // fuseTail against the post-exchange candidate frame, so it reuses
     // the one materialized fan-out instead of recomputing it)
-    fuseTail(vparts, KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms),
-      alpha, k, restrictKwToCandidates = true)
+    fuseTail(vparts,
+      KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms, kwIndex),
+      alpha, k, restrictKwToCandidates = true,
+      materializeCandidates = kwIndex.isDefined)
   }
 
   /** The ONE copy of the per-query normalize + fuse + rank tail, over an
@@ -304,24 +327,36 @@ object HybridSearch {
     */
   private def fuseTail(vparts0: DataFrame, kparts0: DataFrame,
                        alpha: Double, k: Int,
-                       restrictKwToCandidates: Boolean = false): DataFrame = {
+                       restrictKwToCandidates: Boolean = false,
+                       materializeCandidates: Boolean = false): DataFrame = {
     // (q_id, doc_id) — NOT q_id alone: the fan-out holds ~|corpus| rows
     // per query, so single-key partitioning would put a whole corpus
     // copy on one task. The explicit not-null filters keep every
     // consumer's subtree canonically identical (the join branch would
     // otherwise push IsNotNull below the exchange asymmetrically and
     // defeat ReusedExchange — the recorded lm-bigram failure mode).
-    val vparts = vparts0
+    val vparts1 = vparts0
       .filter(col("q_id").isNotNull && col("doc_id").isNotNull)
       .repartition(col("q_id"), col("doc_id"))
+    // On the PRUNED (IVF) path the candidate frame is bounded by
+    // construction (Q · nprobe/nlist of the corpus), so it is
+    // materialized ONCE (localCheckpoint preserves the (q_id, doc_id)
+    // partitioning) and every fusion consumer — stats aggregate, fusion
+    // join, keyword restriction — reads the materialized frame instead
+    // of re-deriving the fan-out subtree. The brute-force path keeps the
+    // declarative shared exchange (ReusedExchange), because its fan-out
+    // is corpus×Q and a serving system would not persist that.
+    val vparts = if (materializeCandidates) vparts1.localCheckpoint() else vparts1
     // candidate restriction (IVF path) probes the POST-exchange frame so
     // the semi-join is a third ReusedExchange consumer, not a recompute
     // of the pruned fan-out
-    val kparts =
+    val kparts1 =
       if (restrictKwToCandidates)
         kparts0.join(vparts.select(col("q_id"), col("doc_id")),
           Seq("q_id", "doc_id"), "semi")
       else kparts0
+    val kparts =
+      if (materializeCandidates) kparts1.localCheckpoint() else kparts1
     val vstats = vparts.groupBy("q_id")
       .agg(min("vscore").as("vmin"), max("vscore").as("vmax"),
         count(col("doc_id")).as("n_cand"))
@@ -440,7 +475,9 @@ object HybridSearch {
        |ORDER BY q_id, rn""".stripMargin
 
   def batchSearchIvf(s: SparkSession, dir: String): DataFrame =
-    fusedBatchIvf(Tables.documents(s, dir), Tables.embeddings(s, dir))
+    fusedBatchIvf(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      centroids = Some(IvfIndex.cachedCentroids(s, dir)),
+      kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir)))
 
   val batchSearchIvfOracle: String = fusedBatchIvfSql()
 

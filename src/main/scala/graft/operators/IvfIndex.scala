@@ -52,7 +52,8 @@ object IvfIndex {
     * the IVF-PQ composition in [[ProductQuantizer.searchIvfAdc]]).
     */
   def centroidArrays(embs: DataFrame): DataFrame =
-    embs.select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("dim", "e")))
+    Tables.parallel(embs)
+      .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("dim", "e")))
       .groupBy("cell", "dim")
       .agg(avg(col("e").cast("double")).as("c"))
       .groupBy("cell")
@@ -149,7 +150,16 @@ object IvfIndex {
     */
   def batchProbedCells(embs: DataFrame, queries: DataFrame,
                        nprobe: Int = NProbe): DataFrame =
-    centroidArrays(embs).join(broadcast(queries))
+    batchProbedCellsFrom(centroidArrays(embs), queries, nprobe)
+
+  /** [[batchProbedCells]] over an explicit centroid table — the serving
+    * form probes the standing materialized centroids
+    * ([[writeCentroids]]) so cell ranking is a scan of nlist compact
+    * rows, never a corpus-wide re-derivation.
+    */
+  def batchProbedCellsFrom(cents: DataFrame, queries: DataFrame,
+                           nprobe: Int = NProbe): DataFrame =
+    cents.join(broadcast(queries))
       .select(col("q_id"),
         round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"),
         col("cell"))
@@ -157,6 +167,19 @@ object IvfIndex {
       .agg(topKByScore(col("cscore"), col("cell").cast("long"), nprobe).as("cells"))
       .select(col("q_id"), explode(col("cells")).as("t"))
       .select(col("q_id"), col("t.id").cast("int").as("cell"))
+
+  /** Materialize the coarse-quantizer centroids (nlist rows) — the tiny
+    * standing artifact every serving-path cell ranking probes.
+    */
+  def writeCentroids(embs: DataFrame, path: String): Unit =
+    centroidArrays(embs).write.mode("overwrite").parquet(path)
+
+  /** The standing centroid table for a source dir ([[IndexCache]]). */
+  private[graft] def cachedCentroids(s: SparkSession, dir: String): DataFrame = {
+    val p = IndexCache.getOrBuild("ivf_centroids", dir)(
+      writeCentroids(Tables.embeddings(s, dir), _))
+    s.read.parquet(p)
+  }
 
   /** Multi-query IVF search — the INDEX-ACCELERATED serving/backfill
     * path ([[VectorSearch.batchTopK]] is the brute-force form: every

@@ -284,8 +284,9 @@ object KeywordSearch {
     */
   private[graft] def bm25BatchFor(docs: DataFrame, queryPred: Column,
                                   nTerms: Int = BatchTerms,
-                                  k: Int = BatchK): DataFrame =
-    rankKwScored(batchKwRawFor(docs, queryPred, nTerms), k)
+                                  k: Int = BatchK,
+                                  index: Option[DataFrame] = None): DataFrame =
+    rankKwScored(batchKwRawFor(docs, queryPred, nTerms, index), k)
 
   /** [[bm25BatchFor]] over a selector (see [[batchKwRawSel]]). */
   private[graft] def bm25BatchSel(docs: DataFrame,
@@ -317,42 +318,68 @@ object KeywordSearch {
     * batch it arrives in.
     */
   private[graft] def batchKwRawFor(docs: DataFrame, queryPred: Column,
-                                   nTerms: Int = BatchTerms): DataFrame =
-    batchKwRawSel(docs, _.filter(queryPred), nTerms)
+                                   nTerms: Int = BatchTerms,
+                                   index: Option[DataFrame] = None): DataFrame =
+    batchKwRawSel(docs, _.filter(queryPred), nTerms, index)
 
   /** [[batchKwRawFor]] with the query-doc set chosen by an arbitrary
     * selector — the serving path passes a broadcast SEMI-JOIN of the
     * micro-batch's id frame, so the id set never collects to the driver
     * or inflates into a literal predicate.
     */
+  /** The batch-serving postings layout: one row per (doc, term) with the
+    * per-doc token length riding along as a column (dl is functionally
+    * dependent on doc_id, so the grouping key space is unchanged) — the
+    * corpus is tokenized exactly ONCE for everything the batch scorer
+    * needs. The inner explode(array(..)) is the Generate barrier that
+    * keeps CollapseProject from inlining the tokenizer into both the
+    * length and the term projections (the [[termStatsZeroShuffle]]
+    * lesson). Materialized per source dir by the serving queries
+    * ([[IndexCache]]), transient (localCheckpoint) in the inline forms.
+    */
+  private[graft] def buildBatchPostings(docs: DataFrame): DataFrame =
+    graft.sources.Tables.parallel(docs)
+      .select(col("doc_id"), explode(array(tokens(col("text")))).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+  /** The standing batch-postings table for a source dir ([[IndexCache]])
+    * — built once, served by every batch/serving query thereafter.
+    */
+  private[graft] def cachedBatchPostings(s: SparkSession, dir: String): DataFrame = {
+    val p = IndexCache.getOrBuild("kw_batch_postings", dir)(path =>
+      buildBatchPostings(Tables.documents(s, dir))
+        .write.mode("overwrite").parquet(path))
+    s.read.parquet(p)
+  }
+
   private[graft] def batchKwRawSel(docs: DataFrame,
                                    selectQueries: DataFrame => DataFrame,
-                                   nTerms: Int = BatchTerms): DataFrame = {
-    // An explicit shared raw-token exchange was measured here and
-    // REJECTED: it deduplicates the tokenize passes but ships exploded
-    // tokens without map-side combine — on repetitive vocabularies
-    // (exactly what dirty web corpora look like) that multiplies the
-    // shuffle volume by the per-doc token duplication factor. The
-    // independent passes below keep every shuffle partially aggregated;
-    // each pass is map-side over the scan.
-    val postings = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // dl is a MAP-SIDE projection (len of the token array == sum of tf);
-    // no doc-keyed aggregation anywhere
-    val dl = docs.select(col("doc_id"), tokenCount(col("text")).cast("double").as("dl"))
-      .filter(col("dl") > 0)
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    // df comes from the postings aggregate (rows are distinct (doc,term)
-    // already) restricted by broadcast semi-join to the query docs'
-    // terms — the full vocabulary is never distinct'd or counted
-    val qtoks = selectQueries(docs)
-      .select(col("doc_id").as("q_id"),
-        explode(array_distinct(tokens(col("text")))).as("term"))
+                                   nTerms: Int = BatchTerms,
+                                   index: Option[DataFrame] = None): DataFrame = {
+    // Every frame below (stats, query tokens, df dictionary, rarest-term
+    // queries, the scoring join itself) derives from ONE materialized
+    // postings table — either the standing on-disk index (serving form:
+    // compact column-pruned parquet scans, nothing ever re-tokenizes)
+    // or a per-call localCheckpoint (inline form: one tokenize pass
+    // total). Left fully declarative instead, every consumer re-derived
+    // its own corpus pass and the executed plan became the serialized
+    // stage tower the r3 bench flagged.
+    val postings = index.getOrElse(buildBatchPostings(docs).localCheckpoint())
+    val stats = postings.groupBy("doc_id").agg(first("dl").as("d"))
+      .agg(count(lit(1)).as("n_docs"), avg("d").as("avgdl"))
+    // query docs' terms from the materialized postings (rows are already
+    // distinct (doc, term) pairs); the selector only has to produce ids
+    val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
+    val qtoks = postings.join(broadcast(qdocs), col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("term"))
+    // df restricted to the query terms — the full vocabulary is never
+    // distinct'd or counted
     val qdict = postings
       .join(broadcast(qtoks.select("term").distinct()), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
-    // rarest-token query assembly on the stride sample only
+    // rarest-token query assembly on the query sample only
     val qterms = qtoks.join(broadcast(qdict), "term")
       .groupBy("q_id")
       .agg(slice(array_sort(collect_list(
@@ -366,7 +393,6 @@ object KeywordSearch {
     val scored = postings.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(qdict), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .join(broadcast(stats))
       .select(col("q_id"), col("doc_id"),
         (idf * (tfD * (K1 + 1)) /

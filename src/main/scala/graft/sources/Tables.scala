@@ -30,4 +30,17 @@ object Tables {
   /** Register every table as a temp view (Text2SQL / spark.sql surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Re-slice a scan for CPU-dense per-row work (tokenization, cosine
+    * fan-out). A small corpus file is one row group = ONE scan task, so
+    * the expensive per-row compute serializes onto a single core — the
+    * local stand-in for a cluster's thousands of scan splits. Identity
+    * whenever the plan already carries at least default parallelism
+    * (i.e. at any real scale), so the extra narrow shuffle is paid only
+    * when it buys all the cores.
+    */
+  def parallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }
