@@ -224,7 +224,8 @@ object HybridSearch {
                                    selectDocQueries: DataFrame => DataFrame,
                                    nTerms: Int = KeywordSearch.BatchTerms,
                                    alpha: Double = Alpha,
-                                   k: Int = BatchK): DataFrame = {
+                                   k: Int = BatchK,
+                                   kwIndex: Option[DataFrame] = None): DataFrame = {
     val queries = selectVecQueries(embs)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val vparts = Tables.parallel(embs)
@@ -238,7 +239,7 @@ object HybridSearch {
     // the fusion nor the normalization stats (caught by the sf0.1 oracle
     // run: sparse stats over all documents skewed kmax and every fused
     // score with it)
-    val kparts = KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms)
+    val kparts = KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms, kwIndex)
       .join(embs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "semi")
     fuseTail(vparts, kparts, alpha, k)
   }

@@ -194,10 +194,13 @@ object IvfIndex {
   def batchSearchIvf(embs: DataFrame,
                      selectQueries: DataFrame => DataFrame,
                      nprobe: Int = NProbe,
-                     k: Int = VectorSearch.BatchK): DataFrame = {
+                     k: Int = VectorSearch.BatchK,
+                     centroids: Option[DataFrame] = None): DataFrame = {
     val queries = selectQueries(embs)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probed = batchProbedCells(embs, queries, nprobe)
+    val probed = centroids
+      .map(c => batchProbedCellsFrom(c, queries, nprobe))
+      .getOrElse(batchProbedCells(embs, queries, nprobe))
     embs.join(broadcast(probed), col("label") === col("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(queries), Seq("q_id"))

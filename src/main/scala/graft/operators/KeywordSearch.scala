@@ -292,8 +292,9 @@ object KeywordSearch {
   private[graft] def bm25BatchSel(docs: DataFrame,
                                   selectQueries: DataFrame => DataFrame,
                                   nTerms: Int = BatchTerms,
-                                  k: Int = BatchK): DataFrame =
-    rankKwScored(batchKwRawSel(docs, selectQueries, nTerms), k)
+                                  k: Int = BatchK,
+                                  index: Option[DataFrame] = None): DataFrame =
+    rankKwScored(batchKwRawSel(docs, selectQueries, nTerms, index), k)
 
   private def rankKwScored(scored: DataFrame, k: Int): DataFrame = {
     scored.groupBy("q_id")

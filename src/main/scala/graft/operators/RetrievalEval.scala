@@ -182,8 +182,14 @@ object RetrievalEval {
   def labelPrecisionHybrid(docs: DataFrame, embs: DataFrame,
                            stride: Int = KeywordSearch.BatchStride,
                            nTerms: Int = KeywordSearch.BatchTerms,
-                           k: Int = KeywordSearch.BatchK): DataFrame =
-    metricsOverRanked(HybridSearch.fusedBatch(docs, embs, stride, nTerms, k = k), embs)
+                           k: Int = KeywordSearch.BatchK,
+                           kwIndex: Option[DataFrame] = None): DataFrame =
+    metricsOverRanked(
+      HybridSearch.fusedBatchSel(docs, embs,
+        _.filter(col("vec_id") % stride === 0),
+        _.filter(col("doc_id") % stride === 0),
+        nTerms, k = k, kwIndex = kwIndex),
+      embs)
 
   /** Shared metric tail: hit-rate@k + MRR@k over a ranked list
     * (q_id, rn, doc_id, …) with label-match relevance.
@@ -254,8 +260,14 @@ object RetrievalEval {
 
   val kwOracle: String = labelPrecisionKwSql()
 
+  /** The hybrid eval leg serves its keyword signal from the standing
+    * batch postings ([[KeywordSearch.cachedBatchPostings]]) — an eval
+    * harness runs against the deployed index, and the inline build is
+    * already gated by `hybrid_search_batch`.
+    */
   def queryHybrid(s: SparkSession, dir: String): DataFrame =
-    labelPrecisionHybrid(Tables.documents(s, dir), Tables.embeddings(s, dir))
+    labelPrecisionHybrid(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir)))
 
   val hybridOracle: String = labelPrecisionHybridSql()
 }

@@ -30,27 +30,73 @@ object ServeStream {
     */
   def qStreamHybridServe(s: org.apache.spark.sql.SparkSession,
                          dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(s, dir)
+    val embs = graft.sources.Tables.embeddings(s, dir)
+    collectServed(s, strideIds(s, dir)) { (queryIds, sink) =>
+      hybridServe(queryIds, docs, embs, graft.operators.HybridSearch.BatchK,
+        kwIndex = Some(graft.operators.KeywordSearch.cachedBatchPostings(s, dir)))(sink)
+    }
+  }
+
+  /** Driver query: one micro-batch of KEYWORD serving ([[bm25Serve]],
+    * 40f) probing the standing batch postings; a single batch holding
+    * the stride queries must hash-match the batch BM25 oracle
+    * ([[graft.operators.KeywordSearch.batchSearchOracle]]).
+    */
+  def qStreamBm25Serve(s: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame =
+    collectServed(s, strideIds(s, dir)) { (queryIds, sink) =>
+      bm25Serve(queryIds, graft.sources.Tables.documents(s, dir),
+        graft.operators.KeywordSearch.BatchK,
+        index = Some(graft.operators.KeywordSearch.cachedBatchPostings(s, dir)))(sink)
+    }
+
+  /** Driver query: one micro-batch of IVF-PRUNED hybrid serving
+    * ([[hybridServeIvf]], 40h) probing the standing centroid + postings
+    * artifacts; must hash-match the batch IVF fusion oracle
+    * ([[graft.operators.HybridSearch.batchSearchIvfOracle]]).
+    */
+  def qStreamHybridIvfServe(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(s, dir)
+    val embs = graft.sources.Tables.embeddings(s, dir)
+    collectServed(s, strideIds(s, dir)) { (queryIds, sink) =>
+      hybridServeIvf(queryIds, docs, embs,
+        graft.operators.IvfIndex.NProbe, graft.operators.HybridSearch.BatchK,
+        centroids = Some(graft.operators.IvfIndex.cachedCentroids(s, dir)),
+        kwIndex = Some(graft.operators.KeywordSearch.cachedBatchPostings(s, dir)))(sink)
+    }
+  }
+
+  /** The benchmark query-id set: a bounded driver-side list by
+    * construction — the serving plan itself keeps the id set distributed
+    * via the broadcast semi-join.
+    */
+  private def strideIds(s: org.apache.spark.sql.SparkSession,
+                        dir: String): Seq[Long] = {
+    import s.implicits._
+    graft.sources.Tables.embeddings(s, dir)
+      .filter(col("vec_id") % graft.operators.KeywordSearch.BatchStride === 0)
+      .select(col("vec_id")).as[Long].collect().toSeq
+  }
+
+  /** Shared driver-gate harness: feed `ids` through a memory stream into
+    * a serving twin, accumulate every micro-batch's (q_id, rn, doc_id,
+    * score) rows, return them as one frame. Rows ACCUMULATE across
+    * micro-batches: a single addData yields one batch today, but the
+    * harness must not silently drop batches if the ids ever split
+    * (batch-split invariance is the property under test).
+    */
+  private def collectServed(s: org.apache.spark.sql.SparkSession, ids: Seq[Long])
+      (start: (DataFrame, (DataFrame, Long) => Unit) =>
+        org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val docs = graft.sources.Tables.documents(s, dir)
-    val embs = graft.sources.Tables.embeddings(s, dir)
-    // the harness feeds the stream the benchmark query ids (a bounded
-    // driver-side list by construction — the serving plan itself keeps
-    // the id set distributed via the broadcast semi-join)
-    val ids = embs.filter(col("vec_id") % graft.operators.KeywordSearch.BatchStride === 0)
-      .select(col("vec_id")).as[Long].collect().toSeq
     val input = MemoryStream[Long]
-    // rows ACCUMULATE across micro-batches: the single addData below
-    // yields one batch today, but the harness must not silently drop
-    // batches if the ids ever split (batch-split invariance is the
-    // property under test)
     val holder = new java.util.concurrent.atomic.AtomicReference[Array[org.apache.spark.sql.Row]](Array.empty)
-    val q = hybridServe(input.toDF().select(col("value").as("q_id")),
-      docs, embs, graft.operators.HybridSearch.BatchK) { (ranked, _) =>
-      val batch = ranked.collect()
-      holder.updateAndGet(prev => prev ++ batch)
-    }
+    val q = start(input.toDF().select(col("value").as("q_id")),
+      (ranked, _) => { val b = ranked.collect(); holder.updateAndGet(prev => prev ++ b); () })
     input.addData(ids: _*)
     q.processAllAvailable(); q.stop()
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -82,7 +128,8 @@ object ServeStream {
     * identical whichever micro-batch it arrives in.
     */
   def vectorServeIvf(queryIds: DataFrame, embs: DataFrame, nprobe: Int,
-                     k: Int)(sink: (DataFrame, Long) => Unit)
+                     k: Int, centroids: Option[DataFrame] = None)
+                    (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryIds.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -90,7 +137,7 @@ object ServeStream {
         if (!batch.isEmpty) {
           val ranked = graft.operators.IvfIndex.batchSearchIvf(
             embs, _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
-            nprobe, k)
+            nprobe, k, centroids)
           sink(ranked, batchId)
         }
       }
@@ -102,7 +149,10 @@ object ServeStream {
     * ([[graft.operators.HybridSearch.fusedBatchIvfSel]]).
     */
   def hybridServeIvf(queryIds: DataFrame, docs: DataFrame, embs: DataFrame,
-                     nprobe: Int, k: Int)(sink: (DataFrame, Long) => Unit)
+                     nprobe: Int, k: Int,
+                     centroids: Option[DataFrame] = None,
+                     kwIndex: Option[DataFrame] = None)
+                    (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryIds.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -112,7 +162,8 @@ object ServeStream {
             docs, embs,
             _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
             _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
-            nprobe = nprobe, k = k)
+            nprobe = nprobe, k = k,
+            centroids = centroids, kwIndex = kwIndex)
           sink(ranked, batchId)
         }
       }
@@ -131,7 +182,8 @@ object ServeStream {
     * postings side is the MATERIALIZED index
     * ([[graft.operators.KeywordIndex]]), not a per-batch rebuild.
     */
-  def bm25Serve(queryIds: DataFrame, docs: DataFrame, k: Int)
+  def bm25Serve(queryIds: DataFrame, docs: DataFrame, k: Int,
+                index: Option[DataFrame] = None)
                (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryIds.writeStream
@@ -143,7 +195,7 @@ object ServeStream {
         if (!batch.isEmpty) {
           val ranked = graft.operators.KeywordSearch.bm25BatchSel(
             docs, _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
-            k = k)
+            k = k, index = index)
           sink(ranked, batchId)
         }
       }
@@ -157,7 +209,8 @@ object ServeStream {
     * batch-split invariant (spec-verified against the batch fusion).
     */
   def hybridServe(queryIds: DataFrame, docs: DataFrame, embs: DataFrame,
-                  k: Int)(sink: (DataFrame, Long) => Unit)
+                  k: Int, kwIndex: Option[DataFrame] = None)
+                 (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryIds.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -167,7 +220,7 @@ object ServeStream {
             docs, embs,
             _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
             _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
-            k = k)
+            k = k, kwIndex = kwIndex)
           sink(ranked, batchId)
         }
       }
