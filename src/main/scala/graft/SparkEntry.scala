@@ -112,6 +112,11 @@ object SparkEntry {
     "eval_answer_poll" -> (AnswerEval.queryPoll _),
     "finetune_triplets" -> (FinetuneData.query _),
     "multimodal_meta" -> (Multimodal.qMeta _),
+    // REAL image codec (JDK ImageIO PNG): encode→decode→features and
+    // decode→resize→re-encode→features, oracle-checked from the known
+    // generator pixel function (PNG is lossless)
+    "multimodal_decode" -> (Multimodal.qDecode _),
+    "multimodal_resize_real" -> (Multimodal.qResizeReal _),
     // streaming twins under the oracle gate: each runs the streaming
     // plan to completion over the available input and must hash-match
     // its BATCH twin's oracle SQL
@@ -246,6 +251,8 @@ object SparkEntry {
     "eval_answer_poll" -> AnswerEval.pollOracle,
     "finetune_triplets" -> FinetuneData.oracle,
     "multimodal_meta" -> Multimodal.metaOracle,
+    "multimodal_decode" -> Multimodal.decodeOracle,
+    "multimodal_resize_real" -> Multimodal.resizeRealOracle,
     // streaming twins replay their batch twins' oracles
     "stream_events_latest" -> Events.latestOracle,
     "stream_events_hourly" -> Events.hourlyOracle,

@@ -52,7 +52,7 @@ object IvfIndex {
     * the IVF-PQ composition in [[ProductQuantizer.searchIvfAdc]]).
     */
   def centroidArrays(embs: DataFrame): DataFrame =
-    Tables.parallel(embs)
+    embs
       .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("dim", "e")))
       .groupBy("cell", "dim")
       .agg(avg(col("e").cast("double")).as("c"))

@@ -127,6 +127,176 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
+  // --- REAL image codec path (JDK ImageIO, PNG) ----------------------------
+
+  /** Image side length for the synthesized corpus images. */
+  val Side = 16
+  val ResizedSide = 8
+
+  /** Synthesize a REAL PNG per document: a [[Side]]² checkerboard whose
+    * two colors derive from md5(text) (bytes 0-2 and 3-5). The payload
+    * is a genuine image file written by the JDK's PNG encoder — so the
+    * decode/resize stages below exercise a real codec, and because the
+    * pixel function is known, their outputs are ORACLE-CHECKABLE from
+    * the md5 alone (PNG is lossless; the round-trip must be exact).
+    * Codec init (ImageIO cache off) happens once per partition — the
+    * contract the stubbed generic-modality slots document.
+    */
+  def encodeImages(docs: DataFrame, side: Int = Side): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("png", BinaryType)))
+    val rows = docs.select(col("doc_id"), col("text"))
+      .rdd.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val d = md.digest(r.getString(1).getBytes("UTF-8"))
+          def c(i: Int) = ((d(i * 3) & 0xff) << 16) | ((d(i * 3 + 1) & 0xff) << 8) | (d(i * 3 + 2) & 0xff)
+          val img = new java.awt.image.BufferedImage(side, side,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) {
+              img.setRGB(x, y, if ((x + y) % 2 == 0) c(0) else c(1))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(r.getLong(0), bos.toByteArray)
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** REAL decode + feature extraction: ImageIO reads each PNG, features
+    * are exact per-channel pixel sums plus dimensions (sums, not means,
+    * so the oracle compares exact integers).
+    */
+  def decodeImageFeatures(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val rows = images.select(col("doc_id"), col("png"))
+      .rdd.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), img.getWidth, img.getHeight, sr, sg, sb)
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** REAL resize: decode, nearest-neighbor resample with explicit source
+    * arithmetic (srcX = x·srcW/dstW — deterministic, no library rounding
+    * ambiguity), re-encode PNG. Binary-in binary-out, codec once per
+    * partition.
+    */
+  def resizeImages(images: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    val spark = images.sparkSession
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("png", BinaryType)))
+    val rows = images.select(col("doc_id"), col("png"))
+      .rdd.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val dst = new java.awt.image.BufferedImage(dstW, dstH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < dstH) {
+            var x = 0
+            while (x < dstW) {
+              dst.setRGB(x, y,
+                src.getRGB(x * src.getWidth / dstW, y * src.getHeight / dstH))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Row(r.getLong(0), bos.toByteArray)
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** md5-derived color component `idx` (0-5: c1 rgb then c2 rgb) as
+    * DuckDB SQL over the document text — the oracle's pixel function.
+    */
+  private def compSql(idx: Int): String =
+    s"CAST('0x' || substring(md5(text), ${idx * 2 + 1}, 2) AS INT)"
+
+  /** Oracle for decode-features: a [[Side]]² checkerboard holds exactly
+    * side²/2 pixels of each color, so each channel sum is
+    * 128·(c1+c2) — computable from md5(text) without any codec.
+    */
+  def decodeOracle: String = {
+    val half = Side * Side / 2
+    s"""SELECT doc_id, $Side AS width, $Side AS height,
+       |  CAST($half * (${compSql(0)} + ${compSql(3)}) AS BIGINT) AS sum_r,
+       |  CAST($half * (${compSql(1)} + ${compSql(4)}) AS BIGINT) AS sum_g,
+       |  CAST($half * (${compSql(2)} + ${compSql(5)}) AS BIGINT) AS sum_b
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for decode→resize→decode: nearest-neighbor 2:1 downsampling
+    * hits only even (x·2, y·2) coordinates, whose parity sum is even —
+    * every resized pixel is c1, so channel sums are 64·c1.
+    */
+  def resizeRealOracle: String = {
+    val n = ResizedSide * ResizedSide
+    s"""SELECT doc_id, $ResizedSide AS width, $ResizedSide AS height,
+       |  CAST($n * ${compSql(0)} AS BIGINT) AS sum_r,
+       |  CAST($n * ${compSql(1)} AS BIGINT) AS sum_g,
+       |  CAST($n * ${compSql(2)} AS BIGINT) AS sum_b
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Driver query: real PNG encode → real ImageIO decode → features,
+    * oracle-checked from the known pixel function.
+    */
+  def qDecode(s: SparkSession, dir: String): DataFrame =
+    decodeImageFeatures(encodeImages(Tables.documents(s, dir)))
+      .orderBy("doc_id")
+
+  /** Driver query: real decode → nearest-neighbor resize → re-encode →
+    * decode again; oracle-checked.
+    */
+  def qResizeReal(s: SparkSession, dir: String): DataFrame =
+    decodeImageFeatures(
+      resizeImages(encodeImages(Tables.documents(s, dir)), ResizedSide, ResizedSide))
+      .orderBy("doc_id")
+
   def qMeta(s: SparkSession, dir: String): DataFrame = meta(Tables.documents(s, dir))
 
   /** Rows-only driver query: binary-in/binary-out resize over the whole
