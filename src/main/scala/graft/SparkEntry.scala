@@ -125,6 +125,8 @@ object SparkEntry {
     "stream_hybrid_serve" -> (graft.streaming.ServeStream.qStreamHybridServe _),
     "stream_bm25_serve" -> (graft.streaming.ServeStream.qStreamBm25Serve _),
     "stream_hybrid_ivf_serve" -> (graft.streaming.ServeStream.qStreamHybridIvfServe _),
+    "stream_vector_ivf_serve" -> (graft.streaming.ServeStream.qStreamVectorIvfServe _),
+    "stream_rag_answer" -> (graft.streaming.GenerateStream.qStreamRagAnswer _),
     // materialized-index searches: oracle-checked — the partition-pruned
     // on-disk path must reproduce the inline search's result exactly
     "ivf_search_materialized" -> (IvfIndex.qSearchMaterialized _),
@@ -259,6 +261,8 @@ object SparkEntry {
     "stream_hybrid_serve" -> HybridSearch.batchSearchOracle,
     "stream_bm25_serve" -> KeywordSearch.batchSearchOracle,
     "stream_hybrid_ivf_serve" -> HybridSearch.batchSearchIvfOracle,
+    "stream_vector_ivf_serve" -> IvfIndex.qBatchSearchOracle,
+    "stream_rag_answer" -> Generation.oracle,
     // evaluated at dump time, AFTER the queries ran (Verify's order):
     // the oracle embeds the per-dir trained codebooks as literals
     "embed_w2v_search" -> Word2VecEmbedder.searchOracle,

@@ -38,7 +38,16 @@ object Generation {
     */
   def extractiveAnswer(docs: DataFrame, terms: Seq[String],
                        k: Int = ContextK, w: Int = SpanTokens,
-                       m: Int = TopSpans): DataFrame = {
+                       m: Int = TopSpans): DataFrame =
+    assembleSpans(answerSpans(docs, terms, k, w, m))
+
+  /** The INCREMENTAL half of generation: the m selected spans as ranked
+    * rows (rn, piece) — the unit the streaming chat surface emits one
+    * at a time ([[graft.streaming.GenerateStream]]).
+    */
+  def answerSpans(docs: DataFrame, terms: Seq[String],
+                  k: Int = ContextK, w: Int = SpanTokens,
+                  m: Int = TopSpans): DataFrame = {
     val cand = KeywordSearch.bm25(docs, terms, k)
       .join(docs.select(col("doc_id").as("d2"), col("text")),
         col("doc_id") === col("d2"))
@@ -68,11 +77,17 @@ object Generation {
       .withColumn("piece",
         concat(lit("["), col("rk").cast("string"), lit("] "),
           array_join(col("span"), " ")))
-    top.agg(
+    top.select(col("rn"), col("piece"))
+  }
+
+  /** The blocking half: ordered span concatenation into the one-row
+    * answer — identical whether the spans arrived in batch or streamed.
+    */
+  def assembleSpans(spans: DataFrame): DataFrame =
+    spans.agg(
       count(lit(1)).as("n_spans"),
       array_join(transform(array_sort(collect_list(struct(col("rn"), col("piece")))),
         x => x.getField("piece")), " ... ").as("answer"))
-  }
 
   def answerSql(terms: Seq[String], k: Int = ContextK, w: Int = SpanTokens,
                 m: Int = TopSpans): String = {

@@ -68,15 +68,32 @@ object ServeStream {
     }
   }
 
+  /** Driver query: one micro-batch of IVF-pruned VECTOR serving
+    * ([[vectorServeIvf]], 40h) probing the standing centroid table;
+    * must hash-match the batch IVF search oracle
+    * ([[graft.operators.IvfIndex.qBatchSearchOracle]]). Output id
+    * column is `vec_id` (the vector twin's shape).
+    */
+  def qStreamVectorIvfServe(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    val embs = graft.sources.Tables.embeddings(s, dir)
+    collectServed(s, strideIds(s, dir, graft.operators.VectorSearch.BatchStride),
+      idCol = "vec_id") { (queryIds, sink) =>
+      vectorServeIvf(queryIds, embs, graft.operators.IvfIndex.NProbe,
+        graft.operators.VectorSearch.BatchK,
+        centroids = Some(graft.operators.IvfIndex.cachedCentroids(s, dir)))(sink)
+    }
+  }
+
   /** The benchmark query-id set: a bounded driver-side list by
     * construction — the serving plan itself keeps the id set distributed
     * via the broadcast semi-join.
     */
-  private def strideIds(s: org.apache.spark.sql.SparkSession,
-                        dir: String): Seq[Long] = {
+  private def strideIds(s: org.apache.spark.sql.SparkSession, dir: String,
+                        stride: Int = graft.operators.KeywordSearch.BatchStride): Seq[Long] = {
     import s.implicits._
     graft.sources.Tables.embeddings(s, dir)
-      .filter(col("vec_id") % graft.operators.KeywordSearch.BatchStride === 0)
+      .filter(col("vec_id") % stride === 0)
       .select(col("vec_id")).as[Long].collect().toSeq
   }
 
@@ -87,7 +104,8 @@ object ServeStream {
     * harness must not silently drop batches if the ids ever split
     * (batch-split invariance is the property under test).
     */
-  private def collectServed(s: org.apache.spark.sql.SparkSession, ids: Seq[Long])
+  private def collectServed(s: org.apache.spark.sql.SparkSession, ids: Seq[Long],
+                            idCol: String = "doc_id")
       (start: (DataFrame, (DataFrame, Long) => Unit) =>
         org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -102,7 +120,7 @@ object ServeStream {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("q_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("rn", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
     s.createDataFrame(java.util.Arrays.asList(holder.get(): _*), schema)
       .orderBy("q_id", "rn")
