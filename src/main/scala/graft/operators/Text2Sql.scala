@@ -414,6 +414,10 @@ object Text2Sql {
     * passthrough surface — no driver-side result loop.
     */
   def qSuite(s: SparkSession, dir: String): DataFrame = {
+    // NOTE: caching the huberman view was measured and REJECTED (7.7 s
+    // → 10.3 s at sf0.1): columnar-cache materialization plus
+    // InMemoryTableScan per leg loses to 300 cheap pruned parquet
+    // re-scans, and cached-relation statistics perturb per-leg plans.
     huberman(s, dir).createOrReplaceTempView("huberman")
     graft.GraftSession.sql(s,
       entries.map(legSql(_, sparkWrap)).mkString("\nUNION ALL\n") + "\nORDER BY qid")
