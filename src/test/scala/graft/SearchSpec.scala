@@ -560,6 +560,20 @@ class SearchSpec extends SparkSpec {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("batch hybrid ivf: standing-artifact serving form equals the inline build") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val cdir = java.nio.file.Files.createTempDirectory("cents").toString
+    val pdir = java.nio.file.Files.createTempDirectory("posts").toString
+    IvfIndex.writeCentroids(embs, cdir)
+    KeywordSearch.buildBatchPostings(docs).write.mode("overwrite").parquet(pdir)
+    val served = HybridSearch.fusedBatchIvf(docs, embs,
+      centroids = Some(spark.read.parquet(cdir)),
+      kwIndex = Some(spark.read.parquet(pdir))).collect().map(_.toSeq)
+    val inline = HybridSearch.fusedBatchIvf(docs, embs).collect().map(_.toSeq)
+    assert(served.toSeq == inline.toSeq)
+  }
+
   test("multifield bm25: single text field at weight 1 reduces to plain bm25") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
     val terms = KeywordSearch.QueryTerms
