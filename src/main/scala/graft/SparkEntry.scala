@@ -138,6 +138,10 @@ object SparkEntry {
     // materialized weight file) through the batched-inference seam;
     // oracle replays mean-pooling + cosine with the weights as literals
     "embed_w2v_search" -> (Word2VecEmbedder.qSearch _),
+    // trained logistic-regression cross-scorer in the reranker slot,
+    // served through the pair-scoring inference seam; linear-score
+    // oracle with the fitted coefficients as literals
+    "rerank_learned" -> (LearnedReranker.qSearch _),
     "pq_adc_search" -> (ProductQuantizer.qAdcSearch _),
     "ivf_pq_search" -> (ProductQuantizer.qIvfAdcSearch _),
     "vector_search_batch_ivf_pq" -> (ProductQuantizer.qBatchIvfAdcSearch _),
@@ -266,6 +270,7 @@ object SparkEntry {
     // evaluated at dump time, AFTER the queries ran (Verify's order):
     // the oracle embeds the per-dir trained codebooks as literals
     "embed_w2v_search" -> Word2VecEmbedder.searchOracle,
+    "rerank_learned" -> LearnedReranker.searchOracle,
     "pq_adc_search" -> ProductQuantizer.adcSearchOracle,
     "ivf_pq_search" -> ProductQuantizer.ivfAdcSearchOracle,
     "vector_search_batch_ivf_pq" -> ProductQuantizer.batchIvfAdcSearchOracle
