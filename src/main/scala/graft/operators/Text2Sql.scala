@@ -117,8 +117,14 @@ object Text2Sql {
 
     /** "sql" or "regular"; ties break to "sql" (the cheaper wrong path —
       * a misrouted regular question returns rows instead of prose).
+      * A double-quoted literal is a HARD sql signal checked before the
+      * trigram-centroid decision: the notebook's sql exemplars quote
+      * their search terms, the regular route's questions never do, and
+      * the trigram surface misreads "discussing \"stress\""-style
+      * questions as prose.
       */
     def route(q: String): String = {
+      if (q.contains("\"")) return "sql"
       val v = vec(q)
       if (cos(v, sqlC) >= cos(v, regC)) "sql" else "regular"
     }
