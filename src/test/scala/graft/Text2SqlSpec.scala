@@ -58,6 +58,17 @@ class Text2SqlSpec extends SparkSpec {
     assert(translated.forall(g => g.sql.contains("FROM huberman")))
   }
 
+  test("fused suite plan equals the per-question all-legs union bitwise") {
+    // the fused two-pass plan must compute the IDENTICAL
+    // (qid, route, n_rows, checksum) row for every question that the
+    // verbatim per-question legs produce (the DuckDB oracle re-executes
+    // those legs, so this is the local twin of the driver gate)
+    val fused = Text2Sql.qSuite(spark, TestSpark.Sf0001).collect().map(_.toSeq)
+    val legs = Text2Sql.qSuiteAllLegs(spark, TestSpark.Sf0001).collect().map(_.toSeq)
+    assert(fused.length == legs.length)
+    fused.zip(legs).foreach { case (f, l) => assert(f == l, s"fused $f != leg $l") }
+  }
+
   test("suite runs the sampled reference workload end to end") {
     val df = Text2Sql.qSuite(spark, TestSpark.Sf0001)
     val rows = df.collect()
