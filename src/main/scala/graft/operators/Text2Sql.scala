@@ -139,9 +139,14 @@ object Text2Sql {
     * structured [[Shape]] the suite's fused execution plan uses. The
     * `sql` text is always the verbatim per-question statement (it is
     * what the DuckDB oracle re-executes); `shaped` only changes HOW the
-    * engine computes the identical (n_rows, checksum) pair.
+    * engine computes the identical (n_rows, checksum) pair. `sqlDuck`
+    * carries the ORACLE's text for the one family whose flattening
+    * construct has no engine-portable spelling (word explode: Spark
+    * `explode(split(..))` vs DuckDB `unnest(string_split_regex(..))`) —
+    * semantics are identical, only the function names differ.
     */
-  case class Generated(sql: String, cols: Seq[String], shaped: Option[Shaped] = None)
+  case class Generated(sql: String, cols: Seq[String], shaped: Option[Shaped] = None,
+                       sqlDuck: Option[String] = None)
 
   /** A shape plus the question's predicate conjunction (`true` when the
     * question has no predicate).
@@ -203,7 +208,7 @@ object Text2Sql {
     // durations, guest professions) — honest refusals, not guesses
     if (ql.matches(".*\\b(released|release date|last year|last month|duration|minutes|this year|date)\\b.*"))
       return None
-    if (ql.contains("most common word") || ql.contains("guest profession"))
+    if (ql.contains("guest profession"))
       return None
 
     // ---- predicates ----
@@ -351,6 +356,18 @@ object Text2Sql {
         Some(Generated(
           s"SELECT title FROM huberman$where\nORDER BY length(summary) ASC, id LIMIT 1",
           Seq("title"), shp(Extremal("length(summary)", asc = true))))
+      else if (ql.contains("most common word")) {
+        val c = if (ql.contains("title")) "title" else "summary"
+        def mcw(flatten: String) =
+          s"""SELECT w FROM (
+             |  SELECT $flatten AS w FROM huberman$where
+             |) words WHERE w <> ''
+             |GROUP BY w ORDER BY count(*) DESC, w LIMIT 1""".stripMargin
+        Some(Generated(
+          mcw(s"explode(split(lower($c), '[^a-z0-9]+'))"),
+          Seq("w"), None,
+          Some(mcw(s"unnest(string_split_regex(lower($c), '[^a-z0-9]+'))"))))
+      }
       else if (ql.contains("most frequent guest"))
         Some(Generated(
           s"SELECT guest FROM huberman$where\nGROUP BY guest ORDER BY count(*) DESC, guest LIMIT 1",
@@ -416,7 +433,7 @@ object Text2Sql {
     s"""SELECT count(*) AS n_rows,
        |  CAST(coalesce(sum(CAST('0x' || substring(md5(rowstr), 1, 8) AS BIGINT)), 0) AS BIGINT) AS checksum
        |FROM (SELECT ${rowStr(g.cols)} AS rowstr FROM (
-       |${g.sql}
+       |${g.sqlDuck.getOrElse(g.sql)}
        |) t) u""".stripMargin
 
   // --- the driver suite -----------------------------------------------------

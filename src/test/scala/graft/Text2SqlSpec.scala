@@ -34,6 +34,11 @@ class Text2SqlSpec extends SparkSpec {
       .contains("count(DISTINCT guest)"))
     assert(sqlOf("""What is the average view count for episodes with "biohacking" in the title?""")
       .contains("avg(view_count)"))
+    // word-level families carry a DuckDB dialect twin for the oracle
+    val mcw = Text2Sql.translate("What is the most common word in episode titles?").get
+    assert(mcw.sql.contains("explode(split(lower(title)"))
+    assert(mcw.sqlDuck.get.contains("unnest(string_split_regex(lower(title)"))
+    assert(mcw.sql.contains("ORDER BY count(*) DESC, w LIMIT 1"))
     // un-modeled concepts are refused, not guessed
     assert(Text2Sql.translate(
       "List the titles of episodes that were released in the last year.").isEmpty)
