@@ -357,7 +357,17 @@ object Text2Sql {
           s"SELECT title FROM huberman$where\nORDER BY length(summary) ASC, id LIMIT 1",
           Seq("title"), shp(Extremal("length(summary)", asc = true))))
       else if (ql.contains("most common word")) {
-        val c = if (ql.contains("title")) "title" else "summary"
+        // the column must be what the words are drawn FROM — keyed on
+        // the phrase after "most common word in", not on "title"
+        // appearing anywhere (a title-predicate question about summary
+        // words would otherwise silently aggregate the wrong column);
+        // unmatched phrasings refuse rather than guess
+        val c = "most common word in (?:the )?(?:episode )?(titles?|summaries)"
+          .r.findFirstMatchIn(ql).map(_.group(1)) match {
+          case Some(m) if m.startsWith("title") => "title"
+          case Some(_) => "summary"
+          case None => return None
+        }
         def mcw(flatten: String) =
           s"""SELECT w FROM (
              |  SELECT $flatten AS w FROM huberman$where
@@ -421,10 +431,13 @@ object Text2Sql {
   private def rowStr(cols: Seq[String]): String =
     s"concat_ws('|', ${cols.map(c => s"CAST($c AS STRING)").mkString(", ")})"
 
-  /** First 32 md5 bits per row, summed order-independently. */
+  /** First 32 md5 bits per row, summed order-independently. The per-row
+    * hash is [[md5p]] — the ONE definition the fused suite passes also
+    * hash with, so the two plans cannot drift apart.
+    */
   def sparkWrap(g: Generated): String =
     s"""SELECT count(*) AS n_rows,
-       |  CAST(coalesce(sum(CAST(conv(substr(md5(rowstr), 1, 8), 16, 10) AS BIGINT)), 0) AS BIGINT) AS checksum
+       |  CAST(coalesce(sum(${md5p("rowstr")}), 0) AS BIGINT) AS checksum
        |FROM (SELECT ${rowStr(g.cols)} AS rowstr FROM (
        |${g.sql}
        |) t) u""".stripMargin
@@ -578,7 +591,10 @@ object Text2Sql {
       def one = "CAST(1 AS BIGINT)"
       e.gen.get.shaped.get.shape match {
         case CntDistinctGuest =>
-          aggs += s"count(CASE WHEN g_$q > 0 THEN 1 END) AS v_$q"
+          // count(DISTINCT guest) excludes NULL — the NULL-guest group
+          // (none in this dataset, but the fusion must not assume that)
+          // may satisfy g_q > 0 yet must not count
+          aggs += s"count(CASE WHEN g_$q > 0 AND guest IS NOT NULL THEN 1 END) AS v_$q"
           s"$q, $one, ${scalarChk(s"v_$q")}"
         case GuestDistinct =>
           aggs += s"sum(CASE WHEN g_$q > 0 THEN $hg END) AS v_$q"
