@@ -101,6 +101,18 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(dense == 1, s"expected exactly one dense LEFT JOIN, got $dense:\n$plan")
   }
 
+  test("text2sql suite stays fused: a handful of exchanges, not one per question") {
+    // the 300-question workload must execute as the two shared-scan
+    // conditional-aggregation passes + the few genuine LIMIT-k legs
+    // (~4 exchanges), never regress to the per-question union tower
+    // (287 exchanges, one parquet scan per question)
+    val plan = planOf(graft.operators.Text2Sql.qSuite(spark, dir))
+    val ex = plan.linesIterator.count(_.contains("Exchange"))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(ex <= 20, s"fused suite should need few exchanges, got $ex")
+    assert(scans <= 25, s"fused suite should scan the table a few times, got $scans")
+  }
+
   test("latest compaction partial-aggregates: no window, no per-key sort") {
     val plan = planOf(Events.latest(spark, dir))
     assert(!plan.contains("Window"), s"compaction must not window:\n$plan")
