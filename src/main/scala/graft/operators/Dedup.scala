@@ -129,11 +129,19 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  val minhashLshOracle: String = {
-    val shingleSql =
-      s"""CASE WHEN len(toks) >= $ShingleK
-         |  THEN list_transform(range(1, len(toks) - ${ShingleK - 2}), i -> array_to_string(list_slice(toks, i, i + ${ShingleK - 1}), ' '))
-         |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+  /** The word-shingle list over a `toks` column — shared SQL fragment. */
+  private[graft] val shingleSql: String =
+    s"""CASE WHEN len(toks) >= $ShingleK
+       |  THEN list_transform(range(1, len(toks) - ${ShingleK - 2}), i -> array_to_string(list_slice(toks, i, i + ${ShingleK - 1}), ' '))
+       |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  /** Shared CTE chain `toked → hashed → sigs → bands` over `documents` —
+    * the SQL twin of [[bandSignatures]], composed by [[minhashLshOracle]]
+    * and the streaming clean-ingest oracle
+    * ([[graft.streaming.CorpusStream.cleanPackOracle]]). `toked` carries
+    * `source` so pack-shaped consumers can reuse it.
+    */
+  private[graft] val bandsCtesSql: String = {
     val sigCols = Perms.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $P)) AS m_$i"
     }.mkString(",\n    ")
@@ -143,7 +151,7 @@ object Dedup {
         .mkString(" || '-' || ")
       s"SELECT doc_id, $b AS band_id, md5($parts) AS band_sig FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH toked AS (SELECT doc_id, ${TextAnalysis.sqlToks} AS toks FROM documents),
+    s"""toked AS (SELECT doc_id, source, ${TextAnalysis.sqlToks} AS toks FROM documents),
        |hashed AS (
        |  SELECT doc_id,
        |    list_transform($shingleSql,
@@ -154,7 +162,11 @@ object Dedup {
        |    $sigCols
        |  FROM hashed),
        |bands AS (
-       |  $bandRows),
+       |  $bandRows)""".stripMargin
+  }
+
+  val minhashLshOracle: String = {
+    s"""WITH $bandsCtesSql,
        |cands AS (
        |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
        |  FROM bands l JOIN bands r
@@ -682,6 +694,100 @@ object Dedup {
        |FROM embeddings
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
+
+  // --- semantic dedup (cluster-blocked, SemDeDup-style) --------------------
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, compare pairs only
+    * WITHIN a cluster, and drop every vector that has a higher-priority
+    * (lower-id) semantic duplicate in its cluster. The third blocking
+    * strategy in the near-dup family — k-means-cell blocking here,
+    * hyperplane-LSH buckets in [[embeddingNearDupLsh]], brute force as
+    * the correctness baseline — chosen when duplicates are SEMANTIC
+    * (same meaning, different surface) rather than near-identical.
+    *
+    * Scale design: centroids are a tiny broadcast (nlist × dim); the
+    * assignment is a map-side argmax per vector (no shuffle); the only
+    * shuffle is the within-cell self-join, O(Σ|cell|²) pair work instead
+    * of O(n²) — with nlist ∝ √n this is the published SemDeDup recipe at
+    * web scale. Keep-rule is per-pair lowest-id (deterministic; the
+    * paper's keep-farthest-from-centroid variant swaps one ORDER BY).
+    */
+  def semanticDedup(embs: DataFrame): DataFrame = {
+    val d = transform(col("embedding"), x => x.cast("double"))
+    val normed = embs
+      .select(col("vec_id"),
+        explode(array(struct(
+          greatest(sqrt(aggregate(d, lit(0.0d), (acc, v) => acc + v * v)),
+            lit(1e-30d)).as("nrm"),
+          d.as("ed")))).as("s"))
+      .select(col("vec_id"),
+        transform(col("s.ed"), x => x / col("s.nrm")).as("en"))
+    // nearest-centroid assignment: broadcast nlist centroids, keep the
+    // best (sim, lowest-cell) per vector in ONE partial-aggregable max
+    val sims = normed.join(broadcast(IvfIndex.centroidArrays(embs)))
+      .select(col("vec_id"), col("en"), col("cell"),
+        round(graft.functions.VectorFunctions.cosineSim(
+          col("en"), col("centroid")), 6).as("sim"))
+    val assigned = sims
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("cell")).as("nc"), col("en").as("en"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).cast("long").as("cell"),
+        col("m.en").as("en"))
+    val dups = assigned.select(col("cell"), col("vec_id").as("v1"), col("en").as("e1"))
+      .join(assigned.select(col("cell"), col("vec_id").as("v2"), col("en").as("e2")),
+        Seq("cell"))
+      .filter(col("v1") < col("v2"))
+      .filter(round(graft.functions.VectorFunctions.dotNative(
+        col("e1"), col("e2")), 4) >= CosineDupThreshold)
+      .select(col("v2")).distinct()
+    assigned.join(dups, col("vec_id") === col("v2"), "left")
+      .select(col("vec_id"), col("cell"), col("v2").isNull.as("is_kept"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: centroids re-derived in SQL (same CTE shape as the IVF
+    * search oracle), argmax assignment via a deterministic
+    * (sim DESC, cell) window, within-cell pair cosines over the
+    * normalized lists.
+    */
+  lazy val semanticDedupOracle: String = {
+    val norm = "greatest(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-30)"
+    s"""WITH cent_long AS (
+       |  SELECT label AS cell, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS e
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT cell, list(c ORDER BY dim) AS centroid
+       |  FROM (SELECT cell, dim, avg(e) AS c FROM cent_long GROUP BY 1, 2)
+       |  GROUP BY cell),
+       |normed AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / $norm) AS en
+       |  FROM embeddings),
+       |sims AS (
+       |  SELECT n.vec_id, c.cell,
+       |    round(${VectorSearch.cosineSql("en", "centroid")}, 6) AS sim
+       |  FROM normed n, cent c),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims) WHERE rn = 1),
+       |dups AS (
+       |  SELECT DISTINCT r.vec_id AS v2
+       |  FROM assigned l JOIN assigned r ON l.cell = r.cell AND l.vec_id < r.vec_id
+       |  JOIN normed nl ON nl.vec_id = l.vec_id
+       |  JOIN normed nr ON nr.vec_id = r.vec_id
+       |  WHERE round(list_sum(list_transform(range(1, ${Dim + 1}),
+       |    i -> nl.en[i] * nr.en[i])), 4) >= $CosineDupThreshold)
+       |SELECT a.vec_id, a.cell, (d.v2 IS NULL) AS is_kept
+       |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.v2
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
+  def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(s, dir))
 
   // --- decontamination -----------------------------------------------------
 

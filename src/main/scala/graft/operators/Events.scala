@@ -339,6 +339,17 @@ object Events {
       |FROM ranked WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Oracle for the STREAMING exact-dedup twin
+    * ([[graft.streaming.EventsStream.qStreamDedup]]): event_id is unique
+    * in the table, so deduping a twice-replayed log must reproduce the
+    * plain projection exactly.
+    */
+  val dedupedOracle: String =
+    """SELECT event_id, user_id, event_type, value,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val sessionizeOracle: String =
     """WITH base AS (
       |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

@@ -75,7 +75,7 @@ object Pipeline {
     * [[decisionLogOracle]] (drift between the two oracles would silently
     * weaken the gate).
     */
-  private val qualityGateSql: String = {
+  private[graft] val qualityGateSql: String = {
     val stopEn = TextAnalysis.StopEn.map(w => s"'$w'").mkString(", ")
     s"""(len(toks) >= 10 AND len(toks) <= 1000
        |     AND len(list_filter(toks, t -> t IN ($stopEn))) > 0)""".stripMargin

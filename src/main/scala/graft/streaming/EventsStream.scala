@@ -108,6 +108,65 @@ object EventsStream {
   def qStreamHourly(s: SparkSession, dir: String): DataFrame =
     runToFrame(s, hourly(readEvents(s, dir)), "stream_hourly_drv")
 
+  /** Driver query: streaming exact dedup (39) under the oracle gate. The
+    * replayed log is the union of TWO file-streams over the same events
+    * table — every event arrives twice in the micro-batch, the
+    * watermark-bounded state drops the replay, and the surviving rows
+    * must hash-match the plain batch projection of the table
+    * ([[graft.operators.Events.dedupedOracle]]) — making the dedup
+    * observable (without the operator the result would be 2× the rows).
+    */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val replayed = readEvents(s, dir).unionByName(readEvents(s, dir))
+    val out = dedupedEvents(replayed)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("long").as("ts_s"))
+    runToFrame(s, out, "stream_dedup_drv", "append")
+  }
+
+  /** Driver query: stateful streaming sessionization (38) under the
+    * oracle gate. `flatMapGroupsWithState` in Append mode only emits
+    * CLOSED sessions, so the harness unions the events file-stream with
+    * a tiny standing "flush" table (one far-future row per user, written
+    * once per source dir) whose gap closes every real session; the flush
+    * rows' own sessions stay open and are never emitted. The streamed
+    * output must hash-match the batch window-form sessionization
+    * ([[graft.operators.Events.sessionizeOracle]]).
+    */
+  def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flushPath = graft.operators.IndexCache.getOrBuild("sess_flush", dir) { p =>
+      val ev = graft.sources.Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("ts_s"))
+      val flushTs = ev.agg(max("ts_s")).first().getLong(0) + GapSeconds + 1
+      ev.select(col("user_id")).distinct()
+        .withColumn("ts_s", lit(flushTs))
+        .write.mode("overwrite").parquet(p)
+    }
+    val real = readEvents(s, dir)
+      .select(col("user_id"), col("ts").cast("long").as("ts_s"))
+    val flush = s.readStream
+      .schema("user_id BIGINT, ts_s BIGINT").parquet(flushPath)
+    val sessions = sessionize(real.unionByName(flush).as[Ev])
+    runToFrame(s, sessions.toDF(), "stream_sessionize_drv", "append")
+  }
+
+  /** Driver query: the streaming as-of join (40b) under the oracle gate —
+    * the per-user last-purchase state over the events file-stream must
+    * hash-match DuckDB's native ASOF JOIN
+    * ([[graft.operators.Events.asofOracle]]). No flush is needed: every
+    * event emits its feature row immediately (inner as-of semantics).
+    */
+  def qStreamAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = readEvents(s, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("ts_s"),
+        (col("event_type") === "purchase").as("is_purchase"))
+      .as[AsofEv]
+    runToFrame(s, asofLastPurchase(evs).toDF(), "stream_asof_drv", "append")
+  }
+
   case class Ev(user_id: Long, ts_s: Long)
   case class SessState(sessionId: Long, firstTs: Long, lastTs: Long, n: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_s: Long)

@@ -45,6 +45,37 @@ object IndexStream {
         Embedder.embed(col("chunk_hash")).as("embedding"),
         pmod(portableHash(col("chunk_hash")), lit(NumCells)).as("cell"))
 
+  /** Driver query: streaming index ingest (40) under the oracle gate —
+    * run the continuous chunk→embed→assign append to completion into the
+    * cell-partitioned layout (once per source dir, standing-artifact
+    * semantics), read the landed index back, and hash-match the chunk
+    * and cell-assignment arithmetic re-derived in DuckDB
+    * ([[indexIngestOracle]]). The embedding column is spec-covered
+    * (embed ≡ column expression); the gate pins the rows the sink lands
+    * and the partition value they land under.
+    */
+  def qStreamIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.operators.IndexCache.getOrBuild("stream_index", dir) { p =>
+      appendToIndex(chunkEmbedAssign(readDocuments(spark, dir)),
+        s"$p/index", s"$p/ckpt").awaitTermination()
+    }
+    spark.read.parquet(s"$base/index")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_hash"),
+        col("cell").cast("long").as("cell"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Oracle for [[qStreamIndexIngest]]: the chunk SQL twin
+    * ([[graft.operators.Chunker.chunkSql]]) plus the portable-hash cell
+    * assignment (same md5-prefix arithmetic as the corpus-sample
+    * oracle).
+    */
+  val indexIngestOracle: String =
+    s"""SELECT doc_id, chunk_id, chunk_hash,
+       |  CAST('0x' || substring(md5(chunk_hash), 1, 15) AS BIGINT) % $NumCells AS cell
+       |FROM (${graft.operators.Chunker.chunkSql()})
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Continuous append into the cell-partitioned index layout. */
   def appendToIndex(chunks: DataFrame, path: String,
                     checkpoint: String): StreamingQuery =

@@ -209,6 +209,23 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("semantic dedup drops exactly the higher-id halves of in-cell dup pairs") {
+    val embs = sources.Tables.embeddings(spark, TestSpark.Sf001)
+    val out = Dedup.semanticDedup(embs).collect()
+    assert(out.length == embs.count()) // every vector gets a verdict
+    val cellOf = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    // independent check: brute-force pairs ≥ τ restricted to same cell
+    val allPairs = Dedup.embeddingNearDup(embs).collect()
+      .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2")))
+    val inCellV2 = allPairs.filter { case (a, b) => cellOf(a) == cellOf(b) }
+      .map(_._2).toSet
+    val dropped = out.filter(!_.getAs[Boolean]("is_kept"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(dropped == inCellV2)
+    // blocking is a subset of brute force: nothing outside a pair drops
+    assert(dropped.subsetOf(allPairs.flatMap(p => Seq(p._1, p._2)).toSet))
+  }
+
   test("band index lands band-partitioned on disk") {
     val docs = sources.Tables.documents(spark, TestSpark.Sf0001)
     val path = java.nio.file.Files.createTempDirectory("band_idx_spec").toString

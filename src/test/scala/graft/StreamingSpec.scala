@@ -267,6 +267,23 @@ class StreamingSpec extends SparkSpec {
     assert(buf.nonEmpty)
   }
 
+  test("driver-gated sessionize flush-union emits exactly the batch sessions") {
+    // the flush rows close every real session but their own sessions
+    // must never surface — equality with the batch window form is the
+    // whole contract of the driver gate
+    val got = EventsStream.qStreamSessionize(spark, TestSpark.Sf0001)
+    val want = Events.sessionize(spark, TestSpark.Sf0001)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("driver-gated dedup drops the replayed copy, not distinct events") {
+    val got = EventsStream.qStreamDedup(spark, TestSpark.Sf0001)
+    val base = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+    assert(got.count() == base.count()) // 2x input collapses to 1x
+    assert(got.select("event_id").distinct().count() == base.count())
+  }
+
   test("streaming index ingest lands the batch pipeline's rows cell-partitioned") {
     import graft.streaming.IndexStream
     val tmp = java.nio.file.Files.createTempDirectory("idx_stream").toString
