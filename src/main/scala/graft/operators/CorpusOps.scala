@@ -229,6 +229,130 @@ object CorpusOps {
        |FROM curr FULL JOIN prev USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --- importance resampling (DSIR-style) ----------------------------------
+
+  val DsirTarget = "src0"
+  val DsirBuckets = 512
+  val DsirK = 50
+
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * pick raw-corpus documents whose hashed-n-gram profile looks like a
+    * TARGET domain. Per-bucket unigram models fit on the target source
+    * and on the rest of the corpus (add-1 smoothing over the hashed
+    * feature space); each raw document's importance weight is the sum
+    * over its tokens of the target/raw log-probability ratio; the
+    * sample is Gumbel top-k over weight + deterministic hash-seeded
+    * Gumbel noise — sampling-without-replacement ∝ exp(weight), fully
+    * reproducible (no RNG state, stable under repartitioning).
+    *
+    * Scale shape: both LM tables are ≤ `buckets` rows (broadcast); the
+    * weight pass is the tokenize explode + two broadcast joins + one
+    * doc-keyed sum — linear, one shuffle; the final top-k is
+    * TakeOrdered, never a global sort.
+    */
+  /** The two LM normalizers (total target tokens, total raw tokens) —
+    * bounded driver scalars, the literal-constants oracle pattern.
+    */
+  def dsirTotals(docs: DataFrame, target: String = DsirTarget): (Long, Long) = {
+    val perSide = docs
+      .select((col("source") === target).as("is_t"), explode(tokens(col("text"))).as("t"))
+      .groupBy("is_t").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    (perSide.getOrElse(true, 0L), perSide.getOrElse(false, 0L))
+  }
+
+  def importanceSample(docs: DataFrame, tTot: Long, rTot: Long,
+                       target: String = DsirTarget,
+                       buckets: Int = DsirBuckets, k: Int = DsirK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("source"),
+        pmod(portableHash(col("t")), lit(buckets)).as("f"))
+    val tgt = toks.filter(col("source") === target)
+      .groupBy("f").agg(count(lit(1)).as("ct"))
+    val raw = toks.filter(col("source") =!= target)
+      .groupBy("f").agg(count(lit(1)).as("cr"))
+    val ratio =
+      log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0d) / (tTot + buckets).toDouble) -
+        log((coalesce(col("cr"), lit(0L)).cast("double") + 1.0d) / (rTot + buckets).toDouble)
+    val u = (pmod(portableHash(concat(lit("dsir#"), col("doc_id").cast("string"))),
+      lit(1000000)).cast("double") + 0.5d) / 1000000.0d
+    val gumbel = -log(-log(u))
+    val scored = toks.filter(col("source") =!= target)
+      .join(broadcast(tgt), Seq("f"), "left")
+      .join(broadcast(raw), Seq("f"), "left")
+      .select(col("doc_id"), col("source"), ratio.as("lr"))
+      .groupBy("doc_id", "source")
+      .agg(sum("lr").as("lw"))
+      .select(col("doc_id"), col("source"), col("lw"),
+        (col("lw") + gumbel).as("sc"))
+    val top = scored.orderBy(desc("sc"), asc("doc_id")).limit(k)
+    top
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("sc"), asc("doc_id"))))
+      .select(col("rn"), col("doc_id"), col("source"),
+        round(col("lw"), 4).as("log_weight"),
+        round(col("sc"), 4).as("sample_score"))
+      .orderBy("rn")
+  }
+
+  /** Oracle: the same hashed-unigram LM ratio + Gumbel top-k re-derived
+    * in SQL. `tTot`/`rTot` fold in as literals (they are counts the
+    * engine also materializes driver-side — bounded by construction).
+    */
+  def importanceSampleSql(tTot: Long, rTot: Long, target: String = DsirTarget,
+                          buckets: Int = DsirBuckets, k: Int = DsirK): String = {
+    val fExpr =
+      s"CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % $buckets"
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, $fExpr AS f
+       |  FROM (SELECT doc_id, source, unnest(${TextAnalysis.sqlToks}) AS t
+       |        FROM documents)),
+       |tgt AS (SELECT f, count(*) AS ct FROM toks WHERE source = '$target' GROUP BY f),
+       |raw AS (SELECT f, count(*) AS cr FROM toks WHERE source <> '$target' GROUP BY f),
+       |scored AS (
+       |  SELECT doc_id, source,
+       |    sum(ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / ${tTot + buckets}.0)
+       |      - ln((CAST(coalesce(cr, 0) AS DOUBLE) + 1.0) / ${rTot + buckets}.0)) AS lw
+       |  FROM toks LEFT JOIN tgt USING (f) LEFT JOIN raw USING (f)
+       |  WHERE source <> '$target'
+       |  GROUP BY doc_id, source),
+       |noised AS (
+       |  SELECT doc_id, source, lw,
+       |    lw - ln(-ln((CAST('0x' || substring(md5('dsir#' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 + 0.5) / 1000000.0)) AS sc
+       |  FROM scored),
+       |ranked AS (
+       |  SELECT row_number() OVER (ORDER BY sc DESC, doc_id) AS rn,
+       |    doc_id, source, round(lw, 4) AS log_weight, round(sc, 4) AS sample_score
+       |  FROM noised)
+       |SELECT rn, doc_id, source, log_weight, sample_score
+       |FROM ranked WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+  }
+
+  private val dsirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  @volatile private var dsirLastDir: Option[String] = None
+
+  def qImportanceSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val t = dsirCache.computeIfAbsent(dir, _ => dsirTotals(docs))
+    dsirLastDir = Some(dir)
+    importanceSample(docs, t._1, t._2)
+  }
+
+  /** Per-dir literal-constants oracle (totals fold in as literals after
+    * the query runs — SURVEY §6; ambiguous/unpopulated cache fails
+    * loudly rather than comparing a plausible empty result).
+    */
+  def importanceSampleOracle: String =
+    if (dsirCache.size() > 1) "SELECT dsir_totals_ambiguous FROM documents"
+    else dsirLastDir.flatMap(d => Option(dsirCache.get(d)))
+      .fold("SELECT dsir_totals_not_derived FROM documents") {
+        case (t, r) => importanceSampleSql(t, r)
+      }
+
   def qMix(s: SparkSession, dir: String): DataFrame = mix(Tables.documents(s, dir))
   def qSplit(s: SparkSession, dir: String): DataFrame = split(Tables.documents(s, dir))
   def qQuantiles(s: SparkSession, dir: String): DataFrame =

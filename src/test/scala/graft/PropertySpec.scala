@@ -95,6 +95,35 @@ class PropertySpec extends SparkSpec {
     assert(nativeMin == explodedMin)
   }
 
+  test("semantic dedup keep-rule on random embeddings: drops = higher-id in-cell partners") {
+    import org.apache.spark.sql.functions._
+    val n = 60; val dim = 8
+    val embs = (0L until n).map { i =>
+      // planted clusters: 4 archetypes + small noise → real dup structure
+      val base = Array.tabulate(dim)(d => if (d % 4 == (i % 4).toInt) 1.0f else 0.0f)
+      val vec = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i, vec, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Dedup.semanticDedup(embs).collect()
+    assert(out.length == n)
+    val cellOf = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val kept = out.filter(_.getAs[Boolean]("is_kept")).map(_.getAs[Long]("vec_id")).toSet
+    // independent O(n²) reference: normalized cosine ≥ τ, same cell, lower id exists
+    val vecs = embs.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.max(math.sqrt(a.map(x => x * x).sum), 1e-30)
+      val nb = math.max(math.sqrt(b.map(x => x * x).sum), 1e-30)
+      val dot = a.zip(b).map { case (x, y) => (x / na) * (y / nb) }.sum
+      BigDecimal(dot).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (0L until n).foreach { v =>
+      val hasLowerDup = (0L until v).exists(u =>
+        cellOf(u) == cellOf(v) && cos(vecs(u), vecs(v)) >= Dedup.CosineDupThreshold)
+      assert(kept.contains(v) == !hasLowerDup, s"vec $v")
+    }
+  }
+
   test("empty corpus: search and dedup operators return empty, not errors") {
     import graft.operators._
     import org.apache.spark.sql.functions._
