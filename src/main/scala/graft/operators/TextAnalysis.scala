@@ -362,6 +362,135 @@ object TextAnalysis {
        |ORDER BY term""".stripMargin
   }
 
+  // --- BPE merge training --------------------------------------------------
+
+  val BpeTrainRounds = 8
+
+  /** Learn a BPE merge table from the corpus itself (Sennrich et al.
+    * 2016) — the training loop whose single-round corpus scan is
+    * [[pairStats]] and whose apply step is [[bpeEncode]]. Each round
+    * counts adjacent symbol pairs over the word-frequency dictionary
+    * (weighted by term frequency), merges the most frequent pair
+    * (ties broken lexicographically), and re-segments.
+    *
+    * Scale design: the corpus funnels through ONE groupBy into a
+    * vocabulary-sized `(segmentation, term-count)` frame, checkpointed
+    * once; every training round is then a partial-aggregated pair count
+    * over that small frame plus a 1-row argmax driver probe (bounded by
+    * construction, the IVF-centroid pattern) and a codegen'd `replace`.
+    * This is exactly how production tokenizer trainers scale: 100 TB of
+    * text costs one scan; the merge loop never touches the corpus again.
+    *
+    * Oracle: the full training derivation unrolled in SQL — each round's
+    * pair count, argmax, and re-segmentation as chained CTEs, so DuckDB
+    * re-learns the identical merge table from the raw corpus (no
+    * literal replay; both engines share left-to-right non-overlapping
+    * `replace` semantics, see [[bpeEncode]]).
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "), regexp_replace(col("term"), "(.)", "$1 ")).as("s"),
+        col("cnt"))
+      .localCheckpoint()
+    var cur = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var done = false
+    while (!done && merges.length < rounds) {
+      val top = cur
+        .select(col("cnt"), explode(shingles(split(trim(col("s")), " "), 2)).as("pair"))
+        .filter(col("pair").contains(" "))
+        .groupBy("pair").agg(sum("cnt").as("freq"))
+        .orderBy(desc("freq"), asc("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        // tokens are [a-z0-9]+ so the interpolated replace is injection-safe
+        require(a.matches("[a-z0-9]+") && b.matches("[a-z0-9]+"), s"bad pair: '$a' '$b'")
+        merges += ((merges.length + 1, a, b, a + b, top(0).getLong(1)))
+        cur = cur.withColumn("s", expr(s"replace(s, ' $a $b ', ' $a$b ')"))
+      }
+    }
+    merges.toSeq.toDF("rn", "left_sym", "right_sym", "merged", "pair_freq")
+      .orderBy("rn")
+  }
+
+  /** Shared WITH-chain: per-round pair count (p_i), argmax merge (m_i),
+    * and re-segmentation (w_i). The apply step LEFT JOINs the 1-row
+    * argmax so an exhausted corpus (m_i empty) passes the dictionary
+    * through unchanged — mirroring the engine's early exit.
+    */
+  private def bpeRoundCtes(rounds: Int): String = {
+    def pairCte(i: Int) =
+      s"""p$i AS (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(pc)),
+         |      i -> pc[i] || ' ' || pc[i + 1])) AS pair
+         |    FROM (SELECT string_split(trim(s), ' ') AS pc, cnt FROM w${i - 1}))
+         |  GROUP BY pair)"""
+    def argmaxCte(i: Int) =
+      s"m$i AS (SELECT pair, freq FROM p$i ORDER BY freq DESC, pair LIMIT 1)"
+    def applyCte(i: Int) =
+      s"""w$i AS (
+         |  SELECT w.term,
+         |    CASE WHEN m.pair IS NULL THEN w.s ELSE replace(w.s,
+         |      ' ' || string_split(m.pair, ' ')[1] || ' ' || string_split(m.pair, ' ')[2] || ' ',
+         |      ' ' || string_split(m.pair, ' ')[1] || string_split(m.pair, ' ')[2] || ' ') END AS s,
+         |    w.cnt
+         |  FROM w${i - 1} w LEFT JOIN m$i m ON TRUE)"""
+    val roundCtes = (1 to rounds).flatMap(i => Seq(pairCte(i), argmaxCte(i), applyCte(i)))
+      .mkString(",\n")
+    s"""vocab AS (
+       |  SELECT term, count(*) AS cnt
+       |  FROM (SELECT unnest($sqlToks) AS term FROM documents) GROUP BY term),
+       |w0 AS (SELECT term, ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS s, cnt FROM vocab),
+       |$roundCtes"""
+  }
+
+  def bpeTrainSql(rounds: Int = BpeTrainRounds): String = {
+    val union = (1 to rounds).map { i =>
+      s"""SELECT $i AS rn, string_split(pair, ' ')[1] AS left_sym,
+         |  string_split(pair, ' ')[2] AS right_sym,
+         |  replace(pair, ' ', '') AS merged, freq AS pair_freq FROM m$i"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeRoundCtes(rounds)}
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY rn""".stripMargin
+  }
+
+  /** Segment the corpus dictionary with the merge table [[bpeTrain]]
+    * just learned — the end-to-end tokenizer pipeline (train on the
+    * corpus, tokenize the corpus), vs [[bpeEncode]]'s fixed table. The
+    * learned merges transfer engine→apply as a bounded driver artifact
+    * (≤ rounds rows, the IVF-centroid pattern); the oracle instead
+    * re-learns AND re-applies them in one unrolled CTE chain, so the
+    * whole pipeline is corpus-derived SQL with no literal replay.
+    */
+  def bpeEncodeLearned(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
+    val merges = bpeTrain(docs, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val dict = docs.select(explode(tokens(col("text"))).as("term")).distinct()
+      .withColumn("s0", concat(lit(" "), regexp_replace(col("term"), "(.)", "$1 ")))
+    val merged = merges.zipWithIndex.foldLeft(dict) {
+      case (df, ((a, b), i)) =>
+        df.withColumn(s"s${i + 1}", expr(s"replace(s$i, ' $a $b ', ' $a$b ')"))
+    }
+    merged.select(col("term"), trim(col(s"s${merges.length}")).as("encoded"))
+      .withColumn("n_pieces", size(split(col("encoded"), " ")))
+      .orderBy("term")
+  }
+
+  def bpeEncodeLearnedSql(rounds: Int = BpeTrainRounds): String =
+    s"""WITH ${bpeRoundCtes(rounds)}
+       |SELECT term, trim(s) AS encoded,
+       |  len(string_split(trim(s), ' ')) AS n_pieces
+       |FROM w$rounds
+       |ORDER BY term""".stripMargin
+
   // --- bigram LM scoring ---------------------------------------------------
 
   /** Bigram-LM document score: mean log conditional probability
@@ -486,6 +615,9 @@ object TextAnalysis {
   def qVocab(s: SparkSession, dir: String): DataFrame = vocab(Tables.documents(s, dir))
   def qPairStats(s: SparkSession, dir: String): DataFrame = pairStats(Tables.documents(s, dir))
   def qBpeEncode(s: SparkSession, dir: String): DataFrame = bpeEncode(Tables.documents(s, dir))
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame = bpeTrain(Tables.documents(s, dir))
+  def qBpeEncodeLearned(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeLearned(Tables.documents(s, dir))
   def qLmBigram(s: SparkSession, dir: String): DataFrame = lmBigram(Tables.documents(s, dir))
   def qSample(s: SparkSession, dir: String): DataFrame = sample(Tables.documents(s, dir))
 }

@@ -72,6 +72,94 @@ class TextAnalysisSpec extends SparkSpec {
     assert(broken == 0)
   }
 
+  test("bpe train: learned merges match an independent naive trainer") {
+    // independent reference: greedy left-to-right merge over symbol lists,
+    // most-frequent pair per round, ties broken on the "a b" pair string
+    def naiveTrain(words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+      var segs = words.map { case (w, c) => w.map(_.toString).toList -> c }.toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var r = 0
+      while (r < rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        segs.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.isEmpty) r = rounds
+        else {
+          val ((a, b), f) = counts.toSeq.minBy { case ((x, y), n) => (-n, s"$x $y") }
+          out += ((a, b, f))
+          segs = segs.map { case (syms, c) =>
+            val merged = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                merged += (a + b); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toList -> c
+          }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    val docs = Seq(
+      (0L, "lower lower lowest newer newer newer wider wide widest"),
+      (1L, "low low lowest new newest wide wider")
+    ).toDF("doc_id", "text")
+    val words = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = naiveTrain(words, TextAnalysis.BpeTrainRounds)
+    val got = TextAnalysis.bpeTrain(docs).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getAs[Long]("pair_freq"))).toSeq
+    assert(got == expect, s"\nengine: $got\nnaive:  $expect")
+    // merged symbol and rank bookkeeping are consistent
+    val rows = TextAnalysis.bpeTrain(docs).collect()
+    assert(rows.map(_.getAs[Int]("rn")).toSeq == (1 to rows.length))
+    assert(rows.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
+  }
+
+  test("bpe encode learned: segmentation uses the trained merges end to end") {
+    val docs = Seq(
+      (0L, "lower lower lowest newer newer newer wider wide widest"),
+      (1L, "low low lowest new newest wide wider")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val out = TextAnalysis.bpeEncodeLearned(docs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // independent apply: greedy left-to-right per merge in priority order
+    def applyMerges(word: String): List[String] = {
+      merges.foldLeft(word.map(_.toString).toList) { case (syms, (a, b)) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toList
+      }
+    }
+    out.keys.foreach { term =>
+      assert(out(term) == applyMerges(term).mkString(" "), s"term $term")
+    }
+    // dictionary covers every distinct term, pieces reassemble
+    val nTerms = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+      .distinct().count()
+    assert(out.size == nTerms)
+    assert(out.forall { case (t, e) => e.replace(" ", "") == t })
+  }
+
+  test("bpe train: exhausted corpus stops early with fewer merges") {
+    val docs = Seq((0L, "ab ab cd")).toDF("doc_id", "text")
+    // only 2 distinct pairs exist: (a,b) and (c,d) — training stops at 2
+    val rows = TextAnalysis.bpeTrain(docs).collect()
+    assert(rows.length == 2)
+    assert(rows.map(r => (r.getString(1), r.getString(2))).toSet == Set("a" -> "b", "c" -> "d"))
+    assert(rows.head.getAs[Long]("pair_freq") == 2L) // (a,b) weighted by term count
+  }
+
   test("bigram lm: corpus-frequent transitions score higher than rare ones") {
     val docs = Seq(
       (0L, "a b a b a b a b"),   // only the dominant transitions
