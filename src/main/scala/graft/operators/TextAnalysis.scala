@@ -387,9 +387,10 @@ object TextAnalysis {
     * literal replay; both engines share left-to-right non-overlapping
     * `replace` semantics, see [[bpeEncode]]).
     */
-  def bpeTrain(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The training loop itself; returns the merge table as driver rows
+    * (bounded: ≤ rounds entries — the learned model artifact).
+    */
+  def bpeTrainMerges(docs: DataFrame, rounds: Int = BpeTrainRounds): Seq[(Int, String, String, String, Long)] = {
     val vocab = docs.select(explode(tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .select(concat(lit(" "), regexp_replace(col("term"), "(.)", "$1 ")).as("s"),
@@ -414,7 +415,14 @@ object TextAnalysis {
         cur = cur.withColumn("s", expr(s"replace(s, ' $a $b ', ' $a$b ')"))
       }
     }
-    merges.toSeq.toDF("rn", "left_sym", "right_sym", "merged", "pair_freq")
+    merges.toSeq
+  }
+
+  def bpeTrain(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainMerges(docs, rounds)
+      .toDF("rn", "left_sym", "right_sym", "merged", "pair_freq")
       .orderBy("rn")
   }
 
@@ -470,9 +478,8 @@ object TextAnalysis {
     * re-learns AND re-applies them in one unrolled CTE chain, so the
     * whole pipeline is corpus-derived SQL with no literal replay.
     */
-  def bpeEncodeLearned(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
-    val merges = bpeTrain(docs, rounds).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+  /** Segmentation table for a learned merge list (vocabulary-sized). */
+  def bpeApplyMerges(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val dict = docs.select(explode(tokens(col("text"))).as("term")).distinct()
       .withColumn("s0", concat(lit(" "), regexp_replace(col("term"), "(.)", "$1 ")))
     val merged = merges.zipWithIndex.foldLeft(dict) {
@@ -484,12 +491,56 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  def bpeEncodeLearned(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame =
+    bpeApplyMerges(docs, bpeTrainMerges(docs, rounds).map(m => (m._2, m._3)))
+
+  /** Tokenizer fertility report: pieces-per-word by source under the
+    * learned merge table — the standard "how well does this tokenizer
+    * compress my corpus" metric. The segmentation table is
+    * vocabulary-sized and broadcast; the corpus side is one explode +
+    * partial-aggregated groupBy. Fertility divides two exact integer
+    * sums once at the output edge, so the round is bitwise-stable.
+    */
+  def bpeCompression(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val seg = bpeApplyMerges(docs, merges).select(col("term"), col("n_pieces"))
+    docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+      .join(broadcast(seg), Seq("term"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces").cast("long")).as("np"))
+      .select(col("source"), col("n_words"), col("np").as("n_pieces"),
+        round(col("np").cast("double") / col("n_words"), 4).as("fertility"))
+      .orderBy("source")
+  }
+
   def bpeEncodeLearnedSql(rounds: Int = BpeTrainRounds): String =
     s"""WITH ${bpeRoundCtes(rounds)}
        |SELECT term, trim(s) AS encoded,
        |  len(string_split(trim(s), ' ')) AS n_pieces
        |FROM w$rounds
        |ORDER BY term""".stripMargin
+
+  def bpeCompressionSql(rounds: Int = BpeTrainRounds): String =
+    s"""WITH ${bpeRoundCtes(rounds)},
+       |seg AS (
+       |  SELECT term, len(string_split(trim(s), ' ')) AS n_pieces FROM w$rounds),
+       |occ AS (
+       |  SELECT source, unnest($sqlToks) AS term FROM documents)
+       |SELECT source, count(*) AS n_words,
+       |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |  round(CAST(sum(n_pieces) AS DOUBLE) / count(*), 4) AS fertility
+       |FROM occ JOIN seg USING (term)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Per-dir learned-merge cache: the three BPE driver queries (train /
+    * encode / compression report) share one training run — the
+    * standing-model-artifact pattern ([[LearnedReranker]]).
+    */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, String, Long)]]()
+
+  private def learnedMerges(s: SparkSession, dir: String): Seq[(Int, String, String, String, Long)] =
+    mergeCache.computeIfAbsent(dir, d => bpeTrainMerges(Tables.documents(s, d)))
 
   // --- bigram LM scoring ---------------------------------------------------
 
@@ -615,9 +666,16 @@ object TextAnalysis {
   def qVocab(s: SparkSession, dir: String): DataFrame = vocab(Tables.documents(s, dir))
   def qPairStats(s: SparkSession, dir: String): DataFrame = pairStats(Tables.documents(s, dir))
   def qBpeEncode(s: SparkSession, dir: String): DataFrame = bpeEncode(Tables.documents(s, dir))
-  def qBpeTrain(s: SparkSession, dir: String): DataFrame = bpeTrain(Tables.documents(s, dir))
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    learnedMerges(s, dir)
+      .toDF("rn", "left_sym", "right_sym", "merged", "pair_freq")
+      .orderBy("rn")
+  }
   def qBpeEncodeLearned(s: SparkSession, dir: String): DataFrame =
-    bpeEncodeLearned(Tables.documents(s, dir))
+    bpeApplyMerges(Tables.documents(s, dir), learnedMerges(s, dir).map(m => (m._2, m._3)))
+  def qBpeCompression(s: SparkSession, dir: String): DataFrame =
+    bpeCompression(Tables.documents(s, dir), learnedMerges(s, dir).map(m => (m._2, m._3)))
   def qLmBigram(s: SparkSession, dir: String): DataFrame = lmBigram(Tables.documents(s, dir))
   def qSample(s: SparkSession, dir: String): DataFrame = sample(Tables.documents(s, dir))
 }

@@ -108,6 +108,31 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("dsir importance sample is invariant under repartitioning") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val (t, r) = CorpusOps.dsirTotals(docs)
+    val base = CorpusOps.importanceSample(docs, t, r).collect().toSeq
+    // no RNG state: hash-seeded Gumbel noise → identical draw on any layout
+    val shuffled = CorpusOps.importanceSample(docs.repartition(7), t, r).collect().toSeq
+    assert(base.map(_.toString) == shuffled.map(_.toString))
+    // structure: dense ranks, target source excluded, k rows
+    assert(base.map(_.getAs[Int]("rn")).toSeq == (1 to base.length))
+    assert(base.forall(_.getAs[String]("source") != CorpusOps.DsirTarget))
+    assert(base.length == math.min(CorpusOps.DsirK,
+      docs.filter(col("source") =!= CorpusOps.DsirTarget).count()).toInt)
+  }
+
+  test("bpe train is invariant under repartitioning") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, dir)
+    val base = TextAnalysis.bpeTrain(docs).collect().map(_.toString).toSeq
+    // integer pair counts + lexicographic tie-break → layout-independent argmax
+    val shuffled = TextAnalysis.bpeTrain(docs.repartition(7)).collect().map(_.toString).toSeq
+    assert(base == shuffled)
+    assert(base.nonEmpty)
+  }
+
   test("quantiles are monotone and approx_percentile tracks exact at scale") {
     val docs = Tables.documents(spark, dir)
     val exact = CorpusOps.quantiles(docs).collect()

@@ -151,6 +151,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.forall { case (t, e) => e.replace(" ", "") == t })
   }
 
+  test("bpe compression: fertility is exact pieces-per-word by source") {
+    val docs = Seq(
+      (0L, "src0", "lower lower newest"),
+      (1L, "src1", "low wide wide wide")
+    ).toDF("doc_id", "source", "text")
+    val merges = TextAnalysis.bpeTrainMerges(docs).map(m => (m._2, m._3))
+    val seg = TextAnalysis.bpeApplyMerges(docs, merges).collect()
+      .map(r => r.getString(0) -> r.getAs[Int]("n_pieces")).toMap
+    val out = TextAnalysis.bpeCompression(docs, merges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getAs[Double]("fertility")))).toMap
+    // naive recount: word occurrences × that word's piece count
+    val expect = Map(
+      "src0" -> Seq("lower", "lower", "newest"),
+      "src1" -> Seq("low", "wide", "wide", "wide"))
+    expect.foreach { case (src, words) =>
+      val np = words.map(seg(_).toLong).sum
+      val (nw, npGot, fert) = out(src)
+      assert(nw == words.length && npGot == np, s"$src: $nw/$npGot vs ${words.length}/$np")
+      assert(fert == BigDecimal(np.toDouble / words.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("bpe train: exhausted corpus stops early with fewer merges") {
     val docs = Seq((0L, "ab ab cd")).toDF("doc_id", "text")
     // only 2 distinct pairs exist: (a,b) and (c,d) — training stops at 2
