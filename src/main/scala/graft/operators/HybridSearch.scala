@@ -426,8 +426,16 @@ object HybridSearch {
        |FROM ranked
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Driver query: the SERVING form — keyword signal from the standing
+    * postings artifact (identical results to the inline [[fusedBatch]];
+    * spec-pinned), vector signal the dense fan-out (the brute-force
+    * baseline by design — [[fusedBatchIvf]] is the pruned form).
+    */
   def batchSearch(s: SparkSession, dir: String): DataFrame =
-    fusedBatch(Tables.documents(s, dir), Tables.embeddings(s, dir))
+    fusedBatchSel(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      _.filter(col("vec_id") % KeywordSearch.BatchStride === 0),
+      _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
+      kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir)))
 
   val batchSearchOracle: String = fusedBatchSql()
 

@@ -449,8 +449,14 @@ object KeywordSearch {
        |FROM ranked
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Driver query: the SERVING form — batch BM25 over the standing
+    * postings artifact (stats domain = full corpus, so results are
+    * identical to the inline build; spec-pinned). The oracle re-derives
+    * from the raw corpus.
+    */
   def batchSearch(s: SparkSession, dir: String): DataFrame =
-    bm25Batch(Tables.documents(s, dir))
+    bm25BatchFor(Tables.documents(s, dir), col("doc_id") % BatchStride === 0,
+      index = Some(cachedBatchPostings(s, dir)))
 
   val batchSearchOracle: String = bm25BatchSql()
 

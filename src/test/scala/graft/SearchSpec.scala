@@ -574,6 +574,25 @@ class SearchSpec extends SparkSpec {
     assert(served.toSeq == inline.toSeq)
   }
 
+  test("batch kw + batch hybrid: standing-postings serving equals inline") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val pdir = java.nio.file.Files.createTempDirectory("posts2").toString
+    KeywordSearch.buildBatchPostings(docs).write.mode("overwrite").parquet(pdir)
+    val idx = spark.read.parquet(pdir)
+    val stride = KeywordSearch.BatchStride
+    val kwServed = KeywordSearch.bm25BatchFor(docs,
+      col("doc_id") % stride === 0, index = Some(idx)).collect().map(_.toSeq)
+    val kwInline = KeywordSearch.bm25Batch(docs).collect().map(_.toSeq)
+    assert(kwServed.toSeq == kwInline.toSeq)
+    val hyServed = HybridSearch.fusedBatchSel(docs, embs,
+      _.filter(col("vec_id") % stride === 0),
+      _.filter(col("doc_id") % stride === 0),
+      kwIndex = Some(idx)).collect().map(_.toSeq)
+    val hyInline = HybridSearch.fusedBatch(docs, embs).collect().map(_.toSeq)
+    assert(hyServed.toSeq == hyInline.toSeq)
+  }
+
   test("multifield bm25: single text field at weight 1 reduces to plain bm25") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
     val terms = KeywordSearch.QueryTerms
