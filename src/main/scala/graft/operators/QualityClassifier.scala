@@ -44,11 +44,15 @@ object QualityClassifier {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Weights]()
   @volatile private var lastDir: Option[String] = None
 
-  /** The four features as codegen column expressions — the ONE
-    * definition serving and training share.
+  /** The four features as codegen column expressions over an already-
+    * materialized token array — the ONE definition serving and training
+    * share. Callers tokenize ONCE behind an explode(array(..)) Generate
+    * barrier (the [[KeywordSearch]] termStats lesson): without it
+    * CollapseProject inlines the regex tokenizer into each of the three
+    * token-derived features and the scan runs it 3× per row (measured
+    * 43 s → one-pass at the 100× replicated scale).
     */
-  private def featureCols(text: Column): Seq[Column] = {
-    val toks = tokens(text)
+  private def featureCols(text: Column, toks: Column): Seq[Column] = {
     val stopArr = array(Stopwords.map(lit): _*)
     Seq(
       size(toks).cast("double"),
@@ -57,14 +61,19 @@ object QualityClassifier {
       size(filter(toks, t => array_contains(stopArr, t))).cast("double"))
   }
 
+  /** (doc_id, source, text, toks) with the tokenizer run exactly once. */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("text"),
+      explode(array(tokens(col("text")))).as("toks"))
+
   private def train(s: SparkSession, dir: String): Weights =
     trainOn(Tables.documents(s, dir))
 
   private[graft] def trainOn(docs: DataFrame): Weights = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.array_to_vector
-    val feats = docs.select(
-      array(featureCols(col("text")): _*).as("f"),
+    val feats = tokenized(docs).select(
+      array(featureCols(col("text"), col("toks")): _*).as("f"),
       (col("source") === ReferenceSource).cast("double").as("y"))
     val lr = new LogisticRegression()
       .setFeaturesCol("features").setLabelCol("y").setMaxIter(50).setRegParam(0.01)
@@ -83,9 +92,9 @@ object QualityClassifier {
     * shuffle-free scan of four codegen expressions.
     */
   def score(docs: DataFrame, w: Weights): DataFrame = {
-    val Seq(f1, f2, f3, f4) = featureCols(col("text"))
+    val Seq(f1, f2, f3, f4) = featureCols(col("text"), col("toks"))
     val lin = lit(w._1) + lit(w._2) * f1 + lit(w._3) * f2 + lit(w._4) * f3 + lit(w._5) * f4
-    docs.select(col("doc_id"), col("source"), round(lin, 6).as("q_score"))
+    tokenized(docs).select(col("doc_id"), col("source"), round(lin, 6).as("q_score"))
   }
 
   /** Tercile thresholds of the score distribution — CCNet's

@@ -116,6 +116,12 @@ class CorpusOpsSpec extends SparkSpec {
     // no RNG state: hash-seeded Gumbel noise → identical draw on any layout
     val shuffled = CorpusOps.importanceSample(docs.repartition(7), t, r).collect().toSeq
     assert(base.map(_.toString) == shuffled.map(_.toString))
+    // the one-pass served form (LM artifact + single scoring pass) is
+    // bitwise-identical to the fully-inline derivation
+    val lm = CorpusOps.dsirLmFit(docs)
+    assert((lm.map(_._2).sum, lm.map(_._3).sum) == ((t, r)))
+    val served = CorpusOps.importanceSampleServed(docs, lm).collect().toSeq
+    assert(base.map(_.toString) == served.map(_.toString))
     // structure: dense ranks, target source excluded, k rows
     assert(base.map(_.getAs[Int]("rn")).toSeq == (1 to base.length))
     assert(base.forall(_.getAs[String]("source") != CorpusOps.DsirTarget))
