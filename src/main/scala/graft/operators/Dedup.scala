@@ -363,13 +363,13 @@ object Dedup {
     *    `|d| - ceil(tau*|d|) + 1` tokens — any pair with Jaccard >= tau
     *    provably shares an indexed token — then verify candidates
     *    exactly with an intersect/union over the full sets;
-    *  - tiny-vocabulary path ([[maskSetPairs]], distinct corpus
-    *    vocabulary <= 64 terms — one cheap driver-side count decides):
+    *  - tiny-vocabulary path ([[maskDocPairs]], distinct corpus
+    *    vocabulary <= 64 terms — one cheap driver-side probe decides):
     *    every token SET is one 64-bit mask and Jaccard is
     *    `popcount(and)/popcount(or)` — O(1) per pair, no candidate
-    *    distinct, no token-array shuffles. Result-identical to the
-    *    prefix path (spec-cross-checked): same integer
-    *    intersection/union arithmetic, same rounding.
+    *    distinct, no token-array shuffles, no materialization.
+    *    Result-identical to the prefix path (spec-cross-checked): same
+    *    integer intersection/union arithmetic, same rounding.
     *
     * The registered oracle stays the NAIVE full inverted-index spec:
     * hash-equality of the two is the exactness proof. The synthetic
@@ -378,12 +378,21 @@ object Dedup {
     * whose candidate cut over naive grows unboundedly.
     */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    // 1. canonicalize: similarity is a function of the token SET, so
-    //    compute per distinct set, not per doc (exact-dup-heavy and
-    //    small-vocabulary corpora collapse dramatically). Materialized
-    //    ONCE (localCheckpoint — the DedupClusters frontier pattern):
-    //    four consumers (members, sets, vocab count, mask/prefix build)
-    //    would otherwise each re-tokenize the corpus.
+    // Path chosen by ONE bounded driver-side probe (the driver-side
+    // pattern of the PQ codebook fit): pull at most 65 distinct terms —
+    // the shuffle is map-side-deduped to <=65 rows/partition however
+    // large the corpus — and take the mask path iff the whole
+    // vocabulary fit in 64.
+    val vocabProbe = docs
+      .select(explode(array_distinct(tokens(col("text")))).as("tok"))
+      .distinct().limit(65).collect().map(_.getString(0))
+    if (vocabProbe.length <= 64) return maskDocPairs(docs, vocabProbe.sorted)
+    // General path: canonicalize by token SET — similarity is a function
+    // of the set, so compute per distinct set, not per doc (exact-dup-
+    // heavy corpora collapse dramatically). Materialized ONCE
+    // (localCheckpoint — the DedupClusters frontier pattern): three
+    // consumers (members, sets, prefix build) would otherwise each
+    // re-tokenize the corpus.
     val docSets = docs.select(col("doc_id"), col("source"),
       array_sort(array_distinct(tokens(col("text")))).as("tset"))
       .withColumn("set_key", md5(array_join(col("tset"), "\u0001")))
@@ -392,29 +401,75 @@ object Dedup {
     val sets = docSets.select("source", "set_key", "tset")
       .dropDuplicates("source", "set_key")
       .withColumn("tsize", size(col("tset")))
-    // 2. identical-set doc pairs: Jaccard is exactly 1.0, no join needed.
+    // identical-set doc pairs: Jaccard is exactly 1.0, no join needed.
     val sameSet = members.as("l").join(members.as("r"),
         col("l.source") === col("r.source") &&
           col("l.set_key") === col("r.set_key") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
         lit(1.0).as("jaccard"))
-    // 3. distinct-set pairs with exact verification. Path chosen by ONE
-    //    bounded driver-side probe (the driver-side pattern of the PQ
-    //    codebook fit): pull at most 65 distinct terms — tiny however
-    //    large the corpus — and take the mask path iff the whole
-    //    vocabulary fit in 64.
-    val vocabProbe = sets.select(explode(col("tset")).as("tok"))
-      .distinct().limit(65).collect().map(_.getString(0))
-    val setPairs =
-      if (vocabProbe.length <= 64) maskSetPairs(sets, vocabProbe.sorted)
-      else prefixSetPairs(sets)
-    // 4. expand set pairs back to doc pairs.
-    val crossSet = setPairs
+    // distinct-set pairs with exact verification, expanded to doc pairs.
+    val crossSet = prefixSetPairs(sets)
       .join(members.select(col("source"), col("set_key").as("k1"), col("doc_id").as("da")),
         Seq("source", "k1"))
       .join(members.select(col("source"), col("set_key").as("k2"), col("doc_id").as("db")),
         Seq("source", "k2"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("jaccard"))
+    sameSet.unionByName(crossSet)
+      .orderBy(desc("jaccard"), asc("d1"), asc("d2"))
+  }
+
+  /** Tiny-vocabulary FULL pipeline, fused and materialization-free: the
+    * per-doc token set folds to one 64-bit mask in the scan itself
+    * (`aggregate` over the token array — a map-only column expression,
+    * no explode, no groupBy, no checkpoint). Masks are bijective with
+    * token sets under a fixed <=64-term vocabulary, so identical-mask
+    * doc pairs ARE the Jaccard-1.0 pairs, and distinct masks stand in
+    * for distinct sets — intersection/union are two popcounts computed
+    * IN the pair join over |distinct masks| rows. The tiny mask-pair
+    * frame broadcasts back onto the per-doc frame for expansion, so no
+    * corpus-sized shuffle or block-manager write exists anywhere in the
+    * plan. (r4 postmortem: the previous shared localCheckpoint of the
+    * corpus-wide token-set frame wrote corpus-sized MEMORY_AND_DISK
+    * blocks on EVERY query construction; under the bench harness's 4
+    * executions/query — immediately after dedup_clusters' per-round
+    * checkpoints — the loaded gate machine paid block-eviction + disk
+    * I/O per run, inflating a 1.1 s quiet-machine query to a 12.4 s
+    * gate median. The mask path now touches the block manager zero
+    * times.)
+    */
+  private[graft] def maskDocPairs(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    val bitOf = typedLit(vocab.zipWithIndex.toMap)
+    val maskCol = aggregate(array_distinct(tokens(col("text"))), lit(0L),
+      (acc, t) => acc.bitwiseOR(
+        call_function("shiftleft", lit(1L), element_at(bitOf, t))))
+    val members = docs.select(col("doc_id"), col("source"), maskCol.as("mask"))
+    val sets = members.select("source", "mask").distinct()
+      .withColumn("tsize", bit_count(col("mask")))
+    // identical-mask doc pairs: Jaccard exactly 1.0.
+    val sameSet = members.as("l").join(members.as("r"),
+        col("l.source") === col("r.source") && col("l.mask") === col("r.mask") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        lit(1.0).as("jaccard"))
+    // distinct-mask pairs: O(1) popcount verification in the join, with
+    // the PPJoin size filter as the in-join prune.
+    val nInter = bit_count(col("l.mask").bitwiseAND(col("r.mask")))
+    val nUnion = bit_count(col("l.mask").bitwiseOR(col("r.mask")))
+    val maskPairs = sets.as("l").join(sets.as("r"),
+        col("l.source") === col("r.source") && col("l.mask") < col("r.mask") &&
+          col("r.tsize") * lit(NgramThreshold) <= col("l.tsize") &&
+          col("l.tsize") * lit(NgramThreshold) <= col("r.tsize"))
+      .select(col("l.source").as("source"),
+        col("l.mask").as("m1"), col("r.mask").as("m2"),
+        round(nInter.cast("double") / nUnion.cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= NgramThreshold)
+    val crossSet = maskPairs
+      .join(members.select(col("source"), col("mask").as("m1"), col("doc_id").as("da")),
+        Seq("source", "m1"))
+      .join(members.select(col("source"), col("mask").as("m2"), col("doc_id").as("db")),
+        Seq("source", "m2"))
       .select(least(col("da"), col("db")).as("d1"),
         greatest(col("da"), col("db")).as("d2"), col("jaccard"))
     sameSet.unionByName(crossSet)
