@@ -26,26 +26,72 @@ object Bench {
     // separates scheduler contention from plan cost. Streaming-twin
     // numbers still include their per-run stream spin-up (inherent to
     // driving a StreamingQuery to completion; the warm-up at least pins
-    // their index builds out).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> (times(1), times(0))
+    // their index builds out) — the NULL-QUERY spin-up cost is measured
+    // separately below and reported as "stream_spinup_sec" so the fixed
+    // StreamingQuery start/trigger/stop machinery can be read out of every
+    // "stream_*" entry (per-twin steady-state ≈ reported − spin-up).
+    // Measured the same way as the queries: one warm-up, median of 3, over
+    // a minimal one-column file-stream into a memory sink.
+    val streamSpinup: Double = {
+      import org.apache.spark.sql.functions.col
+      def nullStream(): Unit = {
+        val schema = spark.read.parquet(s"$sfDir/region.parquet").schema
+        val q = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "region.parquet").parquet(sfDir)
+          .select(col("r_regionkey"))
+          .writeStream.format("memory").queryName("bench_null_stream")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      try {
+        nullStream()
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); nullStream()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+      } catch { case _: Throwable => -1.0 }
     }
+    // A query that throws is recorded as an ERROR (value -1 in the maps +
+    // its message in "errors"), NEVER as its time-to-throw: a broken query
+    // must be impossible to mistake for a fast one in the artifact.
+    val results: Seq[(String, Either[String, (Double, Double)])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        try {
+          fn(spark, sfDir).count() // untimed warm-up
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          name -> Right((times(1), times(0)))
+        } catch { case e: Throwable =>
+          name -> Left(
+            e.toString.replaceAll("""[\s"\\]+""", " ").trim.take(200))
+        }
+      }
     // 3-decimal values keep the per-query map compact (the driver
     // artifact stores a bounded stdout tail)
     def f3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + f3(med) }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + f3(mn) }
-      .mkString("{", ",", "}")
-    val total = f3(results.map(_._2._1).sum)
-    val totalMin = f3(results.map(_._2._2).sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+    val qs = results.map {
+      case (k, Right((med, _))) => s"\"" + k + "\":" + f3(med)
+      case (k, Left(_))         => s"\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val qsMin = results.map {
+      case (k, Right((_, mn))) => s"\"" + k + "\":" + f3(mn)
+      case (k, Left(_))        => s"\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(msg)) =>
+      s"\"" + k + "\":\"" + msg + "\""
+    }.mkString("{", ",", "}")
+    val nErrors = results.count(_._2.isLeft)
+    val ok = results.collect { case (_, Right(t)) => t }
+    val total = f3(ok.map(_._1).sum)
+    val totalMin = f3(ok.map(_._2).sum)
+    val nStream = results.count(_._1.startsWith("stream_"))
+    val spin = f3(streamSpinup)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"n_errors":$nErrors,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,"errors":$errs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     // Full artifact to a file (the driver's stdout capture truncates to a
     // tail, which loses the head of the per-query map — BENCH_full.json
     // is the complete, parseable copy, committed per round). Written to
@@ -60,7 +106,7 @@ object Bench {
     println(line)
     // Short trailer that survives tail-truncation intact: the totals
     // parse even when the full line above is cut mid-map.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"sf":"$sfDir","n_queries":${results.size},"detail":"BENCH_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"sf":"$sfDir","n_queries":${results.size},"n_errors":$nErrors,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,"detail":"BENCH_full.json"}""")
     spark.stop()
   }
 }

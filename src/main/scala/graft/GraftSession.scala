@@ -7,8 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Defaults chosen for the local[32] test harness but expressed the way a
   * 1000-executor deployment would set them: AQE on (runtime re-plan, skew
   * join handling), shuffle partitions sized to the cluster (32 locally),
-  * UTC session time, parquet NANOS timestamps read losslessly as longs
-  * (the `events` table is nano-precision; see [[graft.operators.Events]]).
+  * UTC session time. Parquet NANOS timestamps read losslessly as longs
+  * (`nanosAsLong`); µs TIMESTAMP/_NTZ event files are widened to the same
+  * nanos-long contract by [[graft.sources.Tables.normalizeTs]] — the
+  * engine is robust to either physical encoding of `events.ts`.
   */
 object GraftSession {
 

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * twins of [[graft.streaming.EventsStream]] — identical semantics, so the
   * streaming path is verified against the same oracle-checked results.
   *
-  * The parquet `ts` column is NANOS precision; graft reads it losslessly as
-  * a long (see [[graft.GraftSession]]) and floors to seconds/hours in exact
-  * integer arithmetic (double division would lose precision at 1e18 ns).
-  * DuckDB truncates ns→µs on read, so second-floor values agree exactly.
+  * The `ts` column reaches these operators as epoch-nanos LONG whatever
+  * the parquet physical type: NANOS files are read losslessly as long
+  * (see [[graft.GraftSession]]), µs TIMESTAMP/_NTZ files are widened by
+  * [[graft.sources.Tables.normalizeTs]]. Flooring to seconds/hours is
+  * exact integer arithmetic (double division would lose precision at
+  * 1e18 ns). DuckDB's `epoch(ts)` sees the same second-floor values.
   */
 object Events {
 

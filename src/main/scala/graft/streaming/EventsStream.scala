@@ -14,14 +14,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStream {
 
-  /** Parquet file-stream of the events table (nanos ts → ntz seconds).
-    * The file source wants a directory; the glob filter selects the
-    * events table out of the shared testdata dir.
+  /** Parquet file-stream of the events table (`ts` normalized to nanos-long
+    * by [[graft.sources.Tables.normalizeTs]] whatever the physical parquet
+    * type, then floored to ntz seconds). The file source wants a directory;
+    * the glob filter selects the events table out of the shared testdata
+    * dir.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+    graft.sources.Tables.normalizeTs(raw)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         timestamp_seconds(expr("ts div 1000000000")).as("ts"))
   }
