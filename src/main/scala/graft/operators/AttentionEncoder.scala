@@ -1,0 +1,332 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TRANSFORMER-CLASS sentence encoder through the batched-inference
+  * seam — the minilm-shaped occupant of the reference's
+  * sentence-transformer slot (`src/database/weaviate_interface_v4.py:289`
+  * `_create_query_vector`; the sandbox has no ONNX runtime, so the
+  * forward pass is pure JVM, exactly the architecture a served encoder
+  * runs): token embeddings + learned positions → single-head
+  * self-ATTENTION → residual + LayerNorm → ReLU FFN → residual +
+  * LayerNorm → mean-pool. Token embeddings are the corpus-TRAINED
+  * Word2Vec vectors ([[Word2VecEmbedder]] — real learned weights);
+  * projection/FFN/LayerNorm parameters are deterministic seeded values
+  * (the public-checkpoint slot: swapping in downloaded weights changes
+  * ONLY the literal tables, not one line of plumbing).
+  *
+  * Served exactly like an ONNX session would be: weights load once per
+  * partition behind [[Inference.embedBatched]], rows feed in bounded
+  * micro-batches, outputs re-attach positionally — no shuffle, no
+  * per-row model calls.
+  *
+  * Determinism contract (what makes a full transformer forward pass
+  * DuckDB-replayable BITWISE): attention is ReLU-normalized instead of
+  * softmax — `a_ij = relu(q_i·k_j/√d) / (1 + Σ_j relu(..))` (softmax
+  * replaced by relu is a published attention variant, arXiv:2309.08586;
+  * the +1 denominator bounds the weights like softmax1). With that, the
+  * whole pass uses ONLY IEEE-correctly-rounded ops (+ − × ÷ sqrt max),
+  * every summation runs in a PINNED order (dims ascending, positions
+  * ascending — the [[Word2VecEmbedder]] sorted-sum pattern), and every
+  * parameter round-trips exactly through shortest-decimal literals, so
+  * the DuckDB oracle reproduces the JVM forward pass bit-for-bit and
+  * the cosine ranking hash-matches.
+  *
+  * Scale design: serving is a pure map over partitions (weights are a
+  * closure constant — a broadcast at cluster scale); cost is
+  * O(docs × MaxPos² × Dim) map-side with NO shuffle; the top-k search
+  * reuses the one-pass inference frame for both query and corpus side.
+  */
+object AttentionEncoder {
+  val Dim = Word2VecEmbedder.Dim // token/model width (16)
+  val Hidden = 32                // FFN expansion
+  val MaxPos = 12                // sequence cap (first in-vocab tokens)
+  val MaxBatch = 64
+  val TopK = 10
+  val QueryDocId = 42L
+  val LnEps = 1e-5
+
+  // --- deterministic parameters (the public-checkpoint slot) ---------------
+
+  /** One LCG stream fills every parameter tensor in a fixed order —
+    * fully deterministic, no files, identical on every JVM.
+    */
+  private def lcgDoubles(n: Int, seed: Long): Array[Double] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      // top 20 bits → [-0.25, 0.25): small init keeps activations tame
+      ((s >>> 44).toDouble / 1048576.0 - 0.5) * 0.5
+    }
+  }
+
+  private def mat(rows: Int, cols: Int, seed: Long): Array[Array[Double]] = {
+    val flat = lcgDoubles(rows * cols, seed)
+    Array.tabulate(rows, cols)((r, c) => flat(r * cols + c))
+  }
+
+  private[graft] val Wq = mat(Dim, Dim, 1001L)
+  private[graft] val Wk = mat(Dim, Dim, 1002L)
+  private[graft] val Wv = mat(Dim, Dim, 1003L)
+  private[graft] val Wo = mat(Dim, Dim, 1004L)
+  private[graft] val W1 = mat(Dim, Hidden, 1005L)
+  private[graft] val W2 = mat(Hidden, Dim, 1006L)
+  private[graft] val Pe = mat(MaxPos, Dim, 1007L)
+  // LayerNorm gains near 1, biases near 0 (standard init + seeded jitter)
+  private[graft] val G1 = lcgDoubles(Dim, 1008L).map(1.0 + _)
+  private[graft] val B1 = lcgDoubles(Dim, 1009L)
+  private[graft] val G2 = lcgDoubles(Dim, 1010L).map(1.0 + _)
+  private[graft] val B2 = lcgDoubles(Dim, 1011L)
+
+  // --- the forward pass (pure JVM, pinned operation order) -----------------
+
+  private def tokenize(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+
+  /** out[i][o] = Σ_k x[i][k]·w[k][o], k ascending — the pinned matmul. */
+  private def matmul(x: Array[Array[Double]], w: Array[Array[Double]]): Array[Array[Double]] =
+    Array.tabulate(x.length, w(0).length) { (i, o) =>
+      var acc = 0.0; var k = 0
+      while (k < w.length) { acc += x(i)(k) * w(k)(o); k += 1 }
+      acc
+    }
+
+  /** (x−μ)/√(σ²+ε)·g + b with μ, σ² accumulated dim-ascending. */
+  private def layerNorm(x: Array[Double], g: Array[Double], b: Array[Double]): Array[Double] = {
+    var mu = 0.0; var k = 0
+    while (k < Dim) { mu += x(k); k += 1 }
+    mu = mu / Dim
+    var va = 0.0; k = 0
+    while (k < Dim) { val d = x(k) - mu; va += d * d; k += 1 }
+    va = va / Dim
+    val s = math.sqrt(va + LnEps)
+    Array.tabulate(Dim)(k => (x(k) - mu) / s * g(k) + b(k))
+  }
+
+  /** Encode one text: first [[MaxPos]] in-vocabulary tokens in DOCUMENT
+    * order (positions matter — unlike [[Word2VecEmbedder]]'s bag mean),
+    * one attention block, mean-pool. None when nothing is in vocabulary.
+    */
+  private[graft] def encode(w2v: Map[String, Array[Float]], text: String): Option[Array[Float]] = {
+    val toks = tokenize(text).filter(w2v.contains).take(MaxPos)
+    if (toks.isEmpty) return None
+    val n = toks.length
+    val x = Array.tabulate(n, Dim)((p, k) => w2v(toks(p))(k).toDouble + Pe(p)(k))
+    val q = matmul(x, Wq); val kk = matmul(x, Wk); val v = matmul(x, Wv)
+    val scale = math.sqrt(Dim.toDouble) // 4.0 exactly
+    // ReLU attention: r_ij = relu(q_i·k_j/√d); weights r_ij/(1+Σ_j r_ij)
+    val r = Array.tabulate(n, n) { (i, j) =>
+      var acc = 0.0; var k = 0
+      while (k < Dim) { acc += q(i)(k) * kk(j)(k); k += 1 }
+      val s = acc / scale
+      if (s > 0) s else 0.0
+    }
+    val denom = Array.tabulate(n) { i =>
+      var acc = 0.0; var j = 0
+      while (j < n) { acc += r(i)(j); j += 1 }
+      1.0 + acc
+    }
+    val c = Array.tabulate(n, Dim) { (i, o) =>
+      var acc = 0.0; var j = 0
+      while (j < n) { acc += r(i)(j) / denom(i) * v(j)(o); j += 1 }
+      acc
+    }
+    val attOut = matmul(c, Wo)
+    val h1 = Array.tabulate(n, Dim)((p, k) => x(p)(k) + attOut(p)(k))
+    val ln1 = h1.map(layerNorm(_, G1, B1))
+    val f = matmul(ln1, W1).map(_.map(h => if (h > 0) h else 0.0))
+    val f2 = matmul(f, W2)
+    val h2 = Array.tabulate(n, Dim)((p, k) => ln1(p)(k) + f2(p)(k))
+    val ln2 = h2.map(layerNorm(_, G2, B2))
+    // mean-pool position-ascending; float truncation at the output edge
+    Some(Array.tabulate(Dim) { k =>
+      var acc = 0.0; var p = 0
+      while (p < n) { acc += ln2(p)(k); p += 1 }
+      (acc / n).toFloat
+    })
+  }
+
+  /** Embed `docs.text` through the inference seam — session-init once
+    * per partition, bounded micro-batches, positional re-attach. Docs
+    * with no in-vocabulary token carry an empty vector (the seam
+    * contract is one output per input; consumers filter).
+    */
+  def embedDocs(docs: DataFrame, w2v: Map[String, Array[Float]],
+                maxBatch: Int = MaxBatch): DataFrame =
+    Inference.embedBatched(docs, "text", "att_emb", maxBatch)(() => w2v)(
+      (w, texts) => texts.map(t => encode(w, t).getOrElse(Array.empty[Float])))
+
+  /** Driver query: cosine top-k retrieval over the transformer-encoded
+    * corpus — the e2e embed→search pipeline with the attention encoder
+    * in the model slot (one inference pass feeds both sides).
+    */
+  def qSearch(s: SparkSession, dir: String): DataFrame = {
+    val w = Word2VecEmbedder.weightsFor(s, dir)
+    val embedded = embedDocs(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), w)
+      .filter(size(col("att_emb")) > 0)
+      .select(col("doc_id"), col("att_emb"))
+      .localCheckpoint()
+    val q = embedded.filter(col("doc_id") === QueryDocId)
+      .select(col("att_emb").as("q_emb"))
+    embedded.filter(col("doc_id") =!= QueryDocId)
+      .join(broadcast(q))
+      .select(col("doc_id"),
+        round(graft.functions.VectorFunctions.cosineSim(col("att_emb"), col("q_emb")), 4)
+          .as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(TopK)
+  }
+
+  // --- the DuckDB oracle: the SAME forward pass replayed in SQL ------------
+
+  /** A matrix as a LONG-form literal table `(r, c, w)` — matmuls become
+    * plain hash joins + ordered sums; no row ever carries a tensor
+    * struct (the list-of-lists form made DuckDB drag the whole
+    * parameter block through every matmul row).
+    */
+  private def litLong(name: String, m: Array[Array[Double]]): String = {
+    val vals = (for (r <- m.indices; c <- m(r).indices)
+      yield s"(${r + 1}, ${c + 1}, ${m(r)(c)})").mkString(", ")
+    s"$name(r, c, w) AS (SELECT * FROM (VALUES $vals) AS t(r, c, w))"
+  }
+
+  /** LayerNorm gain/bias pair as one literal table `(k, g, b)`. */
+  private def litGb(name: String, g: Array[Double], b: Array[Double]): String = {
+    val vals = g.indices.map(k => s"(${k + 1}, ${g(k)}, ${b(k)})").mkString(", ")
+    s"$name(k, g, b) AS (SELECT * FROM (VALUES $vals) AS t(k, g, b))"
+  }
+
+  /** Referencing a nonexistent column makes the oracle FAIL loudly in
+    * DuckDB rather than compare as a plausible empty result.
+    */
+  private val emptyOracle =
+    "SELECT attention_encoder_weights_not_trained FROM documents"
+
+  /** The full forward pass as CTEs over long-form (doc, pos, k, val)
+    * frames: matmuls join the literal parameter tensors with the sum
+    * pinned `ORDER BY` the contraction index, LayerNorm in the same
+    * two-pass mean/variance order, attention with the same ReLU/+1
+    * arithmetic — bitwise the JVM pass, by construction.
+    */
+  def searchOracle: String = Word2VecEmbedder.cachedWeights.fold(emptyOracle) { w =>
+    // token embeddings long-form (term, k, val) — float widened exactly
+    val embVals = w.toSeq.sortBy(_._1).flatMap { case (term, v) =>
+      v.indices.map(k => s"('$term', ${k + 1}, ${v(k).toDouble})")
+    }.mkString(", ")
+    s"""WITH emb(term, k, val) AS (SELECT * FROM (VALUES $embVals) AS t(term, k, val)),
+       |${litLong("wq", Wq)},
+       |${litLong("wk", Wk)},
+       |${litLong("wvm", Wv)},
+       |${litLong("wo", Wo)},
+       |${litLong("w1", W1)},
+       |${litLong("w2", W2)},
+       |${litLong("pe", Pe)},
+       |${litGb("gb1", G1, B1)},
+       |${litGb("gb2", G2, B2)},
+       |raw AS MATERIALIZED (
+       |  SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l) + 1)) AS rp
+       |  FROM (SELECT doc_id, ${TextAnalysis.sqlToks} AS l FROM documents) t0),
+       |ranked AS MATERIALIZED (
+       |  SELECT doc_id, term,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY rp) AS pos
+       |  FROM raw WHERE term IN (SELECT term FROM emb)),
+       |toks AS MATERIALIZED (SELECT * FROM ranked WHERE pos <= $MaxPos),
+       |nn AS MATERIALIZED (SELECT doc_id AS doc, count(*) AS n FROM toks GROUP BY doc_id),
+       |x AS MATERIALIZED (
+       |  SELECT t.doc_id AS doc, t.pos, e.k, e.val + pe.w AS val
+       |  FROM toks t
+       |  JOIN emb e ON t.term = e.term
+       |  JOIN pe ON pe.r = t.pos AND pe.c = e.k),
+       |qm AS MATERIALIZED (
+       |  SELECT x.doc, x.pos, wq.c AS o,
+       |    sum(x.val * wq.w ORDER BY x.k) AS val
+       |  FROM x JOIN wq ON wq.r = x.k GROUP BY x.doc, x.pos, wq.c),
+       |km AS MATERIALIZED (
+       |  SELECT x.doc, x.pos, wk.c AS o,
+       |    sum(x.val * wk.w ORDER BY x.k) AS val
+       |  FROM x JOIN wk ON wk.r = x.k GROUP BY x.doc, x.pos, wk.c),
+       |vm AS MATERIALIZED (
+       |  SELECT x.doc, x.pos, wvm.c AS o,
+       |    sum(x.val * wvm.w ORDER BY x.k) AS val
+       |  FROM x JOIN wvm ON wvm.r = x.k GROUP BY x.doc, x.pos, wvm.c),
+       |att AS MATERIALIZED (
+       |  SELECT a.doc, a.pos AS i, b.pos AS j,
+       |    CASE WHEN sum(a.val * b.val ORDER BY a.o) / 4.0 > 0
+       |         THEN sum(a.val * b.val ORDER BY a.o) / 4.0 ELSE 0.0 END AS r
+       |  FROM qm a JOIN km b ON a.doc = b.doc AND a.o = b.o
+       |  GROUP BY a.doc, a.pos, b.pos),
+       |dnm AS MATERIALIZED (
+       |  SELECT doc, i, 1.0 + sum(r ORDER BY j) AS denom
+       |  FROM att GROUP BY doc, i),
+       |ctx AS MATERIALIZED (
+       |  SELECT att.doc, att.i AS pos, vm.o,
+       |    sum(att.r / dnm.denom * vm.val ORDER BY att.j) AS val
+       |  FROM att
+       |  JOIN dnm ON att.doc = dnm.doc AND att.i = dnm.i
+       |  JOIN vm ON att.doc = vm.doc AND att.j = vm.pos
+       |  GROUP BY att.doc, att.i, vm.o),
+       |h1 AS MATERIALIZED (
+       |  SELECT x.doc, x.pos, x.k, x.val + ao.val AS val
+       |  FROM x JOIN (
+       |    SELECT c.doc, c.pos, wo.c AS k,
+       |      sum(c.val * wo.w ORDER BY c.o) AS val
+       |    FROM ctx c JOIN wo ON wo.r = c.o GROUP BY c.doc, c.pos, wo.c
+       |  ) ao ON x.doc = ao.doc AND x.pos = ao.pos AND x.k = ao.k),
+       |mu1 AS MATERIALIZED (SELECT doc, pos, sum(val ORDER BY k) / $Dim AS mu FROM h1 GROUP BY doc, pos),
+       |va1 AS MATERIALIZED (
+       |  SELECT h1.doc, h1.pos,
+       |    sum((h1.val - mu) * (h1.val - mu) ORDER BY k) / $Dim AS va
+       |  FROM h1 JOIN mu1 ON h1.doc = mu1.doc AND h1.pos = mu1.pos
+       |  GROUP BY h1.doc, h1.pos),
+       |ln1 AS MATERIALIZED (
+       |  SELECT h1.doc, h1.pos, h1.k,
+       |    (h1.val - mu) / sqrt(va + $LnEps) * gb1.g + gb1.b AS val
+       |  FROM h1
+       |  JOIN mu1 ON h1.doc = mu1.doc AND h1.pos = mu1.pos
+       |  JOIN va1 ON h1.doc = va1.doc AND h1.pos = va1.pos
+       |  JOIN gb1 ON gb1.k = h1.k),
+       |ff AS MATERIALIZED (
+       |  SELECT l.doc, l.pos, w1.c AS h,
+       |    CASE WHEN sum(l.val * w1.w ORDER BY l.k) > 0
+       |         THEN sum(l.val * w1.w ORDER BY l.k) ELSE 0.0 END AS val
+       |  FROM ln1 l JOIN w1 ON w1.r = l.k GROUP BY l.doc, l.pos, w1.c),
+       |h2 AS MATERIALIZED (
+       |  SELECT l.doc, l.pos, l.k, l.val + f2.val AS val
+       |  FROM ln1 l JOIN (
+       |    SELECT ff.doc, ff.pos, w2.c AS k,
+       |      sum(ff.val * w2.w ORDER BY ff.h) AS val
+       |    FROM ff JOIN w2 ON w2.r = ff.h GROUP BY ff.doc, ff.pos, w2.c
+       |  ) f2 ON l.doc = f2.doc AND l.pos = f2.pos AND l.k = f2.k),
+       |mu2 AS MATERIALIZED (SELECT doc, pos, sum(val ORDER BY k) / $Dim AS mu FROM h2 GROUP BY doc, pos),
+       |va2 AS MATERIALIZED (
+       |  SELECT h2.doc, h2.pos,
+       |    sum((h2.val - mu) * (h2.val - mu) ORDER BY k) / $Dim AS va
+       |  FROM h2 JOIN mu2 ON h2.doc = mu2.doc AND h2.pos = mu2.pos
+       |  GROUP BY h2.doc, h2.pos),
+       |ln2 AS MATERIALIZED (
+       |  SELECT h2.doc, h2.pos, h2.k,
+       |    (h2.val - mu) / sqrt(va + $LnEps) * gb2.g + gb2.b AS val
+       |  FROM h2
+       |  JOIN mu2 ON h2.doc = mu2.doc AND h2.pos = mu2.pos
+       |  JOIN va2 ON h2.doc = va2.doc AND h2.pos = va2.pos
+       |  JOIN gb2 ON gb2.k = h2.k),
+       |pooled_long AS MATERIALIZED (
+       |  SELECT ln2.doc, ln2.k,
+       |    CAST(sum(ln2.val ORDER BY ln2.pos) / nn.n AS REAL) AS pv
+       |  FROM ln2 JOIN nn ON ln2.doc = nn.doc
+       |  GROUP BY ln2.doc, ln2.k, nn.n),
+       |pooled AS MATERIALIZED (
+       |  SELECT doc AS doc_id, list(CAST(pv AS DOUBLE) ORDER BY k) AS e
+       |  FROM pooled_long GROUP BY doc),
+       |q AS (SELECT e AS q_emb FROM pooled WHERE doc_id = $QueryDocId)
+       |SELECT doc_id,
+       |  round(${VectorSearch.cosineSql("e", "q_emb", Dim)}, 4) AS score
+       |FROM pooled, q
+       |WHERE doc_id <> $QueryDocId
+       |ORDER BY score DESC, doc_id
+       |LIMIT $TopK""".stripMargin
+  }
+}

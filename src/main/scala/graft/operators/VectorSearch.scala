@@ -351,8 +351,17 @@ object VectorSearch {
     * run a million-query evaluation or backfill.
     */
   def batchTopK(embs: DataFrame, stride: Int = BatchStride,
-                k: Int = BatchK): DataFrame = {
-    val queries = embs.filter(col("vec_id") % stride === 0)
+                k: Int = BatchK): DataFrame =
+    batchTopKSel(embs, _.filter(col("vec_id") % stride === 0), k)
+
+  /** General query-selection form of [[batchTopK]] (the `bm25BatchSel`
+    * pattern): `sel` carves the query set out of the corpus — a stride
+    * filter for the benchmark, a broadcast semi-join on a micro-batch's
+    * id set for the serving twin ([[graft.streaming.ServeStream.vectorServe]]).
+    */
+  def batchTopKSel(embs: DataFrame, sel: DataFrame => DataFrame,
+                   k: Int = BatchK): DataFrame = {
+    val queries = sel(embs)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     embs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),

@@ -77,6 +77,14 @@ object Word2VecEmbedder {
     w
   }
 
+  /** The per-dir trained weights when unambiguous (exactly one dir
+    * trained in this JVM) — shared by every literal-weights oracle
+    * ([[searchOracle]], [[AttentionEncoder.searchOracle]]); None forces
+    * the loud-failure empty oracle.
+    */
+  private[graft] def cachedWeights: Option[Map[String, Array[Float]]] =
+    if (cache.size() > 1) None else lastDir.flatMap(d => Option(cache.get(d)))
+
   /** Pure-JVM replica of [[graft.functions.TextFunctions.tokens]]. */
   private def tokenize(text: String): Seq[String] =
     text.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
@@ -147,10 +155,7 @@ object Word2VecEmbedder {
     }.mkString(",\n    ")
 
   def searchOracle: String = {
-    val model =
-      if (cache.size() > 1) None
-      else lastDir.flatMap(d => Option(cache.get(d)))
-    model.fold(emptyOracle) { w =>
+    cachedWeights.fold(emptyOracle) { w =>
       s"""WITH wv AS (SELECT * FROM (VALUES
          |    ${weightValues(w)}) AS t(term, v)),
          |toked AS (

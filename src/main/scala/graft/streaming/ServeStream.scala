@@ -68,6 +68,22 @@ object ServeStream {
     }
   }
 
+  /** Driver query: one micro-batch of PLAIN (brute-force) vector serving
+    * ([[vectorServe]], 40a) — the non-indexed serving baseline: each
+    * micro-batch's queries score the whole corpus in one pass. A single
+    * batch holding the stride queries must hash-match the batch
+    * multi-query search oracle
+    * ([[graft.operators.VectorSearch.batchSearchOracle]]).
+    */
+  def qStreamVectorServe(s: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    val embs = graft.sources.Tables.embeddings(s, dir)
+    collectServed(s, strideIds(s, dir, graft.operators.VectorSearch.BatchStride),
+      idCol = "vec_id") { (queryIds, sink) =>
+      vectorServe(queryIds, embs, graft.operators.VectorSearch.BatchK)(sink)
+    }
+  }
+
   /** Driver query: one micro-batch of IVF-pruned VECTOR serving
     * ([[vectorServeIvf]], 40h) probing the standing centroid table;
     * must hash-match the batch IVF search oracle
@@ -136,6 +152,28 @@ object ServeStream {
         cosineSim(col("embedding"), col("q_emb")).as("score"), col("vec_id"))
       .groupBy("q_id")
       .agg(topKByScore(col("score"), col("vec_id"), k).as("top"))
+
+  /** PLAIN micro-batch vector serving — the brute-force twin of
+    * [[vectorServeIvf]]: each micro-batch's query set scores the whole
+    * static corpus in ONE pass ([[graft.operators.VectorSearch.batchTopKSel]],
+    * bounded-heap per-query top-k), amortizing the scan over the batch.
+    * Exact (no pruning), so it is both the correctness baseline for the
+    * IVF twin and the right shape when recall must be 1.0. Scores depend
+    * only on (query, corpus), so results are batch-split invariant.
+    */
+  def vectorServe(queryIds: DataFrame, embs: DataFrame, k: Int)
+                 (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryIds.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ids = batch.select(col("q_id")).na.drop().distinct()
+        if (!batch.isEmpty) {
+          val ranked = graft.operators.VectorSearch.batchTopKSel(
+            embs, _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"), k)
+          sink(ranked, batchId)
+        }
+      }
+      .start()
 
   /** INDEX-ACCELERATED micro-batch vector serving — the continuously-
     * running path must not brute-force the corpus per query: each

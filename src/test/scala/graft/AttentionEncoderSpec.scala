@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{AttentionEncoder, Word2VecEmbedder}
+import org.apache.spark.sql.functions._
+
+class AttentionEncoderSpec extends SparkSpec {
+
+  private lazy val w = Word2VecEmbedder.weightsFor(spark, TestSpark.Sf0001)
+
+  test("encoder is deterministic and position-sensitive") {
+    // two real vocabulary tokens (the test corpus is synthetic — picking
+    // literal English words would silently collapse to one in-vocab token)
+    val ts = w.keys.toSeq.sorted.take(4)
+    val sent = ts.mkString(" ")
+    val a = AttentionEncoder.encode(w, sent).get
+    val b = AttentionEncoder.encode(w, sent).get
+    assert(a.sameElements(b))
+    // attention + positional embeddings: word ORDER must change the
+    // sentence vector (the bag-mean w2v pooling cannot see this)
+    val rev = AttentionEncoder.encode(w, ts.reverse.mkString(" ")).get
+    assert(!a.sameElements(rev))
+    // no in-vocabulary token → None (seam emits the empty vector)
+    assert(AttentionEncoder.encode(w, "zzzzqqqqxxxx").isEmpty)
+  }
+
+  test("seam serving is batch-size and partitioning invariant") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text")).limit(60)
+    def run(maxBatch: Int, parts: Int): Map[Long, Seq[Float]] =
+      AttentionEncoder.embedDocs(docs.repartition(parts), w, maxBatch)
+        .select(col("doc_id"), col("att_emb"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1))
+        .toMap
+    val base = run(AttentionEncoder.MaxBatch, 4)
+    // micro-batch boundaries must not change any embedding
+    assert(run(1, 4) == base)
+    // partition layout must not change any embedding (per-partition
+    // session init, positional re-attach)
+    assert(run(7, 13) == base)
+  }
+
+  test("driver query returns a full ranked page with sane scores") {
+    val df = AttentionEncoder.qSearch(spark, TestSpark.Sf0001)
+    assert(df.columns.toSeq == Seq("doc_id", "score"))
+    val rows = df.collect()
+    assert(rows.length == AttentionEncoder.TopK)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(s => s >= -1.0 && s <= 1.0))
+    // descending, deterministic tiebreak already in the plan
+    assert(scores.sameElements(scores.sorted.reverse))
+    // the oracle is generated with literals once weights are cached
+    assert(AttentionEncoder.searchOracle.contains("WITH emb(term, k, val) AS"))
+  }
+}

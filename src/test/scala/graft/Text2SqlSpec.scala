@@ -39,9 +39,18 @@ class Text2SqlSpec extends SparkSpec {
     assert(mcw.sql.contains("explode(split(lower(title)"))
     assert(mcw.sqlDuck.get.contains("unnest(string_split_regex(lower(title)"))
     assert(mcw.sql.contains("ORDER BY count(*) DESC, w LIMIT 1"))
-    // un-modeled concepts are refused, not guessed
+    // the modeled timeline: "released in the last year" = the view
+    // timeline's final 365 days, a deterministic portable predicate
+    assert(sqlOf("List the titles of episodes that were released in the last year.")
+      .contains("release_date >= DATE '2024-01-01'"))
+    // profession is the view's modeled function-of-guest column
+    assert(sqlOf("What is the most common guest profession featured on the podcast?")
+      .contains("GROUP BY profession ORDER BY count(*) DESC, profession LIMIT 1"))
+    // still-unmodeled calendar concepts are refused, not guessed
     assert(Text2Sql.translate(
-      "List the titles of episodes that were released in the last year.").isEmpty)
+      "How many episodes were released last month?").isEmpty)
+    assert(Text2Sql.translate(
+      "What is the average episode duration in minutes?").isEmpty)
   }
 
   test("translator + router cover most of the FULL 300-question training set") {
