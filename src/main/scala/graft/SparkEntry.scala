@@ -156,6 +156,9 @@ object SparkEntry {
     // seam; oracle replays the full forward pass in SQL with every
     // parameter tensor as literals
     "embed_attention_search" -> (AttentionEncoder.qSearch _),
+    // the same transformer block as a CROSS-ENCODER (joint query+doc
+    // sequence, segment embeddings, linear head) in the reranker slot
+    "rerank_attention" -> (AttentionEncoder.qRerank _),
     // trained logistic-regression cross-scorer in the reranker slot,
     // served through the pair-scoring inference seam; linear-score
     // oracle with the fitted coefficients as literals
@@ -302,6 +305,7 @@ object SparkEntry {
     // the oracle embeds the per-dir trained codebooks as literals
     "embed_w2v_search" -> Word2VecEmbedder.searchOracle,
     "embed_attention_search" -> AttentionEncoder.searchOracle,
+    "rerank_attention" -> AttentionEncoder.rerankOracle,
     "rerank_learned" -> LearnedReranker.searchOracle,
     "pq_adc_search" -> ProductQuantizer.adcSearchOracle,
     "ivf_pq_search" -> ProductQuantizer.ivfAdcSearchOracle,

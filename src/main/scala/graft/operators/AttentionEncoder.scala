@@ -79,6 +79,11 @@ object AttentionEncoder {
   private[graft] val B1 = lcgDoubles(Dim, 1009L)
   private[graft] val G2 = lcgDoubles(Dim, 1010L).map(1.0 + _)
   private[graft] val B2 = lcgDoubles(Dim, 1011L)
+  // cross-encoder extras: segment embeddings (query / document half of
+  // the pair sequence) and the linear scoring head
+  private[graft] val SegA = lcgDoubles(Dim, 1012L)
+  private[graft] val SegB = lcgDoubles(Dim, 1013L)
+  private[graft] val Wh = lcgDoubles(Dim, 1014L)
 
   // --- the forward pass (pure JVM, pinned operation order) -----------------
 
@@ -114,6 +119,21 @@ object AttentionEncoder {
     if (toks.isEmpty) return None
     val n = toks.length
     val x = Array.tabulate(n, Dim)((p, k) => w2v(toks(p))(k).toDouble + Pe(p)(k))
+    val ln2 = block(x)
+    // mean-pool position-ascending; float truncation at the output edge
+    Some(Array.tabulate(Dim) { k =>
+      var acc = 0.0; var p = 0
+      while (p < n) { acc += ln2(p)(k); p += 1 }
+      (acc / n).toFloat
+    })
+  }
+
+  /** The attention block shared by the bi-encoder ([[encode]]) and the
+    * cross-encoder ([[crossScore]]): attention → residual + LN → FFN →
+    * residual + LN, every accumulation in pinned order.
+    */
+  private def block(x: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = x.length
     val q = matmul(x, Wq); val kk = matmul(x, Wk); val v = matmul(x, Wv)
     val scale = math.sqrt(Dim.toDouble) // 4.0 exactly
     // ReLU attention: r_ij = relu(q_i·k_j/√d); weights r_ij/(1+Σ_j r_ij)
@@ -139,13 +159,42 @@ object AttentionEncoder {
     val f = matmul(ln1, W1).map(_.map(h => if (h > 0) h else 0.0))
     val f2 = matmul(f, W2)
     val h2 = Array.tabulate(n, Dim)((p, k) => ln1(p)(k) + f2(p)(k))
-    val ln2 = h2.map(layerNorm(_, G2, B2))
-    // mean-pool position-ascending; float truncation at the output edge
-    Some(Array.tabulate(Dim) { k =>
+    h2.map(layerNorm(_, G2, B2))
+  }
+
+  /** The query half of the cross-encoder pair sequence. */
+  val QTokens = 6
+
+  /** CROSS-ENCODE a (query, document) pair: the two halves form ONE
+    * sequence (first [[QTokens]] in-vocab query tokens, then up to
+    * MaxPos − QTokens doc tokens) with segment embeddings marking the
+    * halves, attention runs JOINTLY over both (the cross-encoder
+    * property a bi-encoder cannot express), and a linear head over the
+    * mean-pooled output yields the relevance score. None when either
+    * half has no in-vocabulary token.
+    */
+  private[graft] def crossScore(w2v: Map[String, Array[Float]],
+                                query: String, doc: String): Option[Double] = {
+    val qt = tokenize(query).filter(w2v.contains).take(QTokens)
+    val dt = tokenize(doc).filter(w2v.contains).take(MaxPos - QTokens)
+    if (qt.isEmpty || dt.isEmpty) return None
+    val seq = qt ++ dt
+    val nq = qt.length
+    val n = seq.length
+    val x = Array.tabulate(n, Dim) { (p, k) =>
+      w2v(seq(p))(k).toDouble + Pe(p)(k) + (if (p < nq) SegA(k) else SegB(k))
+    }
+    val ln2 = block(x)
+    // mean-pool (double — the scalar head is the output edge), linear head
+    var score = 0.0
+    var k = 0
+    while (k < Dim) {
       var acc = 0.0; var p = 0
       while (p < n) { acc += ln2(p)(k); p += 1 }
-      (acc / n).toFloat
-    })
+      score += acc / n * Wh(k)
+      k += 1
+    }
+    Some(score)
   }
 
   /** Embed `docs.text` through the inference seam — session-init once
@@ -180,6 +229,40 @@ object AttentionEncoder {
       .limit(TopK)
   }
 
+  /** Score (query, doc-text) pair columns through the pair-scoring
+    * inference seam — the served-cross-encoder shape (reference
+    * `src/reranker.py:27` `_cross_encoder_score`), transformer-class
+    * occupant of the slot [[LearnedReranker]] fills with a linear model.
+    * Pairs with an un-encodable half score −1e308 (below every real
+    * score; the seam contract is one output per input).
+    */
+  def scorePairs(pairs: DataFrame, w2v: Map[String, Array[Float]],
+                 maxBatch: Int = MaxBatch): DataFrame =
+    Inference.scorePairsBatched(pairs, "query", "text", "att_score", maxBatch)(
+      () => w2v)((w, ps) => ps.map { case (q, d) =>
+        crossScore(w, q, d).getOrElse(-1e308)
+      })
+
+  /** Driver query: BM25 top-[[LearnedReranker.CandidateK]] candidates
+    * re-scored by the attention CROSS-ENCODER, top-[[TopK]] by the
+    * joint-attention score — the [[LearnedReranker.qSearch]] harness
+    * with the transformer-class model in the slot.
+    */
+  def qRerank(s: SparkSession, dir: String): DataFrame = {
+    val w = Word2VecEmbedder.weightsFor(s, dir)
+    val docs = Tables.documents(s, dir)
+    val cand = KeywordSearch.bm25(docs, KeywordSearch.QueryTerms,
+      LearnedReranker.CandidateK)
+      .select(col("doc_id"), col("score").as("bm25_score"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("query", lit(KeywordSearch.QueryTerms.mkString(" ")))
+    scorePairs(cand, w)
+      .select(col("doc_id"), col("bm25_score"),
+        round(col("att_score"), 6).as("att_score"))
+      .orderBy(desc("att_score"), asc("doc_id"))
+      .limit(TopK)
+  }
+
   // --- the DuckDB oracle: the SAME forward pass replayed in SQL ------------
 
   /** A matrix as a LONG-form literal table `(r, c, w)` — matmuls become
@@ -205,19 +288,17 @@ object AttentionEncoder {
   private val emptyOracle =
     "SELECT attention_encoder_weights_not_trained FROM documents"
 
-  /** The full forward pass as CTEs over long-form (doc, pos, k, val)
-    * frames: matmuls join the literal parameter tensors with the sum
-    * pinned `ORDER BY` the contraction index, LayerNorm in the same
-    * two-pass mean/variance order, attention with the same ReLU/+1
-    * arithmetic — bitwise the JVM pass, by construction.
-    */
-  def searchOracle: String = Word2VecEmbedder.cachedWeights.fold(emptyOracle) { w =>
-    // token embeddings long-form (term, k, val) — float widened exactly
+  /** Token embeddings long-form (term, k, val) — float widened exactly. */
+  private def embCte(w: Map[String, Array[Float]]): String = {
     val embVals = w.toSeq.sortBy(_._1).flatMap { case (term, v) =>
       v.indices.map(k => s"('$term', ${k + 1}, ${v(k).toDouble})")
     }.mkString(", ")
-    s"""WITH emb(term, k, val) AS (SELECT * FROM (VALUES $embVals) AS t(term, k, val)),
-       |${litLong("wq", Wq)},
+    s"emb(term, k, val) AS (SELECT * FROM (VALUES $embVals) AS t(term, k, val))"
+  }
+
+  /** Every parameter tensor as literal long-form CTEs. */
+  private lazy val paramCtes: String =
+    s"""${litLong("wq", Wq)},
        |${litLong("wk", Wk)},
        |${litLong("wvm", Wv)},
        |${litLong("wo", Wo)},
@@ -225,22 +306,18 @@ object AttentionEncoder {
        |${litLong("w2", W2)},
        |${litLong("pe", Pe)},
        |${litGb("gb1", G1, B1)},
-       |${litGb("gb2", G2, B2)},
-       |raw AS MATERIALIZED (
-       |  SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l) + 1)) AS rp
-       |  FROM (SELECT doc_id, ${TextAnalysis.sqlToks} AS l FROM documents) t0),
-       |ranked AS MATERIALIZED (
-       |  SELECT doc_id, term,
-       |    row_number() OVER (PARTITION BY doc_id ORDER BY rp) AS pos
-       |  FROM raw WHERE term IN (SELECT term FROM emb)),
-       |toks AS MATERIALIZED (SELECT * FROM ranked WHERE pos <= $MaxPos),
-       |nn AS MATERIALIZED (SELECT doc_id AS doc, count(*) AS n FROM toks GROUP BY doc_id),
-       |x AS MATERIALIZED (
-       |  SELECT t.doc_id AS doc, t.pos, e.k, e.val + pe.w AS val
-       |  FROM toks t
-       |  JOIN emb e ON t.term = e.term
-       |  JOIN pe ON pe.r = t.pos AND pe.c = e.k),
-       |qm AS MATERIALIZED (
+       |${litGb("gb2", G2, B2)}""".stripMargin
+
+  /** The full forward pass as CTEs over a long-form `x(doc, pos, k,
+    * val)` input frame: matmuls join the literal parameter tensors with
+    * the sum pinned `ORDER BY` the contraction index, LayerNorm in the
+    * same two-pass mean/variance order, attention with the same ReLU/+1
+    * arithmetic — bitwise the JVM [[block]], by construction. CTEs are
+    * MATERIALIZED: DuckDB inlines plain CTEs per reference, which made
+    * the deep shared chain recompute exponentially (324 s → 10 s).
+    */
+  private lazy val forwardCtes: String =
+    s"""qm AS MATERIALIZED (
        |  SELECT x.doc, x.pos, wq.c AS o,
        |    sum(x.val * wq.w ORDER BY x.k) AS val
        |  FROM x JOIN wq ON wq.r = x.k GROUP BY x.doc, x.pos, wq.c),
@@ -312,7 +389,26 @@ object AttentionEncoder {
        |  FROM h2
        |  JOIN mu2 ON h2.doc = mu2.doc AND h2.pos = mu2.pos
        |  JOIN va2 ON h2.doc = va2.doc AND h2.pos = va2.pos
-       |  JOIN gb2 ON gb2.k = h2.k),
+       |  JOIN gb2 ON gb2.k = h2.k)""".stripMargin
+
+  def searchOracle: String = Word2VecEmbedder.cachedWeights.fold(emptyOracle) { w =>
+    s"""WITH ${embCte(w)},
+       |$paramCtes,
+       |raw AS MATERIALIZED (
+       |  SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l) + 1)) AS rp
+       |  FROM (SELECT doc_id, ${TextAnalysis.sqlToks} AS l FROM documents) t0),
+       |ranked AS MATERIALIZED (
+       |  SELECT doc_id, term,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY rp) AS pos
+       |  FROM raw WHERE term IN (SELECT term FROM emb)),
+       |toks AS MATERIALIZED (SELECT * FROM ranked WHERE pos <= $MaxPos),
+       |nn AS MATERIALIZED (SELECT doc_id AS doc, count(*) AS n FROM toks GROUP BY doc_id),
+       |x AS MATERIALIZED (
+       |  SELECT t.doc_id AS doc, t.pos, e.k, e.val + pe.w AS val
+       |  FROM toks t
+       |  JOIN emb e ON t.term = e.term
+       |  JOIN pe ON pe.r = t.pos AND pe.c = e.k),
+       |$forwardCtes,
        |pooled_long AS MATERIALIZED (
        |  SELECT ln2.doc, ln2.k,
        |    CAST(sum(ln2.val ORDER BY ln2.pos) / nn.n AS REAL) AS pv
@@ -327,6 +423,71 @@ object AttentionEncoder {
        |FROM pooled, q
        |WHERE doc_id <> $QueryDocId
        |ORDER BY score DESC, doc_id
+       |LIMIT $TopK""".stripMargin
+  }
+
+  /** Cross-encoder rerank oracle: candidates from the oracled BM25 SQL,
+    * the pair sequence assembled exactly like [[crossScore]] (query-half
+    * token/position literals — the query is a constant of the benchmark
+    * — + document tokens at positions nq+1.., segment embeddings via a
+    * CASE on the position split), the SAME [[forwardCtes]] chain, then
+    * double mean-pool × the literal head, rounded at the output edge.
+    */
+  def rerankOracle: String = Word2VecEmbedder.cachedWeights.fold(emptyOracle) { w =>
+    val query = KeywordSearch.QueryTerms.mkString(" ")
+    val qt = tokenize(query).filter(w.contains).take(QTokens)
+    val nq = qt.length
+    val qlitVals = qt.zipWithIndex
+      .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+    val segVals = (0 until Dim)
+      .map(k => s"(${k + 1}, ${SegA(k)}, ${SegB(k)})").mkString(", ")
+    val whVals = (0 until Dim)
+      .map(k => s"(${k + 1}, ${Wh(k)})").mkString(", ")
+    val maxDoc = MaxPos - QTokens
+    s"""WITH ${embCte(w)},
+       |$paramCtes,
+       |sab(k, a, b) AS (SELECT * FROM (VALUES $segVals) AS t(k, a, b)),
+       |whd(k, w) AS (SELECT * FROM (VALUES $whVals) AS t(k, w)),
+       |qlit(pos, term) AS (SELECT * FROM (VALUES $qlitVals) AS t(pos, term)),
+       |cand AS MATERIALIZED (${KeywordSearch.bm25Sql(KeywordSearch.QueryTerms, LearnedReranker.CandidateK)}),
+       |raw AS MATERIALIZED (
+       |  SELECT d.doc_id, unnest(l) AS term, unnest(range(1, len(l) + 1)) AS rp
+       |  FROM (SELECT doc_id, ${TextAnalysis.sqlToks} AS l FROM documents
+       |        WHERE doc_id IN (SELECT doc_id FROM cand)) d),
+       |dtoks AS MATERIALIZED (
+       |  SELECT doc_id, term, dpos FROM (
+       |    SELECT doc_id, term,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY rp) AS dpos
+       |    FROM raw WHERE term IN (SELECT term FROM emb)) t
+       |  WHERE dpos <= $maxDoc),
+       |seq AS MATERIALIZED (
+       |  SELECT c.doc_id AS doc, q.pos, q.term
+       |  FROM cand c, qlit q
+       |  UNION ALL
+       |  SELECT doc_id AS doc, $nq + dpos AS pos, term FROM dtoks),
+       |nn AS MATERIALIZED (SELECT doc, count(*) AS n FROM seq GROUP BY doc),
+       |x AS MATERIALIZED (
+       |  SELECT s.doc, s.pos, e.k,
+       |    e.val + pe.w + CASE WHEN s.pos <= $nq THEN sab.a ELSE sab.b END AS val
+       |  FROM seq s
+       |  JOIN emb e ON s.term = e.term
+       |  JOIN pe ON pe.r = s.pos AND pe.c = e.k
+       |  JOIN sab ON sab.k = e.k),
+       |$forwardCtes,
+       |pooled AS MATERIALIZED (
+       |  SELECT ln2.doc, ln2.k,
+       |    sum(ln2.val ORDER BY ln2.pos) / nn.n AS pv
+       |  FROM ln2 JOIN nn ON ln2.doc = nn.doc
+       |  GROUP BY ln2.doc, ln2.k, nn.n),
+       |scored AS MATERIALIZED (
+       |  SELECT pooled.doc AS doc_id,
+       |    sum(pv * whd.w ORDER BY pooled.k) AS raw_score
+       |  FROM pooled JOIN whd ON whd.k = pooled.k
+       |  GROUP BY pooled.doc)
+       |SELECT cand.doc_id, cand.score AS bm25_score,
+       |  round(raw_score, 6) AS att_score
+       |FROM cand JOIN scored ON cand.doc_id = scored.doc_id
+       |ORDER BY att_score DESC, cand.doc_id
        |LIMIT $TopK""".stripMargin
   }
 }

@@ -40,6 +40,35 @@ class AttentionEncoderSpec extends SparkSpec {
     assert(run(7, 13) == base)
   }
 
+  test("cross-encoder is joint: swapping doc half changes the score, and " +
+       "the pair is NOT a function of the two halves independently") {
+    val ts = w.keys.toSeq.sorted
+    val query = ts.take(4).mkString(" ")
+    val d1 = ts.slice(4, 10).mkString(" ")
+    val d2 = ts.slice(10, 16).mkString(" ")
+    val s11 = AttentionEncoder.crossScore(w, query, d1).get
+    val s12 = AttentionEncoder.crossScore(w, query, d2).get
+    assert(s11 != s12)
+    // deterministic
+    assert(AttentionEncoder.crossScore(w, query, d1).get == s11)
+    // un-encodable half → None
+    assert(AttentionEncoder.crossScore(w, "zzzzqqqq", d1).isEmpty)
+    assert(AttentionEncoder.crossScore(w, query, "zzzzqqqq").isEmpty)
+  }
+
+  test("cross-encoder pair serving is batch-size invariant") {
+    val ts = w.keys.toSeq.sorted
+    val query = ts.take(4).mkString(" ")
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text")).limit(30)
+      .withColumn("query", lit(query))
+    def run(maxBatch: Int): Map[Long, Double] =
+      AttentionEncoder.scorePairs(docs, w, maxBatch)
+        .select(col("doc_id"), col("att_score"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(1) == run(AttentionEncoder.MaxBatch))
+  }
+
   test("driver query returns a full ranked page with sane scores") {
     val df = AttentionEncoder.qSearch(spark, TestSpark.Sf0001)
     assert(df.columns.toSeq == Seq("doc_id", "score"))
