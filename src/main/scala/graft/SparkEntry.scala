@@ -159,6 +159,14 @@ object SparkEntry {
     // the same transformer block as a CROSS-ENCODER (joint query+doc
     // sequence, segment embeddings, linear head) in the reranker slot
     "rerank_attention" -> (AttentionEncoder.qRerank _),
+    // scale-toolbox layouts under the oracle gate: each writes its
+    // layout once (standing artifact) and reads it back; the oracle
+    // recomputes rows / join results / the Morton key from the source
+    // parquet in DuckDB
+    "sink_bucketed_join" -> (graft.sources.Sinks.qBucketedJoin _),
+    "sink_time_partitioned" -> (graft.sources.Sinks.qTimePartitioned _),
+    "sink_zorder" -> (graft.sources.Sinks.qZOrdered _),
+    "q_salted_join" -> (Skew.qSaltedJoin _),
     // trained logistic-regression cross-scorer in the reranker slot,
     // served through the pair-scoring inference seam; linear-score
     // oracle with the fitted coefficients as literals
@@ -306,6 +314,10 @@ object SparkEntry {
     "embed_w2v_search" -> Word2VecEmbedder.searchOracle,
     "embed_attention_search" -> AttentionEncoder.searchOracle,
     "rerank_attention" -> AttentionEncoder.rerankOracle,
+    "sink_bucketed_join" -> graft.sources.Sinks.bucketedJoinOracle,
+    "sink_time_partitioned" -> graft.sources.Sinks.timePartitionedOracle,
+    "sink_zorder" -> graft.sources.Sinks.zOrderedOracle,
+    "q_salted_join" -> Skew.saltedJoinOracle,
     "rerank_learned" -> LearnedReranker.searchOracle,
     "pq_adc_search" -> ProductQuantizer.adcSearchOracle,
     "ivf_pq_search" -> ProductQuantizer.ivfAdcSearchOracle,

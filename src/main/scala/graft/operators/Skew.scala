@@ -40,4 +40,24 @@ object Skew {
           saltedBig("__salt") === replicatedSmall("__salt"))
       .drop("__salt")
   }
+
+  /** Driver query (op 43): the salted fact-dim join aggregated per
+    * priority. The oracle is the PLAIN join in DuckDB — salt routing
+    * must never change the answer for any salt assignment.
+    */
+  def qSaltedJoin(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    saltedJoin(
+      graft.sources.Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+      graft.sources.Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+      "l_orderkey", "o_orderkey", 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("o_orderpriority")
+
+  val saltedJoinOracle: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

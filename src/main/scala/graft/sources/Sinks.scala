@@ -100,6 +100,116 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  // --- driver-gated layout queries ----------------------------------------
+  //
+  // Each layout writes ONCE per (dir, JVM) via IndexCache — standing-
+  // artifact semantics — and the driver query READS THE LAYOUT BACK,
+  // so the DuckDB oracle (plain SQL over the source parquet) gates the
+  // whole write→read round trip: partition derivation, bucketed join
+  // results, and the Morton key itself are all independently recomputed.
+
+  /** Bucketed orders+lineitem built once per dir; catalog names carry a
+    * dir tag so several dirs coexist in one session.
+    */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val tag = Integer.toHexString(dir.hashCode).takeRight(8)
+    val (to, tl) = (s"orders_b_$tag", s"lineitem_b_$tag")
+    graft.operators.IndexCache.getOrBuild("bucketed_join", dir) { p =>
+      writeBucketed(Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        to, s"$p/orders_b", "o_orderkey", 8)
+      writeBucketed(Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+        tl, s"$p/lineitem_b", "l_orderkey", 8)
+    }
+    (to, tl)
+  }
+
+  /** Driver query (op 41): the zero-exchange bucketed fact-fact join —
+    * merge join over the two bucketed tables (exchange-freeness is
+    * spec-asserted; the plan hint keeps broadcast from hiding the
+    * layout), aggregated per priority. The oracle is the PLAIN join in
+    * DuckDB — the bucketed layout must change the plan, never the answer.
+    */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (to, tl) = bucketedTables(s, dir)
+    s.table(tl).hint("merge")
+      .join(s.table(to), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinOracle: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Driver query (op 42): events written date-partitioned, read back in
+    * FULL through the partitioned layout. The oracle recomputes every
+    * row INCLUDING the derived partition value from the source table —
+    * gating both row preservation and the partition derivation.
+    */
+  def qTimePartitioned(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.operators.IndexCache.getOrBuild("time_partitioned", dir) { p =>
+      writeTimePartitioned(Tables.events(s, dir), s"$p/events")
+    }
+    s.read.parquet(s"$p/events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000000000").as("ts_s"),
+        col("event_date").cast("string").as("event_date"))
+      .orderBy("event_id")
+  }
+
+  val timePartitionedOracle: String =
+    """SELECT event_id, user_id, event_type, value,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |  CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Driver query (op 44): events written Z-ORDERED on (user_id, ts_s),
+    * read back with the materialized Morton key. The oracle recomputes
+    * the ENTIRE Morton pipeline independently in DuckDB — data-derived
+    * bounds, range bucketization (floor semantics match Spark's
+    * double→long cast on non-negative values), and the 12-bit
+    * interleave as raw bit arithmetic — so the cluster key itself is
+    * oracle-gated, not just row preservation.
+    */
+  def qZOrdered(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.operators.IndexCache.getOrBuild("zorder_events", dir) { p =>
+      writeZOrdered(Tables.events(s, dir).select(col("event_id"),
+        col("user_id"), expr("ts div 1000000000").as("ts_s")),
+        "user_id", "ts_s", s"$p/z")
+    }
+    s.read.parquet(s"$p/z")
+      .select("event_id", "user_id", "ts_s", "zv")
+      .orderBy("event_id")
+  }
+
+  def zOrderedOracle: String = {
+    val bits = 12
+    val n = (1L << bits) - 1
+    val interleave = (0 until bits).map(i =>
+      s"(((ba >> $i) & 1) << ${2 * i + 1}) | (((bb >> $i) & 1) << ${2 * i})")
+      .mkString(" | ")
+    s"""WITH src AS (
+       |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+       |  FROM events),
+       |bounds AS (
+       |  SELECT CAST(min(user_id) AS DOUBLE) AS alo, CAST(max(user_id) AS DOUBLE) AS ahi,
+       |    CAST(min(ts_s) AS DOUBLE) AS blo, CAST(max(ts_s) AS DOUBLE) AS bhi
+       |  FROM src),
+       |bucketized AS (
+       |  SELECT event_id, user_id, ts_s,
+       |    least($n, CAST(floor((user_id - alo) / greatest(ahi - alo, 1.0) * $n) AS BIGINT)) AS ba,
+       |    least($n, CAST(floor((ts_s - blo) / greatest(bhi - blo, 1.0) * $n) AS BIGINT)) AS bb
+       |  FROM src, bounds)
+       |SELECT event_id, user_id, ts_s, ($interleave) AS zv
+       |FROM bucketized
+       |ORDER BY event_id""".stripMargin
+  }
+
   /** JSON-lines export/import — the reference's interchange format for
     * processed corpora (`preprocessing.py` json dumps). Parquet is the
     * engine-native layout; JSON is the interop edge.
