@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * sentence-transformer slot (`src/database/weaviate_interface_v4.py:289`
   * `_create_query_vector`; the sandbox has no ONNX runtime, so the
   * forward pass is pure JVM, exactly the architecture a served encoder
-  * runs): token embeddings + learned positions → single-head
-  * self-ATTENTION → residual + LayerNorm → ReLU FFN → residual +
-  * LayerNorm → mean-pool. Token embeddings are the corpus-TRAINED
-  * Word2Vec vectors ([[Word2VecEmbedder]] — real learned weights);
-  * projection/FFN/LayerNorm parameters are deterministic seeded values
-  * (the public-checkpoint slot: swapping in downloaded weights changes
-  * ONLY the literal tables, not one line of plumbing).
+  * runs): token embeddings + learned positions → a stack of
+  * [[Layers]]=2 blocks of [[Heads]]=2-head self-ATTENTION → residual +
+  * LayerNorm → ReLU FFN → residual + LayerNorm → mean-pool. Token
+  * embeddings are the corpus-TRAINED Word2Vec vectors
+  * ([[Word2VecEmbedder]] — real learned weights); projection/FFN/
+  * LayerNorm parameters are deterministic seeded values (the
+  * public-checkpoint slot: swapping in downloaded weights changes ONLY
+  * the literal tables, not one line of plumbing).
   *
   * Served exactly like an ONNX session would be: weights load once per
   * partition behind [[Inference.embedBatched]], rows feed in bounded
@@ -24,29 +25,37 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract (what makes a full transformer forward pass
   * DuckDB-replayable BITWISE): attention is ReLU-normalized instead of
-  * softmax — `a_ij = relu(q_i·k_j/√d) / (1 + Σ_j relu(..))` (softmax
-  * replaced by relu is a published attention variant, arXiv:2309.08586;
-  * the +1 denominator bounds the weights like softmax1). With that, the
-  * whole pass uses ONLY IEEE-correctly-rounded ops (+ − × ÷ sqrt max),
-  * every summation runs in a PINNED order (dims ascending, positions
-  * ascending — the [[Word2VecEmbedder]] sorted-sum pattern), and every
-  * parameter round-trips exactly through shortest-decimal literals, so
-  * the DuckDB oracle reproduces the JVM forward pass bit-for-bit and
-  * the cosine ranking hash-matches.
+  * softmax — per head, `a_ij = relu(q_i·k_j/√dh) / (1 + Σ_j relu(..))`
+  * (softmax replaced by relu is a published attention variant,
+  * arXiv:2309.08586; the +1 denominator bounds the weights like
+  * softmax1). With that, the whole pass uses ONLY IEEE-correctly-
+  * rounded ops (+ − × ÷ sqrt max), every summation runs in a PINNED
+  * order (dims ascending within each head, positions ascending — the
+  * [[Word2VecEmbedder]] sorted-sum pattern), the head split is integer
+  * index arithmetic, and every parameter round-trips exactly through
+  * shortest-decimal literals — so the DuckDB oracle reproduces the JVM
+  * forward pass bit-for-bit and the rankings hash-match.
   *
   * Scale design: serving is a pure map over partitions (weights are a
   * closure constant — a broadcast at cluster scale); cost is
-  * O(docs × MaxPos² × Dim) map-side with NO shuffle; the top-k search
-  * reuses the one-pass inference frame for both query and corpus side.
+  * O(docs × Layers × MaxPos² × Dim) map-side with NO shuffle; the
+  * top-k search reuses the one-pass inference frame for both sides.
   */
 object AttentionEncoder {
   val Dim = Word2VecEmbedder.Dim // token/model width (16)
+  val Heads = 2
+  val HeadDim = Dim / Heads      // 8
+  val Layers = 2
   val Hidden = 32                // FFN expansion
   val MaxPos = 12                // sequence cap (first in-vocab tokens)
   val MaxBatch = 64
   val TopK = 10
   val QueryDocId = 42L
   val LnEps = 1e-5
+  /** √dh — irrational, but ONE double value shared verbatim by the JVM
+    * pass and (via shortest-decimal round-trip) the SQL literal.
+    */
+  private val HeadScale = math.sqrt(HeadDim.toDouble)
 
   // --- deterministic parameters (the public-checkpoint slot) ---------------
 
@@ -67,18 +76,24 @@ object AttentionEncoder {
     Array.tabulate(rows, cols)((r, c) => flat(r * cols + c))
   }
 
-  private[graft] val Wq = mat(Dim, Dim, 1001L)
-  private[graft] val Wk = mat(Dim, Dim, 1002L)
-  private[graft] val Wv = mat(Dim, Dim, 1003L)
-  private[graft] val Wo = mat(Dim, Dim, 1004L)
-  private[graft] val W1 = mat(Dim, Hidden, 1005L)
-  private[graft] val W2 = mat(Hidden, Dim, 1006L)
+  /** One transformer block's parameters. */
+  private[graft] case class LayerParams(
+    wq: Array[Array[Double]], wk: Array[Array[Double]],
+    wv: Array[Array[Double]], wo: Array[Array[Double]],
+    w1: Array[Array[Double]], w2: Array[Array[Double]],
+    g1: Array[Double], b1: Array[Double],
+    g2: Array[Double], b2: Array[Double])
+
+  private def layerParams(seed0: Long): LayerParams = LayerParams(
+    mat(Dim, Dim, seed0), mat(Dim, Dim, seed0 + 1),
+    mat(Dim, Dim, seed0 + 2), mat(Dim, Dim, seed0 + 3),
+    mat(Dim, Hidden, seed0 + 4), mat(Hidden, Dim, seed0 + 5),
+    lcgDoubles(Dim, seed0 + 6).map(1.0 + _), lcgDoubles(Dim, seed0 + 7),
+    lcgDoubles(Dim, seed0 + 8).map(1.0 + _), lcgDoubles(Dim, seed0 + 9))
+
+  private[graft] val Layer1 = layerParams(1001L)
+  private[graft] val Layer2 = layerParams(1101L)
   private[graft] val Pe = mat(MaxPos, Dim, 1007L)
-  // LayerNorm gains near 1, biases near 0 (standard init + seeded jitter)
-  private[graft] val G1 = lcgDoubles(Dim, 1008L).map(1.0 + _)
-  private[graft] val B1 = lcgDoubles(Dim, 1009L)
-  private[graft] val G2 = lcgDoubles(Dim, 1010L).map(1.0 + _)
-  private[graft] val B2 = lcgDoubles(Dim, 1011L)
   // cross-encoder extras: segment embeddings (query / document half of
   // the pair sequence) and the linear scoring head
   private[graft] val SegA = lcgDoubles(Dim, 1012L)
@@ -110,56 +125,61 @@ object AttentionEncoder {
     Array.tabulate(Dim)(k => (x(k) - mu) / s * g(k) + b(k))
   }
 
+  /** One transformer block: multi-head ReLU attention → residual + LN →
+    * ReLU FFN → residual + LN, every accumulation in pinned order (k
+    * ascending WITHIN each head's slice, j ascending over positions).
+    */
+  private def block(x: Array[Array[Double]], l: LayerParams): Array[Array[Double]] = {
+    val n = x.length
+    val q = matmul(x, l.wq); val kk = matmul(x, l.wk); val v = matmul(x, l.wv)
+    // per-head ReLU attention: r_h(i,j) = relu(q_i·k_j over head h / √dh)
+    val r = Array.tabulate(Heads, n, n) { (h, i, j) =>
+      var acc = 0.0; var k = h * HeadDim
+      val end = (h + 1) * HeadDim
+      while (k < end) { acc += q(i)(k) * kk(j)(k); k += 1 }
+      val s = acc / HeadScale
+      if (s > 0) s else 0.0
+    }
+    val denom = Array.tabulate(Heads, n) { (h, i) =>
+      var acc = 0.0; var j = 0
+      while (j < n) { acc += r(h)(i)(j); j += 1 }
+      1.0 + acc
+    }
+    // heads write disjoint output slices — concat is the index split
+    val c = Array.tabulate(n, Dim) { (i, o) =>
+      val h = o / HeadDim
+      var acc = 0.0; var j = 0
+      while (j < n) { acc += r(h)(i)(j) / denom(h)(i) * v(j)(o); j += 1 }
+      acc
+    }
+    val attOut = matmul(c, l.wo)
+    val h1 = Array.tabulate(n, Dim)((p, k) => x(p)(k) + attOut(p)(k))
+    val ln1 = h1.map(layerNorm(_, l.g1, l.b1))
+    val f = matmul(ln1, l.w1).map(_.map(h => if (h > 0) h else 0.0))
+    val f2 = matmul(f, l.w2)
+    val h2 = Array.tabulate(n, Dim)((p, k) => ln1(p)(k) + f2(p)(k))
+    h2.map(layerNorm(_, l.g2, l.b2))
+  }
+
+  private def stack(x: Array[Array[Double]]): Array[Array[Double]] =
+    block(block(x, Layer1), Layer2)
+
   /** Encode one text: first [[MaxPos]] in-vocabulary tokens in DOCUMENT
     * order (positions matter — unlike [[Word2VecEmbedder]]'s bag mean),
-    * one attention block, mean-pool. None when nothing is in vocabulary.
+    * the two-block stack, mean-pool. None when nothing is in vocabulary.
     */
   private[graft] def encode(w2v: Map[String, Array[Float]], text: String): Option[Array[Float]] = {
     val toks = tokenize(text).filter(w2v.contains).take(MaxPos)
     if (toks.isEmpty) return None
     val n = toks.length
     val x = Array.tabulate(n, Dim)((p, k) => w2v(toks(p))(k).toDouble + Pe(p)(k))
-    val ln2 = block(x)
+    val out = stack(x)
     // mean-pool position-ascending; float truncation at the output edge
     Some(Array.tabulate(Dim) { k =>
       var acc = 0.0; var p = 0
-      while (p < n) { acc += ln2(p)(k); p += 1 }
+      while (p < n) { acc += out(p)(k); p += 1 }
       (acc / n).toFloat
     })
-  }
-
-  /** The attention block shared by the bi-encoder ([[encode]]) and the
-    * cross-encoder ([[crossScore]]): attention → residual + LN → FFN →
-    * residual + LN, every accumulation in pinned order.
-    */
-  private def block(x: Array[Array[Double]]): Array[Array[Double]] = {
-    val n = x.length
-    val q = matmul(x, Wq); val kk = matmul(x, Wk); val v = matmul(x, Wv)
-    val scale = math.sqrt(Dim.toDouble) // 4.0 exactly
-    // ReLU attention: r_ij = relu(q_i·k_j/√d); weights r_ij/(1+Σ_j r_ij)
-    val r = Array.tabulate(n, n) { (i, j) =>
-      var acc = 0.0; var k = 0
-      while (k < Dim) { acc += q(i)(k) * kk(j)(k); k += 1 }
-      val s = acc / scale
-      if (s > 0) s else 0.0
-    }
-    val denom = Array.tabulate(n) { i =>
-      var acc = 0.0; var j = 0
-      while (j < n) { acc += r(i)(j); j += 1 }
-      1.0 + acc
-    }
-    val c = Array.tabulate(n, Dim) { (i, o) =>
-      var acc = 0.0; var j = 0
-      while (j < n) { acc += r(i)(j) / denom(i) * v(j)(o); j += 1 }
-      acc
-    }
-    val attOut = matmul(c, Wo)
-    val h1 = Array.tabulate(n, Dim)((p, k) => x(p)(k) + attOut(p)(k))
-    val ln1 = h1.map(layerNorm(_, G1, B1))
-    val f = matmul(ln1, W1).map(_.map(h => if (h > 0) h else 0.0))
-    val f2 = matmul(f, W2)
-    val h2 = Array.tabulate(n, Dim)((p, k) => ln1(p)(k) + f2(p)(k))
-    h2.map(layerNorm(_, G2, B2))
   }
 
   /** The query half of the cross-encoder pair sequence. */
@@ -184,13 +204,13 @@ object AttentionEncoder {
     val x = Array.tabulate(n, Dim) { (p, k) =>
       w2v(seq(p))(k).toDouble + Pe(p)(k) + (if (p < nq) SegA(k) else SegB(k))
     }
-    val ln2 = block(x)
+    val out = stack(x)
     // mean-pool (double — the scalar head is the output edge), linear head
     var score = 0.0
     var k = 0
     while (k < Dim) {
       var acc = 0.0; var p = 0
-      while (p < n) { acc += ln2(p)(k); p += 1 }
+      while (p < n) { acc += out(p)(k); p += 1 }
       score += acc / n * Wh(k)
       k += 1
     }
@@ -217,7 +237,8 @@ object AttentionEncoder {
       Tables.documents(s, dir).select(col("doc_id"), col("text")), w)
       .filter(size(col("att_emb")) > 0)
       .select(col("doc_id"), col("att_emb"))
-      .localCheckpoint()
+      .localCheckpoint() // one inference pass feeds both the query row
+                         // and the corpus side
     val q = embedded.filter(col("doc_id") === QueryDocId)
       .select(col("att_emb").as("q_emb"))
     embedded.filter(col("doc_id") =!= QueryDocId)
@@ -282,12 +303,6 @@ object AttentionEncoder {
     s"$name(k, g, b) AS (SELECT * FROM (VALUES $vals) AS t(k, g, b))"
   }
 
-  /** Referencing a nonexistent column makes the oracle FAIL loudly in
-    * DuckDB rather than compare as a plausible empty result.
-    */
-  private val emptyOracle =
-    "SELECT attention_encoder_weights_not_trained FROM documents"
-
   /** Token embeddings long-form (term, k, val) — float widened exactly. */
   private def embCte(w: Map[String, Array[Float]]): String = {
     val embVals = w.toSeq.sortBy(_._1).flatMap { case (term, v) =>
@@ -296,100 +311,121 @@ object AttentionEncoder {
     s"emb(term, k, val) AS (SELECT * FROM (VALUES $embVals) AS t(term, k, val))"
   }
 
-  /** Every parameter tensor as literal long-form CTEs. */
-  private lazy val paramCtes: String =
-    s"""${litLong("wq", Wq)},
-       |${litLong("wk", Wk)},
-       |${litLong("wvm", Wv)},
-       |${litLong("wo", Wo)},
-       |${litLong("w1", W1)},
-       |${litLong("w2", W2)},
-       |${litLong("pe", Pe)},
-       |${litGb("gb1", G1, B1)},
-       |${litGb("gb2", G2, B2)}""".stripMargin
-
-  /** The full forward pass as CTEs over a long-form `x(doc, pos, k,
-    * val)` input frame: matmuls join the literal parameter tensors with
-    * the sum pinned `ORDER BY` the contraction index, LayerNorm in the
-    * same two-pass mean/variance order, attention with the same ReLU/+1
-    * arithmetic — bitwise the JVM [[block]], by construction. CTEs are
-    * MATERIALIZED: DuckDB inlines plain CTEs per reference, which made
-    * the deep shared chain recompute exponentially (324 s → 10 s).
+  /** One layer's parameter tensors as literal long-form CTEs, names
+    * suffixed by the layer tag.
     */
-  private lazy val forwardCtes: String =
-    s"""qm AS MATERIALIZED (
-       |  SELECT x.doc, x.pos, wq.c AS o,
-       |    sum(x.val * wq.w ORDER BY x.k) AS val
-       |  FROM x JOIN wq ON wq.r = x.k GROUP BY x.doc, x.pos, wq.c),
-       |km AS MATERIALIZED (
-       |  SELECT x.doc, x.pos, wk.c AS o,
-       |    sum(x.val * wk.w ORDER BY x.k) AS val
-       |  FROM x JOIN wk ON wk.r = x.k GROUP BY x.doc, x.pos, wk.c),
-       |vm AS MATERIALIZED (
-       |  SELECT x.doc, x.pos, wvm.c AS o,
-       |    sum(x.val * wvm.w ORDER BY x.k) AS val
-       |  FROM x JOIN wvm ON wvm.r = x.k GROUP BY x.doc, x.pos, wvm.c),
-       |att AS MATERIALIZED (
-       |  SELECT a.doc, a.pos AS i, b.pos AS j,
-       |    CASE WHEN sum(a.val * b.val ORDER BY a.o) / 4.0 > 0
-       |         THEN sum(a.val * b.val ORDER BY a.o) / 4.0 ELSE 0.0 END AS r
-       |  FROM qm a JOIN km b ON a.doc = b.doc AND a.o = b.o
-       |  GROUP BY a.doc, a.pos, b.pos),
-       |dnm AS MATERIALIZED (
-       |  SELECT doc, i, 1.0 + sum(r ORDER BY j) AS denom
-       |  FROM att GROUP BY doc, i),
-       |ctx AS MATERIALIZED (
+  private def layerParamCtes(t: String, l: LayerParams): String =
+    s"""${litLong(s"wq$t", l.wq)},
+       |${litLong(s"wk$t", l.wk)},
+       |${litLong(s"wvm$t", l.wv)},
+       |${litLong(s"wo$t", l.wo)},
+       |${litLong(s"w1$t", l.w1)},
+       |${litLong(s"w2$t", l.w2)},
+       |${litGb(s"gba$t", l.g1, l.b1)},
+       |${litGb(s"gbb$t", l.g2, l.b2)}""".stripMargin
+
+  private lazy val paramCtes: String =
+    s"""${layerParamCtes("1", Layer1)},
+       |${layerParamCtes("2", Layer2)},
+       |${litLong("pe", Pe)}""".stripMargin
+
+  /** One transformer block as CTEs over a long-form `(doc, pos, k, val)`
+    * input frame `$in`, emitting `${p}ln2` of the same shape: matmuls
+    * join the literal tensors with the sum pinned `ORDER BY` the
+    * contraction index, the head split is `(o-1) // HeadDim` integer
+    * arithmetic, LayerNorm runs the same two-pass mean/variance order —
+    * bitwise the JVM [[block]], by construction. CTEs are MATERIALIZED:
+    * DuckDB inlines plain CTEs per reference, which made the deep
+    * shared chain recompute exponentially (324 s → 10 s).
+    */
+  private def blockCtes(p: String, in: String, t: String): String =
+    s"""${p}qm AS MATERIALIZED (
+       |  SELECT x.doc, x.pos, wq$t.c AS o,
+       |    sum(x.val * wq$t.w ORDER BY x.k) AS val
+       |  FROM $in x JOIN wq$t ON wq$t.r = x.k GROUP BY x.doc, x.pos, wq$t.c),
+       |${p}km AS MATERIALIZED (
+       |  SELECT x.doc, x.pos, wk$t.c AS o,
+       |    sum(x.val * wk$t.w ORDER BY x.k) AS val
+       |  FROM $in x JOIN wk$t ON wk$t.r = x.k GROUP BY x.doc, x.pos, wk$t.c),
+       |${p}vm AS MATERIALIZED (
+       |  SELECT x.doc, x.pos, wvm$t.c AS o,
+       |    sum(x.val * wvm$t.w ORDER BY x.k) AS val
+       |  FROM $in x JOIN wvm$t ON wvm$t.r = x.k GROUP BY x.doc, x.pos, wvm$t.c),
+       |${p}att AS MATERIALIZED (
+       |  SELECT a.doc, a.pos AS i, b.pos AS j, ((a.o - 1) // $HeadDim) AS h,
+       |    CASE WHEN sum(a.val * b.val ORDER BY a.o) / $HeadScale > 0
+       |         THEN sum(a.val * b.val ORDER BY a.o) / $HeadScale ELSE 0.0 END AS r
+       |  FROM ${p}qm a JOIN ${p}km b ON a.doc = b.doc AND a.o = b.o
+       |  GROUP BY a.doc, a.pos, b.pos, ((a.o - 1) // $HeadDim)),
+       |${p}dnm AS MATERIALIZED (
+       |  SELECT doc, i, h, 1.0 + sum(r ORDER BY j) AS denom
+       |  FROM ${p}att GROUP BY doc, i, h),
+       |${p}ctx AS MATERIALIZED (
        |  SELECT att.doc, att.i AS pos, vm.o,
        |    sum(att.r / dnm.denom * vm.val ORDER BY att.j) AS val
-       |  FROM att
-       |  JOIN dnm ON att.doc = dnm.doc AND att.i = dnm.i
-       |  JOIN vm ON att.doc = vm.doc AND att.j = vm.pos
+       |  FROM ${p}att att
+       |  JOIN ${p}dnm dnm ON att.doc = dnm.doc AND att.i = dnm.i AND att.h = dnm.h
+       |  JOIN ${p}vm vm ON att.doc = vm.doc AND att.j = vm.pos
+       |    AND ((vm.o - 1) // $HeadDim) = att.h
        |  GROUP BY att.doc, att.i, vm.o),
-       |h1 AS MATERIALIZED (
+       |${p}h1 AS MATERIALIZED (
        |  SELECT x.doc, x.pos, x.k, x.val + ao.val AS val
-       |  FROM x JOIN (
-       |    SELECT c.doc, c.pos, wo.c AS k,
-       |      sum(c.val * wo.w ORDER BY c.o) AS val
-       |    FROM ctx c JOIN wo ON wo.r = c.o GROUP BY c.doc, c.pos, wo.c
+       |  FROM $in x JOIN (
+       |    SELECT c.doc, c.pos, wo$t.c AS k,
+       |      sum(c.val * wo$t.w ORDER BY c.o) AS val
+       |    FROM ${p}ctx c JOIN wo$t ON wo$t.r = c.o GROUP BY c.doc, c.pos, wo$t.c
        |  ) ao ON x.doc = ao.doc AND x.pos = ao.pos AND x.k = ao.k),
-       |mu1 AS MATERIALIZED (SELECT doc, pos, sum(val ORDER BY k) / $Dim AS mu FROM h1 GROUP BY doc, pos),
-       |va1 AS MATERIALIZED (
+       |${p}mu1 AS MATERIALIZED (SELECT doc, pos, sum(val ORDER BY k) / $Dim AS mu FROM ${p}h1 GROUP BY doc, pos),
+       |${p}va1 AS MATERIALIZED (
        |  SELECT h1.doc, h1.pos,
        |    sum((h1.val - mu) * (h1.val - mu) ORDER BY k) / $Dim AS va
-       |  FROM h1 JOIN mu1 ON h1.doc = mu1.doc AND h1.pos = mu1.pos
+       |  FROM ${p}h1 h1 JOIN ${p}mu1 mu1 ON h1.doc = mu1.doc AND h1.pos = mu1.pos
        |  GROUP BY h1.doc, h1.pos),
-       |ln1 AS MATERIALIZED (
+       |${p}ln1 AS MATERIALIZED (
        |  SELECT h1.doc, h1.pos, h1.k,
-       |    (h1.val - mu) / sqrt(va + $LnEps) * gb1.g + gb1.b AS val
-       |  FROM h1
-       |  JOIN mu1 ON h1.doc = mu1.doc AND h1.pos = mu1.pos
-       |  JOIN va1 ON h1.doc = va1.doc AND h1.pos = va1.pos
-       |  JOIN gb1 ON gb1.k = h1.k),
-       |ff AS MATERIALIZED (
-       |  SELECT l.doc, l.pos, w1.c AS h,
-       |    CASE WHEN sum(l.val * w1.w ORDER BY l.k) > 0
-       |         THEN sum(l.val * w1.w ORDER BY l.k) ELSE 0.0 END AS val
-       |  FROM ln1 l JOIN w1 ON w1.r = l.k GROUP BY l.doc, l.pos, w1.c),
-       |h2 AS MATERIALIZED (
+       |    (h1.val - mu) / sqrt(va + $LnEps) * gba$t.g + gba$t.b AS val
+       |  FROM ${p}h1 h1
+       |  JOIN ${p}mu1 mu1 ON h1.doc = mu1.doc AND h1.pos = mu1.pos
+       |  JOIN ${p}va1 va1 ON h1.doc = va1.doc AND h1.pos = va1.pos
+       |  JOIN gba$t ON gba$t.k = h1.k),
+       |${p}ff AS MATERIALIZED (
+       |  SELECT l.doc, l.pos, w1$t.c AS h,
+       |    CASE WHEN sum(l.val * w1$t.w ORDER BY l.k) > 0
+       |         THEN sum(l.val * w1$t.w ORDER BY l.k) ELSE 0.0 END AS val
+       |  FROM ${p}ln1 l JOIN w1$t ON w1$t.r = l.k GROUP BY l.doc, l.pos, w1$t.c),
+       |${p}h2 AS MATERIALIZED (
        |  SELECT l.doc, l.pos, l.k, l.val + f2.val AS val
-       |  FROM ln1 l JOIN (
-       |    SELECT ff.doc, ff.pos, w2.c AS k,
-       |      sum(ff.val * w2.w ORDER BY ff.h) AS val
-       |    FROM ff JOIN w2 ON w2.r = ff.h GROUP BY ff.doc, ff.pos, w2.c
+       |  FROM ${p}ln1 l JOIN (
+       |    SELECT ff.doc, ff.pos, w2$t.c AS k,
+       |      sum(ff.val * w2$t.w ORDER BY ff.h) AS val
+       |    FROM ${p}ff ff JOIN w2$t ON w2$t.r = ff.h GROUP BY ff.doc, ff.pos, w2$t.c
        |  ) f2 ON l.doc = f2.doc AND l.pos = f2.pos AND l.k = f2.k),
-       |mu2 AS MATERIALIZED (SELECT doc, pos, sum(val ORDER BY k) / $Dim AS mu FROM h2 GROUP BY doc, pos),
-       |va2 AS MATERIALIZED (
+       |${p}mu2 AS MATERIALIZED (SELECT doc, pos, sum(val ORDER BY k) / $Dim AS mu FROM ${p}h2 GROUP BY doc, pos),
+       |${p}va2 AS MATERIALIZED (
        |  SELECT h2.doc, h2.pos,
        |    sum((h2.val - mu) * (h2.val - mu) ORDER BY k) / $Dim AS va
-       |  FROM h2 JOIN mu2 ON h2.doc = mu2.doc AND h2.pos = mu2.pos
+       |  FROM ${p}h2 h2 JOIN ${p}mu2 mu2 ON h2.doc = mu2.doc AND h2.pos = mu2.pos
        |  GROUP BY h2.doc, h2.pos),
-       |ln2 AS MATERIALIZED (
+       |${p}ln2 AS MATERIALIZED (
        |  SELECT h2.doc, h2.pos, h2.k,
-       |    (h2.val - mu) / sqrt(va + $LnEps) * gb2.g + gb2.b AS val
-       |  FROM h2
-       |  JOIN mu2 ON h2.doc = mu2.doc AND h2.pos = mu2.pos
-       |  JOIN va2 ON h2.doc = va2.doc AND h2.pos = va2.pos
-       |  JOIN gb2 ON gb2.k = h2.k)""".stripMargin
+       |    (h2.val - mu) / sqrt(va + $LnEps) * gbb$t.g + gbb$t.b AS val
+       |  FROM ${p}h2 h2
+       |  JOIN ${p}mu2 mu2 ON h2.doc = mu2.doc AND h2.pos = mu2.pos
+       |  JOIN ${p}va2 va2 ON h2.doc = va2.doc AND h2.pos = va2.pos
+       |  JOIN gbb$t ON gbb$t.k = h2.k)""".stripMargin
+
+  /** The two-block stack: layer 1 over `x`, layer 2 over layer 1's
+    * output; the stack's output CTE is `b_ln2`.
+    */
+  private lazy val stackCtes: String =
+    s"""${blockCtes("a_", "x", "1")},
+       |${blockCtes("b_", "a_ln2", "2")}""".stripMargin
+
+  /** Referencing a nonexistent column makes the oracle FAIL loudly in
+    * DuckDB rather than compare as a plausible empty result.
+    */
+  private val emptyOracle =
+    "SELECT attention_encoder_weights_not_trained FROM documents"
 
   def searchOracle: String = Word2VecEmbedder.cachedWeights.fold(emptyOracle) { w =>
     s"""WITH ${embCte(w)},
@@ -408,11 +444,11 @@ object AttentionEncoder {
        |  FROM toks t
        |  JOIN emb e ON t.term = e.term
        |  JOIN pe ON pe.r = t.pos AND pe.c = e.k),
-       |$forwardCtes,
+       |$stackCtes,
        |pooled_long AS MATERIALIZED (
        |  SELECT ln2.doc, ln2.k,
        |    CAST(sum(ln2.val ORDER BY ln2.pos) / nn.n AS REAL) AS pv
-       |  FROM ln2 JOIN nn ON ln2.doc = nn.doc
+       |  FROM b_ln2 ln2 JOIN nn ON ln2.doc = nn.doc
        |  GROUP BY ln2.doc, ln2.k, nn.n),
        |pooled AS MATERIALIZED (
        |  SELECT doc AS doc_id, list(CAST(pv AS DOUBLE) ORDER BY k) AS e
@@ -430,7 +466,7 @@ object AttentionEncoder {
     * the pair sequence assembled exactly like [[crossScore]] (query-half
     * token/position literals — the query is a constant of the benchmark
     * — + document tokens at positions nq+1.., segment embeddings via a
-    * CASE on the position split), the SAME [[forwardCtes]] chain, then
+    * CASE on the position split), the SAME [[stackCtes]] chain, then
     * double mean-pool × the literal head, rounded at the output edge.
     */
   def rerankOracle: String = Word2VecEmbedder.cachedWeights.fold(emptyOracle) { w =>
@@ -473,11 +509,11 @@ object AttentionEncoder {
        |  JOIN emb e ON s.term = e.term
        |  JOIN pe ON pe.r = s.pos AND pe.c = e.k
        |  JOIN sab ON sab.k = e.k),
-       |$forwardCtes,
+       |$stackCtes,
        |pooled AS MATERIALIZED (
        |  SELECT ln2.doc, ln2.k,
        |    sum(ln2.val ORDER BY ln2.pos) / nn.n AS pv
-       |  FROM ln2 JOIN nn ON ln2.doc = nn.doc
+       |  FROM b_ln2 ln2 JOIN nn ON ln2.doc = nn.doc
        |  GROUP BY ln2.doc, ln2.k, nn.n),
        |scored AS MATERIALIZED (
        |  SELECT pooled.doc AS doc_id,
