@@ -56,13 +56,23 @@ object Bench {
     // A query that throws is recorded as an ERROR (value -1 in the maps +
     // its message in "errors"), NEVER as its time-to-throw: a broken query
     // must be impossible to mistake for a fast one in the artifact.
+    //
+    // Forcing action: the plan's RDD is counted, NOT DataFrame.count() —
+    // df.count() lets Catalyst prune every output column and eliminate
+    // the final sort (a projection-only query then measures a
+    // zero-column footer scan, flat at any scale). toRdd keeps the
+    // query's own plan intact, so every output column and the final
+    // ordering are actually computed, without collecting to the driver.
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(); ()
+    }
     val results: Seq[(String, Either[String, (Double, Double)])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         try {
-          fn(spark, sfDir).count() // untimed warm-up
+          force(fn(spark, sfDir)) // untimed warm-up
           val times = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
+            force(fn(spark, sfDir))
             (System.nanoTime() - t0) / 1e9
           }.sorted
           name -> Right((times(1), times(0)))
