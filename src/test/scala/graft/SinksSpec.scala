@@ -107,6 +107,18 @@ class SinksSpec extends SparkSpec {
     assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
   }
 
+  test("driver-facing bucketed join stays exchange-free at the join") {
+    val joined = Sinks.qBucketedJoin(spark, TestSpark.Sf0001)
+    assert(joined.count() > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"bucketed driver query must merge-join, got:\n$plan")
+    // the join subtree must carry no Exchange — the bucketed layout IS
+    // the shuffle; only the tiny final aggregation may exchange
+    assert(!plan.split("SortMergeJoin").last.contains("Exchange"),
+      s"bucketed driver join must not shuffle, got:\n$plan")
+  }
+
   test("salted join equals the plain join") {
     import graft.operators.Skew
     val lineitem = Tables.lineitem(spark, TestSpark.Sf0001)
