@@ -12,7 +12,7 @@ object MicroBench {
     a.foreach { name =>
       val times = (1 to n).map { _ =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(s, dir).count()
+        graft.BenchForce.force(graft.SparkEntry.queries(name)(s, dir))
         (System.nanoTime() - t0) / 1e9
       }.sorted
       println(f"MB $name%-28s median=${times(n / 2)}%.3f min=${times.head}%.3f")

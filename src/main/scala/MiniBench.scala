@@ -13,7 +13,7 @@ object MiniBench {
     names.foreach { n =>
       val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(s, sfDir).count()
+        graft.BenchForce.force(graft.SparkEntry.queries(n)(s, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       println(f"MINIBENCH $n median=${times.sorted.apply(2)}%.3f runs=${times.map(t => f"$t%.2f").mkString(",")}")

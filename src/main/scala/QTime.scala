@@ -10,7 +10,7 @@ object QTime {
     a.tail.foreach { q =>
       val fn = graft.SparkEntry.queries(q)
       val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); fn(s, dir).count(); (System.nanoTime()-t0)/1e9 }
+        val t0 = System.nanoTime(); graft.BenchForce.force(fn(s, dir)); (System.nanoTime()-t0)/1e9 }
       val df = fn(s, dir); df.collect()
       val p = df.queryExecution.executedPlan.toString
       println(f"QT $q%-28s ${ts.sorted.apply(1)}%6.2f s  runs=${ts.map(t => f"$t%.2f").mkString(",")}  reused=${p.linesIterator.count(_.contains("ReusedExchange"))}  ex=${p.linesIterator.count(_.contains("Exchange"))}")

@@ -57,15 +57,10 @@ object Bench {
     // its message in "errors"), NEVER as its time-to-throw: a broken query
     // must be impossible to mistake for a fast one in the artifact.
     //
-    // Forcing action: the plan's RDD is counted, NOT DataFrame.count() —
-    // df.count() lets Catalyst prune every output column and eliminate
-    // the final sort (a projection-only query then measures a
-    // zero-column footer scan, flat at any scale). toRdd keeps the
-    // query's own plan intact, so every output column and the final
-    // ordering are actually computed, without collecting to the driver.
-    def force(df: org.apache.spark.sql.DataFrame): Unit = {
-      df.queryExecution.toRdd.count(); ()
-    }
+    // Forcing action: BenchForce.force (toRdd.count, never df.count) —
+    // see BenchForce's scaladoc for why df.count() measures a pruned
+    // plan.
+    def force(df: org.apache.spark.sql.DataFrame): Unit = BenchForce.force(df)
     val results: Seq[(String, Either[String, (Double, Double)])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         try {
@@ -99,9 +94,16 @@ object Bench {
     val ok = results.collect { case (_, Right(t)) => t }
     val total = f3(ok.map(_._1).sum)
     val totalMin = f3(ok.map(_._2).sum)
+    // The totals sum ONLY non-erroring queries — so a round where a heavy
+    // query errors would otherwise report a lower (faster-looking) total
+    // with a silently-changed denominator. total_excludes names the
+    // excluded queries right next to the value, so cross-round total
+    // comparisons can't mistake unlike denominators for speedups.
+    val totalExcludes = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val nStream = results.count(_._1.startsWith("stream_"))
     val spin = f3(streamSpinup)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"n_errors":$nErrors,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,"errors":$errs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"n_errors":$nErrors,"total_excludes":$totalExcludes,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,"errors":$errs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     // Full artifact to a file (the driver's stdout capture truncates to a
     // tail, which loses the head of the per-query map — BENCH_full.json
     // is the complete, parseable copy, committed per round). Written to
@@ -116,7 +118,7 @@ object Bench {
     println(line)
     // Short trailer that survives tail-truncation intact: the totals
     // parse even when the full line above is cut mid-map.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"sf":"$sfDir","n_queries":${results.size},"n_errors":$nErrors,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,"detail":"BENCH_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"sf":"$sfDir","n_queries":${results.size},"n_errors":$nErrors,"total_excludes":$totalExcludes,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,"detail":"BENCH_full.json"}""")
     spark.stop()
   }
 }

@@ -84,6 +84,18 @@ object TextFunctions {
     Shims.column(MinHashSig(Shims.expression(shingleArr), perms, p))
   }
 
+  /** Count of the most frequent adjacent token pair in one fused native
+    * pass — equivalent to the O(n²) interpreted-HOF formulation
+    * `array_max(transform(array_distinct(bigrams), b =>
+    * size(filter(bigrams, x => x === b))))` but O(n), with no
+    * bigram-string materialization. Backed by
+    * [[org.apache.spark.sql.graftshim.TopBigramCount]].
+    */
+  def topBigramCount(toks: Column): Column = {
+    import org.apache.spark.sql.graftshim.{Shims, TopBigramCount}
+    Shims.column(TopBigramCount(Shims.expression(toks)))
+  }
+
   /** Reference formulation of [[shingles]] via built-in higher-order
     * functions only (kept for cross-checking the native expression).
     */

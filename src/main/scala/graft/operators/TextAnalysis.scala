@@ -175,11 +175,28 @@ object TextAnalysis {
   /** Gopher-style repetition signals: duplicate-token fraction and the
     * fraction of the doc covered by its most frequent bigram — the
     * filter family that catches boilerplate / keyword-stuffed /
-    * looping-generator text. Pure per-row array expressions (the bigram
-    * mode is a distinct×occurrences scan over ≤ n² tiny string pairs —
-    * one-off quality pass, identical in DuckDB).
+    * looping-generator text. Pure per-row array expressions; the bigram
+    * mode is a fused native shingle+count pass
+    * ([[graft.functions.TextFunctions.topBigramCount]]) — O(n) per row
+    * with no bigram-string materialization, where the interpreted-HOF
+    * distinct×occurrences scan was O(n²), and the docs this filter
+    * TARGETS (long, repetitive) are exactly where n² explodes.
     */
   def repetition(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 4).as("dup_token_ratio"),
+        round(topBigramCount(col("toks")).cast("double") /
+          (size(col("toks")) - 1), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+
+  /** Reference HOF formulation of the bigram-mode count (O(n²)
+    * interpreted lambdas) — kept ONLY for the spec that pins the native
+    * [[repetition]] form equal to it; never run on real data.
+    */
+  def repetitionHof(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("toks"),

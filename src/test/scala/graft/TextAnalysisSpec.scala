@@ -237,6 +237,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 <= 0.2)        // 6 tokens -> 5 bigrams, all distinct
   }
 
+  test("repetition: native mode-count form ≡ interpreted-HOF reference form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = graft.operators.TextAnalysis.repetition(docs).collect()
+    val hof = graft.operators.TextAnalysis.repetitionHof(docs).collect()
+    assert(native.length == hof.length && native.length > 0)
+    native.zip(hof).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("vocab: top-k terms by tf with df, deterministic tiebreak") {
     val docs = Seq(
       (0L, "spark spark spark flink"),
