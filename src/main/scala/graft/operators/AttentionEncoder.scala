@@ -497,8 +497,14 @@ object AttentionEncoder {
        |    FROM raw WHERE term IN (SELECT term FROM emb)) t
        |  WHERE dpos <= $maxDoc),
        |seq AS MATERIALIZED (
+       |  -- query-half rows ONLY for docs that encode (have >=1 in-vocab
+       |  -- token): the JVM scores such pairs -1e308 (crossScore's
+       |  -- un-encodable-half sentinel), so a doc absent from dtoks must
+       |  -- NOT pick up a query-only score here — it is sentinel-scored
+       |  -- in the final select instead
        |  SELECT c.doc_id AS doc, q.pos, q.term
        |  FROM cand c, qlit q
+       |  WHERE c.doc_id IN (SELECT doc_id FROM dtoks)
        |  UNION ALL
        |  SELECT doc_id AS doc, $nq + dpos AS pos, term FROM dtoks),
        |nn AS MATERIALIZED (SELECT doc, count(*) AS n FROM seq GROUP BY doc),
@@ -521,8 +527,8 @@ object AttentionEncoder {
        |  FROM pooled JOIN whd ON whd.k = pooled.k
        |  GROUP BY pooled.doc)
        |SELECT cand.doc_id, cand.score AS bm25_score,
-       |  round(raw_score, 6) AS att_score
-       |FROM cand JOIN scored ON cand.doc_id = scored.doc_id
+       |  round(coalesce(raw_score, -1e308), 6) AS att_score
+       |FROM cand LEFT JOIN scored ON cand.doc_id = scored.doc_id
        |ORDER BY att_score DESC, cand.doc_id
        |LIMIT $TopK""".stripMargin
   }

@@ -60,6 +60,16 @@ object LearnedReranker {
   private def linearScore(w: Weights, f: (Long, Long, Long)): Double =
     w._1 + w._2 * f._1 + w._3 * f._2 + w._4 * f._3
 
+  /** SCALE NOTE: training materializes a |corpus|×|queries| pair frame
+    * (the broadcast inequality-join below) with per-pair UDF
+    * featurization — bounded HERE because the query side is a strided
+    * 1/[[KeywordSearch.BatchStride]] sample of the corpus, and MLlib's
+    * Vector column forces a UDF regardless. At real corpus scale the
+    * pair frame must come from negative SAMPLING instead (per query:
+    * its positives + k sampled negatives — |Q|·(1+k) rows, not
+    * |Q|·|corpus|); the scoring/serving path is unaffected (it only
+    * ever sees candidate pairs).
+    */
   private def train(s: SparkSession, dir: String): Weights = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.array_to_vector

@@ -227,12 +227,19 @@ object Text2Sql {
     // "the last year" is DEFINED as its final 365 days — a deterministic,
     // engine-portable date predicate (no current_date, which would make
     // the oracle compare flaky across a midnight boundary)
-    val releasedLastYear =
-      ql.matches(".*\\breleased (?:in |during )?(?:the )?(?:last|past) year\\b.*")
+    val releasedLastYearRe =
+      "\\breleased (?:in |during )?(?:the )?(?:last|past) year\\b"
+    val releasedLastYear = ql.matches(s".*$releasedLastYearRe.*")
     // calendar concepts the timeline still does not model (specific
-    // months/years, durations) — honest refusals, not guesses
-    if (!releasedLastYear &&
-        ql.matches(".*\\b(released|release date|last year|last month|duration|minutes|this year|date)\\b.*"))
+    // months/years, durations) — honest refusals, not guesses. The
+    // refusal regex runs on the question MINUS the modeled
+    // released-last-year phrase, so a mixed question ("total duration in
+    // minutes of episodes released in the last year") still refuses on
+    // its remaining unmodeled concepts instead of falling through to a
+    // guessed generation.
+    val qlResidual = ql.replaceAll(releasedLastYearRe, " ")
+    if (qlResidual.matches(
+        ".*\\b(released|release date|last year|last month|duration|minutes|this year|date)\\b.*"))
       return None
 
     // ---- predicates ----

@@ -77,13 +77,16 @@ object Word2VecEmbedder {
     w
   }
 
-  /** The per-dir trained weights when unambiguous (exactly one dir
-    * trained in this JVM) — shared by every literal-weights oracle
-    * ([[searchOracle]], [[AttentionEncoder.searchOracle]]); None forces
-    * the loud-failure empty oracle.
+  /** The weights trained for the MOST RECENTLY queried dir — shared by
+    * every literal-weights oracle ([[searchOracle]],
+    * [[AttentionEncoder.searchOracle]]); None (the loud-failure empty
+    * oracle) only before any training. Keyed off `lastDir` directly, so
+    * a multi-dir JVM session (e.g. ScaleBench then Verify) still
+    * resolves the dir the oracle's query ran against — `lastDir` is
+    * unambiguous even when the cache holds several dirs.
     */
   private[graft] def cachedWeights: Option[Map[String, Array[Float]]] =
-    if (cache.size() > 1) None else lastDir.flatMap(d => Option(cache.get(d)))
+    lastDir.flatMap(d => Option(cache.get(d)))
 
   /** Pure-JVM replica of [[graft.functions.TextFunctions.tokens]]. */
   private def tokenize(text: String): Seq[String] =
