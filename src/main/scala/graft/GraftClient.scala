@@ -113,6 +113,25 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64) {
   def createCollection(name: String, data: DataFrame): Unit =
     data.createOrReplaceTempView(name)
 
+  /** `create_collection(name, properties, description)` (ref L77/L383) —
+    * declare an EMPTY collection from a property list; false when it
+    * already exists.
+    */
+  def createCollection(name: String, properties: Seq[Catalog.Property],
+                       description: String = ""): Boolean =
+    Catalog.createCollection(spark, name, properties, description)
+
+  /** `batch_index_data(data, collection_name, ...)` (ref L409) — land a
+    * batch into a collection, creating it from `properties` when absent;
+    * returns the error report (num_errors / doc_ids / abort flag).
+    */
+  def batchIndexData(name: String, data: DataFrame,
+                     errorThreshold: Double = 0.01,
+                     uniqueIdField: String = "doc_id",
+                     properties: Seq[Catalog.Property] = Nil): Catalog.BatchReport =
+    Catalog.batchIndexData(spark, name, data, errorThreshold, uniqueIdField,
+      properties)
+
   /** `get_doc_count(collection)` */
   def getDocCount(): Long = docs.count()
 
