@@ -134,6 +134,7 @@ object SparkEntry {
     "stream_vector_ivf_serve" -> (graft.streaming.ServeStream.qStreamVectorIvfServe _),
     "stream_vector_serve" -> (graft.streaming.ServeStream.qStreamVectorServe _),
     "stream_rag_answer" -> (graft.streaming.GenerateStream.qStreamRagAnswer _),
+    "stream_json_chat" -> (graft.streaming.GenerateStream.qStreamJsonChat _),
     "stream_events_dedup" -> (graft.streaming.EventsStream.qStreamDedup _),
     "stream_events_sessionize" -> (graft.streaming.EventsStream.qStreamSessionize _),
     "stream_events_asof" -> (graft.streaming.EventsStream.qStreamAsof _),
@@ -309,6 +310,7 @@ object SparkEntry {
     "stream_vector_ivf_serve" -> IvfIndex.qBatchSearchOracle,
     "stream_vector_serve" -> VectorSearch.batchSearchOracle,
     "stream_rag_answer" -> Generation.oracle,
+    "stream_json_chat" -> Generation.jsonOracle,
     // evaluated at dump time, AFTER the queries ran (Verify's order):
     // the oracle embeds the per-dir trained codebooks as literals
     "embed_w2v_search" -> Word2VecEmbedder.searchOracle,

@@ -121,8 +121,25 @@ object Generation {
        |FROM numbered""".stripMargin
   }
 
+  /** JSON-mode assembly (the reference's `stream_json_chat`,
+    * `src/app_functions.py:113`, which requests
+    * `response_format={"type": "json_object"}`): the SAME spans, wrapped
+    * as one JSON object `{"answer": ..., "n_spans": ...}` — the
+    * structured-output twin of [[assembleSpans]]. The answer text is
+    * normalized tokens + citation brackets (no quotes/backslashes), so
+    * the oracle rebuilds the object with plain concatenation.
+    */
+  def assembleJson(spans: DataFrame): DataFrame =
+    assembleSpans(spans).select(
+      to_json(struct(col("answer"), col("n_spans"))).as("json_chat"))
+
   def query(s: SparkSession, dir: String): DataFrame =
     extractiveAnswer(Tables.documents(s, dir), KeywordSearch.QueryTerms)
 
   val oracle: String = answerSql(KeywordSearch.QueryTerms)
+
+  def jsonOracle: String =
+    s"""SELECT '{"answer":"' || answer || '","n_spans":' ||
+       |  CAST(n_spans AS VARCHAR) || '}' AS json_chat
+       |FROM (${answerSql(KeywordSearch.QueryTerms)})""".stripMargin
 }

@@ -51,8 +51,13 @@ object GenerateStream {
     * [[graft.operators.Generation.assembleSpans]] and must hash-match
     * the batch `rag_answer` oracle.
     */
-  def qStreamRagAnswer(s: org.apache.spark.sql.SparkSession,
-                       dir: String): DataFrame = {
+  /** Shared harness: stream the benchmark generation request through
+    * [[generateServe]] and return the accumulated span rows (req_id,
+    * rn, piece) as a batch frame for whichever assembly the caller
+    * pins.
+    */
+  private def streamedSpans(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -69,7 +74,19 @@ object GenerateStream {
       org.apache.spark.sql.types.StructField("req_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("rn", org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("piece", org.apache.spark.sql.types.StringType)))
-    graft.operators.Generation.assembleSpans(
-      s.createDataFrame(java.util.Arrays.asList(holder.get(): _*), schema))
+    s.createDataFrame(java.util.Arrays.asList(holder.get(): _*), schema)
   }
+
+  def qStreamRagAnswer(s: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame =
+    graft.operators.Generation.assembleSpans(streamedSpans(s, dir))
+
+  /** Driver query: the JSON-mode streaming chat twin (`stream_json_chat`,
+    * reference `src/app_functions.py:113`) — the SAME streamed span rows,
+    * reassembled as one `{"answer": ..., "n_spans": ...}` JSON object;
+    * must hash-match the batch JSON oracle.
+    */
+  def qStreamJsonChat(s: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame =
+    graft.operators.Generation.assembleJson(streamedSpans(s, dir))
 }

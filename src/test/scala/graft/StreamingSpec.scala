@@ -284,6 +284,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == base.count())
   }
 
+  test("json-mode streaming chat wraps the streamed spans as the batch JSON object") {
+    import graft.streaming.GenerateStream
+    val got = GenerateStream.qStreamJsonChat(spark, TestSpark.Sf0001).collect()
+    assert(got.length == 1)
+    val json = got.head.getAs[String]("json_chat")
+    // the streamed object IS the batch json-mode assembly, bitwise
+    val batch = graft.operators.Generation.assembleJson(
+      graft.operators.Generation.answerSpans(
+        graft.sources.Tables.documents(spark, TestSpark.Sf0001),
+        graft.operators.KeywordSearch.QueryTerms)).collect()
+    assert(json == batch.head.getAs[String]("json_chat"))
+    // well-formed json_object response with the declared fields
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val parsed = Seq(json).toDF("j")
+      .select(from_json(col("j"), org.apache.spark.sql.types.StructType.fromDDL(
+        "answer STRING, n_spans BIGINT")).as("o"))
+      .select(col("o.answer"), col("o.n_spans")).head()
+    assert(parsed.getLong(1) == graft.operators.Generation.TopSpans.toLong)
+    assert(parsed.getString(0).startsWith("["))
+  }
+
   test("streaming index ingest lands the batch pipeline's rows cell-partitioned") {
     import graft.streaming.IndexStream
     val tmp = java.nio.file.Files.createTempDirectory("idx_stream").toString
