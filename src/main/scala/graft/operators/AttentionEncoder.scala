@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   * [[Layers]]=2 blocks of [[Heads]]=2-head self-ATTENTION → residual +
   * LayerNorm → ReLU FFN → residual + LayerNorm → mean-pool. Token
   * embeddings are the corpus-TRAINED Word2Vec vectors
-  * ([[Word2VecEmbedder]] — real learned weights); projection/FFN/
-  * LayerNorm parameters are deterministic seeded values (the
-  * public-checkpoint slot: swapping in downloaded weights changes ONLY
-  * the literal tables, not one line of plumbing).
+  * ([[Word2VecEmbedder]] — real learned weights); the projection / FFN
+  * / LayerNorm / positional / segment / head parameters are CORPUS-
+  * TRAINED too, by [[AttentionTrainer]] (deterministic contrastive +
+  * pairwise objectives, full analytic backprop through this exact
+  * architecture; the LCG values in [[SeedParams]] are the
+  * INITIALIZATION, kept as the trained/seeded comparison baseline).
+  * Weights are materialized to a per-dir parquet artifact and serving
+  * loads the artifact — swapping in externally pretrained weights
+  * changes ONLY the tensor values, not one line of plumbing.
   *
   * Served exactly like an ONNX session would be: weights load once per
   * partition behind [[Inference.embedBatched]], rows feed in bounded
@@ -34,7 +39,9 @@ import org.apache.spark.sql.functions._
   * [[Word2VecEmbedder]] sorted-sum pattern), the head split is integer
   * index arithmetic, and every parameter round-trips exactly through
   * shortest-decimal literals — so the DuckDB oracle reproduces the JVM
-  * forward pass bit-for-bit and the rankings hash-match.
+  * forward pass bit-for-bit and the rankings hash-match. (TRAINED
+  * parameters keep the contract: they are just different doubles,
+  * embedded the same literal way.)
   *
   * Scale design: serving is a pure map over partitions (weights are a
   * closure constant — a broadcast at cluster scale); cost is
@@ -55,9 +62,29 @@ object AttentionEncoder {
   /** √dh — irrational, but ONE double value shared verbatim by the JVM
     * pass and (via shortest-decimal round-trip) the SQL literal.
     */
-  private val HeadScale = math.sqrt(HeadDim.toDouble)
+  private[graft] val HeadScale = math.sqrt(HeadDim.toDouble)
 
-  // --- deterministic parameters (the public-checkpoint slot) ---------------
+  // --- parameters ----------------------------------------------------------
+
+  /** One transformer block's parameters. */
+  private[graft] case class LayerParams(
+    wq: Array[Array[Double]], wk: Array[Array[Double]],
+    wv: Array[Array[Double]], wo: Array[Array[Double]],
+    w1: Array[Array[Double]], w2: Array[Array[Double]],
+    g1: Array[Double], b1: Array[Double],
+    g2: Array[Double], b2: Array[Double])
+
+  /** The full parameter set of the encoder (everything except the
+    * frozen Word2Vec token embeddings): the two blocks, learned
+    * positions, cross-encoder segment embeddings, and the linear
+    * scoring head. Doubles as the GRADIENT container in
+    * [[AttentionTrainer]] (same shapes).
+    */
+  private[graft] case class AttnParams(
+    l1: LayerParams, l2: LayerParams,
+    pe: Array[Array[Double]],
+    segA: Array[Double], segB: Array[Double],
+    wh: Array[Double])
 
   /** One LCG stream fills every parameter tensor in a fixed order —
     * fully deterministic, no files, identical on every JVM.
@@ -76,14 +103,6 @@ object AttentionEncoder {
     Array.tabulate(rows, cols)((r, c) => flat(r * cols + c))
   }
 
-  /** One transformer block's parameters. */
-  private[graft] case class LayerParams(
-    wq: Array[Array[Double]], wk: Array[Array[Double]],
-    wv: Array[Array[Double]], wo: Array[Array[Double]],
-    w1: Array[Array[Double]], w2: Array[Array[Double]],
-    g1: Array[Double], b1: Array[Double],
-    g2: Array[Double], b2: Array[Double])
-
   private def layerParams(seed0: Long): LayerParams = LayerParams(
     mat(Dim, Dim, seed0), mat(Dim, Dim, seed0 + 1),
     mat(Dim, Dim, seed0 + 2), mat(Dim, Dim, seed0 + 3),
@@ -91,18 +110,20 @@ object AttentionEncoder {
     lcgDoubles(Dim, seed0 + 6).map(1.0 + _), lcgDoubles(Dim, seed0 + 7),
     lcgDoubles(Dim, seed0 + 8).map(1.0 + _), lcgDoubles(Dim, seed0 + 9))
 
-  private[graft] val Layer1 = layerParams(1001L)
-  private[graft] val Layer2 = layerParams(1101L)
-  private[graft] val Pe = mat(MaxPos, Dim, 1007L)
-  // cross-encoder extras: segment embeddings (query / document half of
-  // the pair sequence) and the linear scoring head
-  private[graft] val SegA = lcgDoubles(Dim, 1012L)
-  private[graft] val SegB = lcgDoubles(Dim, 1013L)
-  private[graft] val Wh = lcgDoubles(Dim, 1014L)
+  /** The deterministic seeded INITIALIZATION (and the baseline the
+    * trained/seeded quality spec compares against). Fresh arrays per
+    * call — [[AttentionTrainer]] mutates its copy in place.
+    */
+  private[graft] def seedParams(): AttnParams = AttnParams(
+    layerParams(1001L), layerParams(1101L), mat(MaxPos, Dim, 1007L),
+    lcgDoubles(Dim, 1012L), lcgDoubles(Dim, 1013L), lcgDoubles(Dim, 1014L))
+
+  /** Shared immutable seeded instance (do NOT mutate). */
+  private[graft] lazy val SeedParams: AttnParams = seedParams()
 
   // --- the forward pass (pure JVM, pinned operation order) -----------------
 
-  private def tokenize(text: String): Seq[String] =
+  private[graft] def tokenize(text: String): Seq[String] =
     text.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
 
   /** out[i][o] = Σ_k x[i][k]·w[k][o], k ascending — the pinned matmul. */
@@ -161,25 +182,35 @@ object AttentionEncoder {
     h2.map(layerNorm(_, l.g2, l.b2))
   }
 
-  private def stack(x: Array[Array[Double]]): Array[Array[Double]] =
-    block(block(x, Layer1), Layer2)
+  private def stack(x: Array[Array[Double]], p: AttnParams): Array[Array[Double]] =
+    block(block(x, p.l1), p.l2)
 
   /** Encode one text: first [[MaxPos]] in-vocabulary tokens in DOCUMENT
     * order (positions matter — unlike [[Word2VecEmbedder]]'s bag mean),
     * the two-block stack, mean-pool. None when nothing is in vocabulary.
     */
-  private[graft] def encode(w2v: Map[String, Array[Float]], text: String): Option[Array[Float]] = {
+  private[graft] def encode(p: AttnParams, w2v: Map[String, Array[Float]],
+                            text: String): Option[Array[Float]] = {
     val toks = tokenize(text).filter(w2v.contains).take(MaxPos)
     if (toks.isEmpty) return None
+    Some(encodeToks(p, w2v, toks))
+  }
+
+  /** [[encode]] over an already-extracted in-vocabulary token window —
+    * the serving arithmetic (double accumulation, float truncation at
+    * the pooled edge), shared with the trainer's eval harness.
+    */
+  private[graft] def encodeToks(p: AttnParams, w2v: Map[String, Array[Float]],
+                                toks: Seq[String]): Array[Float] = {
     val n = toks.length
-    val x = Array.tabulate(n, Dim)((p, k) => w2v(toks(p))(k).toDouble + Pe(p)(k))
-    val out = stack(x)
+    val x = Array.tabulate(n, Dim)((pos, k) => w2v(toks(pos))(k).toDouble + p.pe(pos)(k))
+    val out = stack(x, p)
     // mean-pool position-ascending; float truncation at the output edge
-    Some(Array.tabulate(Dim) { k =>
-      var acc = 0.0; var p = 0
-      while (p < n) { acc += out(p)(k); p += 1 }
+    Array.tabulate(Dim) { k =>
+      var acc = 0.0; var pos = 0
+      while (pos < n) { acc += out(pos)(k); pos += 1 }
       (acc / n).toFloat
-    })
+    }
   }
 
   /** The query half of the cross-encoder pair sequence. */
@@ -193,28 +224,37 @@ object AttentionEncoder {
     * mean-pooled output yields the relevance score. None when either
     * half has no in-vocabulary token.
     */
-  private[graft] def crossScore(w2v: Map[String, Array[Float]],
+  private[graft] def crossScore(p: AttnParams, w2v: Map[String, Array[Float]],
                                 query: String, doc: String): Option[Double] = {
     val qt = tokenize(query).filter(w2v.contains).take(QTokens)
     val dt = tokenize(doc).filter(w2v.contains).take(MaxPos - QTokens)
     if (qt.isEmpty || dt.isEmpty) return None
+    Some(crossScoreToks(p, w2v, qt, dt))
+  }
+
+  /** [[crossScore]] over already-extracted token halves (shared with
+    * the trainer's eval harness).
+    */
+  private[graft] def crossScoreToks(p: AttnParams, w2v: Map[String, Array[Float]],
+                                    qt: Seq[String], dt: Seq[String]): Double = {
     val seq = qt ++ dt
     val nq = qt.length
     val n = seq.length
-    val x = Array.tabulate(n, Dim) { (p, k) =>
-      w2v(seq(p))(k).toDouble + Pe(p)(k) + (if (p < nq) SegA(k) else SegB(k))
+    val x = Array.tabulate(n, Dim) { (pos, k) =>
+      w2v(seq(pos))(k).toDouble + p.pe(pos)(k) +
+        (if (pos < nq) p.segA(k) else p.segB(k))
     }
-    val out = stack(x)
+    val out = stack(x, p)
     // mean-pool (double — the scalar head is the output edge), linear head
     var score = 0.0
     var k = 0
     while (k < Dim) {
-      var acc = 0.0; var p = 0
-      while (p < n) { acc += out(p)(k); p += 1 }
-      score += acc / n * Wh(k)
+      var acc = 0.0; var pos = 0
+      while (pos < n) { acc += out(pos)(k); pos += 1 }
+      score += acc / n * p.wh(k)
       k += 1
     }
-    Some(score)
+    score
   }
 
   /** Embed `docs.text` through the inference seam — session-init once
@@ -223,18 +263,19 @@ object AttentionEncoder {
     * contract is one output per input; consumers filter).
     */
   def embedDocs(docs: DataFrame, w2v: Map[String, Array[Float]],
-                maxBatch: Int = MaxBatch): DataFrame =
-    Inference.embedBatched(docs, "text", "att_emb", maxBatch)(() => w2v)(
-      (w, texts) => texts.map(t => encode(w, t).getOrElse(Array.empty[Float])))
+                p: AttnParams, maxBatch: Int = MaxBatch): DataFrame =
+    Inference.embedBatched(docs, "text", "att_emb", maxBatch)(() => (w2v, p))(
+      (s, texts) => texts.map(t => encode(s._2, s._1, t).getOrElse(Array.empty[Float])))
 
   /** Driver query: cosine top-k retrieval over the transformer-encoded
-    * corpus — the e2e embed→search pipeline with the attention encoder
-    * in the model slot (one inference pass feeds both sides).
+    * corpus — the e2e embed→search pipeline with the TRAINED attention
+    * encoder in the model slot (one inference pass feeds both sides).
     */
   def qSearch(s: SparkSession, dir: String): DataFrame = {
     val w = Word2VecEmbedder.weightsFor(s, dir)
+    val p = AttentionTrainer.paramsFor(s, dir)
     val embedded = embedDocs(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")), w)
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), w, p)
       .filter(size(col("att_emb")) > 0)
       .select(col("doc_id"), col("att_emb"))
       .localCheckpoint() // one inference pass feeds both the query row
@@ -258,26 +299,27 @@ object AttentionEncoder {
     * score; the seam contract is one output per input).
     */
   def scorePairs(pairs: DataFrame, w2v: Map[String, Array[Float]],
-                 maxBatch: Int = MaxBatch): DataFrame =
+                 p: AttnParams, maxBatch: Int = MaxBatch): DataFrame =
     Inference.scorePairsBatched(pairs, "query", "text", "att_score", maxBatch)(
-      () => w2v)((w, ps) => ps.map { case (q, d) =>
-        crossScore(w, q, d).getOrElse(-1e308)
+      () => (w2v, p))((s, ps) => ps.map { case (q, d) =>
+        crossScore(s._2, s._1, q, d).getOrElse(-1e308)
       })
 
   /** Driver query: BM25 top-[[LearnedReranker.CandidateK]] candidates
-    * re-scored by the attention CROSS-ENCODER, top-[[TopK]] by the
-    * joint-attention score — the [[LearnedReranker.qSearch]] harness
-    * with the transformer-class model in the slot.
+    * re-scored by the TRAINED attention CROSS-ENCODER, top-[[TopK]] by
+    * the joint-attention score — the [[LearnedReranker.qSearch]]
+    * harness with the transformer-class model in the slot.
     */
   def qRerank(s: SparkSession, dir: String): DataFrame = {
     val w = Word2VecEmbedder.weightsFor(s, dir)
+    val p = AttentionTrainer.paramsFor(s, dir)
     val docs = Tables.documents(s, dir)
     val cand = KeywordSearch.bm25(docs, KeywordSearch.QueryTerms,
       LearnedReranker.CandidateK)
       .select(col("doc_id"), col("score").as("bm25_score"))
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .withColumn("query", lit(KeywordSearch.QueryTerms.mkString(" ")))
-    scorePairs(cand, w)
+    scorePairs(cand, w, p)
       .select(col("doc_id"), col("bm25_score"),
         round(col("att_score"), 6).as("att_score"))
       .orderBy(desc("att_score"), asc("doc_id"))
@@ -324,10 +366,10 @@ object AttentionEncoder {
        |${litGb(s"gba$t", l.g1, l.b1)},
        |${litGb(s"gbb$t", l.g2, l.b2)}""".stripMargin
 
-  private lazy val paramCtes: String =
-    s"""${layerParamCtes("1", Layer1)},
-       |${layerParamCtes("2", Layer2)},
-       |${litLong("pe", Pe)}""".stripMargin
+  private def paramCtes(p: AttnParams): String =
+    s"""${layerParamCtes("1", p.l1)},
+       |${layerParamCtes("2", p.l2)},
+       |${litLong("pe", p.pe)}""".stripMargin
 
   /** One transformer block as CTEs over a long-form `(doc, pos, k, val)`
     * input frame `$in`, emitting `${p}ln2` of the same shape: matmuls
@@ -417,7 +459,7 @@ object AttentionEncoder {
   /** The two-block stack: layer 1 over `x`, layer 2 over layer 1's
     * output; the stack's output CTE is `b_ln2`.
     */
-  private lazy val stackCtes: String =
+  private val stackCtes: String =
     s"""${blockCtes("a_", "x", "1")},
        |${blockCtes("b_", "a_ln2", "2")}""".stripMargin
 
@@ -427,9 +469,18 @@ object AttentionEncoder {
   private val emptyOracle =
     "SELECT attention_encoder_weights_not_trained FROM documents"
 
-  def searchOracle: String = Word2VecEmbedder.cachedWeights.fold(emptyOracle) { w =>
+  /** (w2v weights, trained attention params) for the most recently
+    * queried dir — both caches must resolve or the oracle fails loudly.
+    */
+  private def cachedModel: Option[(Map[String, Array[Float]], AttnParams)] =
+    for {
+      w <- Word2VecEmbedder.cachedWeights
+      p <- AttentionTrainer.cachedParams
+    } yield (w, p)
+
+  def searchOracle: String = cachedModel.fold(emptyOracle) { case (w, p) =>
     s"""WITH ${embCte(w)},
-       |$paramCtes,
+       |${paramCtes(p)},
        |raw AS MATERIALIZED (
        |  SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l) + 1)) AS rp
        |  FROM (SELECT doc_id, ${TextAnalysis.sqlToks} AS l FROM documents) t0),
@@ -469,19 +520,19 @@ object AttentionEncoder {
     * CASE on the position split), the SAME [[stackCtes]] chain, then
     * double mean-pool × the literal head, rounded at the output edge.
     */
-  def rerankOracle: String = Word2VecEmbedder.cachedWeights.fold(emptyOracle) { w =>
+  def rerankOracle: String = cachedModel.fold(emptyOracle) { case (w, p) =>
     val query = KeywordSearch.QueryTerms.mkString(" ")
     val qt = tokenize(query).filter(w.contains).take(QTokens)
     val nq = qt.length
     val qlitVals = qt.zipWithIndex
       .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
     val segVals = (0 until Dim)
-      .map(k => s"(${k + 1}, ${SegA(k)}, ${SegB(k)})").mkString(", ")
+      .map(k => s"(${k + 1}, ${p.segA(k)}, ${p.segB(k)})").mkString(", ")
     val whVals = (0 until Dim)
-      .map(k => s"(${k + 1}, ${Wh(k)})").mkString(", ")
+      .map(k => s"(${k + 1}, ${p.wh(k)})").mkString(", ")
     val maxDoc = MaxPos - QTokens
     s"""WITH ${embCte(w)},
-       |$paramCtes,
+       |${paramCtes(p)},
        |sab(k, a, b) AS (SELECT * FROM (VALUES $segVals) AS t(k, a, b)),
        |whd(k, w) AS (SELECT * FROM (VALUES $whVals) AS t(k, w)),
        |qlit(pos, term) AS (SELECT * FROM (VALUES $qlitVals) AS t(pos, term)),
