@@ -35,6 +35,7 @@ object SparkEntry {
     "corpus_diff" -> (CorpusOps.qDiff _),
     "kw_search_bm25" -> (KeywordSearch.search _),
     "kw_search_batch" -> (KeywordSearch.batchSearch _),
+    "kw_search_batch_pruned" -> (ChampionIndex.batchSearchPruned _),
     "filter_search_exact" -> (KeywordSearch.searchFilterExact _),
     "filter_search_fuzzy" -> (KeywordSearch.searchFilterFuzzy _),
     "doc_count" -> (KeywordSearch.docCount _),
@@ -205,6 +206,7 @@ object SparkEntry {
     "corpus_diff" -> CorpusOps.diffOracle,
     "kw_search_bm25" -> KeywordSearch.searchOracle,
     "kw_search_batch" -> KeywordSearch.batchSearchOracle,
+    "kw_search_batch_pruned" -> ChampionIndex.batchPrunedOracle,
     "hybrid_search_batch" -> HybridSearch.batchSearchOracle,
     "filter_search_exact" -> KeywordSearch.searchFilterExactOracle,
     "filter_search_fuzzy" -> KeywordSearch.searchFilterFuzzyOracle,

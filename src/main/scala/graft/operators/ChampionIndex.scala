@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.topKByScore
+import KeywordSearch.{K1, B, BatchStride, BatchTerms, BatchK}
+
+/** CHAMPION-LIST pruned batch keyword search — the keyword-leg analogue
+  * of [[IvfIndex]]'s nprobe pruning, and the reason the batch fusion
+  * family survives 100× while its exact form is ~N² by construction
+  * (every query term matches ~1/|vocab| of ALL postings, and the query
+  * set grows with the corpus; one forced exact run at 100× exceeds
+  * 10 min — see SCALE.md's `cap` rows).
+  *
+  * The classic impact-ordered "champion list" / top-docs scheme
+  * (Manning, Raghavan & Schütze, *Introduction to Information
+  * Retrieval*, §7.1.3): for every term, the standing index keeps only
+  * the top-[[M]] postings by BM25 IMPACT — the term's full,
+  * query-independent score contribution `idf · tf(k1+1)/(tf +
+  * k1(1−b+b·dl/avgdl))` — and query scoring sums champion impacts over
+  * the query's terms. Per-query work is ≤ nTerms·[[M]] candidate rows
+  * REGARDLESS of corpus size: the batch's total cost is
+  * queries × nTerms × M, linear in the query count where the exact
+  * form is queries × corpus/|vocab|.
+  *
+  * Approximation contract: a document outside all of the query's
+  * champion lists cannot be retrieved, and a candidate's score counts
+  * only the terms whose lists it made (document-at-a-time over
+  * champions). With M ≥ the longest postings list the results are
+  * EXACTLY the un-pruned batch ranking — spec-pinned, the
+  * [[IvfIndex]] full-probe ≡ brute-force pattern.
+  *
+  * Determinism: impacts are rounded to [[ImpactDecimals]] at the INDEX
+  * edge before the top-M cut (and before summing), so the frequent
+  * exact ties at the cut boundary resolve by the doc_id tiebreak
+  * identically in the JVM heap ([[graft.functions.VectorFunctions
+  * .topKByScore]]: score desc, id asc) and the oracle's `row_number()
+  * OVER (ORDER BY imp DESC, doc_id)`; without the rounding, a 1-ulp
+  * avgdl difference between engines could flip list membership — a
+  * miss the final round(4) cannot mask.
+  *
+  * Scale design: the index build is one shuffle of the postings keyed
+  * by term with a bounded [[M]]-heap partial aggregate (map-side
+  * combine keeps ≤M rows per term per partition); the artifact is
+  * |vocab|×M rows. Serving joins the (small) query-term frame into the
+  * champion artifact — broadcast at this benchmark's query counts; at
+  * millions of concurrent queries the join flips to a shuffle join on
+  * term with the SAME bounded candidate volume.
+  */
+object ChampionIndex {
+  /** Champion list depth per term. */
+  val M = 128
+  /** Impact rounding at the index edge (see determinism note). */
+  val ImpactDecimals = 6
+
+  /** Per-term top-[[m]] postings by rounded BM25 impact:
+    * `(term, doc_id, imp)`.
+    */
+  private[graft] def buildChampions(postings: DataFrame, m: Int = M): DataFrame = {
+    val stats = postings.groupBy("doc_id").agg(first("dl").as("d"))
+      .agg(count(lit(1)).as("n_docs"), avg("d").as("avgdl"))
+    val dict = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast("double")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5))
+    val imp = round(idf * (tfD * (K1 + 1)) /
+      (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))),
+      ImpactDecimals)
+    // dict is |vocab| rows — small here, and a plain shuffle join keyed
+    // by term at real vocabulary sizes; the M-heap is the bounded agg
+    postings
+      .join(dict, Seq("term"))
+      .join(broadcast(stats))
+      .select(col("term"), col("doc_id"), imp.as("imp"))
+      .groupBy("term")
+      .agg(topKByScore(col("imp"), col("doc_id"), m).as("top"))
+      .select(col("term"), explode(col("top")).as("t"))
+      .select(col("term"), col("t.id").as("doc_id"), col("t.score").as("imp"))
+  }
+
+  /** The standing champion artifact for a source dir ([[IndexCache]]) —
+    * built once from the standing postings, probed by every query.
+    */
+  private[graft] def cachedChampions(s: SparkSession, dir: String): DataFrame = {
+    val p = IndexCache.getOrBuild("kw_champion_index", dir)(path =>
+      buildChampions(KeywordSearch.cachedBatchPostings(s, dir))
+        .write.mode("overwrite").parquet(path))
+    s.read.parquet(p)
+  }
+
+  /** Champion-pruned batch scoring over an explicit champion frame —
+    * the core both the driver query and the equivalence spec share.
+    * Queries are assembled EXACTLY like the exact twin's
+    * ([[KeywordSearch.batchQueryTokens]] et al. — same rarest-token
+    * selection, same stride), so pruned vs exact is apples-to-apples.
+    */
+  private[graft] def bm25BatchPruned(docs: DataFrame, postings: DataFrame,
+                                     champs: DataFrame,
+                                     stride: Int = BatchStride,
+                                     nTerms: Int = BatchTerms,
+                                     k: Int = BatchK): DataFrame = {
+    val qtoks = KeywordSearch.batchQueryTokens(postings, docs,
+      _.filter(col("doc_id") % stride === 0))
+    val qdict = KeywordSearch.batchQueryDict(postings, qtoks)
+    val qterms = KeywordSearch.batchQueryTermsFrom(qtoks, qdict, nTerms)
+    val scored = champs.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id").agg(sum("imp").as("raw_score"))
+    KeywordSearch.rankKwScored(scored, k)
+  }
+
+  /** Driver query: the SERVING form — champion-pruned batch BM25 over
+    * the standing artifacts.
+    */
+  def batchSearchPruned(s: SparkSession, dir: String): DataFrame = {
+    val postings = KeywordSearch.cachedBatchPostings(s, dir)
+    bm25BatchPruned(Tables.documents(s, dir), postings, cachedChampions(s, dir))
+  }
+
+  /** DuckDB oracle: champion construction + pruned scoring re-derived
+    * from the raw corpus (the standing-index convention), the query
+    * CTEs verbatim from the exact twin's oracle.
+    */
+  def batchPrunedSql(stride: Int = BatchStride, nTerms: Int = BatchTerms,
+                     k: Int = BatchK, m: Int = M): String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM documents),
+       |postings AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM postings GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+       |impact AS (
+       |  SELECT postings.term, postings.doc_id,
+       |    round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * ${K1 + 1})
+       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl.dl / avgdl)), $ImpactDecimals) AS imp
+       |  FROM postings
+       |  JOIN dict USING (term)
+       |  JOIN dl USING (doc_id), stats),
+       |champs AS (
+       |  SELECT term, doc_id, imp FROM (
+       |    SELECT term, doc_id, imp,
+       |      row_number() OVER (PARTITION BY term ORDER BY imp DESC, doc_id) AS crn
+       |    FROM impact)
+       |  WHERE crn <= $m),
+       |qtoks AS (
+       |  SELECT doc_id AS q_id, unnest(list_distinct(${TextAnalysis.sqlToks})) AS term
+       |  FROM documents WHERE doc_id % $stride = 0),
+       |qterms AS (
+       |  SELECT q_id, substring(p, 12, 1000) AS term
+       |  FROM (
+       |    SELECT q_id, unnest(
+       |      (list_sort(list(lpad(CAST(df AS VARCHAR), 10, '0') || '#' || term)))[1:$nTerms]) AS p
+       |    FROM qtoks JOIN dict USING (term)
+       |    GROUP BY q_id)),
+       |scored AS (
+       |  SELECT q_id, doc_id, sum(imp) AS raw_score
+       |  FROM champs
+       |  JOIN qterms USING (term)
+       |  WHERE doc_id <> q_id
+       |  GROUP BY q_id, doc_id),
+       |ranked AS (
+       |  SELECT q_id, doc_id, raw_score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, doc_id, round(raw_score, 4) AS score
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+
+  val batchPrunedOracle: String = batchPrunedSql()
+}

@@ -296,7 +296,7 @@ object KeywordSearch {
                                   index: Option[DataFrame] = None): DataFrame =
     rankKwScored(batchKwRawSel(docs, selectQueries, nTerms, index), k)
 
-  private def rankKwScored(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankKwScored(scored: DataFrame, k: Int): DataFrame = {
     scored.groupBy("q_id")
       .agg(topKByScore(col("raw_score"), col("doc_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
@@ -355,6 +355,40 @@ object KeywordSearch {
     s.read.parquet(p)
   }
 
+  /** Query docs' terms from the materialized postings (rows are already
+    * distinct (doc, term) pairs); the selector only has to produce ids.
+    * Shared by the exact batch scorer and [[ChampionIndex]] so both
+    * serve the SAME benchmark queries.
+    */
+  private[operators] def batchQueryTokens(postings: DataFrame, docs: DataFrame,
+                                          selectQueries: DataFrame => DataFrame): DataFrame = {
+    val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
+    postings.join(broadcast(qdocs), col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("term"))
+  }
+
+  /** df restricted to the query terms — the full vocabulary is never
+    * distinct'd or counted in the batch query assembly.
+    */
+  private[operators] def batchQueryDict(postings: DataFrame, qtoks: DataFrame): DataFrame =
+    postings
+      .join(broadcast(qtoks.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Rarest-token query assembly on the query sample only: the
+    * `nTerms` lowest-df tokens per query doc (df-padded string sort —
+    * deterministic, replayed verbatim by the SQL oracles).
+    */
+  private[operators] def batchQueryTermsFrom(qtoks: DataFrame, qdict: DataFrame,
+                                             nTerms: Int): DataFrame =
+    qtoks.join(broadcast(qdict), "term")
+      .groupBy("q_id")
+      .agg(slice(array_sort(collect_list(
+        concat(lpad(col("df").cast("string"), 10, "0"), lit("#"), col("term")))),
+        1, nTerms).as("padded"))
+      .select(col("q_id"), explode(col("padded")).as("p"))
+      .select(col("q_id"), substring(col("p"), 12, 1000).as("term"))
+
   private[graft] def batchKwRawSel(docs: DataFrame,
                                    selectQueries: DataFrame => DataFrame,
                                    nTerms: Int = BatchTerms,
@@ -370,24 +404,9 @@ object KeywordSearch {
     val postings = index.getOrElse(buildBatchPostings(docs).localCheckpoint())
     val stats = postings.groupBy("doc_id").agg(first("dl").as("d"))
       .agg(count(lit(1)).as("n_docs"), avg("d").as("avgdl"))
-    // query docs' terms from the materialized postings (rows are already
-    // distinct (doc, term) pairs); the selector only has to produce ids
-    val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
-    val qtoks = postings.join(broadcast(qdocs), col("doc_id") === col("q_id"))
-      .select(col("q_id"), col("term"))
-    // df restricted to the query terms — the full vocabulary is never
-    // distinct'd or counted
-    val qdict = postings
-      .join(broadcast(qtoks.select("term").distinct()), Seq("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    // rarest-token query assembly on the query sample only
-    val qterms = qtoks.join(broadcast(qdict), "term")
-      .groupBy("q_id")
-      .agg(slice(array_sort(collect_list(
-        concat(lpad(col("df").cast("string"), 10, "0"), lit("#"), col("term")))),
-        1, nTerms).as("padded"))
-      .select(col("q_id"), explode(col("padded")).as("p"))
-      .select(col("q_id"), substring(col("p"), 12, 1000).as("term"))
+    val qtoks = batchQueryTokens(postings, docs, selectQueries)
+    val qdict = batchQueryDict(postings, qtoks)
+    val qterms = batchQueryTermsFrom(qtoks, qdict, nTerms)
     val idf = log(lit(1.0) + (col("n_docs") - col("df").cast("double") + 0.5) /
       (col("df").cast("double") + 0.5))
     val tfD = col("tf").cast("double")

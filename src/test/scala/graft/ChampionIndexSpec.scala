@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{ChampionIndex, KeywordSearch}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class ChampionIndexSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, TestSpark.Sf0001)
+  private lazy val postings =
+    KeywordSearch.cachedBatchPostings(spark, TestSpark.Sf0001)
+
+  test("champion lists are bounded by M and keep the impact-max posting") {
+    val champs = ChampionIndex.buildChampions(postings)
+    val sizes = champs.groupBy("term").count().agg(max("count")).head.getLong(0)
+    assert(sizes <= ChampionIndex.M)
+    // every term's best-impact posting must be in its list: the list is
+    // a PREFIX of the impact ordering, so max(list imp) == max(term imp)
+    val full = ChampionIndex.buildChampions(postings, m = Int.MaxValue)
+      .groupBy("term").agg(max("imp").as("best"))
+    val kept = champs.groupBy("term").agg(max("imp").as("kept"))
+    assert(full.join(kept, "term").filter(col("best") =!= col("kept")).isEmpty)
+  }
+
+  test("full-depth champions reproduce the exact batch ranking (the full-probe == brute-force pattern)") {
+    // m >= the longest postings list => nothing is pruned; rankings must
+    // match the un-pruned batch scorer exactly (scores agree to 1e-4:
+    // the pruned path sums index-edge-rounded impacts)
+    val nDocs = docs.count().toInt
+    val pruned = ChampionIndex.bm25BatchPruned(docs, postings,
+      ChampionIndex.buildChampions(postings, m = nDocs + 1))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exact = KeywordSearch.bm25BatchFor(docs,
+      col("doc_id") % KeywordSearch.BatchStride === 0, index = Some(postings))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(pruned.length == exact.length && pruned.nonEmpty)
+    pruned.zip(exact).foreach { case ((pq, prn, pd, ps), (eq, ern, ed, es)) =>
+      assert(pq == eq && prn == ern && pd == ed,
+        s"ranking diverged: pruned=($pq,$prn,$pd) exact=($eq,$ern,$ed)")
+      assert(math.abs(ps - es) <= 1.1e-4, s"score diverged: $ps vs $es")
+    }
+  }
+
+  test("default-M pruning keeps high overlap with the exact ranking while bounding candidates") {
+    val champs = ChampionIndex.cachedChampions(spark, TestSpark.Sf0001)
+    val pruned = ChampionIndex.bm25BatchPruned(docs, postings, champs)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = KeywordSearch.bm25BatchFor(docs,
+      col("doc_id") % KeywordSearch.BatchStride === 0, index = Some(postings))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val overlaps = exact.map { case (q, ex) =>
+      pruned.get(q).fold(0.0)(pr => (pr & ex).size.toDouble / ex.size)
+    }
+    val mean = overlaps.sum / overlaps.size
+    info(f"mean top-${KeywordSearch.BatchK} overlap pruned-vs-exact at M=${ChampionIndex.M}: $mean%.3f over ${overlaps.size} queries")
+    assert(mean >= 0.5, s"champion pruning recall collapsed: $mean")
+    // the spec only means something if the cut is real at this corpus
+    // size (candidate bound nTerms*M below the corpus doc count)
+    assert(ChampionIndex.M * KeywordSearch.BatchTerms < docs.count(),
+      "spec precondition: pruning must be real at this corpus size")
+  }
+
+  test("driver query serves the standing artifact and matches its oracle shape") {
+    val df = ChampionIndex.batchSearchPruned(spark, TestSpark.Sf0001)
+    assert(df.columns.toSeq == Seq("q_id", "rn", "doc_id", "score"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // per query: rn contiguous from 1, scores non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRn = rs.sortBy(_.getInt(1))
+      assert(byRn.head.getInt(1) == 1)
+      assert(byRn.map(_.getInt(1)).toSeq == (1 to byRn.length))
+      val scores = byRn.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    assert(ChampionIndex.batchPrunedOracle.contains("champs"))
+  }
+}
