@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_span_profile" -> (Dedup.qSpanProfile _),
     "hybrid_search_batch" -> (HybridSearch.batchSearch _),
     "hybrid_search_batch_ivf" -> (HybridSearch.batchSearchIvf _),
+    "hybrid_search_batch_champion" -> (HybridSearch.batchSearchChampion _),
     "hybrid_search_filtered" -> (HybridSearch.searchFiltered _),
     "vector_search_filtered" -> (VectorSearch.searchFiltered _),
     "rerank_overlap" -> (Reranker.search _),
@@ -222,6 +223,7 @@ object SparkEntry {
     // reproduce the inline batch-IVF search exactly
     "vector_search_batch_ivf_materialized" -> IvfIndex.qBatchSearchOracle,
     "hybrid_search_batch_ivf" -> HybridSearch.batchSearchIvfOracle,
+    "hybrid_search_batch_champion" -> HybridSearch.batchSearchChampionOracle,
     "vector_search_quantized" -> VectorSearch.searchQuantizedOracle,
     // equivalence oracle: the materialized byte-code copy must reproduce
     // the inline int-code quantized search bitwise

@@ -89,26 +89,36 @@ object ChampionIndex {
     s.read.parquet(p)
   }
 
-  /** Champion-pruned batch scoring over an explicit champion frame —
-    * the core both the driver query and the equivalence spec share.
-    * Queries are assembled EXACTLY like the exact twin's
+  /** The champion-scored sparse frame `(q_id, doc_id, raw_score)` —
+    * shared by the pruned keyword ranking and the doubly-pruned batch
+    * fusion ([[HybridSearch.fusedBatchChampionSel]]). Queries are
+    * assembled EXACTLY like the exact twin's
     * ([[KeywordSearch.batchQueryTokens]] et al. — same rarest-token
     * selection, same stride), so pruned vs exact is apples-to-apples.
+    */
+  private[operators] def championScored(docs: DataFrame, postings: DataFrame,
+                                        champs: DataFrame,
+                                        selectDocQueries: DataFrame => DataFrame,
+                                        nTerms: Int = BatchTerms): DataFrame = {
+    val qtoks = KeywordSearch.batchQueryTokens(postings, docs, selectDocQueries)
+    val qdict = KeywordSearch.batchQueryDict(postings, qtoks)
+    val qterms = KeywordSearch.batchQueryTermsFrom(qtoks, qdict, nTerms)
+    champs.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id").agg(sum("imp").as("raw_score"))
+  }
+
+  /** Champion-pruned batch scoring over an explicit champion frame —
+    * the core both the driver query and the equivalence spec share.
     */
   private[graft] def bm25BatchPruned(docs: DataFrame, postings: DataFrame,
                                      champs: DataFrame,
                                      stride: Int = BatchStride,
                                      nTerms: Int = BatchTerms,
-                                     k: Int = BatchK): DataFrame = {
-    val qtoks = KeywordSearch.batchQueryTokens(postings, docs,
-      _.filter(col("doc_id") % stride === 0))
-    val qdict = KeywordSearch.batchQueryDict(postings, qtoks)
-    val qterms = KeywordSearch.batchQueryTermsFrom(qtoks, qdict, nTerms)
-    val scored = champs.join(broadcast(qterms), Seq("term"))
-      .filter(col("doc_id") =!= col("q_id"))
-      .groupBy("q_id", "doc_id").agg(sum("imp").as("raw_score"))
-    KeywordSearch.rankKwScored(scored, k)
-  }
+                                     k: Int = BatchK): DataFrame =
+    KeywordSearch.rankKwScored(
+      championScored(docs, postings, champs,
+        _.filter(col("doc_id") % stride === 0), nTerms), k)
 
   /** Driver query: the SERVING form — champion-pruned batch BM25 over
     * the standing artifacts.
@@ -118,13 +128,16 @@ object ChampionIndex {
     bm25BatchPruned(Tables.documents(s, dir), postings, cachedChampions(s, dir))
   }
 
-  /** DuckDB oracle: champion construction + pruned scoring re-derived
+  /** The CTE chain producing champion-pruned `scored(q_id, doc_id,
+    * raw_score)` — champion construction + pruned scoring re-derived
     * from the raw corpus (the standing-index convention), the query
-    * CTEs verbatim from the exact twin's oracle.
+    * CTEs verbatim from the exact twin's oracle. Shared by
+    * [[batchPrunedSql]] and the champion-fusion oracle.
     */
-  def batchPrunedSql(stride: Int = BatchStride, nTerms: Int = BatchTerms,
-                     k: Int = BatchK, m: Int = M): String =
-    s"""WITH toked AS (
+  private[operators] def championScoredSqlCtes(stride: Int = BatchStride,
+                                               nTerms: Int = BatchTerms,
+                                               m: Int = M): String =
+    s"""toked AS (
        |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM documents),
        |postings AS (
        |  SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
@@ -160,7 +173,11 @@ object ChampionIndex {
        |  FROM champs
        |  JOIN qterms USING (term)
        |  WHERE doc_id <> q_id
-       |  GROUP BY q_id, doc_id),
+       |  GROUP BY q_id, doc_id)""".stripMargin
+
+  def batchPrunedSql(stride: Int = BatchStride, nTerms: Int = BatchTerms,
+                     k: Int = BatchK, m: Int = M): String =
+    s"""WITH ${championScoredSqlCtes(stride, nTerms, m)},
        |ranked AS (
        |  SELECT q_id, doc_id, raw_score,
        |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS rn

@@ -276,6 +276,26 @@ object HybridSearch {
     * cost is the probe cost (the deployed shape: indexes are built once,
     * probed forever).
     */
+  /** The IVF-pruned dense candidate frame `(q_id, doc_id, vscore)` —
+    * each query's cosine fan-out over its nprobe probed cells only.
+    * Shared by the IVF and champion fusion forms.
+    */
+  private def ivfVparts(embs: DataFrame,
+                        selectVecQueries: DataFrame => DataFrame,
+                        nprobe: Int, centroids: Option[DataFrame]): DataFrame = {
+    val queries = selectVecQueries(embs)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = centroids
+      .map(c => IvfIndex.batchProbedCellsFrom(c, queries, nprobe))
+      .getOrElse(IvfIndex.batchProbedCells(embs, queries, nprobe))
+    Tables.parallel(embs)
+      .join(broadcast(probed), col("label") === col("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        cosineSim(col("embedding"), col("q_emb")).as("vscore"))
+  }
+
   private[graft] def fusedBatchIvfSel(docs: DataFrame, embs: DataFrame,
                                       selectVecQueries: DataFrame => DataFrame,
                                       selectDocQueries: DataFrame => DataFrame,
@@ -285,17 +305,7 @@ object HybridSearch {
                                       k: Int = BatchK,
                                       centroids: Option[DataFrame] = None,
                                       kwIndex: Option[DataFrame] = None): DataFrame = {
-    val queries = selectVecQueries(embs)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probed = centroids
-      .map(c => IvfIndex.batchProbedCellsFrom(c, queries, nprobe))
-      .getOrElse(IvfIndex.batchProbedCells(embs, queries, nprobe))
-    val vparts = Tables.parallel(embs)
-      .join(broadcast(probed), col("label") === col("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .join(broadcast(queries), Seq("q_id"))
-      .select(col("q_id"), col("vec_id").as("doc_id"),
-        cosineSim(col("embedding"), col("q_emb")).as("vscore"))
+    val vparts = ivfVparts(embs, selectVecQueries, nprobe, centroids)
     // keyword scores restricted to the PRUNED candidate pairs: a doc
     // outside a query's probed cells contributes to neither fusion nor
     // that query's normalization stats (the semi-join happens INSIDE
@@ -305,6 +315,33 @@ object HybridSearch {
       KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms, kwIndex),
       alpha, k, restrictKwToCandidates = true,
       materializeCandidates = kwIndex.isDefined)
+  }
+
+  /** DOUBLY-PRUNED batch fusion — the at-scale serving form of the
+    * hybrid family: the vector signal scans only each query's nprobe
+    * IVF cells AND the keyword signal probes only the champion lists
+    * ([[ChampionIndex]]) of the query's terms, so per-query cost is
+    * bounded by nprobe·|cell| + nTerms·M REGARDLESS of corpus size —
+    * the fusion form whose 100× SCALE row stays measurable while every
+    * exact-keyword-leg fusion is `cap`ped (SCALE.md). Fusion semantics
+    * are [[fusedBatchIvfSel]]'s: candidate domain = the probed cells'
+    * vectors, keyword contributions restricted to those candidates,
+    * sparse keyword stats + implicit-zero clamp.
+    */
+  private[graft] def fusedBatchChampionSel(docs: DataFrame, embs: DataFrame,
+                                           postings: DataFrame, champs: DataFrame,
+                                           selectVecQueries: DataFrame => DataFrame,
+                                           selectDocQueries: DataFrame => DataFrame,
+                                           nTerms: Int = KeywordSearch.BatchTerms,
+                                           nprobe: Int = IvfIndex.NProbe,
+                                           alpha: Double = Alpha,
+                                           k: Int = BatchK,
+                                           centroids: Option[DataFrame] = None): DataFrame = {
+    val vparts = ivfVparts(embs, selectVecQueries, nprobe, centroids)
+    val kparts = ChampionIndex.championScored(docs, postings, champs,
+      selectDocQueries, nTerms)
+    fuseTail(vparts, kparts, alpha, k,
+      restrictKwToCandidates = true, materializeCandidates = true)
   }
 
   /** The ONE copy of the per-query normalize + fuse + rank tail, over an
@@ -489,6 +526,63 @@ object HybridSearch {
       kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir)))
 
   val batchSearchIvfOracle: String = fusedBatchIvfSql()
+
+  /** Driver query: the doubly-pruned serving form over the standing
+    * artifacts (IVF centroids + batch postings + champion lists).
+    */
+  def batchSearchChampion(s: SparkSession, dir: String): DataFrame =
+    fusedBatchChampionSel(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      KeywordSearch.cachedBatchPostings(s, dir),
+      ChampionIndex.cachedChampions(s, dir),
+      _.filter(col("vec_id") % KeywordSearch.BatchStride === 0),
+      _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
+      centroids = Some(IvfIndex.cachedCentroids(s, dir)))
+
+  /** Oracle for the doubly-pruned fusion: the champion keyword CTE
+    * chain replaces the exact one inside the [[fusedBatchIvfSql]]
+    * skeleton — same probed-cell candidate domain, same coalesced
+    * joined-frame normalization.
+    */
+  def fusedBatchChampionSql(stride: Int = KeywordSearch.BatchStride,
+                            nTerms: Int = KeywordSearch.BatchTerms,
+                            nprobe: Int = IvfIndex.NProbe,
+                            m: Int = ChampionIndex.M,
+                            alpha: Double = Alpha, k: Int = BatchK): String =
+    s"""WITH ${ChampionIndex.championScoredSqlCtes(stride, nTerms, m)},
+       |${IvfIndex.batchProbedSqlCtes(s"vec_id % $stride = 0", nprobe)},
+       |vparts AS (
+       |  SELECT p.q_id, e.vec_id AS doc_id,
+       |    ${VectorSearch.cosineSql("e.embedding", "q.q_emb")} AS vscore
+       |  FROM embeddings e
+       |  JOIN probed p ON e.label = p.cell
+       |  JOIN queries q ON q.q_id = p.q_id
+       |  WHERE e.vec_id <> p.q_id),
+       |joined AS (
+       |  SELECT vparts.q_id, vparts.doc_id, vscore,
+       |    coalesce(raw_score, 0.0) AS kscore
+       |  FROM vparts LEFT JOIN scored
+       |    ON vparts.q_id = scored.q_id AND vparts.doc_id = scored.doc_id),
+       |qstats AS (
+       |  SELECT q_id, min(vscore) AS vmin, max(vscore) AS vmax,
+       |    min(kscore) AS kmin, max(kscore) AS kmax
+       |  FROM joined GROUP BY 1),
+       |fusedt AS (
+       |  SELECT q_id, doc_id,
+       |    round($alpha * (vscore - vmin) /
+       |            (CASE WHEN vmax = vmin THEN 1.0 ELSE vmax - vmin END)
+       |        + ${1 - alpha} * (kscore - kmin) /
+       |            (CASE WHEN kmax = kmin THEN 1.0 ELSE kmax - kmin END), 4) AS score
+       |  FROM joined JOIN qstats USING (q_id)),
+       |ranked AS (
+       |  SELECT q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+       |  FROM fusedt
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, doc_id, score
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+
+  val batchSearchChampionOracle: String = fusedBatchChampionSql()
 
   def search(s: SparkSession, dir: String): DataFrame =
     fused(Tables.documents(s, dir), Tables.embeddings(s, dir),

@@ -62,6 +62,28 @@ class ChampionIndexSpec extends SparkSpec {
       "spec precondition: pruning must be real at this corpus size")
   }
 
+  test("full-depth champion fusion reproduces the IVF batch fusion") {
+    import graft.operators.{HybridSearch, IvfIndex}
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val fullChamps = ChampionIndex.buildChampions(postings, m = docs.count().toInt + 1)
+    val champion = HybridSearch.fusedBatchChampionSel(docs, embs,
+      postings, fullChamps,
+      _.filter(col("vec_id") % KeywordSearch.BatchStride === 0),
+      _.filter(col("doc_id") % KeywordSearch.BatchStride === 0))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val ivf = HybridSearch.fusedBatchIvf(docs, embs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(champion.length == ivf.length && champion.nonEmpty)
+    // same candidate domain (probed cells), keyword leg differs only by
+    // the index-edge impact rounding — fused round(4) scores must agree
+    // to one rounding step, rankings pair-for-pair
+    champion.zip(ivf).foreach { case ((cq, crn, cd, cs), (iq, irn, id, is)) =>
+      assert(cq == iq && crn == irn, s"frame diverged: ($cq,$crn) vs ($iq,$irn)")
+      assert(cd == id || math.abs(cs - is) <= 2e-4,
+        s"rank diverged beyond rounding: ($cq,$crn,$cd,$cs) vs ($iq,$irn,$id,$is)")
+    }
+  }
+
   test("driver query serves the standing artifact and matches its oracle shape") {
     val df = ChampionIndex.batchSearchPruned(spark, TestSpark.Sf0001)
     assert(df.columns.toSeq == Seq("q_id", "rn", "doc_id", "score"))
