@@ -116,6 +116,7 @@ object SparkEntry {
     "eval_ndcg" -> (RetrievalEval.queryNdcg _),
     "eval_retrieval_kw" -> (RetrievalEval.queryKw _),
     "eval_retrieval_hybrid" -> (RetrievalEval.queryHybrid _),
+    "eval_retrieval_pruned" -> (RetrievalEval.queryPruned _),
     "eval_answer_cases" -> (AnswerEval.queryCases _),
     "eval_answer_poll" -> (AnswerEval.queryPoll _),
     "finetune_triplets" -> (FinetuneData.query _),
@@ -293,6 +294,7 @@ object SparkEntry {
     "eval_ndcg" -> RetrievalEval.ndcgOracle,
     "eval_retrieval_kw" -> RetrievalEval.kwOracle,
     "eval_retrieval_hybrid" -> RetrievalEval.hybridOracle,
+    "eval_retrieval_pruned" -> RetrievalEval.prunedOracle,
     "eval_answer_cases" -> AnswerEval.casesOracle,
     "eval_answer_poll" -> AnswerEval.pollOracle,
     "finetune_triplets" -> FinetuneData.oracle,

@@ -270,4 +270,21 @@ object RetrievalEval {
       kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir)))
 
   val hybridOracle: String = labelPrecisionHybridSql()
+
+  /** The PRUNED-retriever leg of the per-search-type evaluation: the
+    * same golden labels and metric tail over the DOUBLY-PRUNED
+    * champion+IVF fusion ([[HybridSearch.batchSearchChampion]]) — the
+    * approximation-QUALITY counterpart to SCALE.md's speed rows: what
+    * hit-rate/MRR the at-scale retriever trades for per-query cost
+    * independent of corpus size. (The exact hybrid's eval row is capped
+    * at 100×; this is the eval a practitioner actually runs against the
+    * deployed pruned index. Scale shape = the fusion's + a k×|queries|
+    * metric tail.)
+    */
+  def queryPruned(s: SparkSession, dir: String): DataFrame =
+    metricsOverRanked(HybridSearch.batchSearchChampion(s, dir),
+      Tables.embeddings(s, dir))
+
+  val prunedOracle: String = metricsSqlOver(
+    s"SELECT q_id, rn, doc_id FROM (\n${HybridSearch.fusedBatchChampionSql()}\n) h")
 }
