@@ -108,6 +108,19 @@ object ChampionIndex {
       .groupBy("q_id", "doc_id").agg(sum("imp").as("raw_score"))
   }
 
+  /** Champion-pruned batch ranking over an arbitrary query selector —
+    * the micro-batch serving entry
+    * ([[graft.streaming.ServeStream.championServe]] passes the batch's
+    * id frame as a broadcast semi-join).
+    */
+  private[graft] def bm25BatchPrunedSel(docs: DataFrame, postings: DataFrame,
+                                        champs: DataFrame,
+                                        selectDocQueries: DataFrame => DataFrame,
+                                        nTerms: Int = BatchTerms,
+                                        k: Int = BatchK): DataFrame =
+    KeywordSearch.rankKwScored(
+      championScored(docs, postings, champs, selectDocQueries, nTerms), k)
+
   /** Champion-pruned batch scoring over an explicit champion frame —
     * the core both the driver query and the equivalence spec share.
     */
@@ -116,9 +129,8 @@ object ChampionIndex {
                                      stride: Int = BatchStride,
                                      nTerms: Int = BatchTerms,
                                      k: Int = BatchK): DataFrame =
-    KeywordSearch.rankKwScored(
-      championScored(docs, postings, champs,
-        _.filter(col("doc_id") % stride === 0), nTerms), k)
+    bm25BatchPrunedSel(docs, postings, champs,
+      _.filter(col("doc_id") % stride === 0), nTerms, k)
 
   /** Driver query: the SERVING form — champion-pruned batch BM25 over
     * the standing artifacts.

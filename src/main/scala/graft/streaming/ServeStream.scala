@@ -51,6 +51,21 @@ object ServeStream {
         index = Some(graft.operators.KeywordSearch.cachedBatchPostings(s, dir)))(sink)
     }
 
+  /** Driver query: one micro-batch of CHAMPION-PRUNED keyword serving
+    * ([[championServe]]) probing the standing postings + champion
+    * artifacts; a single batch holding the stride queries must
+    * hash-match the pruned batch oracle
+    * ([[graft.operators.ChampionIndex.batchPrunedOracle]]).
+    */
+  def qStreamChampionServe(s: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame =
+    collectServed(s, strideIds(s, dir)) { (queryIds, sink) =>
+      championServe(queryIds, graft.sources.Tables.documents(s, dir),
+        graft.operators.KeywordSearch.BatchK,
+        graft.operators.KeywordSearch.cachedBatchPostings(s, dir),
+        graft.operators.ChampionIndex.cachedChampions(s, dir))(sink)
+    }
+
   /** Driver query: one micro-batch of IVF-PRUNED hybrid serving
     * ([[hybridServeIvf]], 40h) probing the standing centroid + postings
     * artifacts; must hash-match the batch IVF fusion oracle
@@ -252,6 +267,30 @@ object ServeStream {
           val ranked = graft.operators.KeywordSearch.bm25BatchSel(
             docs, _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
             k = k, index = index)
+          sink(ranked, batchId)
+        }
+      }
+      .start()
+
+  /** Micro-batch CHAMPION-PRUNED keyword serving — the at-scale twin of
+    * [[bm25Serve]]: each batch's queries probe the standing champion
+    * artifact ([[graft.operators.ChampionIndex]]) instead of the full
+    * postings, so the per-batch scoring cost is bounded by
+    * queries × nTerms × M regardless of corpus size. Impacts are global
+    * index constants ⇒ a query's scores are identical whichever
+    * micro-batch it arrives in (batch-split invariant by construction).
+    */
+  def championServe(queryIds: DataFrame, docs: DataFrame, k: Int,
+                    postings: DataFrame, champs: DataFrame)
+                   (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryIds.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ids = batch.select(col("q_id")).na.drop().distinct()
+        if (!batch.isEmpty) {
+          val ranked = graft.operators.ChampionIndex.bm25BatchPrunedSel(
+            docs, postings, champs,
+            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"), k = k)
           sink(ranked, batchId)
         }
       }

@@ -62,6 +62,20 @@ class ChampionIndexSpec extends SparkSpec {
       "spec precondition: pruning must be real at this corpus size")
   }
 
+  test("champion serving is batch-split invariant: a query's rows are identical whichever batch it arrives in") {
+    val champs = ChampionIndex.cachedChampions(spark, TestSpark.Sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val all = rows(ChampionIndex.bm25BatchPruned(docs, postings, champs))
+    val q0 = all.map(_._1).min
+    // impacts are global index constants, so a singleton "micro-batch"
+    // must reproduce the full-batch rows for that query exactly — the
+    // contract stream_kw_champion_serve's oracle hash-match rests on
+    val solo = rows(ChampionIndex.bm25BatchPrunedSel(docs, postings, champs,
+      _.filter(col("doc_id") === q0)))
+    assert(solo.nonEmpty && solo == all.filter(_._1 == q0))
+  }
+
   test("full-depth champion fusion reproduces the IVF batch fusion") {
     import graft.operators.{HybridSearch, IvfIndex}
     val embs = Tables.embeddings(spark, TestSpark.Sf0001)
