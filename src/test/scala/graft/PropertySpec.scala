@@ -138,6 +138,13 @@ class PropertySpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     assert(VectorSearch.topK(emptyVecs, 0L).count() == 0)
     assert(Dedup.embeddingNearDup(emptyVecs).count() == 0)
+    // champion index: empty postings → empty lists → empty ranking
+    val emptyPostings = KeywordSearch.buildBatchPostings(
+      empty.select(col("doc_id"), col("text")))
+    val emptyChamps = ChampionIndex.buildChampions(emptyPostings)
+    assert(emptyChamps.count() == 0)
+    assert(ChampionIndex.bm25BatchPruned(empty, emptyPostings, emptyChamps)
+      .count() == 0)
   }
 
   test("jaccard pairs are symmetric in construction: d1 < d2 always") {
