@@ -557,7 +557,16 @@ object AttentionTrainer {
     * driver-side JVM, fully deterministic.
     */
   private[graft] def train(s: SparkSession, dir: String,
-                           w2v: Map[String, Array[Float]]): AttnParams = {
+                           w2v: Map[String, Array[Float]]): AttnParams =
+    trainSteps(s, dir, w2v, Steps1, Steps2)
+
+  /** [[train]] with explicit step counts — the spec's hook for pinning
+    * bitwise retrain determinism on a short schedule (the full schedule
+    * is the same loop, just longer).
+    */
+  private[graft] def trainSteps(s: SparkSession, dir: String,
+                                w2v: Map[String, Array[Float]],
+                                steps1: Int, steps2: Int): AttnParams = {
     val (seqs, _) = tokenWindows(s, dir, w2v)
     val p = AttentionEncoder.seedParams()
     val pr = rows(p)
@@ -568,7 +577,7 @@ object AttentionTrainer {
       (0 until math.min(Batch, seqs.length)).map(b => (step * Batch + b) % seqs.length)
     val debug = sys.props.contains("graft.attn.debug")
     val adam1 = new AdamState(pr)
-    for (step <- 0 until Steps1) {
+    for (step <- 0 until steps1) {
       val g = zeroParams()
       val l = contrastiveStep(p, g, w2v, seqs, batchIdx(step))
       val gr = rows(g)
@@ -577,7 +586,7 @@ object AttentionTrainer {
       if (debug && step % 25 == 0) println(s"attn p1 step=$step loss=$l")
     }
     val adam2 = new AdamState(pr)
-    for (step <- 0 until Steps2) {
+    for (step <- 0 until steps2) {
       val g = zeroParams()
       val l = crossStep(p, g, w2v, seqs, batchIdx(step))
       val gr = rows(g)

@@ -140,15 +140,11 @@ object ChampionIndex {
     bm25BatchPruned(Tables.documents(s, dir), postings, cachedChampions(s, dir))
   }
 
-  /** The CTE chain producing champion-pruned `scored(q_id, doc_id,
-    * raw_score)` — champion construction + pruned scoring re-derived
-    * from the raw corpus (the standing-index convention), the query
-    * CTEs verbatim from the exact twin's oracle. Shared by
-    * [[batchPrunedSql]] and the champion-fusion oracle.
+  /** The CTE chain producing the champion index `champs(term, doc_id,
+    * imp)` re-derived from the raw corpus (the standing-index
+    * convention) — the shared index half of every champion oracle.
     */
-  private[operators] def championScoredSqlCtes(stride: Int = BatchStride,
-                                               nTerms: Int = BatchTerms,
-                                               m: Int = M): String =
+  private[operators] def championChampsSqlCtes(m: Int = M): String =
     s"""toked AS (
        |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM documents),
        |postings AS (
@@ -169,7 +165,17 @@ object ChampionIndex {
        |    SELECT term, doc_id, imp,
        |      row_number() OVER (PARTITION BY term ORDER BY imp DESC, doc_id) AS crn
        |    FROM impact)
-       |  WHERE crn <= $m),
+       |  WHERE crn <= $m)""".stripMargin
+
+  /** The CTE chain producing champion-pruned `scored(q_id, doc_id,
+    * raw_score)` — [[championChampsSqlCtes]] + the batch query CTEs
+    * verbatim from the exact twin's oracle. Shared by
+    * [[batchPrunedSql]] and the champion-fusion oracle.
+    */
+  private[operators] def championScoredSqlCtes(stride: Int = BatchStride,
+                                               nTerms: Int = BatchTerms,
+                                               m: Int = M): String =
+    s"""${championChampsSqlCtes(m)},
        |qtoks AS (
        |  SELECT doc_id AS q_id, unnest(list_distinct(${TextAnalysis.sqlToks})) AS term
        |  FROM documents WHERE doc_id % $stride = 0),
@@ -186,6 +192,49 @@ object ChampionIndex {
        |  JOIN qterms USING (term)
        |  WHERE doc_id <> q_id
        |  GROUP BY q_id, doc_id)""".stripMargin
+
+  /** SINGLE-query champion search over an explicit champion frame —
+    * the pruned twin of the reference's primary `keyword_search` path
+    * ([[KeywordSearch.bm25]]): sum the query terms' champion impacts
+    * per doc, top-k. Per-query cost |terms|·m regardless of corpus
+    * size (the exact form scans the whole corpus per query). Output
+    * shape mirrors the exact twin (doc_id, source, lang, score).
+    */
+  private[graft] def bm25Champion(docs: DataFrame, champs: DataFrame,
+                                  terms: Seq[String],
+                                  topK: Int = KeywordSearch.TopK): DataFrame = {
+    val topk = champs.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id").agg(round(sum("imp"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(topK)
+    topk.join(docs.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
+  /** Driver query: single-query champion search over the standing
+    * artifact, the benchmark query terms.
+    */
+  def searchChampion(s: SparkSession, dir: String): DataFrame =
+    bm25Champion(Tables.documents(s, dir), cachedChampions(s, dir),
+      KeywordSearch.QueryTerms)
+
+  def championSql(terms: Seq[String], topK: Int = KeywordSearch.TopK,
+                  m: Int = M): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH ${championChampsSqlCtes(m)},
+       |topk AS (
+       |  SELECT doc_id, round(sum(imp), 4) AS score
+       |  FROM champs WHERE term IN ($termList)
+       |  GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id
+       |  LIMIT $topK)
+       |SELECT t.doc_id, d.source, d.lang, t.score
+       |FROM topk t JOIN documents d USING (doc_id)
+       |ORDER BY score DESC, doc_id""".stripMargin
+  }
+
+  val searchChampionOracle: String = championSql(KeywordSearch.QueryTerms)
 
   def batchPrunedSql(stride: Int = BatchStride, nTerms: Int = BatchTerms,
                      k: Int = BatchK, m: Int = M): String =

@@ -108,6 +108,23 @@ class AttentionTrainerSpec extends SparkSpec {
       s"trained pairwise accuracy $tuned must be >= seeded $seeded")
   }
 
+  test("training is bitwise deterministic: two runs of the same schedule produce identical tensors") {
+    // short schedule — the full run is the same loop, just longer; two
+    // independent trainings (fresh seeded init, fresh Adam state each)
+    // must agree on EVERY double, which is what lets the per-dir weight
+    // artifact stand in for the trainer across JVMs
+    val a = AttentionTrainer.trainSteps(spark, TestSpark.Sf0001, w, 8, 8)
+    val b = AttentionTrainer.trainSteps(spark, TestSpark.Sf0001, w, 8, 8)
+    def rowsOf(p: graft.operators.AttentionEncoder.AttnParams): Seq[Array[Double]] =
+      Seq(p.pe(0), p.pe(11), p.segA, p.segB, p.wh,
+        p.l1.wq(0), p.l1.w2(31), p.l1.g2, p.l2.wk(7), p.l2.b1)
+    rowsOf(a).zip(rowsOf(b)).zipWithIndex.foreach { case ((ra, rb), i) =>
+      assert(ra.sameElements(rb), s"tensor row $i diverged between trainings")
+    }
+    // and the short schedule actually moved the params (it trained)
+    assert(!a.pe(0).sameElements(graft.operators.AttentionEncoder.SeedParams.pe(0)))
+  }
+
   test("the served params are the parquet artifact, bit-for-bit") {
     // paramsFor returns the RELOADED artifact; a second in-JVM load must
     // reproduce it exactly (double fidelity through parquet)

@@ -62,6 +62,19 @@ class ChampionIndexSpec extends SparkSpec {
       "spec precondition: pruning must be real at this corpus size")
   }
 
+  test("full-depth single-query champion search reproduces exact bm25") {
+    val fullChamps = ChampionIndex.buildChampions(postings, m = docs.count().toInt + 1)
+    val pruned = ChampionIndex.bm25Champion(docs, fullChamps, KeywordSearch.QueryTerms)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val exact = KeywordSearch.bm25(docs, KeywordSearch.QueryTerms)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(pruned.length == exact.length && pruned.nonEmpty)
+    pruned.zip(exact).foreach { case ((pd, ps), (ed, es)) =>
+      assert(pd == ed, s"ranking diverged: $pd vs $ed")
+      assert(math.abs(ps - es) <= 1.1e-4, s"score diverged: $ps vs $es")
+    }
+  }
+
   test("champion serving is batch-split invariant: a query's rows are identical whichever batch it arrives in") {
     val champs = ChampionIndex.cachedChampions(spark, TestSpark.Sf0001)
     def rows(df: org.apache.spark.sql.DataFrame) =
