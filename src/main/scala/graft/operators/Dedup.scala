@@ -386,7 +386,7 @@ object Dedup {
     val vocabProbe = docs
       .select(explode(array_distinct(tokens(col("text")))).as("tok"))
       .distinct().limit(65).collect().map(_.getString(0))
-    if (vocabProbe.length <= 64) return maskDocPairs(docs, vocabProbe.sorted)
+    if (vocabProbe.length <= 64) return maskDocPairs(docs, vocabProbe.sorted.toIndexedSeq)
     // General path: canonicalize by token SET — similarity is a function
     // of the set, so compute per distinct set, not per doc (exact-dup-
     // heavy corpora collapse dramatically). Materialized ONCE

@@ -31,7 +31,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, salts: Int,
                  bigSaltSource: Column = null): DataFrame = {
-    val src = Option(bigSaltSource).getOrElse(hash(big.columns.map(col): _*))
+    val src = Option(bigSaltSource).getOrElse(hash(big.columns.toIndexedSeq.map(col): _*))
     val saltedBig = big.withColumn("__salt", pmod(src, lit(salts)))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
