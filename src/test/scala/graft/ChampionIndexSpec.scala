@@ -62,6 +62,28 @@ class ChampionIndexSpec extends SparkSpec {
       "spec precondition: pruning must be real at this corpus size")
   }
 
+  test("recall against the exact ranking is monotone in the depth knob M") {
+    val exact = KeywordSearch.bm25BatchFor(docs,
+      col("doc_id") % KeywordSearch.BatchStride === 0, index = Some(postings))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    def recallAt(m: Int): Double = {
+      val pruned = ChampionIndex.bm25BatchPruned(docs, postings,
+        ChampionIndex.buildChampions(postings, m))
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      val o = exact.map { case (q, ex) =>
+        pruned.get(q).fold(0.0)(pr => (pr & ex).size.toDouble / ex.size)
+      }
+      o.sum / o.size
+    }
+    val r32 = recallAt(32); val r128 = recallAt(128); val r512 = recallAt(512)
+    info(f"mean top-${KeywordSearch.BatchK} recall vs exact: M=32 $r32%.3f  M=128 $r128%.3f  M=512 $r512%.3f")
+    assert(r32 <= r128 && r128 <= r512, s"recall not monotone in M: $r32 $r128 $r512")
+    // at M >= corpus the cut is gone (corpus is 500 docs)
+    assert(r512 == 1.0, s"uncut recall must be 1.0, was $r512")
+  }
+
   test("full-depth single-query champion search reproduces exact bm25") {
     val fullChamps = ChampionIndex.buildChampions(postings, m = docs.count().toInt + 1)
     val pruned = ChampionIndex.bm25Champion(docs, fullChamps, KeywordSearch.QueryTerms)
