@@ -27,6 +27,7 @@ object SparkEntry {
     "q_events_asof" -> (Events.asofLastPurchase _),
     "q_events_range_join" -> (RangeJoin.query _),
     "corpus_mix" -> (CorpusOps.qMix _),
+    "corpus_mix_temperature" -> (CorpusOps.qMixTemperature _),
     "pipeline_clean_pack" -> (Pipeline.cleanPack _),
     "pipeline_decision_log" -> (Pipeline.decisionLog _),
     "corpus_quantiles" -> (CorpusOps.qQuantiles _),
@@ -37,6 +38,13 @@ object SparkEntry {
     "kw_search_batch" -> (KeywordSearch.batchSearch _),
     "kw_search_batch_pruned" -> (ChampionIndex.batchSearchPruned _),
     "kw_search_champion" -> (ChampionIndex.searchChampion _),
+    // RM3 pseudo-relevance-feedback expansion: feedback -> mined
+    // weighted terms -> weighted second round; oracle re-mines the
+    // expansion from the corpus itself
+    "kw_search_rm3" -> (Rm3Expansion.qSearch _),
+    // Dirichlet-smoothed query-likelihood ranking — the LM scoring
+    // family beside BM25 (Lucene LMDirichletSimilarity analog)
+    "kw_search_dirichlet" -> (QueryLikelihood.qSearch _),
     "filter_search_exact" -> (KeywordSearch.searchFilterExact _),
     "filter_search_fuzzy" -> (KeywordSearch.searchFilterFuzzy _),
     "doc_count" -> (KeywordSearch.docCount _),
@@ -113,11 +121,13 @@ object SparkEntry {
     "lsh_bucket_stats" -> (Dedup.qLshBucketStats _),
     "ivf_build_centroids" -> (IvfIndex.qBuild _),
     "ivf_search" -> (IvfIndex.qSearch _),
+    "ivf_search_filtered" -> (IvfIndex.qSearchFiltered _),
     "eval_retrieval" -> (RetrievalEval.query _),
     "eval_ndcg" -> (RetrievalEval.queryNdcg _),
     "eval_retrieval_kw" -> (RetrievalEval.queryKw _),
     "eval_retrieval_hybrid" -> (RetrievalEval.queryHybrid _),
     "eval_retrieval_pruned" -> (RetrievalEval.queryPruned _),
+    "eval_alpha_sweep" -> (RetrievalEval.queryAlphaSweep _),
     "eval_answer_cases" -> (AnswerEval.queryCases _),
     "eval_answer_poll" -> (AnswerEval.queryPoll _),
     "finetune_triplets" -> (FinetuneData.query _),
@@ -177,6 +187,10 @@ object SparkEntry {
     // served through the pair-scoring inference seam; linear-score
     // oracle with the fitted coefficients as literals
     "rerank_learned" -> (LearnedReranker.qSearch _),
+    // late-interaction (ColBERT MaxSim) multi-vector rerank over the
+    // trained w2v token embeddings; literal-weights oracle
+    "rerank_maxsim" -> (MaxSimReranker.qSearch _),
+    "rerank_maxsim_batch" -> (MaxSimReranker.qBatchRerank _),
     "pq_adc_search" -> (ProductQuantizer.qAdcSearch _),
     "ivf_pq_search" -> (ProductQuantizer.qIvfAdcSearch _),
     "vector_search_batch_ivf_pq" -> (ProductQuantizer.qBatchIvfAdcSearch _),
@@ -202,6 +216,7 @@ object SparkEntry {
     "q_events_asof" -> Events.asofOracle,
     "q_events_range_join" -> RangeJoin.oracle,
     "corpus_mix" -> CorpusOps.mixOracle(),
+    "corpus_mix_temperature" -> CorpusOps.mixTemperatureOracle,
     "pipeline_clean_pack" -> Pipeline.oracle,
     "pipeline_decision_log" -> Pipeline.decisionLogOracle,
     "corpus_quantiles" -> CorpusOps.quantilesOracle,
@@ -212,6 +227,8 @@ object SparkEntry {
     "kw_search_batch" -> KeywordSearch.batchSearchOracle,
     "kw_search_batch_pruned" -> ChampionIndex.batchPrunedOracle,
     "kw_search_champion" -> ChampionIndex.searchChampionOracle,
+    "kw_search_rm3" -> Rm3Expansion.searchOracle,
+    "kw_search_dirichlet" -> QueryLikelihood.searchOracle,
     "hybrid_search_batch" -> HybridSearch.batchSearchOracle,
     "filter_search_exact" -> KeywordSearch.searchFilterExactOracle,
     "filter_search_fuzzy" -> KeywordSearch.searchFilterFuzzyOracle,
@@ -293,11 +310,13 @@ object SparkEntry {
     "lsh_bucket_stats" -> Dedup.lshBucketStatsOracle,
     "ivf_build_centroids" -> IvfIndex.buildCentroidsOracle,
     "ivf_search" -> IvfIndex.qSearchOracle,
+    "ivf_search_filtered" -> IvfIndex.qSearchFilteredOracle,
     "eval_retrieval" -> RetrievalEval.oracle,
     "eval_ndcg" -> RetrievalEval.ndcgOracle,
     "eval_retrieval_kw" -> RetrievalEval.kwOracle,
     "eval_retrieval_hybrid" -> RetrievalEval.hybridOracle,
     "eval_retrieval_pruned" -> RetrievalEval.prunedOracle,
+    "eval_alpha_sweep" -> RetrievalEval.alphaSweepOracle,
     "eval_answer_cases" -> AnswerEval.casesOracle,
     "eval_answer_poll" -> AnswerEval.pollOracle,
     "finetune_triplets" -> FinetuneData.oracle,
@@ -331,6 +350,8 @@ object SparkEntry {
     "sink_zorder" -> graft.sources.Sinks.zOrderedOracle,
     "q_salted_join" -> Skew.saltedJoinOracle,
     "rerank_learned" -> LearnedReranker.searchOracle,
+    "rerank_maxsim" -> MaxSimReranker.searchOracle,
+    "rerank_maxsim_batch" -> MaxSimReranker.batchRerankOracle,
     "pq_adc_search" -> ProductQuantizer.adcSearchOracle,
     "ivf_pq_search" -> ProductQuantizer.ivfAdcSearchOracle,
     "vector_search_batch_ivf_pq" -> ProductQuantizer.batchIvfAdcSearchOracle

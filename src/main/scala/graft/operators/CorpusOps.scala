@@ -63,6 +63,72 @@ object CorpusOps {
        |ORDER BY doc_id, copy_idx""".stripMargin
   }
 
+  /** TEMPERATURE-smoothed source mixing — the data-DERIVED epoch recipe
+    * ([[mix]] takes its epochs as given): sample languages with
+    * probability ∝ (n_i/N)^α, the multilingual rebalance published with
+    * mT5 (arXiv:2010.11934 §3.2) and XLM-R — rare languages upsample,
+    * dominant ones downsample, corpus size is preserved in expectation.
+    *
+    * The exponent is FIXED at α = 1/2 (the temperature T=2 point of the
+    * published family): sqrt is IEEE-correctly-rounded in both engines
+    * where pow() is not, so the whole rate derivation — q_i =
+    * √n_i / Σ_j √n_j, epoch e_i = N·q_i/n_i = N/(√n_i·Σ_j √n_j) —
+    * replays BITWISE in DuckDB. The Σ over languages folds in sorted
+    * lang order (pinned floating accumulation); emission is [[mix]]'s
+    * map-side integer-repeats + md5 hash-lottery (its own salt), and
+    * the rounded epoch rides along so the oracle checks the derivation
+    * itself, not just membership.
+    *
+    * Scale: one tiny groupBy(lang) aggregate (|langs| rows), a 1-row
+    * normalizer, a broadcast rate join, then a pure map — no
+    * corpus-sized shuffle anywhere.
+    */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).cast("double").as("n"))
+    val tot = counts.agg(collect_list(struct(col("lang"), col("n"))).as("xs"))
+      .select(
+        aggregate(transform(array_sort(col("xs")), x => sqrt(x.getField("n"))),
+          lit(0.0), (a, x) => a + x).as("ssum"),
+        aggregate(transform(array_sort(col("xs")), x => x.getField("n")),
+          lit(0.0), (a, x) => a + x).as("ntot"))
+    val rates = counts.join(broadcast(tot))
+      .select(col("lang"), (col("ntot") / (sqrt(col("n")) * col("ssum"))).as("w"))
+    val u = (portableHash(concat(lit("mixt:"), col("doc_id"))) % 10000)
+      .cast("double") / 10000.0
+    docs.join(broadcast(rates), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("w"), u.as("u"))
+      .withColumn("n_copies",
+        (floor(col("w")) + when(col("u") < col("w") - floor(col("w")), 1)
+          .otherwise(0)).cast("int"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), round(col("w"), 6).as("epoch"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  val mixTemperatureOracle: String =
+    """WITH counts AS (
+      |  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+      |tot AS (
+      |  SELECT sum(sqrt(n) ORDER BY lang) AS ssum, sum(n ORDER BY lang) AS ntot
+      |  FROM counts),
+      |rates AS (SELECT lang, ntot / (sqrt(n) * ssum) AS w FROM counts, tot),
+      |weighted AS (
+      |  SELECT doc_id, lang, w,
+      |    CAST(CAST('0x' || substring(md5('mixt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS DOUBLE) / 10000.0 AS u
+      |  FROM documents JOIN rates USING (lang)),
+      |counted AS (
+      |  SELECT doc_id, lang, w,
+      |    CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS INT) AS nc
+      |  FROM weighted)
+      |SELECT doc_id, lang, round(w, 6) AS epoch,
+      |  CAST(unnest(range(1, nc + 1)) AS INT) AS copy_idx
+      |FROM counted WHERE nc > 0
+      |ORDER BY doc_id, copy_idx""".stripMargin
+
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame =
+    mixTemperature(Tables.documents(s, dir))
+
   // --- deterministic train/val/test split ---------------------------------
 
   /** 98/1/1 split boundaries in hash-lottery basis points. */

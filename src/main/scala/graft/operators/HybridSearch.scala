@@ -226,6 +226,20 @@ object HybridSearch {
                                    alpha: Double = Alpha,
                                    k: Int = BatchK,
                                    kwIndex: Option[DataFrame] = None): DataFrame = {
+    val (vparts, kparts) = batchParts(docs, embs, selectVecQueries,
+      selectDocQueries, nTerms, kwIndex)
+    fuseTail(vparts, kparts, alpha, k)
+  }
+
+  /** The brute-force batch fusion's two signal frames — shared by the
+    * single-alpha entry ([[fusedBatchSel]]) and the alpha sweep
+    * ([[fusedBatchSweepSel]]).
+    */
+  private def batchParts(docs: DataFrame, embs: DataFrame,
+                         selectVecQueries: DataFrame => DataFrame,
+                         selectDocQueries: DataFrame => DataFrame,
+                         nTerms: Int,
+                         kwIndex: Option[DataFrame]): (DataFrame, DataFrame) = {
     val queries = selectVecQueries(embs)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val vparts = Tables.parallel(embs)
@@ -241,7 +255,28 @@ object HybridSearch {
     // score with it)
     val kparts = KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms, kwIndex)
       .join(embs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "semi")
-    fuseTail(vparts, kparts, alpha, k)
+    (vparts, kparts)
+  }
+
+  /** [[fusedBatchSel]] swept over MULTIPLE alphas in ONE plan — the
+    * hyperparameter-tuning form behind `eval_alpha_sweep`: the dense
+    * fan-out, sparse keyword stats and per-query normalization (the
+    * expensive part) compute once behind the same shared exchange; the
+    * alpha dimension explodes MAP-SIDE on the fused frame, so only the
+    * final fuse expression and the bounded per-(alpha, query) heap
+    * multiply by |alphas| — no additional corpus work, no new
+    * corpus-sized shuffle.
+    */
+  private[graft] def fusedBatchSweepSel(docs: DataFrame, embs: DataFrame,
+                                        selectVecQueries: DataFrame => DataFrame,
+                                        selectDocQueries: DataFrame => DataFrame,
+                                        alphas: Seq[Double],
+                                        nTerms: Int = KeywordSearch.BatchTerms,
+                                        k: Int = BatchK,
+                                        kwIndex: Option[DataFrame] = None): DataFrame = {
+    val (vparts, kparts) = batchParts(docs, embs, selectVecQueries,
+      selectDocQueries, nTerms, kwIndex)
+    fuseTailSweep(vparts, kparts, alphas, k)
   }
 
   /** Index-accelerated batch hybrid fusion — the serving-path form: the
@@ -367,6 +402,60 @@ object HybridSearch {
                        alpha: Double, k: Int,
                        restrictKwToCandidates: Boolean = false,
                        materializeCandidates: Boolean = false): DataFrame = {
+    val (joined, qstats) =
+      fusePrep(vparts0, kparts0, restrictKwToCandidates, materializeCandidates)
+    val fscore = round(
+      lit(alpha) * (col("vscore") - col("vmin")) /
+        when(col("vmax") === col("vmin"), 1.0).otherwise(col("vmax") - col("vmin")) +
+        lit(1 - alpha) * (col("kscore") - col("kmin")) /
+          when(col("kmax") === col("kmin"), 1.0).otherwise(col("kmax") - col("kmin")),
+      4)
+    joined.join(broadcast(qstats), Seq("q_id"))
+      .select(col("q_id"), col("doc_id"), fscore.as("fs"))
+      .groupBy("q_id")
+      .agg(graft.functions.VectorFunctions.topKByScore(col("fs"), col("doc_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("doc_id"),
+        col("t.score").as("score"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** [[fuseTail]]'s alpha-SWEEP twin: identical prep (ONE dense fan-out
+    * + stats), the alpha dimension exploded map-side on the fused
+    * frame, ranking per (alpha, q_id) through the same bounded heap.
+    * Output carries the alpha column.
+    */
+  private def fuseTailSweep(vparts0: DataFrame, kparts0: DataFrame,
+                            alphas: Seq[Double], k: Int): DataFrame = {
+    val (joined, qstats) = fusePrep(vparts0, kparts0,
+      restrictKwToCandidates = false, materializeCandidates = false)
+    // column-alpha arithmetic: a * x + (1.0 - a) * y over exact-double
+    // alphas — same math as fuseTail's literal form at each swept value
+    val fscore = round(
+      col("alpha") * (col("vscore") - col("vmin")) /
+        when(col("vmax") === col("vmin"), 1.0).otherwise(col("vmax") - col("vmin")) +
+        (lit(1.0) - col("alpha")) * (col("kscore") - col("kmin")) /
+          when(col("kmax") === col("kmin"), 1.0).otherwise(col("kmax") - col("kmin")),
+      4)
+    joined.join(broadcast(qstats), Seq("q_id"))
+      .withColumn("alpha", explode(typedLit(alphas)))
+      .select(col("alpha"), col("q_id"), col("doc_id"), fscore.as("fs"))
+      .groupBy("alpha", "q_id")
+      .agg(graft.functions.VectorFunctions.topKByScore(col("fs"), col("doc_id"), k).as("top"))
+      .select(col("alpha"), col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("alpha"), col("q_id"), (col("i") + 1).as("rn"),
+        col("t.id").as("doc_id"), col("t.score").as("score"))
+      .orderBy("alpha", "q_id", "rn")
+  }
+
+  /** The shared normalize-and-join prefix of both fusion tails:
+    * candidate frame behind its one exchange, sparse keyword
+    * restriction, per-query stats with the implicit-zero clamp, and the
+    * LEFT-joined (q_id, doc_id, vscore, kscore) frame.
+    */
+  private def fusePrep(vparts0: DataFrame, kparts0: DataFrame,
+                       restrictKwToCandidates: Boolean,
+                       materializeCandidates: Boolean): (DataFrame, DataFrame) = {
     // (q_id, doc_id) — NOT q_id alone: the fan-out holds ~|corpus| rows
     // per query, so single-key partitioning would put a whole corpus
     // copy on one task. The explicit not-null filters keep every
@@ -411,26 +500,15 @@ object HybridSearch {
           .otherwise(col("krmax")).as("kmax"))
     val joined = vparts.join(kparts, Seq("q_id", "doc_id"), "left")
       .withColumn("kscore", coalesce(col("raw_score"), lit(0.0)))
-    val fscore = round(
-      lit(alpha) * (col("vscore") - col("vmin")) /
-        when(col("vmax") === col("vmin"), 1.0).otherwise(col("vmax") - col("vmin")) +
-        lit(1 - alpha) * (col("kscore") - col("kmin")) /
-          when(col("kmax") === col("kmin"), 1.0).otherwise(col("kmax") - col("kmin")),
-      4)
-    joined.join(broadcast(qstats), Seq("q_id"))
-      .select(col("q_id"), col("doc_id"), fscore.as("fs"))
-      .groupBy("q_id")
-      .agg(graft.functions.VectorFunctions.topKByScore(col("fs"), col("doc_id"), k).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
-      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("doc_id"),
-        col("t.score").as("score"))
-      .orderBy("q_id", "rn")
+    (joined, qstats)
   }
 
-  def fusedBatchSql(stride: Int = KeywordSearch.BatchStride,
-                    nTerms: Int = KeywordSearch.BatchTerms,
-                    alpha: Double = Alpha, k: Int = BatchK): String =
-    s"""WITH ${KeywordSearch.batchKwRawSqlCtes(stride, nTerms)},
+  /** The shared CTE chain of [[fusedBatchSql]] and
+    * [[fusedBatchSweepSql]] — one copy of the normalize-and-join prefix
+    * (the SQL twin of [[fusePrep]] over [[batchParts]]).
+    */
+  private def fusedBatchSqlCtes(stride: Int, nTerms: Int): String =
+    s"""${KeywordSearch.batchKwRawSqlCtes(stride, nTerms)},
        |queries AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb
        |  FROM embeddings WHERE vec_id % $stride = 0),
@@ -446,7 +524,12 @@ object HybridSearch {
        |qstats AS (
        |  SELECT q_id, min(vscore) AS vmin, max(vscore) AS vmax,
        |    min(kscore) AS kmin, max(kscore) AS kmax
-       |  FROM joined GROUP BY 1),
+       |  FROM joined GROUP BY 1)""".stripMargin
+
+  def fusedBatchSql(stride: Int = KeywordSearch.BatchStride,
+                    nTerms: Int = KeywordSearch.BatchTerms,
+                    alpha: Double = Alpha, k: Int = BatchK): String =
+    s"""WITH ${fusedBatchSqlCtes(stride, nTerms)},
        |fusedt AS (
        |  SELECT q_id, doc_id,
        |    round($alpha * (vscore - vmin) /
@@ -462,6 +545,32 @@ object HybridSearch {
        |SELECT q_id, rn, doc_id, score
        |FROM ranked
        |ORDER BY q_id, rn""".stripMargin
+
+  /** SQL replay of [[fusedBatchSweepSel]]: same prefix CTEs, the alpha
+    * list cross-joined into the fuse expression, ranking per
+    * (alpha, q_id).
+    */
+  def fusedBatchSweepSql(alphas: Seq[Double],
+                         stride: Int = KeywordSearch.BatchStride,
+                         nTerms: Int = KeywordSearch.BatchTerms,
+                         k: Int = BatchK): String =
+    s"""WITH ${fusedBatchSqlCtes(stride, nTerms)},
+       |alphas AS (SELECT unnest([${alphas.mkString(", ")}]) AS alpha),
+       |fusedt AS (
+       |  SELECT alpha, q_id, doc_id,
+       |    round(alpha * (vscore - vmin) /
+       |            (CASE WHEN vmax = vmin THEN 1.0 ELSE vmax - vmin END)
+       |        + (1.0 - alpha) * (kscore - kmin) /
+       |            (CASE WHEN kmax = kmin THEN 1.0 ELSE kmax - kmin END), 4) AS score
+       |  FROM joined JOIN qstats USING (q_id), alphas),
+       |ranked AS (
+       |  SELECT alpha, q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY alpha, q_id ORDER BY score DESC, doc_id) AS rn
+       |  FROM fusedt
+       |  QUALIFY rn <= $k)
+       |SELECT alpha, q_id, rn, doc_id, score
+       |FROM ranked
+       |ORDER BY alpha, q_id, rn""".stripMargin
 
   /** Driver query: the SERVING form — keyword signal from the standing
     * postings artifact (identical results to the inline [[fusedBatch]];

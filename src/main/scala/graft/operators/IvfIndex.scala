@@ -99,6 +99,72 @@ object IvfIndex {
        |ORDER BY score DESC, vec_id
        |LIMIT $k""".stripMargin
 
+  /** Metadata-FILTERED IVF search — [[VectorSearch.topKFiltered]]'s
+    * index-accelerated form (reference `vector_search` `filters=`,
+    * `src/database/weaviate_interface_v4.py:250`, combined with the ANN
+    * index the way a vector DB evaluates filters DURING the index walk
+    * rather than post-hoc over a brute-force scan): centroid ranking
+    * stays UNFILTERED (cell geometry is a property of the corpus, not
+    * of any one query's filter), the fine scan joins the filter's
+    * surviving doc metadata BEFORE the cosine — on the cell-partitioned
+    * layout ([[writeIndex]]) the probed cells prune at the file level
+    * and only filter survivors pay the arithmetic. Standard recall
+    * caveat: a highly selective filter can empty probed cells (the fix
+    * is raising nprobe; cutting k post-hoc would UNDER-FILL, not
+    * mis-rank). The spec pins full-probe ≡ the brute-force filtered
+    * search, the established IVF equivalence pattern.
+    */
+  def searchFiltered(embs: DataFrame, docs: DataFrame, queryVecId: Long,
+                     lang: String = "en", nprobe: Int = NProbe,
+                     k: Int = TopK): DataFrame = {
+    val q = embs.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
+    val probed = centroidArrays(embs)
+      .join(broadcast(q))
+      .select(col("cell"), round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
+      .orderBy(desc("cscore"), asc("cell"))
+      .limit(nprobe)
+      .select("cell")
+    embs
+      .join(docs.filter(col("lang") === lang).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probed), col("label") === col("cell"))
+      .join(broadcast(q))
+      .select(col("vec_id"), col("lang"),
+        round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  def searchFilteredSql(queryVecId: Long, lang: String = "en",
+                        nprobe: Int = NProbe, k: Int = TopK): String =
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),
+       |exploded AS (
+       |  SELECT label AS cell, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS e
+       |  FROM embeddings),
+       |cent_long AS (
+       |  SELECT cell, dim, avg(e) AS c FROM exploded GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cell, list(c ORDER BY dim) AS centroid FROM cent_long GROUP BY cell),
+       |probed AS (
+       |  SELECT cell FROM cent, q
+       |  ORDER BY round(${VectorSearch.cosineSql("centroid", "q_emb")}, 6) DESC, cell
+       |  LIMIT $nprobe)
+       |SELECT vec_id, lang,
+       |  round(${VectorSearch.cosineSql("embedding", "q_emb")}, 4) AS score
+       |FROM embeddings JOIN probed ON label = cell
+       |  JOIN documents ON vec_id = doc_id, q
+       |WHERE lang = '$lang' AND vec_id <> $queryVecId
+       |ORDER BY score DESC, vec_id
+       |LIMIT $k""".stripMargin
+
+  def qSearchFiltered(s: SparkSession, dir: String): DataFrame =
+    searchFiltered(Tables.embeddings(s, dir), Tables.documents(s, dir),
+      VectorSearch.QueryVecId)
+
+  val qSearchFilteredOracle: String = searchFilteredSql(VectorSearch.QueryVecId)
+
   /** Learned coarse quantizer: k-means cell assignment (the drop-in
     * replacement for the pre-assigned `label` cells — same search plan,
     * cells now data-driven). Seeded for reproducibility; training is one

@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions.cosineSim
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LATE-INTERACTION (multi-vector) reranking in the cross-encoder slot —
+  * the ColBERT MaxSim operator (Khattab & Zaharia 2020, arXiv:2004.12832)
+  * over the corpus-trained Word2Vec TOKEN embeddings: instead of pooling
+  * a document to one vector ([[Word2VecEmbedder]] / [[AttentionEncoder]])
+  * or scoring the pair jointly ([[LearnedReranker]]), every query token
+  * keeps its own vector and scores `sum over query terms of max over doc
+  * tokens of cos(E[q], E[d])`. This is the third published point on the
+  * quality/cost curve the reference's reranker slot sits on
+  * (`src/reranker.py:27`): bi-encoder < late-interaction < cross-encoder.
+  *
+  * Spark-first shape — the per-query SIMILARITY DICTIONARY: token
+  * vectors are fixed per term, so `cos(E[q], E[d])` depends only on the
+  * (query term, vocab term) pair. The plan precomputes that |vocab| ×
+  * |query terms| dictionary ONCE (vocab is a bounded model artifact —
+  * KBs, broadcast), then candidate docs explode to their DISTINCT
+  * tokens (max over a multiset == max over its support) and join the
+  * broadcast dictionary — per-candidate cost |distinct tokens| ×
+  * |query terms| dictionary-joined rows, NO vector arithmetic in the
+  * per-document path at all. At 100 TB the corpus never ships a vector:
+  * only the k retrieved candidates per query are scored, and the only
+  * per-row work is a broadcast hash probe.
+  *
+  * Determinism contract for the oracle: the MaxSim sum accumulates in
+  * SORTED query-term order (collect → array_sort → in-order fold in the
+  * JVM; `sum(m ORDER BY qterm)` in DuckDB), max is order-independent,
+  * and rounding happens once at the output edge — so DuckDB replays the
+  * whole scoring bitwise with the trained weights as literal values (the
+  * [[Word2VecEmbedder]] pattern).
+  */
+object MaxSimReranker {
+  val CandidateK = 20
+  val TopK = 10
+
+  /** In-vocabulary query terms, sorted (the pinned accumulation order). */
+  private def queryTerms(w: Map[String, Array[Float]]): Seq[String] =
+    KeywordSearch.QueryTerms.distinct.filter(w.contains).sorted
+
+  /** The (vocab term, query term, cos) similarity dictionary as a
+    * DataFrame — |vocab| × |qterms| rows, built from the trained weight
+    * artifact (driver-side map, the same bounded object every
+    * literal-weights oracle embeds; a cluster deployment broadcasts it).
+    * Float→Double widening is exact, so the cosine matches the oracle's
+    * double replay bitwise.
+    */
+  private def simDict(s: SparkSession, w: Map[String, Array[Float]],
+                      qterms: Seq[String]): DataFrame = {
+    import s.implicits._
+    val vocab = w.toSeq.sortBy(_._1)
+      .map { case (t, v) => (t, v.map(_.toDouble)) }
+      .toDF("term", "v")
+    val qv = qterms.map(t => (t, w(t).map(_.toDouble))).toDF("qterm", "qvec")
+    vocab.crossJoin(broadcast(qv))
+      .select(col("term"), col("qterm"), cosineSim(col("v"), col("qvec")).as("sim"))
+  }
+
+  /** Rescore candidate docs `(doc_id, bm25_score)` by MaxSim against the
+    * fixed benchmark query ([[KeywordSearch.QueryTerms]]).
+    */
+  def rescore(s: SparkSession, docs: DataFrame, cand: DataFrame,
+              w: Map[String, Array[Float]], k: Int = TopK): DataFrame = {
+    val qterms = queryTerms(w)
+    val dict = simDict(s, w, qterms)
+    val dtoks = cand
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("bm25_score"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+    dtoks.join(broadcast(dict), Seq("term"))
+      .groupBy("doc_id", "bm25_score", "qterm")
+      .agg(max(col("sim")).as("m"))
+      .groupBy("doc_id", "bm25_score")
+      .agg(collect_list(struct(col("qterm"), col("m"))).as("ms"))
+      .select(col("doc_id"), col("bm25_score"),
+        round(aggregate(transform(array_sort(col("ms")), x => x.getField("m")),
+          lit(0.0), (acc, x) => acc + x), 6).as("maxsim_score"))
+      .orderBy(desc("maxsim_score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Driver query: BM25 top-[[CandidateK]] candidates rescored by
+    * late-interaction MaxSim, top-[[TopK]] by the multi-vector score —
+    * the same candidates-then-rerank harness as [[LearnedReranker]] and
+    * [[AttentionEncoder.qRerank]].
+    */
+  def qSearch(s: SparkSession, dir: String): DataFrame = {
+    val w = Word2VecEmbedder.weightsFor(s, dir)
+    val docs = Tables.documents(s, dir)
+    val cand = KeywordSearch.bm25(docs, KeywordSearch.QueryTerms, CandidateK)
+      .select(col("doc_id"), col("score").as("bm25_score"))
+    rescore(s, docs, cand, w)
+  }
+
+  // --- batch (multi-query) late interaction ---------------------------------
+
+  /** BATCH MaxSim rerank — the serving/eval shape: every benchmark batch
+    * query's BM25 top-[[KeywordSearch.BatchK]] candidates reranked by
+    * late interaction in ONE plan. The per-query similarity
+    * dictionaries are |Q|·|qterms|·|vocab| rows built declaratively
+    * from the weight table and BROADCAST into the candidate-token join
+    * (all three factors bounded: the query batch, nTerms per query, the
+    * model's vocabulary) — candidates come straight off the standing
+    * postings artifact, so nothing re-tokenizes and the per-query cost
+    * is k·|candidate tokens|·nTerms broadcast hash probes. First stage
+    * IS the oracle-gated batch BM25 over the same postings.
+    */
+  def qBatchRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Word2VecEmbedder.weightsFor(s, dir)
+    val docs = Tables.documents(s, dir)
+    val postings = KeywordSearch.cachedBatchPostings(s, dir)
+    val sel: DataFrame => DataFrame =
+      _.filter(col("doc_id") % KeywordSearch.BatchStride === 0)
+    val cand = KeywordSearch.bm25BatchSel(docs, sel, index = Some(postings))
+      .select(col("q_id"), col("doc_id"))
+    // the same rarest-token query assembly the first stage scored with
+    val qtoks = KeywordSearch.batchQueryTokens(postings, docs, sel)
+    val qdict = KeywordSearch.batchQueryDict(postings, qtoks)
+    val qterms = KeywordSearch.batchQueryTermsFrom(qtoks, qdict,
+      KeywordSearch.BatchTerms)
+    val vocab = w.toSeq.sortBy(_._1)
+      .map { case (t, v) => (t, v.map(_.toDouble)) }
+      .toDF("term", "v")
+    val qvecs = qterms
+      .join(vocab.select(col("term").as("qt"), col("v").as("qvec")),
+        col("term") === col("qt"))
+      .select(col("q_id"), col("term").as("qterm"), col("qvec"))
+    val dict = vocab.crossJoin(broadcast(qvecs))
+      .select(col("q_id"), col("qterm"), col("term"),
+        cosineSim(col("v"), col("qvec")).as("sim"))
+    val dtoks = cand.join(postings.select(col("doc_id"), col("term")), Seq("doc_id"))
+    dtoks.join(broadcast(dict), Seq("q_id", "term"))
+      .groupBy("q_id", "doc_id", "qterm").agg(max(col("sim")).as("m"))
+      .groupBy("q_id", "doc_id")
+      .agg(collect_list(struct(col("qterm"), col("m"))).as("ms"))
+      .select(col("q_id"), col("doc_id"),
+        round(aggregate(transform(array_sort(col("ms")), x => x.getField("m")),
+          lit(0.0), (acc, x) => acc + x), 6).as("ms_score"))
+      .groupBy("q_id")
+      .agg(graft.functions.VectorFunctions.topKByScore(col("ms_score"), col("doc_id"),
+        KeywordSearch.BatchK).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("doc_id"),
+        col("t.score").as("score"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Oracle for the batch form: the shared batch-BM25 CTE chain
+    * re-derives candidates AND the per-query term sets from the raw
+    * corpus; the trained weights land as literals; max → qterm-ordered
+    * sum → 6dp rounding → per-query window replay the heap exactly.
+    */
+  def batchRerankOracle: String = {
+    Word2VecEmbedder.cachedWeights.fold(emptyOracle) { w =>
+      val weightValues = w.toSeq.sortBy(_._1).map { case (term, v) =>
+        s"('$term', [${v.map(_.toDouble).mkString(", ")}])"
+      }.mkString(",\n    ")
+      s"""WITH ${KeywordSearch.batchKwRawSqlCtes(KeywordSearch.BatchStride,
+        KeywordSearch.BatchTerms)},
+         |cand AS (
+         |  SELECT q_id, doc_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS crn
+         |  FROM scored
+         |  QUALIFY crn <= ${KeywordSearch.BatchK}),
+         |wv AS (SELECT * FROM (VALUES
+         |    $weightValues) AS t(term, v)),
+         |qvecs AS (
+         |  SELECT q_id, qterms.term AS qterm, v AS qvec
+         |  FROM qterms JOIN wv ON qterms.term = wv.term),
+         |dtoks AS (
+         |  SELECT c.q_id, c.doc_id, p.term
+         |  FROM cand c JOIN postings p ON c.doc_id = p.doc_id),
+         |sims AS (
+         |  SELECT d.q_id, d.doc_id, qv.qterm,
+         |    ${VectorSearch.cosineSql("wv.v", "qv.qvec", Word2VecEmbedder.Dim)} AS sim
+         |  FROM dtoks d
+         |  JOIN wv ON d.term = wv.term
+         |  JOIN qvecs qv ON qv.q_id = d.q_id),
+         |maxes AS (
+         |  SELECT q_id, doc_id, qterm, max(sim) AS m
+         |  FROM sims GROUP BY 1, 2, 3),
+         |msc AS (
+         |  SELECT q_id, doc_id, round(sum(m ORDER BY qterm), 6) AS score
+         |  FROM maxes GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+         |  FROM msc
+         |  QUALIFY rn <= ${KeywordSearch.BatchK})
+         |SELECT q_id, rn, doc_id, score
+         |FROM ranked
+         |ORDER BY q_id, rn""".stripMargin
+    }
+  }
+
+  private val emptyOracle =
+    "SELECT w2v_model_not_trained_or_ambiguous FROM documents"
+
+  /** Literal-weights oracle ([[Word2VecEmbedder]] pattern): the trained
+    * vectors land as a VALUES table, candidates re-derive through the
+    * shared BM25 SQL, and the MaxSim replay uses the same max →
+    * qterm-ordered sum → 6dp edge rounding.
+    */
+  def searchOracle: String = {
+    Word2VecEmbedder.cachedWeights.fold(emptyOracle) { w =>
+      val qterms = queryTerms(w)
+      val termList = qterms.map(t => s"('$t')").mkString(", ")
+      val weightValues = w.toSeq.sortBy(_._1).map { case (term, v) =>
+        s"('$term', [${v.map(_.toDouble).mkString(", ")}])"
+      }.mkString(",\n    ")
+      s"""WITH wv AS (SELECT * FROM (VALUES
+         |    $weightValues) AS t(term, v)),
+         |qv AS (
+         |  SELECT term AS qterm, v AS qvec
+         |  FROM wv JOIN (VALUES $termList) AS qt(qterm) ON term = qterm),
+         |cand AS (${KeywordSearch.bm25Sql(KeywordSearch.QueryTerms, CandidateK)}),
+         |dtoks AS (
+         |  SELECT DISTINCT cand.doc_id, cand.score AS bm25_score,
+         |    unnest(${TextAnalysis.sqlToks}) AS term
+         |  FROM cand JOIN documents ON cand.doc_id = documents.doc_id),
+         |sims AS (
+         |  SELECT d.doc_id, d.bm25_score, q.qterm,
+         |    ${VectorSearch.cosineSql("wv.v", "q.qvec", Word2VecEmbedder.Dim)} AS sim
+         |  FROM dtoks d JOIN wv ON d.term = wv.term, qv q),
+         |maxes AS (
+         |  SELECT doc_id, bm25_score, qterm, max(sim) AS m
+         |  FROM sims GROUP BY 1, 2, 3)
+         |SELECT doc_id, bm25_score,
+         |  round(sum(m ORDER BY qterm), 6) AS maxsim_score
+         |FROM maxes
+         |GROUP BY doc_id, bm25_score
+         |ORDER BY maxsim_score DESC, doc_id
+         |LIMIT $TopK""".stripMargin
+    }
+  }
+}

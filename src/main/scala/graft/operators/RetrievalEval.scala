@@ -208,6 +208,27 @@ object RetrievalEval {
         round(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))), 4).as("mrr"))
   }
 
+  /** [[metricsOverRanked]] GROUPED by a sweep dimension (e.g. alpha):
+    * one metric row per group value — the same hit/first_rel arithmetic
+    * keyed (group, q_id) then rolled up per group.
+    */
+  private def metricsOverRankedBy(ranked: DataFrame, embs: DataFrame,
+                                  by: String): DataFrame = {
+    val labels = embs.select(col("vec_id").as("doc_id"), col("label"))
+    val qlabels = embs.select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    ranked
+      .join(labels, "doc_id")
+      .join(qlabels, "q_id")
+      .groupBy(by, "q_id")
+      .agg(max(when(col("label") === col("q_label"), 1).otherwise(0)).as("hit"),
+        min(when(col("label") === col("q_label"), col("rn"))).as("first_rel"))
+      .groupBy(by)
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("hit").cast("double")), 4).as("hit_rate"),
+        round(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))), 4).as("mrr"))
+      .orderBy(by)
+  }
+
   /** SQL rendering of [[metricsOverRanked]] over a ranked subquery. */
   private def metricsSqlOver(rankedSql: String): String =
     s"""WITH ranked AS ($rankedSql),
@@ -223,6 +244,26 @@ object RetrievalEval {
        |  round(avg(CAST(hit AS DOUBLE)), 4) AS hit_rate,
        |  round(avg(coalesce(CAST(1.0 AS DOUBLE) / first_rel, CAST(0.0 AS DOUBLE))), 4) AS mrr
        |FROM per_query""".stripMargin
+
+  /** [[metricsSqlOver]] grouped by a sweep column carried through the
+    * ranked subquery.
+    */
+  private def metricsSqlOverBy(rankedSql: String, by: String): String =
+    s"""WITH ranked AS ($rankedSql),
+       |per_query AS (
+       |  SELECT $by, q_id,
+       |    max(CASE WHEN e.label = q.label THEN 1 ELSE 0 END) AS hit,
+       |    min(CASE WHEN e.label = q.label THEN rn END) AS first_rel
+       |  FROM ranked
+       |  JOIN embeddings e ON ranked.doc_id = e.vec_id
+       |  JOIN embeddings q ON ranked.q_id = q.vec_id
+       |  GROUP BY $by, q_id)
+       |SELECT $by, count(*) AS n_queries,
+       |  round(avg(CAST(hit AS DOUBLE)), 4) AS hit_rate,
+       |  round(avg(coalesce(CAST(1.0 AS DOUBLE) / first_rel, CAST(0.0 AS DOUBLE))), 4) AS mrr
+       |FROM per_query
+       |GROUP BY $by
+       |ORDER BY $by""".stripMargin
 
   def labelPrecisionHybridSql(stride: Int = KeywordSearch.BatchStride,
                               nTerms: Int = KeywordSearch.BatchTerms,
@@ -287,4 +328,38 @@ object RetrievalEval {
 
   val prunedOracle: String = metricsSqlOver(
     s"SELECT q_id, rn, doc_id FROM (\n${HybridSearch.fusedBatchChampionSql()}\n) h")
+
+  /** The swept alpha grid — endpoints (pure BM25, pure vector) plus the
+    * quartile interior, the grid the reference's docstring describes
+    * (weaviate_interface_v4.py:330-335) and a tuning notebook walks.
+    */
+  val SweepAlphas: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+
+  /** ALPHA-SWEEP evaluation — hyperparameter tuning as ONE plan: the
+    * hybrid retriever's hit-rate@k + MRR@k at every alpha in
+    * [[SweepAlphas]], over the same golden labels as the per-search-type
+    * legs. The reference tunes alpha by re-running execute_evaluation
+    * per setting (retrieval_evaluation.py:361-392 loops search types;
+    * notebook 5 walks alpha); here the dense fan-out + normalization
+    * stats compute ONCE ([[HybridSearch.fusedBatchSweepSel]]) and only
+    * the map-side fuse + bounded heap + k×|queries| metric tail multiply
+    * by |alphas| — at 100 TB the sweep costs one corpus pass, not five.
+    * Keyword signal from the standing batch postings, the
+    * [[queryHybrid]] convention.
+    */
+  def queryAlphaSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val embs = Tables.embeddings(s, dir)
+    metricsOverRankedBy(
+      HybridSearch.fusedBatchSweepSel(docs, embs,
+        _.filter(col("vec_id") % KeywordSearch.BatchStride === 0),
+        _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
+        SweepAlphas, k = KeywordSearch.BatchK,
+        kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir))),
+      embs, "alpha")
+  }
+
+  val alphaSweepOracle: String = metricsSqlOverBy(
+    s"SELECT alpha, q_id, rn, doc_id FROM (\n${HybridSearch.fusedBatchSweepSql(SweepAlphas, k = KeywordSearch.BatchK)}\n) h",
+    "alpha")
 }

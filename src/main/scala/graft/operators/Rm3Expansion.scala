@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pseudo-relevance-feedback QUERY EXPANSION — the RM3 relevance-model
+  * recipe (Lavrenko & Croft 2001 relevance models; the Anserini/Lucene
+  * RM3 default) re-derived as one declarative plan, extending the
+  * reference's keyword search surface (`keyword_search`,
+  * `src/database/weaviate_interface_v4.py:201`) the way production IR
+  * stacks do when recall matters: retrieve a feedback set, mine the
+  * terms that characterize it, re-run the search with an interpolated
+  * weighted query.
+  *
+  * Deterministic model (each step exactly replayable in DuckDB):
+  *  - round 1: standard BM25 top-F feedback docs (the oracle-gated
+  *    `kw_search_bm25` plan at F).
+  *  - relevance-model weight per candidate term (originals excluded):
+  *    w(t) = Σ_{d∈F} (tf(t,d)/dl(d)) · bm25(d) — the query-likelihood
+  *    factor P(q|d) served by the round-1 BM25 score. Rounded 6dp at
+  *    the CUT edge so top-E tie-breaks resolve identically in both
+  *    engines (the champion-index lesson); fb-doc-ordered summation.
+  *  - interpolation: original terms carry λ/|q| each; the top-E
+  *    expansion terms share (1-λ) proportionally to w(t).
+  *  - round 2: weighted BM25 — score(d) = Σ_t weight(t)·bm25_t(d),
+  *    summed in term order, rounded 4dp at the output edge.
+  *
+  * Scale design: round 1 is the standard heap-top-F BM25; the expansion
+  * statistics touch ONLY the F feedback docs (tiny); the weighted query
+  * is a ≤(|q|+E)-row broadcast; round 2 is one postings-style pass —
+  * explode, broadcast hash probe against the weighted terms, keyed
+  * partial-agg tf, per-term df over matched rows only (never the
+  * vocabulary), bounded ordered fold per doc, heap top-k. No corpus
+  * window, no second tokenization of anything but the corpus scan
+  * itself. At 100 TB this is two BM25-shaped passes, which is what RM3
+  * costs everywhere.
+  */
+object Rm3Expansion {
+  val FeedbackK = 10
+  val ExpandE = 4
+  val Lambda = 0.6
+  val TopK = 10
+
+  import KeywordSearch.{B, K1}
+
+  /** Sum of `field` over a struct array in SORTED struct order — the
+    * pinned-order floating accumulation both engines share
+    * (`sum(x ORDER BY key)` in DuckDB).
+    */
+  private def orderedSum(xs: Column, field: String): Column =
+    aggregate(transform(array_sort(xs), x => x.getField(field)),
+      lit(0.0), (a, x) => a + x)
+
+  /** The interpolated weighted query `(term, weight)` — ≤(|q|+E) rows:
+    * originals at λ/|q|, top-E expansions sharing (1-λ) ∝ w(t).
+    * Exposed for the spec.
+    */
+  def expansionWeights(docs: DataFrame,
+                       terms: Seq[String] = KeywordSearch.QueryTerms,
+                       fbK: Int = FeedbackK, e: Int = ExpandE,
+                       lambda: Double = Lambda): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val qset = terms.distinct.sorted
+    val fb = KeywordSearch.bm25(docs, terms, fbK).select(col("doc_id"), col("score"))
+    // feedback docs' token stream — F rows joined back to their text
+    val fbtok = fb.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("score"),
+        size(tokens(col("text"))).cast("double").as("dl"),
+        explode(tokens(col("text"))).as("term"))
+    val fbtf = fbtok.filter(!col("term").isin(qset: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(first(col("score")).as("score"), first(col("dl")).as("dl"),
+        count(lit(1)).cast("double").as("tf"))
+      .select(col("term"), col("doc_id"),
+        (col("tf") * col("score") / col("dl")).as("c"))
+    val w = fbtf.groupBy("term")
+      .agg(collect_list(struct(col("doc_id"), col("c"))).as("cs"))
+      .select(col("term"), round(orderedSum(col("cs"), "c"), 6).as("w"))
+    val expanded = w.orderBy(desc("w"), asc("term")).limit(e)
+    val tot = expanded.agg(collect_list(struct(col("term"), col("w"))).as("ws"))
+      .select(orderedSum(col("ws"), "w").as("tot"))
+    val expW = expanded.join(broadcast(tot))
+      .select(col("term"), (lit(1 - lambda) * col("w") / col("tot")).as("weight"))
+    val origW = qset.map(t => (t, lambda / qset.size)).toDF("term", "weight")
+    origW.unionByName(expW)
+  }
+
+  /** RM3-expanded search: feedback → expansion → weighted second round. */
+  def expandedSearch(docs: DataFrame,
+                     terms: Seq[String] = KeywordSearch.QueryTerms,
+                     fbK: Int = FeedbackK, e: Int = ExpandE,
+                     lambda: Double = Lambda, k: Int = TopK): DataFrame = {
+    val wterms = expansionWeights(docs, terms, fbK, e, lambda)
+    val tokedE = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dl = tokedE.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    val cstats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val matches = tokedE.join(broadcast(wterms), col("tok") === col("term"))
+      .groupBy(col("doc_id"), col("term"), col("weight"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = matches.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = matches
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfs), Seq("term"))
+      .join(broadcast(cstats))
+      .select(col("doc_id"), col("term"),
+        (col("weight")
+          * log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+          * (col("tf") * (K1 + 1))
+          / (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+          .as("c"))
+    contrib.groupBy("doc_id")
+      .agg(collect_list(struct(col("term"), col("c"))).as("cs"))
+      .select(col("doc_id"), round(orderedSum(col("cs"), "c"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  def qSearch(s: SparkSession, dir: String): DataFrame =
+    expandedSearch(Tables.documents(s, dir))
+
+  /** Fully corpus-derived oracle: DuckDB re-runs round 1, re-MINES the
+    * expansion terms and weights, and replays the weighted second round
+    * — nothing but the query literals comes from the engine.
+    */
+  def expandedSearchSql(terms: Seq[String] = KeywordSearch.QueryTerms,
+                        fbK: Int = FeedbackK, e: Int = ExpandE,
+                        lambda: Double = Lambda, k: Int = TopK): String = {
+    val qset = terms.distinct.sorted
+    val qList = qset.map(t => s"'$t'").mkString(", ")
+    val origVals = qset.map(t => s"('$t', ${lambda / qset.size})").mkString(", ")
+    s"""WITH fb AS (${KeywordSearch.bm25Sql(terms, fbK)}),
+       |fbtok AS (
+       |  SELECT f.doc_id, f.score,
+       |    CAST(len(${TextAnalysis.sqlToks}) AS DOUBLE) AS dl,
+       |    unnest(${TextAnalysis.sqlToks}) AS term
+       |  FROM fb f JOIN documents ON f.doc_id = documents.doc_id),
+       |fbtf AS (
+       |  SELECT term, doc_id,
+       |    CAST(count(*) AS DOUBLE) * any_value(score) / any_value(dl) AS c
+       |  FROM fbtok WHERE term NOT IN ($qList)
+       |  GROUP BY term, doc_id),
+       |w AS (
+       |  SELECT term, round(sum(c ORDER BY doc_id), 6) AS w
+       |  FROM fbtf GROUP BY term),
+       |expd AS (SELECT term, w FROM w ORDER BY w DESC, term LIMIT $e),
+       |tot AS (SELECT sum(w ORDER BY term) AS tot FROM expd),
+       |wterms AS (
+       |  SELECT term, weight FROM (VALUES $origVals) AS t(term, weight)
+       |  UNION ALL
+       |  SELECT term, ${1 - lambda} * w / tot FROM expd, tot),
+       |toked2 AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlToks} AS toks FROM documents),
+       |base2 AS (
+       |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks
+       |  FROM toked2 WHERE len(toks) > 0),
+       |cstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base2),
+       |dtf AS (
+       |  SELECT b.doc_id, w.term, w.weight, b.dl,
+       |    CAST(len(list_filter(b.toks, t -> t = w.term)) AS DOUBLE) AS tf
+       |  FROM base2 b, wterms w),
+       |matched AS (SELECT * FROM dtf WHERE tf > 0),
+       |dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM matched GROUP BY term),
+       |contrib AS (
+       |  SELECT m.doc_id, m.term,
+       |    m.weight
+       |      * ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+       |      * (m.tf * ${K1 + 1})
+       |      / (m.tf + $K1 * (${1 - B} + $B * m.dl / avgdl)) AS c
+       |  FROM matched m JOIN dfs USING (term), cstats)
+       |SELECT doc_id, round(sum(c ORDER BY term), 4) AS score
+       |FROM contrib
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  val searchOracle: String = expandedSearchSql()
+}

@@ -8,6 +8,51 @@ class CorpusOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("temperature mix matches an independent JVM replay of rates and lottery") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val rows = docs.select("doc_id", "lang").as[(Long, String)].collect()
+    // rate derivation in pure Scala: e_i = N / (sqrt(n_i) * sum_j sqrt(n_j)),
+    // langs folded in sorted order (the operator's pinned accumulation)
+    val counts = rows.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    var ssum = 0.0; var ntot = 0.0
+    counts.keys.toSeq.sorted.foreach { l => ssum += math.sqrt(counts(l)); ntot += counts(l) }
+    val rate = counts.map { case (l, n) => l -> ntot / (math.sqrt(n) * ssum) }
+    def lottery(docId: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mixt:$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 10000).toDouble / 10000.0
+    }
+    val expected = rows.flatMap { case (id, l) =>
+      val w = rate(l)
+      val n = math.floor(w).toInt + (if (lottery(id) < w - math.floor(w)) 1 else 0)
+      (1 to n).map(i => (id, l,
+        BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i))
+    }.sortBy(r => (r._1, r._4)).toSeq
+    val got = CorpusOps.mixTemperature(docs)
+      .as[(Long, String, Double, Int)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("temperature mix: rarer sources get strictly higher epochs, corpus size preserved in expectation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val byLang = CorpusOps.mixTemperature(docs)
+      .groupBy("lang").agg(first("epoch").as("epoch"), count(lit(1)).as("out"))
+      .join(docs.groupBy("lang").agg(count(lit(1)).as("src")), "lang")
+      .select("lang", "epoch", "src", "out")
+      .as[(String, Double, Long, Long)].collect()
+    // epoch monotone decreasing in source size
+    byLang.sortBy(_._3).map(_._2).toSeq.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0) >= p(1))
+    }
+    // sum(n_i * e_i) = N by construction; emitted within lottery slack
+    val out = byLang.map(_._4).sum
+    assert(math.abs(out - n) <= byLang.length * 50)
+  }
+
   test("mix upsamples by floor(w) or floor(w)+1 copies and keys them") {
     val docs = Tables.documents(spark, dir)
     val out = CorpusOps.mix(docs)

@@ -132,6 +132,33 @@ class SearchSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("filtered ivf at full probe equals the brute-force filtered search") {
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val brute = VectorSearch.topKFiltered(embs, docs, VectorSearch.QueryVecId)
+      .collect().toSeq
+    val full = IvfIndex.searchFiltered(embs, docs, VectorSearch.QueryVecId,
+      nprobe = 10, k = 10).collect().toSeq
+    assert(full == brute)
+  }
+
+  test("filtered ivf at nprobe<nlist: hits pass the filter and come only from probed cells") {
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val q = embs.filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    val probed = IvfIndex.centroidArrays(embs).join(broadcast(q))
+      .select(col("cell"),
+        round(graft.functions.VectorFunctions.cosineSim(col("centroid"), col("q_emb")), 6).as("cs"))
+      .orderBy(desc("cs"), asc("cell")).limit(IvfIndex.NProbe)
+      .select("cell").as[Int].collect().toSet
+    val res = IvfIndex.searchFiltered(embs, docs, VectorSearch.QueryVecId)
+    assert(res.select("lang").as[String].collect().forall(_ == "en"))
+    val cells = res.join(embs.select(col("vec_id"), col("label")), "vec_id")
+      .select("label").as[Int].collect().toSet
+    assert(cells.subsetOf(probed))
+  }
+
   test("ivf centroids: one row per (cell, dim), counts match cell sizes") {
     val embs = Tables.embeddings(spark, TestSpark.Sf0001)
     val cents = IvfIndex.buildCentroids(embs)
@@ -350,6 +377,92 @@ class SearchSpec extends SparkSpec {
       val byRn = g.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("score")).toSeq
       assert(byRn == byRn.sorted.reverse)
     }
+  }
+
+  test("dirichlet ql: equal-length docs rank by query-term mass, absent terms still score") {
+    val docs = Seq(
+      (0L, "spark hash join fast", "s0", "en"),      // all four query terms
+      (1L, "spark hash cold cold", "s0", "en"),      // two query terms, same dl
+      (2L, "cold cold cold cold", "s1", "en")        // no query term, same dl
+    ).toDF("doc_id", "text", "source", "lang")
+    val r = QueryLikelihood.search(docs, KeywordSearch.QueryTerms, k = 3)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // every doc is scored (LM semantics: smoothing covers absent terms)
+    assert(r.size == 3)
+    assert(r(0L) > r(1L) && r(1L) > r(2L))
+  }
+
+  test("dirichlet ql benchmark: deterministic top-k, scores strictly ordered by (score, doc_id)") {
+    val docs = Tables.documents(spark, TestSpark.Sf001)
+    val a = QueryLikelihood.qSearch(spark, TestSpark.Sf001).collect().toSeq
+    val b = QueryLikelihood.search(docs).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val scores = a.map(_.getAs[Double]("score"))
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("rm3: lambda=1 (no expansion mass) reduces to the plain bm25 ranking") {
+    val docs = Tables.documents(spark, TestSpark.Sf001)
+    val plain = KeywordSearch.bm25(docs, KeywordSearch.QueryTerms, 10)
+      .select("doc_id").as[Long].collect().toSet
+    val rm3 = Rm3Expansion.expandedSearch(docs, lambda = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rm3 == plain)
+  }
+
+  test("rm3 expansion weights: |q|+E terms, originals at lambda/|q|, expansions share 1-lambda") {
+    val docs = Tables.documents(spark, TestSpark.Sf001)
+    val w = Rm3Expansion.expansionWeights(docs).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Double]("weight")))
+    val qset = KeywordSearch.QueryTerms.distinct.toSet
+    assert(w.length == qset.size + Rm3Expansion.ExpandE)
+    val (orig, expd) = w.partition { case (t, _) => qset.contains(t) }
+    assert(orig.length == qset.size &&
+      orig.forall(_._2 == Rm3Expansion.Lambda / qset.size))
+    assert(expd.forall { case (t, wt) => !qset.contains(t) && wt > 0.0 })
+    assert(math.abs(expd.map(_._2).sum - (1 - Rm3Expansion.Lambda)) < 1e-9)
+  }
+
+  test("rm3 second round scores every weighted term, not just the originals") {
+    val docs = Tables.documents(spark, TestSpark.Sf001)
+    // a doc matching ONLY expansion terms can enter the expanded ranking:
+    // the score of every returned doc must be reproducible from the
+    // weighted term set, and at least one expansion term must carry
+    // nonzero weight into the final scores (guard: expansion actually
+    // reaches round 2 — scores at lambda=0.6 differ from lambda=1 scaled)
+    val at6 = Rm3Expansion.expandedSearch(docs).select("doc_id", "score")
+      .as[(Long, Double)].collect().toMap
+    val at1 = Rm3Expansion.expandedSearch(docs, lambda = 1.0)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val common = at6.keySet.intersect(at1.keySet)
+    assert(common.nonEmpty)
+    // if expansion contributed nothing, at6 = 0.6 * at1 (both are
+    // lambda-scaled copies of the same per-term sums)
+    assert(common.exists { id => math.abs(at6(id) - 0.6 * at1(id)) > 1e-3 })
+  }
+
+  test("alpha-sweep fusion: the default-alpha slice equals the single-alpha batch fusion") {
+    val docs = Tables.documents(spark, TestSpark.Sf001)
+    val embs = Tables.embeddings(spark, TestSpark.Sf001)
+    val single = HybridSearch.fusedBatch(docs, embs).collect().toSeq
+    val sweep = HybridSearch.fusedBatchSweepSel(docs, embs,
+        _.filter(col("vec_id") % KeywordSearch.BatchStride === 0),
+        _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
+        Seq(0.25, HybridSearch.Alpha, 1.0))
+      .filter(col("alpha") === HybridSearch.Alpha).drop("alpha")
+      .collect().toSeq
+    assert(sweep.nonEmpty && sweep == single)
+  }
+
+  test("alpha-sweep eval: one metric row per alpha over the same query base") {
+    val m = RetrievalEval.queryAlphaSweep(spark, TestSpark.Sf001).collect()
+    assert(m.map(_.getAs[Double]("alpha")).toSeq ==
+      RetrievalEval.SweepAlphas)
+    assert(m.map(_.getAs[Long]("n_queries")).distinct.length == 1)
+    assert(m.forall { r =>
+      val h = r.getAs[Double]("hit_rate"); val mrr = r.getAs[Double]("mrr")
+      h >= 0.0 && h <= 1.0 && mrr >= 0.0 && mrr <= h
+    })
   }
 
   test("eval: perfect and impossible retrieval bound the metrics") {
