@@ -131,9 +131,10 @@ object LearnedReranker {
     "SELECT reranker_model_not_trained_or_ambiguous FROM documents"
 
   def searchOracle: String = {
-    val model =
-      if (cache.size() > 1) None
-      else lastDir.flatMap(d => Option(cache.get(d)))
+    // keyed off lastDir directly (the Word2VecEmbedder convention): a
+    // multi-dir JVM session still resolves the dir the oracle's query
+    // ran against — lastDir is unambiguous even with several dirs cached
+    val model = lastDir.flatMap(d => Option(cache.get(d)))
     model.fold(emptyOracle) { w =>
       val terms = KeywordSearch.QueryTerms
       val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")

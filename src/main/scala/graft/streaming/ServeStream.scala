@@ -45,7 +45,7 @@ object ServeStream {
     */
   def qStreamBm25Serve(s: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame =
-    collectServed(s, strideIds(s, dir)) { (queryIds, sink) =>
+    collectServed(s, docStrideIds(s, dir)) { (queryIds, sink) =>
       bm25Serve(queryIds, graft.sources.Tables.documents(s, dir),
         graft.operators.KeywordSearch.BatchK,
         index = Some(graft.operators.KeywordSearch.cachedBatchPostings(s, dir)))(sink)
@@ -59,7 +59,7 @@ object ServeStream {
     */
   def qStreamChampionServe(s: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame =
-    collectServed(s, strideIds(s, dir)) { (queryIds, sink) =>
+    collectServed(s, docStrideIds(s, dir)) { (queryIds, sink) =>
       championServe(queryIds, graft.sources.Tables.documents(s, dir),
         graft.operators.KeywordSearch.BatchK,
         graft.operators.KeywordSearch.cachedBatchPostings(s, dir),
@@ -126,6 +126,23 @@ object ServeStream {
     graft.sources.Tables.embeddings(s, dir)
       .filter(col("vec_id") % stride === 0)
       .select(col("vec_id")).as[Long].collect().toSeq
+  }
+
+  /** The KEYWORD twins' benchmark query-id set: the batch BM25 forms
+    * stride over DOCUMENTS (`doc_id % stride`,
+    * [[graft.operators.KeywordSearch.batchSearch]]), and the corpora are
+    * not 1:1 at every SF (sf0.1: 5000 documents, 2000 embeddings — the
+    * recorded invariant), so the keyword serving twins must draw their
+    * stream from the same universe or they serve a SUBSET of the batch
+    * oracle's queries (caught by the sf0.1 gate this round: 100 vs 250
+    * rows).
+    */
+  private def docStrideIds(s: org.apache.spark.sql.SparkSession, dir: String,
+                           stride: Int = graft.operators.KeywordSearch.BatchStride): Seq[Long] = {
+    import s.implicits._
+    graft.sources.Tables.documents(s, dir)
+      .filter(col("doc_id") % stride === 0)
+      .select(col("doc_id")).as[Long].collect().toSeq
   }
 
   /** Shared driver-gate harness: feed `ids` through a memory stream into
