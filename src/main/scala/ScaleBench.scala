@@ -31,7 +31,18 @@ object ScaleBench {
     "eval_retrieval_hybrid",// per-query eval over the batch fusion frame
     "hybrid_search_batch_ivf", // IVF vector leg + exact kw leg (kw-capped)
     "kw_search_batch_pruned",  // champion-list pruned keyword leg at scale
-    "hybrid_search_batch_champion") // doubly-pruned fusion: IVF + champions
+    "hybrid_search_batch_champion", // doubly-pruned fusion: IVF + champions
+    "kw_search_rm3",        // exact RM3: two BM25-shaped corpus passes, one query
+    "kw_search_rm3_pruned", // RM3 with both rounds champion-pruned
+    "kw_search_dirichlet",  // single-query LM ranking: one stats pass + map
+    "kw_search_dirichlet_batch", // batch QL: exact-batch postings probe (kw-capped)
+    "rerank_maxsim_batch",  // late-interaction rerank atop exact batch BM25 (kw-capped)
+    "eval_alpha_sweep",     // 5-alpha sweep over the EXACT fusion (kw-capped)
+    "eval_alpha_sweep_pruned", // 5-alpha sweep over the champion+IVF fusion
+    "ivf_search_filtered",  // filtered ANN, inline centroid build
+    "ivf_search_filtered_materialized", // filtered ANN over standing artifacts
+    "hybrid_search_pruned", // single-query IVF x champion fusion
+    "corpus_mix_temperature") // map-side temperature-smoothed mixing
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):
     * the batch-fusion rows scale the query set AND the corpus with N, so
@@ -49,7 +60,16 @@ object ScaleBench {
     "kw_search_batch" -> 10,
     "hybrid_search_batch" -> 10,
     "eval_retrieval_hybrid" -> 10,
-    "hybrid_search_batch_ivf" -> 10)
+    "hybrid_search_batch_ivf" -> 10,
+    // these three ride the exact batch-BM25 postings probe (queries x
+    // corpus/|vocab| matched rows, ~N^2): dirichlet_batch's sparse
+    // corrections, maxsim_batch's candidate stage, and the exact-fusion
+    // alpha sweep. Their at-scale twins carry the 100x rows:
+    // kw_search_batch_pruned, hybrid_search_batch_champion,
+    // eval_alpha_sweep_pruned.
+    "kw_search_dirichlet_batch" -> 10,
+    "rerank_maxsim_batch" -> 10,
+    "eval_alpha_sweep" -> 10)
 
   val Tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -115,7 +135,14 @@ object ScaleBench {
     sb.append("exceeds 10 min, measured) — their r10 ratios plus the PRUNED\n")
     sb.append("paths' full 100x rows (vector_search_batch_ivf for the vector\n")
     sb.append("leg, kw_search_batch_pruned for the keyword leg) carry the\n")
-    sb.append("at-scale evidence for the fusion family.\n\n")
+    sb.append("at-scale evidence for the fusion family. The same policy\n")
+    sb.append("covers the r8 rows: kw_search_dirichlet_batch,\n")
+    sb.append("rerank_maxsim_batch and eval_alpha_sweep all ride the exact\n")
+    sb.append("batch-BM25 postings probe, and their at-scale twins\n")
+    sb.append("(kw_search_batch_pruned / hybrid_search_batch_champion /\n")
+    sb.append("eval_alpha_sweep_pruned) run the full 100x. Single-query rows\n")
+    sb.append("(rm3, dirichlet, filtered IVF, hybrid_search_pruned) are\n")
+    sb.append("corpus-linear or artifact-probing and run uncapped.\n\n")
     sb.append("| query | 1x sec | 10x sec | 100x sec | r10 | r100 |\n")
     sb.append("|---|---|---|---|---|---|\n")
     // ERR cells record their cause (never silently −1): the errors list

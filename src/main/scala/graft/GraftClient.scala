@@ -21,11 +21,27 @@ import org.apache.spark.sql.functions._
   * standing in for the SentenceTransformer call — with a served model
   * the produced column has the same shape and everything downstream is
   * unchanged.
+  *
+  * `indexMode` mirrors the collection's index settings the reference
+  * surfaces through `show_collection_config` ([[operators.Catalog
+  * .collectionConfig]]'s `vector_index`/`inverted_index` rows): with
+  * [[GraftClient.IndexExact]] (default) every search scans the corpus
+  * exactly; with [[GraftClient.IndexPruned]] `keywordSearch` routes to
+  * the champion-list artifact ([[operators.ChampionIndex]]) and
+  * `hybridSearch` to the doubly-pruned IVF×champion fusion
+  * ([[operators.HybridSearch.fusedPrunedWithQuery]]) — per-request cost
+  * independent of corpus size, the deployed-index behavior a Weaviate
+  * collection config selects. Spec-pinned: each routing reproduces its
+  * oracle-gated operator.
   */
-class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64) {
+class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
+                  indexMode: String = GraftClient.IndexExact) {
+  require(GraftClient.IndexModes.contains(indexMode),
+    s"unknown indexMode '$indexMode' — one of ${GraftClient.IndexModes.mkString(", ")}")
 
   private def docs: DataFrame = Tables.documents(spark, dir)
   private def embs: DataFrame = Tables.embeddings(spark, dir)
+  private def pruned: Boolean = indexMode == GraftClient.IndexPruned
 
   /** The reference tokenizes the request server-side; same split as the
     * corpus tokenizer, duplicates collapsed.
@@ -63,9 +79,15 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64) {
           s"malformed query property '$p' — expected 'field' or 'field^boost'")
       }
     }
-    if (fields == Seq("text" -> 1.0))
-      KeywordSearch.bm25(docs, requestTerms(request), limit, filter)
-    else
+    if (fields == Seq("text" -> 1.0)) {
+      if (pruned)
+        ChampionIndex.bm25ChampionFiltered(docs,
+          ChampionIndex.cachedChampions(spark, dir),
+          requestTerms(request), limit, filter)
+      else KeywordSearch.bm25(docs, requestTerms(request), limit, filter)
+    } else
+      // the champion artifact indexes the content field only; boosted
+      // multi-property requests take the exact BM25F path in every mode
       KeywordSearch.bm25MultiField(docs.filter(filter),
         requestTerms(request), fields, limit)
   }
@@ -92,12 +114,27 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64) {
       .limit(limit)
 
   /** `hybrid_search(request, alpha, limit, filter)` — relative-score
-    * fusion of the two signals for one request.
+    * fusion of the two signals for one request. Pruned mode routes the
+    * unfiltered request through the doubly-pruned IVF×champion fusion
+    * (per-request cost independent of corpus size); a metadata filter
+    * keeps the exact path in every mode (the pruned artifacts are
+    * filter-agnostic index structures — the documented Weaviate-config
+    * trade, same as [[keywordSearch]]'s multi-property fallback).
     */
   def hybridSearch(request: String, alpha: Double = HybridSearch.Alpha,
                    limit: Int = 10, filter: Column = lit(true)): DataFrame =
-    HybridSearch.fusedWithQuery(docs, embs, requestTerms(request),
-      requestVector(request), alpha, limit, filter)
+    if (pruned && filter.toString == lit(true).toString)
+      HybridSearch.fusedPrunedWithQuery(embs,
+          ChampionIndex.cachedChampions(spark, dir),
+          requestTerms(request), requestVector(request), qId = -1L,
+          centroids = Some(IvfIndex.cachedCentroids(spark, dir)),
+          alpha = alpha, k = limit)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    else
+      HybridSearch.fusedWithQuery(docs, embs, requestTerms(request),
+        requestVector(request), alpha, limit, filter)
 
   /** v4 `near_object(uuid)` — seed the vector search with an EXISTING
     * object's stored vector instead of embedding a request (the
@@ -156,4 +193,14 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64) {
     */
   def chatCompletion(request: String): DataFrame =
     Generation.extractiveAnswer(docs, requestTerms(request))
+}
+
+object GraftClient {
+  /** Exact index mode: every search scans the corpus (the default). */
+  val IndexExact = "exact"
+  /** Pruned index mode: keyword → champion lists, hybrid →
+    * IVF×champion — the deployed-index collection config.
+    */
+  val IndexPruned = "pruned"
+  val IndexModes: Set[String] = Set(IndexExact, IndexPruned)
 }

@@ -42,9 +42,19 @@ object SparkEntry {
     // weighted terms -> weighted second round; oracle re-mines the
     // expansion from the corpus itself
     "kw_search_rm3" -> (Rm3Expansion.qSearch _),
+    // RM3 with BOTH BM25-shaped rounds pruned against the standing
+    // champion artifact — per-query cost (|q|+E)*M at any corpus size
+    "kw_search_rm3_pruned" -> (Rm3Expansion.qSearchPruned _),
     // Dirichlet-smoothed query-likelihood ranking — the LM scoring
     // family beside BM25 (Lucene LMDirichletSimilarity analog)
     "kw_search_dirichlet" -> (QueryLikelihood.qSearch _),
+    // batch QL over the standing postings: sparse corrections + the
+    // k+1 globally-shortest candidate closure — EXACT dense LM ranking
+    // at the batch-BM25 probe cost
+    "kw_search_dirichlet_batch" -> (QueryLikelihood.qBatchSearch _),
+    // single-query doubly-pruned hybrid (IVF cells x champion lists) —
+    // the facade's pruned-index routing target
+    "hybrid_search_pruned" -> (HybridSearch.searchPruned _),
     "filter_search_exact" -> (KeywordSearch.searchFilterExact _),
     "filter_search_fuzzy" -> (KeywordSearch.searchFilterFuzzy _),
     "doc_count" -> (KeywordSearch.docCount _),
@@ -122,12 +132,18 @@ object SparkEntry {
     "ivf_build_centroids" -> (IvfIndex.qBuild _),
     "ivf_search" -> (IvfIndex.qSearch _),
     "ivf_search_filtered" -> (IvfIndex.qSearchFiltered _),
+    // filtered ANN over the materialized cell layout: partition-pruned
+    // scan + filter-during-walk; oracle IS the inline filtered SQL
+    "ivf_search_filtered_materialized" -> (IvfIndex.qSearchFilteredMaterialized _),
     "eval_retrieval" -> (RetrievalEval.query _),
     "eval_ndcg" -> (RetrievalEval.queryNdcg _),
     "eval_retrieval_kw" -> (RetrievalEval.queryKw _),
     "eval_retrieval_hybrid" -> (RetrievalEval.queryHybrid _),
     "eval_retrieval_pruned" -> (RetrievalEval.queryPruned _),
     "eval_alpha_sweep" -> (RetrievalEval.queryAlphaSweep _),
+    // the sweep a practitioner can afford at scale: same alpha grid and
+    // metric tail over the doubly-pruned champion+IVF fusion
+    "eval_alpha_sweep_pruned" -> (RetrievalEval.queryAlphaSweepPruned _),
     "eval_answer_cases" -> (AnswerEval.queryCases _),
     "eval_answer_poll" -> (AnswerEval.queryPoll _),
     "finetune_triplets" -> (FinetuneData.query _),
@@ -228,7 +244,14 @@ object SparkEntry {
     "kw_search_batch_pruned" -> ChampionIndex.batchPrunedOracle,
     "kw_search_champion" -> ChampionIndex.searchChampionOracle,
     "kw_search_rm3" -> Rm3Expansion.searchOracle,
+    "kw_search_rm3_pruned" -> Rm3Expansion.searchPrunedOracle,
     "kw_search_dirichlet" -> QueryLikelihood.searchOracle,
+    "kw_search_dirichlet_batch" -> QueryLikelihood.qBatchSearchOracle,
+    "hybrid_search_pruned" -> HybridSearch.searchPrunedOracle,
+    // equivalence oracle: the partition-pruned on-disk filtered path
+    // must reproduce the inline filtered IVF search exactly
+    "ivf_search_filtered_materialized" -> IvfIndex.qSearchFilteredOracle,
+    "eval_alpha_sweep_pruned" -> RetrievalEval.alphaSweepPrunedOracle,
     "hybrid_search_batch" -> HybridSearch.batchSearchOracle,
     "filter_search_exact" -> KeywordSearch.searchFilterExactOracle,
     "filter_search_fuzzy" -> KeywordSearch.searchFilterFuzzyOracle,

@@ -219,6 +219,34 @@ object ChampionIndex {
     bm25Champion(Tables.documents(s, dir), cachedChampions(s, dir),
       KeywordSearch.QueryTerms)
 
+  /** [[bm25Champion]] with a metadata filter evaluated DURING the index
+    * walk (the [[IvfIndex.searchFiltered]] convention): the predicate's
+    * survivors join the ≤|terms|·M champion candidate rows before the
+    * heap, so non-qualifying docs never rank. Documented divergences
+    * from the exact filtered BM25 ([[KeywordSearch.bm25]] `docFilter`):
+    * champion impacts are computed over the UNFILTERED corpus (index
+    * stats are a property of the standing artifact, not of any one
+    * query's filter — Weaviate behaves the same way), and a highly
+    * selective filter can empty the champion lists (raise M, the same
+    * recall knob as the IVF nprobe). Facade routing target
+    * ([[graft.GraftClient.keywordSearch]] pruned mode); with the
+    * always-true filter it reproduces [[bm25Champion]] row-for-row
+    * (spec-pinned).
+    */
+  private[graft] def bm25ChampionFiltered(docs: DataFrame, champs: DataFrame,
+                                          terms: Seq[String],
+                                          topK: Int = KeywordSearch.TopK,
+                                          docFilter: org.apache.spark.sql.Column =
+                                            lit(true)): DataFrame =
+    champs.filter(col("term").isin(terms: _*))
+      .join(docs.filter(docFilter)
+        .select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+      .groupBy("doc_id", "source", "lang")
+      .agg(round(sum("imp"), 4).as("score"))
+      .select(col("doc_id"), col("source"), col("lang"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(topK)
+
   def championSql(terms: Seq[String], topK: Int = KeywordSearch.TopK,
                   m: Int = M): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")

@@ -317,9 +317,19 @@ object HybridSearch {
     */
   private def ivfVparts(embs: DataFrame,
                         selectVecQueries: DataFrame => DataFrame,
-                        nprobe: Int, centroids: Option[DataFrame]): DataFrame = {
-    val queries = selectVecQueries(embs)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+                        nprobe: Int, centroids: Option[DataFrame]): DataFrame =
+    ivfVpartsFor(embs,
+      selectVecQueries(embs)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      nprobe, centroids)
+
+  /** [[ivfVparts]] over an arbitrary query frame `queries(q_id, q_emb)`
+    * — the single-request pruned entry passes an embedded request (its
+    * q_id chosen to collide with no corpus vec_id, or with the seed
+    * object's own id for self-exclusion).
+    */
+  private def ivfVpartsFor(embs: DataFrame, queries: DataFrame,
+                           nprobe: Int, centroids: Option[DataFrame]): DataFrame = {
     val probed = centroids
       .map(c => IvfIndex.batchProbedCellsFrom(c, queries, nprobe))
       .getOrElse(IvfIndex.batchProbedCells(embs, queries, nprobe))
@@ -330,6 +340,98 @@ object HybridSearch {
       .select(col("q_id"), col("vec_id").as("doc_id"),
         cosineSim(col("embedding"), col("q_emb")).as("vscore"))
   }
+
+  /** SINGLE-query doubly-pruned hybrid search — [[fusedWithQuery]]'s
+    * at-scale serving twin and the facade's pruned-index routing target
+    * ([[graft.GraftClient]] `indexMode = "pruned"`): the vector signal
+    * scans only the request's nprobe IVF cells off the standing
+    * centroids, the keyword signal sums the query terms' champion
+    * impacts restricted to those candidates, and the fusion tail is
+    * [[fuseTail]]'s (sparse keyword stats + implicit-zero clamp) for a
+    * one-query batch. Per-request cost nprobe·|cell| + |terms|·M
+    * regardless of corpus size. `qId` both names the output rows and —
+    * when it matches a corpus vec_id (the near-object form) — excludes
+    * the seed object itself; embedded free-text requests pass a
+    * non-colliding id (-1).
+    */
+  private[graft] def fusedPrunedWithQuery(embs: DataFrame, champs: DataFrame,
+                                          terms: Seq[String], q: DataFrame,
+                                          qId: Long,
+                                          centroids: Option[DataFrame] = None,
+                                          alpha: Double = Alpha, k: Int = TopK,
+                                          nprobe: Int = IvfIndex.NProbe): DataFrame = {
+    val queries = q.select(lit(qId).as("q_id"), col("q_emb"))
+    val vparts = ivfVpartsFor(embs, queries, nprobe, centroids)
+    val kparts = champs
+      .filter(col("term").isin(terms.distinct.sorted: _*))
+      .groupBy("doc_id").agg(sum("imp").as("raw_score"))
+      .withColumn("q_id", lit(qId))
+    fuseTail(vparts, kparts, alpha, k,
+      restrictKwToCandidates = true, materializeCandidates = true)
+      .select(col("rn"), col("doc_id"), col("score"))
+  }
+
+  /** Driver query: the single-query pruned hybrid, seeded like
+    * [[search]] by the benchmark object's stored vector, over the
+    * standing champion + centroid artifacts.
+    */
+  def searchPruned(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val q = embs.filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    fusedPrunedWithQuery(embs, ChampionIndex.cachedChampions(s, dir),
+      KeywordSearch.QueryTerms, q, VectorSearch.QueryVecId,
+      centroids = Some(IvfIndex.cachedCentroids(s, dir)))
+  }
+
+  /** Oracle for [[searchPruned]]: champion index + probed cells
+    * re-derived from the raw corpus, the one-query fusion replayed on
+    * the coalesced joined frame (equivalent to the engine's
+    * sparse-stats + clamp form, as in [[fusedBatchChampionSql]]).
+    */
+  def searchPrunedSql(terms: Seq[String] = KeywordSearch.QueryTerms,
+                      qId: Long = VectorSearch.QueryVecId,
+                      nprobe: Int = IvfIndex.NProbe,
+                      m: Int = ChampionIndex.M,
+                      alpha: Double = Alpha, k: Int = TopK): String = {
+    val qList = terms.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    s"""WITH ${ChampionIndex.championChampsSqlCtes(m)},
+       |${IvfIndex.batchProbedSqlCtes(s"vec_id = $qId", nprobe)},
+       |kscored AS (
+       |  SELECT CAST($qId AS BIGINT) AS q_id, doc_id, sum(imp) AS raw_score
+       |  FROM champs WHERE term IN ($qList)
+       |  GROUP BY doc_id),
+       |vparts AS (
+       |  SELECT p.q_id, e.vec_id AS doc_id,
+       |    ${VectorSearch.cosineSql("e.embedding", "q.q_emb")} AS vscore
+       |  FROM embeddings e
+       |  JOIN probed p ON e.label = p.cell
+       |  JOIN queries q ON q.q_id = p.q_id
+       |  WHERE e.vec_id <> p.q_id),
+       |joined AS (
+       |  SELECT vparts.q_id, vparts.doc_id, vscore,
+       |    coalesce(raw_score, 0.0) AS kscore
+       |  FROM vparts LEFT JOIN kscored
+       |    ON vparts.q_id = kscored.q_id AND vparts.doc_id = kscored.doc_id),
+       |qstats AS (
+       |  SELECT q_id, min(vscore) AS vmin, max(vscore) AS vmax,
+       |    min(kscore) AS kmin, max(kscore) AS kmax
+       |  FROM joined GROUP BY 1),
+       |fusedt AS (
+       |  SELECT q_id, doc_id,
+       |    round($alpha * (vscore - vmin) /
+       |            (CASE WHEN vmax = vmin THEN 1.0 ELSE vmax - vmin END)
+       |        + ${1 - alpha} * (kscore - kmin) /
+       |            (CASE WHEN kmax = kmin THEN 1.0 ELSE kmax - kmin END), 4) AS score
+       |  FROM joined JOIN qstats USING (q_id))
+       |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+       |  doc_id, score
+       |FROM fusedt
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  val searchPrunedOracle: String = searchPrunedSql()
 
   private[graft] def fusedBatchIvfSel(docs: DataFrame, embs: DataFrame,
                                       selectVecQueries: DataFrame => DataFrame,
@@ -379,6 +481,77 @@ object HybridSearch {
       restrictKwToCandidates = true, materializeCandidates = true)
   }
 
+  /** [[fusedBatchChampionSel]] swept over MULTIPLE alphas in ONE plan —
+    * hyperparameter tuning over the retriever that stays runnable at
+    * the scale the engine targets: candidate prep is the doubly-pruned
+    * fusion's (nprobe IVF cells × champion lists, both bounded per
+    * query, materialized once) and — as in [[fusedBatchSweepSel]] —
+    * only the map-side fuse and the bounded per-(alpha, query) heap
+    * multiply by |alphas|. The exact sweep ([[fusedBatchSweepSel]])
+    * shares the exact-BM25 keyword leg and caps at 100×; this is the
+    * sweep a practitioner runs against the deployed pruned index.
+    */
+  private[graft] def fusedBatchChampionSweepSel(docs: DataFrame, embs: DataFrame,
+                                                postings: DataFrame, champs: DataFrame,
+                                                selectVecQueries: DataFrame => DataFrame,
+                                                selectDocQueries: DataFrame => DataFrame,
+                                                alphas: Seq[Double],
+                                                nTerms: Int = KeywordSearch.BatchTerms,
+                                                nprobe: Int = IvfIndex.NProbe,
+                                                k: Int = BatchK,
+                                                centroids: Option[DataFrame] = None): DataFrame = {
+    val vparts = ivfVparts(embs, selectVecQueries, nprobe, centroids)
+    val kparts = ChampionIndex.championScored(docs, postings, champs,
+      selectDocQueries, nTerms)
+    fuseTailSweep(vparts, kparts, alphas, k,
+      restrictKwToCandidates = true, materializeCandidates = true)
+  }
+
+  /** SQL replay of [[fusedBatchChampionSweepSel]]: the champion-fusion
+    * CTE skeleton with the alpha list cross-joined into the fuse
+    * expression, ranking per (alpha, q_id).
+    */
+  def fusedBatchChampionSweepSql(alphas: Seq[Double],
+                                 stride: Int = KeywordSearch.BatchStride,
+                                 nTerms: Int = KeywordSearch.BatchTerms,
+                                 nprobe: Int = IvfIndex.NProbe,
+                                 m: Int = ChampionIndex.M,
+                                 k: Int = BatchK): String =
+    s"""WITH ${ChampionIndex.championScoredSqlCtes(stride, nTerms, m)},
+       |${IvfIndex.batchProbedSqlCtes(s"vec_id % $stride = 0", nprobe)},
+       |vparts AS (
+       |  SELECT p.q_id, e.vec_id AS doc_id,
+       |    ${VectorSearch.cosineSql("e.embedding", "q.q_emb")} AS vscore
+       |  FROM embeddings e
+       |  JOIN probed p ON e.label = p.cell
+       |  JOIN queries q ON q.q_id = p.q_id
+       |  WHERE e.vec_id <> p.q_id),
+       |joined AS (
+       |  SELECT vparts.q_id, vparts.doc_id, vscore,
+       |    coalesce(raw_score, 0.0) AS kscore
+       |  FROM vparts LEFT JOIN scored
+       |    ON vparts.q_id = scored.q_id AND vparts.doc_id = scored.doc_id),
+       |qstats AS (
+       |  SELECT q_id, min(vscore) AS vmin, max(vscore) AS vmax,
+       |    min(kscore) AS kmin, max(kscore) AS kmax
+       |  FROM joined GROUP BY 1),
+       |alphas AS (SELECT unnest([${alphaListSql(alphas)}]) AS alpha),
+       |fusedt AS (
+       |  SELECT alpha, q_id, doc_id,
+       |    round(alpha * (vscore - vmin) /
+       |            (CASE WHEN vmax = vmin THEN 1.0 ELSE vmax - vmin END)
+       |        + (1.0 - alpha) * (kscore - kmin) /
+       |            (CASE WHEN kmax = kmin THEN 1.0 ELSE kmax - kmin END), 4) AS score
+       |  FROM joined JOIN qstats USING (q_id), alphas),
+       |ranked AS (
+       |  SELECT alpha, q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY alpha, q_id ORDER BY score DESC, doc_id) AS rn
+       |  FROM fusedt
+       |  QUALIFY rn <= $k)
+       |SELECT alpha, q_id, rn, doc_id, score
+       |FROM ranked
+       |ORDER BY alpha, q_id, rn""".stripMargin
+
   /** The ONE copy of the per-query normalize + fuse + rank tail, over an
     * arbitrary candidate frame `vparts(q_id, doc_id, vscore)` and sparse
     * keyword frame `kparts(q_id, doc_id, raw_score)` (⊆ vparts domain).
@@ -426,9 +599,11 @@ object HybridSearch {
     * Output carries the alpha column.
     */
   private def fuseTailSweep(vparts0: DataFrame, kparts0: DataFrame,
-                            alphas: Seq[Double], k: Int): DataFrame = {
+                            alphas: Seq[Double], k: Int,
+                            restrictKwToCandidates: Boolean = false,
+                            materializeCandidates: Boolean = false): DataFrame = {
     val (joined, qstats) = fusePrep(vparts0, kparts0,
-      restrictKwToCandidates = false, materializeCandidates = false)
+      restrictKwToCandidates, materializeCandidates)
     // column-alpha arithmetic: a * x + (1.0 - a) * y over exact-double
     // alphas — same math as fuseTail's literal form at each swept value
     val fscore = round(
@@ -546,6 +721,16 @@ object HybridSearch {
        |FROM ranked
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Each alpha as a correctly-rounded DOUBLE literal: VARCHAR→DOUBLE
+    * parse (IEEE round-to-nearest of the shortest round-trip repr) is
+    * bitwise the Spark-side `typedLit` double for ANY alpha — a bare
+    * list literal would type as DECIMAL, whose /10^scale conversion can
+    * land a non-dyadic alpha (e.g. 1/3) one ulp off the Spark literal
+    * and flip the 4dp fused-score rounding at a boundary.
+    */
+  private[operators] def alphaListSql(alphas: Seq[Double]): String =
+    alphas.map(a => s"CAST('$a' AS DOUBLE)").mkString(", ")
+
   /** SQL replay of [[fusedBatchSweepSel]]: same prefix CTEs, the alpha
     * list cross-joined into the fuse expression, ranking per
     * (alpha, q_id).
@@ -555,7 +740,7 @@ object HybridSearch {
                          nTerms: Int = KeywordSearch.BatchTerms,
                          k: Int = BatchK): String =
     s"""WITH ${fusedBatchSqlCtes(stride, nTerms)},
-       |alphas AS (SELECT unnest([${alphas.mkString(", ")}]) AS alpha),
+       |alphas AS (SELECT unnest([${alphaListSql(alphas)}]) AS alpha),
        |fusedt AS (
        |  SELECT alpha, q_id, doc_id,
        |    round(alpha * (vscore - vmin) /

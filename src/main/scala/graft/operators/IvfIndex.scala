@@ -165,6 +165,49 @@ object IvfIndex {
 
   val qSearchFilteredOracle: String = searchFilteredSql(VectorSearch.QueryVecId)
 
+  /** Filtered search over the MATERIALIZED cell-partitioned index: the
+    * nprobe cell predicate prunes the parquet scan at the partition
+    * level (spec asserts PartitionFilters on the executed scan), then
+    * only the probed cells' rows join the metadata filter's survivors
+    * and pay the cosine — the filtered-ANN serving read path a deployed
+    * vector DB runs most. Output shape = [[searchFiltered]].
+    */
+  def searchIndexFiltered(spark: SparkSession, path: String, docs: DataFrame,
+                          qEmb: DataFrame, cells: Seq[Int],
+                          lang: String = "en", k: Int = TopK,
+                          excludeVecId: Option[Long] = None): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+      .filter(excludeVecId.map(col("vec_id") =!= _).getOrElse(lit(true)))
+      .join(docs.filter(col("lang") === lang).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .join(broadcast(qEmb))
+      .select(col("vec_id"), col("lang"),
+        round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+
+  /** Driver query: the materialized FILTERED IVF search — cell ranking
+    * probes the standing centroid artifact ([[cachedCentroids]]), the
+    * fine scan reads only the nprobe pruned partitions of the standing
+    * cell layout ([[writeIndex]]). The registered oracle IS the inline
+    * filtered SQL ([[qSearchFilteredOracle]]): the partition-pruned
+    * on-disk path must reproduce the in-memory filtered search exactly.
+    */
+  def qSearchFilteredMaterialized(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val path = IndexCache.getOrBuild("ivf_idx", dir)(writeIndex(e, _))
+    val q = e.filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    val cells = cachedCentroids(s, dir).join(broadcast(q))
+      .select(col("cell"),
+        round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
+      .orderBy(desc("cscore"), asc("cell")).limit(NProbe)
+      .collect().map(_.getInt(0))
+    searchIndexFiltered(s, path, Tables.documents(s, dir), q, cells.toSeq,
+      excludeVecId = Some(VectorSearch.QueryVecId))
+  }
+
   /** Learned coarse quantizer: k-means cell assignment (the drop-in
     * replacement for the pre-assigned `label` cells — same search plan,
     * cells now data-driven). Seeded for reproducibility; training is one

@@ -131,9 +131,13 @@ object LearnedReranker {
     "SELECT reranker_model_not_trained_or_ambiguous FROM documents"
 
   def searchOracle: String = {
-    // keyed off lastDir directly (the Word2VecEmbedder convention): a
-    // multi-dir JVM session still resolves the dir the oracle's query
-    // ran against — lastDir is unambiguous even with several dirs cached
+    // keyed off lastDir directly (the Word2VecEmbedder convention).
+    // CONTRACT this leans on: the driver (Verify) runs every query for
+    // ONE dir and then collects oracles for that same dir — lastDir is
+    // the dir the oracle's query ran against. A hypothetical driver that
+    // batched oracle collection AFTER querying several dirs would embed
+    // the last dir's coefficients; if that contract ever changes, key
+    // the oracle request by dir explicitly instead.
     val model = lastDir.flatMap(d => Option(cache.get(d)))
     model.fold(emptyOracle) { w =>
       val terms = KeywordSearch.QueryTerms

@@ -101,16 +101,42 @@ object MaxSimReranker {
 
   /** BATCH MaxSim rerank — the serving/eval shape: every benchmark batch
     * query's BM25 top-[[KeywordSearch.BatchK]] candidates reranked by
-    * late interaction in ONE plan. The per-query similarity
-    * dictionaries are |Q|·|qterms|·|vocab| rows built declaratively
-    * from the weight table and BROADCAST into the candidate-token join
-    * (all three factors bounded: the query batch, nTerms per query, the
-    * model's vocabulary) — candidates come straight off the standing
-    * postings artifact, so nothing re-tokenizes and the per-query cost
-    * is k·|candidate tokens|·nTerms broadcast hash probes. First stage
-    * IS the oracle-gated batch BM25 over the same postings.
+    * late interaction in ONE plan. The similarity dictionary FACTORS as
+    * `(term, qterm, cos)`: token vectors are fixed per term, so the
+    * cosine depends only on the unordered (vocab term, query term) pair
+    * — the dictionary is built over the CANDIDATES' distinct in-vocab
+    * tokens × the batch's DISTINCT in-vocab query terms, so the
+    * broadcast scales with the data actually in the batch, NOT with the
+    * model's vocabulary and NOT with |Q| (a corpus-strided query batch
+    * grows with the corpus; the old |vocab|·|Q|·nTerms form was a
+    * broadcast killer at a 100k-term vocab × 1k queries). The per-query
+    * (q_id, qterm) pairing is a separate tiny broadcast with no
+    * vectors. Candidates come straight off the standing postings
+    * artifact, so nothing re-tokenizes and the per-query cost is
+    * k·|candidate tokens|·nTerms broadcast hash probes.
+    *
+    * OOV semantics (documented contract, shared by the oracle): the
+    * scoring joins are INNER on the trained vocabulary — a candidate
+    * token outside it contributes nothing, and a candidate whose tokens
+    * are ALL out-of-vocabulary has no defined MaxSim score and drops
+    * from the reranked list (so the list can hold fewer than k rows).
+    * Queries here are rarest-corpus-token probes over the training
+    * corpus, so every candidate retains in-vocab tokens in practice;
+    * the oracle replays the same inner joins.
+    *
+    * First stage IS the oracle-gated batch BM25 over the same postings.
     */
-  def qBatchRerank(s: SparkSession, dir: String): DataFrame = {
+  def qBatchRerank(s: SparkSession, dir: String): DataFrame =
+    batchRerank(s, dir, pruneDict = true)
+
+  /** [[qBatchRerank]]'s core with the dictionary's vocab side either
+    * pruned to the candidates' distinct terms (the serving form) or the
+    * full trained vocabulary (the spec's equivalence baseline — pruning
+    * only removes dictionary rows no candidate token can probe, so the
+    * two forms are row-for-row identical).
+    */
+  private[graft] def batchRerank(s: SparkSession, dir: String,
+                                 pruneDict: Boolean): DataFrame = {
     import s.implicits._
     val w = Word2VecEmbedder.weightsFor(s, dir)
     val docs = Tables.documents(s, dir)
@@ -127,15 +153,27 @@ object MaxSimReranker {
     val vocab = w.toSeq.sortBy(_._1)
       .map { case (t, v) => (t, v.map(_.toDouble)) }
       .toDF("term", "v")
-    val qvecs = qterms
-      .join(vocab.select(col("term").as("qt"), col("v").as("qvec")),
-        col("term") === col("qt"))
-      .select(col("q_id"), col("term").as("qterm"), col("qvec"))
-    val dict = vocab.crossJoin(broadcast(qvecs))
-      .select(col("q_id"), col("qterm"), col("term"),
+    // per-query in-vocab term pairing — |Q|·nTerms id rows, no vectors
+    val qpairs = qterms.join(vocab, Seq("term"), "semi")
+      .select(col("q_id"), col("term").as("qterm"))
+    // the batch's distinct query-term vectors — bounded by the query
+    // vocabulary in use, independent of |Q|
+    val qtermVecs = qpairs.select(col("qterm")).distinct()
+      .join(vocab.select(col("term").as("qterm"), col("v").as("qvec")),
+        Seq("qterm"))
+    // candidate token stream off the standing postings, materialized so
+    // the dictionary's term support and the scoring join share ONE
+    // computation of the bounded (|Q|·k candidates × their terms) frame
+    val dtoks0 = cand.join(postings.select(col("doc_id"), col("term")), Seq("doc_id"))
+    val dtoks = if (pruneDict) dtoks0.localCheckpoint() else dtoks0
+    val vocabSide =
+      if (pruneDict) vocab.join(dtoks.select("term").distinct(), Seq("term"), "semi")
+      else vocab
+    val dict = vocabSide.crossJoin(broadcast(qtermVecs))
+      .select(col("term"), col("qterm"),
         cosineSim(col("v"), col("qvec")).as("sim"))
-    val dtoks = cand.join(postings.select(col("doc_id"), col("term")), Seq("doc_id"))
-    dtoks.join(broadcast(dict), Seq("q_id", "term"))
+    dtoks.join(broadcast(qpairs), Seq("q_id"))
+      .join(broadcast(dict), Seq("term", "qterm"))
       .groupBy("q_id", "doc_id", "qterm").agg(max(col("sim")).as("m"))
       .groupBy("q_id", "doc_id")
       .agg(collect_list(struct(col("qterm"), col("m"))).as("ms"))

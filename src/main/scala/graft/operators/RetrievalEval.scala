@@ -362,4 +362,33 @@ object RetrievalEval {
   val alphaSweepOracle: String = metricsSqlOverBy(
     s"SELECT alpha, q_id, rn, doc_id FROM (\n${HybridSearch.fusedBatchSweepSql(SweepAlphas, k = KeywordSearch.BatchK)}\n) h",
     "alpha")
+
+  /** ALPHA-SWEEP over the PRUNED retriever — [[queryAlphaSweep]]'s
+    * at-scale twin: the same metric tail and alpha grid over the
+    * doubly-pruned champion+IVF fusion
+    * ([[HybridSearch.fusedBatchChampionSweepSel]]). The exact sweep's
+    * fusion shares the exact-BM25 keyword leg and caps at 100×
+    * (SCALE.md); THIS is the tuning run a practitioner can afford
+    * against the deployed pruned index at any corpus size — candidate
+    * prep (IVF cells × champion lists) computes once, only the
+    * map-side fuse + bounded heaps + k×|queries| metric tail multiply
+    * by |alphas|. All index inputs are the standing artifacts.
+    */
+  def queryAlphaSweepPruned(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val embs = Tables.embeddings(s, dir)
+    metricsOverRankedBy(
+      HybridSearch.fusedBatchChampionSweepSel(docs, embs,
+        KeywordSearch.cachedBatchPostings(s, dir),
+        ChampionIndex.cachedChampions(s, dir),
+        _.filter(col("vec_id") % KeywordSearch.BatchStride === 0),
+        _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
+        SweepAlphas, k = KeywordSearch.BatchK,
+        centroids = Some(IvfIndex.cachedCentroids(s, dir))),
+      embs, "alpha")
+  }
+
+  val alphaSweepPrunedOracle: String = metricsSqlOverBy(
+    s"SELECT alpha, q_id, rn, doc_id FROM (\n${HybridSearch.fusedBatchChampionSweepSql(SweepAlphas, k = KeywordSearch.BatchK)}\n) h",
+    "alpha")
 }

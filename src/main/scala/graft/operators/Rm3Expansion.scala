@@ -60,11 +60,21 @@ object Rm3Expansion {
   def expansionWeights(docs: DataFrame,
                        terms: Seq[String] = KeywordSearch.QueryTerms,
                        fbK: Int = FeedbackK, e: Int = ExpandE,
-                       lambda: Double = Lambda): DataFrame = {
+                       lambda: Double = Lambda): DataFrame =
+    expansionWeightsFrom(docs,
+      KeywordSearch.bm25(docs, terms, fbK).select(col("doc_id"), col("score")),
+      terms.distinct.sorted, e, lambda)
+
+  /** [[expansionWeights]] over an ARBITRARY feedback frame `fb(doc_id,
+    * score)` — shared by the exact round 1 ([[expandedSearch]]) and the
+    * champion-pruned round 1 ([[expandedSearchPruned]]); the mining math
+    * only ever touches the F feedback rows.
+    */
+  private def expansionWeightsFrom(docs: DataFrame, fb: DataFrame,
+                                   qset: Seq[String], e: Int,
+                                   lambda: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val qset = terms.distinct.sorted
-    val fb = KeywordSearch.bm25(docs, terms, fbK).select(col("doc_id"), col("score"))
     // feedback docs' token stream — F rows joined back to their text
     val fbtok = fb.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("doc_id"), col("score"),
@@ -117,6 +127,108 @@ object Rm3Expansion {
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }
+
+  // --- champion-pruned RM3 --------------------------------------------------
+
+  /** RM3 with BOTH BM25-shaped rounds pruned against the standing
+    * champion artifact ([[ChampionIndex]]): round 1's feedback set comes
+    * from the query terms' champion lists (the [[ChampionIndex
+    * .bm25Champion]] ranking, ≤|q|·M candidate rows), the expansion
+    * mining is unchanged (it tokenizes only the F feedback docs), and
+    * the weighted second round sums `weight(t) · imp(t, d)` over each
+    * weighted term's top-M champion postings instead of re-scanning the
+    * corpus — per-query cost (|q|+E)·M candidate rows REGARDLESS of
+    * corpus size, the same bound as the rest of the keyword family. The
+    * exact [[expandedSearch]] is two full BM25-shaped corpus passes
+    * (~N per query; SCALE.md caps it at 100×) — this is its at-scale
+    * serving form.
+    *
+    * Approximation contract (the champion family's): a doc outside all
+    * weighted terms' champion lists cannot be retrieved, and a
+    * candidate's score counts only the lists it made. With M ≥ the
+    * longest postings list NOTHING is pruned and both rounds reproduce
+    * the exact RM3 ranking up to the index's 6dp impact rounding
+    * (spec-pinned, the full-probe ≡ brute-force pattern).
+    *
+    * Determinism: round-1 scores replay [[ChampionIndex.bm25Champion]]'s
+    * `round(sum(imp), 4)`; the second round's weighted contributions
+    * accumulate in term order (struct-sorted fold ≡ `sum(c ORDER BY
+    * term)`), rounded 4dp at the output edge.
+    */
+  def expandedSearchPruned(docs: DataFrame, champs: DataFrame,
+                           terms: Seq[String] = KeywordSearch.QueryTerms,
+                           fbK: Int = FeedbackK, e: Int = ExpandE,
+                           lambda: Double = Lambda, k: Int = TopK): DataFrame = {
+    val qset = terms.distinct.sorted
+    val fb = champs.filter(col("term").isin(qset: _*))
+      .groupBy("doc_id").agg(round(sum("imp"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(fbK)
+    val wterms = expansionWeightsFrom(docs, fb, qset, e, lambda)
+    champs.join(broadcast(wterms), Seq("term"))
+      .select(col("doc_id"), col("term"), (col("weight") * col("imp")).as("c"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("term"), col("c"))).as("cs"))
+      .select(col("doc_id"), round(orderedSum(col("cs"), "c"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Driver query: champion-pruned RM3 over the standing artifact. */
+  def qSearchPruned(s: SparkSession, dir: String): DataFrame =
+    expandedSearchPruned(Tables.documents(s, dir),
+      ChampionIndex.cachedChampions(s, dir))
+
+  /** Oracle for the pruned form: DuckDB re-derives the champion index
+    * from the raw corpus ([[ChampionIndex.championChampsSqlCtes]] — the
+    * standing-index convention), replays the champion round 1, re-mines
+    * the expansion from the feedback docs' text, and sums the weighted
+    * champion impacts in term order.
+    */
+  def expandedSearchPrunedSql(terms: Seq[String] = KeywordSearch.QueryTerms,
+                              fbK: Int = FeedbackK, e: Int = ExpandE,
+                              lambda: Double = Lambda, k: Int = TopK,
+                              m: Int = ChampionIndex.M): String = {
+    val qset = terms.distinct.sorted
+    val qList = qset.map(t => s"'$t'").mkString(", ")
+    val origVals = qset.map(t => s"('$t', ${lambda / qset.size})").mkString(", ")
+    s"""WITH ${ChampionIndex.championChampsSqlCtes(m)},
+       |fb AS (
+       |  SELECT doc_id, round(sum(imp), 4) AS score
+       |  FROM champs WHERE term IN ($qList)
+       |  GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id
+       |  LIMIT $fbK),
+       |fbtok AS (
+       |  SELECT f.doc_id, f.score,
+       |    CAST(len(${TextAnalysis.sqlToks}) AS DOUBLE) AS fdl,
+       |    unnest(${TextAnalysis.sqlToks}) AS term
+       |  FROM fb f JOIN documents ON f.doc_id = documents.doc_id),
+       |fbtf AS (
+       |  SELECT term, doc_id,
+       |    CAST(count(*) AS DOUBLE) * any_value(score) / any_value(fdl) AS c
+       |  FROM fbtok WHERE term NOT IN ($qList)
+       |  GROUP BY term, doc_id),
+       |w AS (
+       |  SELECT term, round(sum(c ORDER BY doc_id), 6) AS w
+       |  FROM fbtf GROUP BY term),
+       |expd AS (SELECT term, w FROM w ORDER BY w DESC, term LIMIT $e),
+       |tot AS (SELECT sum(w ORDER BY term) AS tot FROM expd),
+       |wterms AS (
+       |  SELECT term, weight FROM (VALUES $origVals) AS t(term, weight)
+       |  UNION ALL
+       |  SELECT term, ${1 - lambda} * w / tot FROM expd, tot),
+       |contrib AS (
+       |  SELECT c.doc_id, c.term, wt.weight * c.imp AS c
+       |  FROM champs c JOIN wterms wt USING (term))
+       |SELECT doc_id, round(sum(c ORDER BY term), 4) AS score
+       |FROM contrib
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  val searchPrunedOracle: String = expandedSearchPrunedSql()
 
   def qSearch(s: SparkSession, dir: String): DataFrame =
     expandedSearch(Tables.documents(s, dir))

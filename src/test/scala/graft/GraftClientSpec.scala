@@ -62,6 +62,42 @@ class GraftClientSpec extends SparkSpec {
     assert(viaClient == direct && viaClient.nonEmpty)
   }
 
+  test("pruned index mode routes keywordSearch to the champion artifact") {
+    val prunedClient = new GraftClient(TestSpark.spark, TestSpark.Sf0001,
+      indexMode = GraftClient.IndexPruned)
+    val viaClient = prunedClient
+      .keywordSearch(KeywordSearch.QueryTerms.mkString(" ")).collect().toSeq
+    val direct = graft.operators.ChampionIndex
+      .searchChampion(spark, TestSpark.Sf0001).collect().toSeq
+    assert(viaClient == direct && viaClient.nonEmpty)
+    // exact mode still routes to the exact scan — and they disagree only
+    // within the champion approximation (same schema, both ranked)
+    assert(viaClient.map(_.schema.fieldNames.toSeq).head ==
+      client.keywordSearch(KeywordSearch.QueryTerms.mkString(" "))
+        .schema.fieldNames.toSeq)
+    // boosted multi-property requests fall back to the exact BM25F path
+    val mf = prunedClient.keywordSearch(
+      KeywordSearch.MultiFieldTerms.mkString(" "),
+      queryProperties = Seq("text", "source^2.0")).collect().toSeq
+    assert(mf.nonEmpty)
+    intercept[IllegalArgumentException](
+      new GraftClient(TestSpark.spark, TestSpark.Sf0001, indexMode = "hnsw"))
+  }
+
+  test("pruned index mode routes hybridSearch to the IVF x champion fusion") {
+    val prunedClient = new GraftClient(TestSpark.spark, TestSpark.Sf0001,
+      indexMode = GraftClient.IndexPruned)
+    val res = prunedClient.hybridSearch("spark hash join fast", limit = 5).collect()
+    assert(res.nonEmpty && res.length <= 5)
+    assert(res.map(_.schema.fieldNames.toSeq).head == Seq("doc_id", "source", "score"))
+    val scores = res.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // a metadata filter keeps the exact path in every mode: identical rows
+    val f = col("lang") === "en"
+    assert(prunedClient.hybridSearch("spark hash join", filter = f).collect().toSeq ==
+      client.hybridSearch("spark hash join", filter = f).collect().toSeq)
+  }
+
   test("createCollection registers a queryable view") {
     client.createCollection("scratch_docs",
       graft.sources.Tables.documents(spark, TestSpark.Sf0001))

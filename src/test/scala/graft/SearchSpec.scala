@@ -194,6 +194,106 @@ class SearchSpec extends SparkSpec {
     assert(rows.forall(r => Seq(1, 3, 5).contains(r.getAs[Int]("cell"))))
   }
 
+  test("filtered ivf materialized: partition-pruned scan equals the in-memory filtered search") {
+    val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx_f").toString + "/idx"
+    IvfIndex.writeIndex(embs, path)
+    val q = embs.filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    val cells = IvfIndex.centroidArrays(embs).join(broadcast(q))
+      .select(col("cell"),
+        round(graft.functions.VectorFunctions.cosineSim(col("centroid"), col("q_emb")), 6).as("cs"))
+      .orderBy(desc("cs"), asc("cell")).limit(IvfIndex.NProbe)
+      .select("cell").as[Int].collect().toSeq
+    val res = IvfIndex.searchIndexFiltered(spark, path, docs, q, cells,
+      excludeVecId = Some(VectorSearch.QueryVecId))
+    // the cell predicate prunes the file scan at the partition level
+    val scan = res.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"))
+    val inMem = IvfIndex.searchFiltered(embs, docs, VectorSearch.QueryVecId)
+      .collect().toSeq
+    assert(res.collect().toSeq == inMem && inMem.nonEmpty)
+  }
+
+  test("champion alpha-sweep: the default-alpha slice equals the doubly-pruned champion fusion") {
+    val docs = Tables.documents(spark, TestSpark.Sf001)
+    val embs = Tables.embeddings(spark, TestSpark.Sf001)
+    val postings = KeywordSearch.cachedBatchPostings(spark, TestSpark.Sf001)
+    val champs = ChampionIndex.cachedChampions(spark, TestSpark.Sf001)
+    val selV: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.filter(col("vec_id") % KeywordSearch.BatchStride === 0)
+    val selD: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.filter(col("doc_id") % KeywordSearch.BatchStride === 0)
+    val single = HybridSearch.fusedBatchChampionSel(docs, embs, postings,
+      champs, selV, selD).collect().toSeq
+    val sweep = HybridSearch.fusedBatchChampionSweepSel(docs, embs, postings,
+        champs, selV, selD, Seq(0.25, HybridSearch.Alpha, 1.0))
+      .filter(col("alpha") === HybridSearch.Alpha).drop("alpha")
+      .collect().toSeq
+    assert(sweep.nonEmpty && sweep == single)
+  }
+
+  test("rm3 pruned at full champion depth reproduces the exact rm3 ranking") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val postings = KeywordSearch.cachedBatchPostings(spark, TestSpark.Sf0001)
+    val fullChamps = ChampionIndex.buildChampions(postings,
+      m = docs.count().toInt + 1)
+    val pruned = Rm3Expansion.expandedSearchPruned(docs, fullChamps)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Rm3Expansion.expandedSearch(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pruned.length == exact.length && pruned.nonEmpty)
+    // nothing is pruned at full depth: both rounds differ only by the
+    // champion index's 6dp impact rounding (feedback scores to 1e-4,
+    // second-round contributions to ~1e-6 each)
+    pruned.zip(exact).foreach { case ((pd, ps), (ed, es)) =>
+      assert(pd == ed, s"ranking diverged: $pd vs $ed")
+      assert(math.abs(ps - es) <= 2e-3, s"score diverged: $ps vs $es")
+    }
+  }
+
+  test("batch dirichlet ql is EXACT dense LM ranking: candidate closure equals a full JVM replay") {
+    val dir = TestSpark.Sf0001
+    val docs = Tables.documents(spark, dir)
+    val postings = KeywordSearch.cachedBatchPostings(spark, dir)
+    val got = QueryLikelihood.qlBatch(docs, postings)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // dense replay: score EVERY (query, doc) pair — absent terms included
+    def toks(t: String) = t.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).filter(_._2.nonEmpty).toMap
+    val df = corpus.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val ctf = corpus.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = corpus.values.map(_.size.toLong).sum.toDouble
+    val mu = QueryLikelihood.Mu
+    val k = KeywordSearch.BatchK
+    val expected = corpus.keys.toSeq.sorted
+      .filter(_ % KeywordSearch.BatchStride == 0).flatMap { qid =>
+        val qterms = corpus(qid).distinct
+          .map(t => f"${df(t)}%010d#$t").sorted.take(KeywordSearch.BatchTerms)
+          .map(_.split("#", 2)(1)).sorted
+        val ps = qterms.map(t => t -> ctf(t) / total).toMap
+        val qconst = qterms.map(t => math.log(mu * ps(t))).sum
+        val scored = corpus.toSeq.filter(_._1 != qid).map { case (d, dtoks) =>
+          val dl = dtoks.size.toDouble
+          val corr = qterms.map { t =>
+            val tf = dtoks.count(_ == t).toDouble
+            if (tf > 0) math.log(tf + mu * ps(t)) - math.log(mu * ps(t)) else 0.0
+          }.sum
+          (d, corr + qconst - qterms.size * math.log(dl + mu))
+        }
+        scored.sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex.map {
+          case ((d, s), i) => (qid, i + 1, d,
+            BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+    assert(got.map(r => (r._1, r._2, r._3)) == expected.map(r => (r._1, r._2, r._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) <= 1e-9, s"score diverged: $g vs $e")
+    }
+  }
+
   test("hybrid: alpha=1 reproduces vector ranking, alpha=0 keyword ranking") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val embs = Tables.embeddings(spark, TestSpark.Sf0001)
