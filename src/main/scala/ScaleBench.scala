@@ -36,6 +36,7 @@ object ScaleBench {
     "kw_search_rm3_pruned", // RM3 with both rounds champion-pruned
     "kw_search_dirichlet",  // single-query LM ranking: one stats pass + map
     "kw_search_dirichlet_batch", // batch QL: exact-batch postings probe (kw-capped)
+    "kw_search_dirichlet_pruned", // champion-pruned batch QL: nTerms*M probe
     "rerank_maxsim_batch",  // late-interaction rerank atop exact batch BM25 (kw-capped)
     "eval_alpha_sweep",     // 5-alpha sweep over the EXACT fusion (kw-capped)
     "eval_alpha_sweep_pruned", // 5-alpha sweep over the champion+IVF fusion
@@ -140,8 +141,9 @@ object ScaleBench {
     sb.append("rerank_maxsim_batch and eval_alpha_sweep all ride the exact\n")
     sb.append("batch-BM25 postings probe, and their at-scale twins\n")
     sb.append("(kw_search_batch_pruned / hybrid_search_batch_champion /\n")
-    sb.append("eval_alpha_sweep_pruned) run the full 100x. Single-query rows\n")
-    sb.append("(rm3, dirichlet, filtered IVF, hybrid_search_pruned) are\n")
+    sb.append("eval_alpha_sweep_pruned, plus kw_search_dirichlet_pruned for\n")
+    sb.append("the LM family) run the full 100x. Single-query rows (rm3,\n")
+    sb.append("dirichlet, filtered IVF, hybrid_search_pruned) are\n")
     sb.append("corpus-linear or artifact-probing and run uncapped.\n\n")
     sb.append("| query | 1x sec | 10x sec | 100x sec | r10 | r100 |\n")
     sb.append("|---|---|---|---|---|---|\n")

@@ -101,17 +101,26 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
 
   /** `vector_search(request, limit, filter)` — near-vector over the
     * embedded request; the metadata filter prunes before scoring.
+    * Pruned mode routes through the standing IVF centroids: nprobe
+    * cells ranked against the request, only those cells' vectors pay
+    * the cosine, the filter evaluated during the walk (the deployed
+    * ANN read path; recall knob = nprobe, as in Weaviate's index
+    * config).
     */
   def vectorSearch(request: String, limit: Int = 10,
                    filter: Column = lit(true)): DataFrame =
-    embs
-      .join(docs.filter(filter).select(col("doc_id"), col("source"), col("lang")),
-        col("vec_id") === col("doc_id"))
-      .join(broadcast(requestVector(request)))
-      .select(col("doc_id"), col("source"), col("lang"),
-        round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(limit)
+    if (pruned)
+      IvfIndex.searchPrunedWithQuery(embs, docs, requestVector(request),
+        IvfIndex.cachedCentroids(spark, dir), k = limit, docFilter = filter)
+    else
+      embs
+        .join(docs.filter(filter).select(col("doc_id"), col("source"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        .join(broadcast(requestVector(request)))
+        .select(col("doc_id"), col("source"), col("lang"),
+          round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(limit)
 
   /** `hybrid_search(request, alpha, limit, filter)` — relative-score
     * fusion of the two signals for one request. Pruned mode routes the

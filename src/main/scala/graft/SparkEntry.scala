@@ -52,6 +52,10 @@ object SparkEntry {
     // k+1 globally-shortest candidate closure — EXACT dense LM ranking
     // at the batch-BM25 probe cost
     "kw_search_dirichlet_batch" -> (QueryLikelihood.qBatchSearch _),
+    // the LM family's champion form: QL impacts are query-independent,
+    // so the same top-M impact-list scheme bounds per-query cost at
+    // nTerms*M + (k+1) at any corpus size
+    "kw_search_dirichlet_pruned" -> (QueryLikelihood.qBatchSearchPruned _),
     // single-query doubly-pruned hybrid (IVF cells x champion lists) —
     // the facade's pruned-index routing target
     "hybrid_search_pruned" -> (HybridSearch.searchPruned _),
@@ -247,6 +251,7 @@ object SparkEntry {
     "kw_search_rm3_pruned" -> Rm3Expansion.searchPrunedOracle,
     "kw_search_dirichlet" -> QueryLikelihood.searchOracle,
     "kw_search_dirichlet_batch" -> QueryLikelihood.qBatchSearchOracle,
+    "kw_search_dirichlet_pruned" -> QueryLikelihood.qBatchSearchPrunedOracle,
     "hybrid_search_pruned" -> HybridSearch.searchPrunedOracle,
     // equivalence oracle: the partition-pruned on-disk filtered path
     // must reproduce the inline filtered IVF search exactly

@@ -208,6 +208,37 @@ object IvfIndex {
       excludeVecId = Some(VectorSearch.QueryVecId))
   }
 
+  /** Single-request IVF search over an arbitrary 1-row query frame
+    * `q(q_emb)` — the facade's pruned `vectorSearch` route
+    * ([[graft.GraftClient]] `indexMode = "pruned"`): centroid ranking
+    * against the standing centroid table, nprobe cells, exact cosine
+    * over the probed cells' vectors only, with the metadata filter
+    * evaluated DURING the walk (the [[searchFiltered]] convention —
+    * same recall caveat: a selective filter empties probed cells,
+    * raise nprobe). Output shape matches the facade's exact route
+    * (doc_id, source, lang, score).
+    */
+  private[graft] def searchPrunedWithQuery(embs: DataFrame, docs: DataFrame,
+                                           q: DataFrame, centroids: DataFrame,
+                                           nprobe: Int = NProbe, k: Int = TopK,
+                                           docFilter: org.apache.spark.sql.Column =
+                                             lit(true)): DataFrame = {
+    val probed = centroids.join(broadcast(q))
+      .select(col("cell"),
+        round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
+      .orderBy(desc("cscore"), asc("cell"))
+      .limit(nprobe)
+      .select("cell")
+    embs.join(broadcast(probed), col("label") === col("cell"))
+      .join(docs.filter(docFilter).select(col("doc_id"), col("source"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .join(broadcast(q))
+      .select(col("doc_id"), col("source"), col("lang"),
+        round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Learned coarse quantizer: k-means cell assignment (the drop-in
     * replacement for the pre-assigned `label` cells — same search plan,
     * cells now data-driven). Seeded for reproducibility; training is one

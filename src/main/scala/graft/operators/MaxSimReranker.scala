@@ -143,8 +143,14 @@ object MaxSimReranker {
     val postings = KeywordSearch.cachedBatchPostings(s, dir)
     val sel: DataFrame => DataFrame =
       _.filter(col("doc_id") % KeywordSearch.BatchStride === 0)
-    val cand = KeywordSearch.bm25BatchSel(docs, sel, index = Some(postings))
+    // the candidate FRAME (|Q|·k id pairs, tiny) is materialized once so
+    // the first-stage BM25 computes a single time even though the
+    // candidate tokens feed two consumers (the dictionary's term
+    // support and the scoring join — each re-reads only the standing
+    // postings parquet, never the ranking stage)
+    val cand0 = KeywordSearch.bm25BatchSel(docs, sel, index = Some(postings))
       .select(col("q_id"), col("doc_id"))
+    val cand = if (pruneDict) cand0.localCheckpoint() else cand0
     // the same rarest-token query assembly the first stage scored with
     val qtoks = KeywordSearch.batchQueryTokens(postings, docs, sel)
     val qdict = KeywordSearch.batchQueryDict(postings, qtoks)
@@ -161,11 +167,11 @@ object MaxSimReranker {
     val qtermVecs = qpairs.select(col("qterm")).distinct()
       .join(vocab.select(col("term").as("qterm"), col("v").as("qvec")),
         Seq("qterm"))
-    // candidate token stream off the standing postings, materialized so
-    // the dictionary's term support and the scoring join share ONE
-    // computation of the bounded (|Q|·k candidates × their terms) frame
-    val dtoks0 = cand.join(postings.select(col("doc_id"), col("term")), Seq("doc_id"))
-    val dtoks = if (pruneDict) dtoks0.localCheckpoint() else dtoks0
+    // candidate token stream off the standing postings — lazy: both
+    // consumers re-derive it as a broadcast probe of the materialized
+    // candidate ids against the postings parquet (two cheap scans, the
+    // ranking stage itself is never recomputed)
+    val dtoks = cand.join(postings.select(col("doc_id"), col("term")), Seq("doc_id"))
     val vocabSide =
       if (pruneDict) vocab.join(dtoks.select("term").distinct(), Seq("term"), "semi")
       else vocab

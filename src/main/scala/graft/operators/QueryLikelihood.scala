@@ -147,29 +147,33 @@ object QueryLikelihood {
         aggregate(transform(array_sort(col("ls")), x => x.getField("lp")),
           lit(0.0), (a, x) => a + x).as("qconst"),
         size(col("ls")).as("nq"))
-    val dls = postings.groupBy("doc_id").agg(first("dl").as("dl"))
-    // sparse corrections over postings matches — the batch-BM25 probe shape
+    // sparse corrections over postings matches — the batch-BM25 probe
+    // shape; dl rides along off the postings rows, so no corpus-wide
+    // length join downstream (only the k+1 shortest need a lookup, and
+    // they carry dl from their own tiny frame)
     val corr = postings.join(broadcast(qp), Seq("term"))
-      .select(col("q_id"), col("doc_id"),
+      .select(col("q_id"), col("doc_id"), col("dl"),
         struct(col("term"),
           (log(col("tf").cast("double") + lit(mu) * col("p")) -
             log(lit(mu) * col("p"))).as("c")).as("tc"))
       .groupBy("q_id", "doc_id")
-      .agg(collect_list(col("tc")).as("cs"))
-      .select(col("q_id"), col("doc_id"),
+      .agg(first("dl").as("dl"), collect_list(col("tc")).as("cs"))
+      .select(col("q_id"), col("doc_id"), col("dl"),
         aggregate(transform(array_sort(col("cs")), x => x.getField("c")),
           lit(0.0), (a, x) => a + x).as("corr"))
     // the k+1 globally shortest docs: the only docs that can enter a
-    // top-k WITHOUT matching a query term
-    val shortest = dls.orderBy(asc("dl"), asc("doc_id")).limit(k + 1)
-      .select("doc_id")
+    // top-k WITHOUT matching a query term (the per-doc length reduction
+    // TakeOrdered-s to k+1 rows; at a real deployment this is a column
+    // of the standing postings artifact's doc summary)
+    val shortest = postings.groupBy("doc_id").agg(first("dl").as("dl"))
+      .orderBy(asc("dl"), asc("doc_id")).limit(k + 1)
     val cand = corr
       .unionByName(qconsts.select("q_id").crossJoin(broadcast(shortest))
         .withColumn("corr", lit(0.0)))
-      .groupBy("q_id", "doc_id").agg(max("corr").as("corr"))
+      .groupBy("q_id", "doc_id")
+      .agg(max("corr").as("corr"), first("dl").as("dl"))
     val scored = cand
       .filter(col("doc_id") =!= col("q_id"))
-      .join(dls, Seq("doc_id"))
       .join(broadcast(qconsts), Seq("q_id"))
       .select(col("q_id"), col("doc_id"),
         (col("corr") + col("qconst") -
@@ -245,4 +249,197 @@ object QueryLikelihood {
        |ORDER BY q_id, rn""".stripMargin
 
   val qBatchSearchOracle: String = qlBatchSql()
+
+  // --- champion-pruned batch Dirichlet QL ----------------------------------
+
+  /** The LM family's champion artifact: per-term top-[[ChampionIndex.M]]
+    * postings by QL IMPACT. The sparse correction
+    * `corr(t,d) = ln(tf + μ·P(t|C)) − ln(μ·P(t|C))` is query-INDEPENDENT
+    * (it depends only on tf and the collection LM), exactly like the
+    * BM25 impact — so the same impact-ordered top-M scheme (Manning IR
+    * §7.1.3) applies. Each row carries the doc length (the dense term
+    * −|q|·ln(dl+μ) needs it at scoring time), so serving never joins a
+    * corpus-sized length table. Impacts rounded at the index edge
+    * ([[ChampionIndex.ImpactDecimals]]) so cut-boundary ties resolve
+    * identically in the JVM heap and the oracle's window — the champion
+    * determinism contract.
+    */
+  private[graft] def buildQlChampions(postings: DataFrame,
+                                      m: Int = ChampionIndex.M,
+                                      mu: Double = Mu): DataFrame = {
+    import graft.functions.VectorFunctions.topKByScore
+    val totals = postings.agg(sum("tf").as("c_total"))
+    // the index build touches the vocabulary once — the standing-
+    // artifact cost, amortized over every query thereafter
+    val ctf = postings.groupBy("term").agg(sum("tf").as("ctf"))
+    val p = col("ctf").cast("double") / col("c_total").cast("double")
+    val imp = round(
+      log(col("tf").cast("double") + lit(mu) * col("p")) -
+        log(lit(mu) * col("p")), ChampionIndex.ImpactDecimals)
+    postings.join(ctf, Seq("term")).join(broadcast(totals))
+      .withColumn("p", p)
+      .select(col("term"), col("doc_id"), col("dl"), imp.as("imp"))
+      .groupBy("term")
+      // dl is an integral token count — the long payload round-trips it
+      .agg(topKByScore(col("imp"), col("doc_id"), m,
+        col("dl").cast("long")).as("top"))
+      .select(col("term"), explode(col("top")).as("t"))
+      .select(col("term"), col("t.id").as("doc_id"), col("t.score").as("imp"),
+        col("t.payload").cast("double").as("dl"))
+  }
+
+  /** The standing QL champion artifact for a source dir. */
+  private[graft] def cachedQlChampions(s: SparkSession, dir: String): DataFrame = {
+    val p = IndexCache.getOrBuild("ql_champion_index", dir)(path =>
+      buildQlChampions(KeywordSearch.cachedBatchPostings(s, dir))
+        .write.mode("overwrite").parquet(path))
+    s.read.parquet(p)
+  }
+
+  /** CHAMPION-PRUNED batch QL — [[qlBatch]]'s at-scale twin, completing
+    * the LM family the way [[ChampionIndex]] completes BM25: the sparse
+    * corrections come from the query terms' top-M impact lists instead
+    * of the full postings, so per-query cost is nTerms·M + (k+1)
+    * REGARDLESS of corpus size (the exact batch's postings probe grows
+    * ~N²; SCALE.md caps it at 10×). The dense remainder and the
+    * candidate closure are [[qlBatch]]'s: qconst(q) − |q|·ln(dl+μ) over
+    * champion candidates ∪ the k+1 globally shortest docs. Approximation
+    * contract: a doc outside all query terms' lists scores corr = 0
+    * (its background-mass ranking is still exact via the closure), and
+    * a candidate's corr counts only the lists it made; with M ≥ the
+    * longest postings list the ranking is EXACTLY [[qlBatch]] up to the
+    * index's 6dp impact rounding (spec-pinned).
+    */
+  private[graft] def qlBatchPruned(docs: DataFrame, postings: DataFrame,
+                                   qchamps: DataFrame,
+                                   stride: Int = KeywordSearch.BatchStride,
+                                   nTerms: Int = KeywordSearch.BatchTerms,
+                                   k: Int = KeywordSearch.BatchK,
+                                   mu: Double = Mu): DataFrame = {
+    val sel: DataFrame => DataFrame = _.filter(col("doc_id") % stride === 0)
+    val qtoks = KeywordSearch.batchQueryTokens(postings, docs, sel)
+    val qdict = KeywordSearch.batchQueryDict(postings, qtoks)
+    val qterms = KeywordSearch.batchQueryTermsFrom(qtoks, qdict, nTerms)
+    val totals = postings.agg(sum("tf").as("c_total"))
+    val ctf = postings
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(sum("tf").as("ctf"))
+    val qp = qterms.join(broadcast(ctf), Seq("term")).join(broadcast(totals))
+      .select(col("q_id"), col("term"),
+        (col("ctf").cast("double") / col("c_total").cast("double")).as("p"))
+    val qconsts = qp
+      .groupBy("q_id")
+      .agg(collect_list(struct(col("term"),
+        log(lit(mu) * col("p")).as("lp"))).as("ls"))
+      .select(col("q_id"),
+        aggregate(transform(array_sort(col("ls")), x => x.getField("lp")),
+          lit(0.0), (a, x) => a + x).as("qconst"),
+        size(col("ls")).as("nq"))
+    // pruned sparse corrections: the query terms' champion lists only
+    val corr = qchamps.join(broadcast(qterms), Seq("term"))
+      .select(col("q_id"), col("doc_id"), col("dl"),
+        struct(col("term"), col("imp")).as("tc"))
+      .groupBy("q_id", "doc_id")
+      .agg(first("dl").as("dl"), collect_list(col("tc")).as("cs"))
+      .select(col("q_id"), col("doc_id"), col("dl"),
+        aggregate(transform(array_sort(col("cs")), x => x.getField("imp")),
+          lit(0.0), (a, x) => a + x).as("corr"))
+    val shortest = postings.groupBy("doc_id").agg(first("dl").as("dl"))
+      .orderBy(asc("dl"), asc("doc_id")).limit(k + 1)
+    val cand = corr
+      .unionByName(qconsts.select("q_id").crossJoin(broadcast(shortest))
+        .withColumn("corr", lit(0.0)))
+      .groupBy("q_id", "doc_id")
+      .agg(max("corr").as("corr"), first("dl").as("dl"))
+    val scored = cand
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(qconsts), Seq("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        (col("corr") + col("qconst") -
+          col("nq").cast("double") * log(col("dl") + lit(mu))).as("raw_score"))
+    KeywordSearch.rankKwScored(scored, k)
+  }
+
+  /** Driver query: champion-pruned batch QL over the standing artifacts. */
+  def qBatchSearchPruned(s: SparkSession, dir: String): DataFrame =
+    qlBatchPruned(Tables.documents(s, dir),
+      KeywordSearch.cachedBatchPostings(s, dir), cachedQlChampions(s, dir))
+
+  /** Oracle: re-derives the QL champion index from the raw corpus (the
+    * standing-index convention), then replays the pruned closure —
+    * champion corr sums in term order, qconst from unrounded collection
+    * stats, the k+1-shortest union, the fixed score chain.
+    */
+  def qlBatchPrunedSql(stride: Int = KeywordSearch.BatchStride,
+                       nTerms: Int = KeywordSearch.BatchTerms,
+                       k: Int = KeywordSearch.BatchK, mu: Double = Mu,
+                       m: Int = ChampionIndex.M): String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM documents),
+       |postings AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM postings GROUP BY 1),
+       |dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+       |totals AS (SELECT sum(tf) AS c_total FROM postings),
+       |ctf_all AS (SELECT term, sum(tf) AS ctf FROM postings GROUP BY term),
+       |pt AS (
+       |  SELECT term, CAST(ctf AS DOUBLE) / CAST(c_total AS DOUBLE) AS p
+       |  FROM ctf_all, totals),
+       |qimp AS (
+       |  SELECT po.term, po.doc_id, dl.dl,
+       |    round(ln(CAST(po.tf AS DOUBLE) + $mu * pt.p) - ln($mu * pt.p),
+       |      ${ChampionIndex.ImpactDecimals}) AS imp
+       |  FROM postings po JOIN pt USING (term) JOIN dl USING (doc_id)),
+       |qchamps AS (
+       |  SELECT term, doc_id, dl, imp FROM (
+       |    SELECT term, doc_id, dl, imp,
+       |      row_number() OVER (PARTITION BY term ORDER BY imp DESC, doc_id) AS crn
+       |    FROM qimp)
+       |  WHERE crn <= $m),
+       |qtoks AS (
+       |  SELECT doc_id AS q_id, unnest(list_distinct(${TextAnalysis.sqlToks})) AS term
+       |  FROM documents WHERE doc_id % $stride = 0),
+       |qterms AS (
+       |  SELECT q_id, substring(p, 12, 1000) AS term
+       |  FROM (
+       |    SELECT q_id, unnest(
+       |      (list_sort(list(lpad(CAST(df AS VARCHAR), 10, '0') || '#' || term)))[1:$nTerms]) AS p
+       |    FROM qtoks JOIN dict USING (term)
+       |    GROUP BY q_id)),
+       |qp AS (
+       |  SELECT q_id, qterms.term, pt.p
+       |  FROM qterms JOIN pt USING (term)),
+       |qconsts AS (
+       |  SELECT q_id, sum(ln($mu * p) ORDER BY term) AS qconst,
+       |    count(*) AS nq
+       |  FROM qp GROUP BY q_id),
+       |corr AS (
+       |  SELECT qt.q_id, qc.doc_id, any_value(qc.dl) AS dl,
+       |    sum(qc.imp ORDER BY qc.term) AS corr
+       |  FROM qchamps qc JOIN qterms qt ON qc.term = qt.term
+       |  GROUP BY 1, 2),
+       |shortest AS (SELECT doc_id, dl FROM dl ORDER BY dl, doc_id LIMIT ${k + 1}),
+       |cand AS (
+       |  SELECT q_id, doc_id, max(corr) AS corr, any_value(dl) AS dl FROM (
+       |    SELECT q_id, doc_id, corr, dl FROM corr
+       |    UNION ALL
+       |    SELECT q.q_id, s.doc_id, 0.0 AS corr, s.dl
+       |    FROM (SELECT q_id FROM qconsts) q, shortest s)
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.q_id, c.doc_id,
+       |    c.corr + qc.qconst - CAST(qc.nq AS DOUBLE) * ln(c.dl + $mu) AS raw_score
+       |  FROM cand c
+       |  JOIN qconsts qc USING (q_id)
+       |  WHERE c.doc_id <> c.q_id),
+       |ranked AS (
+       |  SELECT q_id, doc_id, raw_score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, doc_id, round(raw_score, 4) AS score
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+
+  val qBatchSearchPrunedOracle: String = qlBatchPrunedSql()
 }

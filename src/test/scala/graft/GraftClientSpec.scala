@@ -84,6 +84,33 @@ class GraftClientSpec extends SparkSpec {
       new GraftClient(TestSpark.spark, TestSpark.Sf0001, indexMode = "hnsw"))
   }
 
+  test("pruned index mode routes vectorSearch through the IVF cells") {
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    val prunedClient = new GraftClient(TestSpark.spark, TestSpark.Sf0001,
+      indexMode = GraftClient.IndexPruned)
+    val req = "spark hash join fast"
+    val res = prunedClient.vectorSearch(req, limit = 7).collect()
+    assert(res.nonEmpty && res.length <= 7)
+    // hits come only from the request's probed cells
+    val embs = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+    val q = spark.range(1).select(
+      graft.operators.Embedder.embed(lit(req), 64).cast("array<float>").as("q_emb"))
+    val probed = IvfIndex.centroidArrays(embs).join(broadcast(q))
+      .select(col("cell"),
+        round(graft.functions.VectorFunctions.cosineSim(col("centroid"), col("q_emb")), 6).as("cs"))
+      .orderBy(desc("cs"), asc("cell")).limit(IvfIndex.NProbe)
+      .select("cell").as[Int].collect().toSet
+    val hitCells = embs.filter(col("vec_id").isin(res.map(_.getLong(0)).toSeq: _*))
+      .select("label").as[Int].collect().toSet
+    assert(hitCells.subsetOf(probed))
+    // full-probe pruned route equals the exact route (no cut)
+    val full = IvfIndex.searchPrunedWithQuery(embs,
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001), q,
+      IvfIndex.centroidArrays(embs), nprobe = 10, k = 7).collect().toSeq
+    assert(full == client.vectorSearch(req, limit = 7).collect().toSeq)
+  }
+
   test("pruned index mode routes hybridSearch to the IVF x champion fusion") {
     val prunedClient = new GraftClient(TestSpark.spark, TestSpark.Sf0001,
       indexMode = GraftClient.IndexPruned)

@@ -294,6 +294,45 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("full-depth QL champions reproduce the exact batch dirichlet ranking") {
+    val dir = TestSpark.Sf0001
+    val docs = Tables.documents(spark, dir)
+    val postings = KeywordSearch.cachedBatchPostings(spark, dir)
+    val fullChamps = QueryLikelihood.buildQlChampions(postings,
+      m = docs.count().toInt + 1)
+    val pruned = QueryLikelihood.qlBatchPruned(docs, postings, fullChamps)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exact = QueryLikelihood.qlBatch(docs, postings)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(pruned.length == exact.length && pruned.nonEmpty)
+    // nothing pruned at full depth: corr differs only by the index's
+    // 6dp impact rounding (<= nTerms * 5e-7 per doc)
+    pruned.zip(exact).foreach { case ((pq, prn, pd, ps), (eq, ern, ed, es)) =>
+      assert(pq == eq && prn == ern && pd == ed,
+        s"ranking diverged: pruned=($pq,$prn,$pd) exact=($eq,$ern,$ed)")
+      assert(math.abs(ps - es) <= 1.1e-4, s"score diverged: $ps vs $es")
+    }
+  }
+
+  test("default-M QL champion pruning keeps high overlap with the exact batch ranking") {
+    val dir = TestSpark.Sf0001
+    val docs = Tables.documents(spark, dir)
+    val postings = KeywordSearch.cachedBatchPostings(spark, dir)
+    val champs = QueryLikelihood.cachedQlChampions(spark, dir)
+    val pruned = QueryLikelihood.qlBatchPruned(docs, postings, champs)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = QueryLikelihood.qlBatch(docs, postings)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val overlaps = exact.map { case (q, ex) =>
+      pruned.get(q).fold(0.0)(pr => (pr & ex).size.toDouble / ex.size)
+    }
+    val mean = overlaps.sum / overlaps.size
+    info(f"mean top-${KeywordSearch.BatchK} QL overlap pruned-vs-exact at M=${graft.operators.ChampionIndex.M}: $mean%.3f over ${overlaps.size} queries")
+    assert(mean >= 0.5, s"QL champion pruning recall collapsed: $mean")
+  }
+
   test("hybrid: alpha=1 reproduces vector ranking, alpha=0 keyword ranking") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val embs = Tables.embeddings(spark, TestSpark.Sf0001)
