@@ -38,6 +38,7 @@ object ScaleBench {
     "kw_search_dirichlet_batch", // batch QL: exact-batch postings probe (kw-capped)
     "kw_search_dirichlet_pruned", // champion-pruned batch QL: nTerms*M probe
     "rerank_maxsim_batch",  // late-interaction rerank atop exact batch BM25 (kw-capped)
+    "rerank_maxsim_batch_pruned", // MaxSim atop champion candidates: full 100x
     "eval_alpha_sweep",     // 5-alpha sweep over the EXACT fusion (kw-capped)
     "eval_alpha_sweep_pruned", // 5-alpha sweep over the champion+IVF fusion
     "ivf_search_filtered",  // filtered ANN, inline centroid build
@@ -102,9 +103,27 @@ object ScaleBench {
     }
   }
 
+  /** Patch mode (`runMain ScaleBench q1,q2`): re-measure ONLY the named
+    * queries and splice their rows into the existing SCALE.md table
+    * (new queries append in Queries order) — so adding one operator
+    * costs one cell-set, not a full hour-long sweep. No args = full
+    * regeneration.
+    */
   def main(args: Array[String]): Unit = {
-    val spark = graft.GraftSession.local(32)
+    var spark = graft.GraftSession.local(32)
     spark.sparkContext.setLogLevel("ERROR")
+    // one cell OOMing an executor thread stops the local context
+    // (SparkUncaughtExceptionHandler) — recreate it so one bad cell
+    // costs one ERR row, not every cell after it (the r8 rehearsal
+    // lost 4 families to exactly that cascade)
+    def liveSession(): org.apache.spark.sql.SparkSession = {
+      if (spark.sparkContext.isStopped) {
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        spark = graft.GraftSession.local(32)
+        spark.sparkContext.setLogLevel("ERROR")
+      }
+      spark
+    }
     val base = "/root/testdata/sf0.1"
     val scales = Seq(1, 10, 100)
     val dirs = scales.map { n =>
@@ -113,6 +132,10 @@ object ScaleBench {
         replicate(spark, base, d, n)
       n -> d
     }
+    val only = args.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+    val unknown = only.diff(Queries.toSet)
+    require(unknown.isEmpty, s"not in ScaleBench.Queries: ${unknown.mkString(", ")}")
+    val toRun = if (only.isEmpty) Queries else Queries.filter(only)
     val sb = new StringBuilder
     sb.append("# SCALE — shuffle-dominated scaling evidence (replicated sf0.1)\n\n")
     sb.append("Generated by `ScaleBench`: sf0.1 tables replicated Nx with key\n")
@@ -141,8 +164,8 @@ object ScaleBench {
     sb.append("rerank_maxsim_batch and eval_alpha_sweep all ride the exact\n")
     sb.append("batch-BM25 postings probe, and their at-scale twins\n")
     sb.append("(kw_search_batch_pruned / hybrid_search_batch_champion /\n")
-    sb.append("eval_alpha_sweep_pruned, plus kw_search_dirichlet_pruned for\n")
-    sb.append("the LM family) run the full 100x. Single-query rows (rm3,\n")
+    sb.append("eval_alpha_sweep_pruned, plus kw_search_dirichlet_pruned and\n")
+    sb.append("rerank_maxsim_batch_pruned) run the full 100x. Single-query rows (rm3,\n")
     sb.append("dirichlet, filtered IVF, hybrid_search_pruned) are\n")
     sb.append("corpus-linear or artifact-probing and run uncapped.\n\n")
     sb.append("| query | 1x sec | 10x sec | 100x sec | r10 | r100 |\n")
@@ -151,7 +174,7 @@ object ScaleBench {
     // lands in SCALE.md's own Errors section so a broken cell is a
     // 10-second diagnosis, not a re-run.
     val errors = scala.collection.mutable.ListBuffer[(String, Int, String)]()
-    Queries.foreach { q =>
+    val rows = toRun.map { q =>
       val fn = graft.SparkEntry.queries(q)
       // BenchForce.force: toRdd.count, never df.count (which would
       // measure a pruned plan — see BenchForce's scaladoc)
@@ -159,9 +182,10 @@ object ScaleBench {
       val ts = dirs.map { case (n, d) =>
         if (n > MaxScale.getOrElse(q, Int.MaxValue)) -2.0
         else try {
-          force(fn(spark, d))
+          val s = liveSession()
+          force(fn(s, d))
           val runs = (1 to 3).map { _ =>
-            val t0 = System.nanoTime(); force(fn(spark, d))
+            val t0 = System.nanoTime(); force(fn(s, d))
             (System.nanoTime() - t0) / 1e9
           }
           runs.sorted.apply(1)
@@ -172,17 +196,53 @@ object ScaleBench {
       }
       def f(v: Double) = if (v == -2.0) "cap" else if (v < 0) "ERR" else f"$v%.2f"
       def r(i: Int) = if (ts(0) > 0 && ts(i) > 0) f"${ts(i) / ts(0)}%.1f" else "-"
-      sb.append(s"| $q | ${f(ts(0))} | ${f(ts(1))} | ${f(ts(2))} | ${r(1)} | ${r(2)} |\n")
+      val row = s"| $q | ${f(ts(0))} | ${f(ts(1))} | ${f(ts(2))} | ${r(1)} | ${r(2)} |"
       println(s"SCALE $q ${ts.map(f).mkString(" ")}")
-    }
-    if (errors.nonEmpty) {
-      sb.append("\n## Errors\n\n")
-      errors.foreach { case (q, n, msg) =>
-        sb.append(s"- `$q` @ x$n: $msg\n")
-        println(s"SCALE-ERR $q x$n $msg")
+      q -> row
+    }.toMap
+    val errLines = errors.map { case (q, n, msg) =>
+      println(s"SCALE-ERR $q x$n $msg")
+      q -> s"- `$q` @ x$n: $msg"
+    }.toSeq
+    val out = java.nio.file.Paths.get("SCALE.md")
+    val text =
+      if (only.isEmpty) {
+        Queries.foreach(q => sb.append(rows(q)).append('\n'))
+        if (errLines.nonEmpty) {
+          sb.append("\n## Errors\n\n")
+          errLines.foreach { case (_, l) => sb.append(l).append('\n') }
+        }
+        sb.toString
+      } else {
+        // patch mode: splice the re-measured rows into the standing
+        // file — table rows by query-name key, Errors section keeps
+        // other queries' lines and replaces the re-run queries'
+        val old = java.nio.file.Files.readString(out).linesIterator.toVector
+        def rowKey(l: String): Option[String] =
+          if (l.startsWith("| ") && !l.startsWith("| query ") && !l.startsWith("|--"))
+            Some(l.stripPrefix("| ").takeWhile(_ != ' ')) else None
+        def errKey(l: String): Option[String] =
+          if (l.startsWith("- `")) Some(l.stripPrefix("- `").takeWhile(_ != '`'))
+          else None
+        val lastRowIdx = old.lastIndexWhere(rowKey(_).isDefined)
+        require(lastRowIdx >= 0, "patch mode needs an existing SCALE.md table")
+        val newRows = Queries
+          .filter(q => only(q) && !old.exists(rowKey(_).contains(q)))
+          .map(rows(_))
+        val kept = old.zipWithIndex.flatMap { case (l, i) =>
+          val line =
+            if (errKey(l).exists(only)) Nil // superseded error line
+            else rowKey(l).filter(only).map(rows(_)).orElse(Some(l)).toList
+          if (i == lastRowIdx) line ++ newRows else line
+        }
+        val withErrs =
+          if (errLines.isEmpty) kept
+          else if (kept.exists(_.startsWith("## Errors")))
+            kept ++ errLines.map(_._2)
+          else kept ++ Vector("", "## Errors", "") ++ errLines.map(_._2)
+        withErrs.mkString("", "\n", "\n")
       }
-    }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE.md"), sb.toString)
+    java.nio.file.Files.writeString(out, text)
     println("WROTE SCALE.md")
     spark.stop()
   }

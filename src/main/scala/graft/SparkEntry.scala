@@ -56,6 +56,10 @@ object SparkEntry {
     // so the same top-M impact-list scheme bounds per-query cost at
     // nTerms*M + (k+1) at any corpus size
     "kw_search_dirichlet_pruned" -> (QueryLikelihood.qBatchSearchPruned _),
+    // MaxSim rerank atop the champion-pruned first stage: the whole
+    // late-interaction pipeline at per-query cost independent of
+    // corpus size (the exact-candidate form is SCALE-capped at 10x)
+    "rerank_maxsim_batch_pruned" -> (MaxSimReranker.qBatchRerankPruned _),
     // single-query doubly-pruned hybrid (IVF cells x champion lists) —
     // the facade's pruned-index routing target
     "hybrid_search_pruned" -> (HybridSearch.searchPruned _),
@@ -165,6 +169,10 @@ object SparkEntry {
     "stream_hybrid_serve" -> (graft.streaming.ServeStream.qStreamHybridServe _),
     "stream_bm25_serve" -> (graft.streaming.ServeStream.qStreamBm25Serve _),
     "stream_kw_champion_serve" -> (graft.streaming.ServeStream.qStreamChampionServe _),
+    // the LM family's serving twin: micro-batch QL over the standing
+    // champion + closure artifacts (batch-split invariant — every
+    // score input is a global index constant)
+    "stream_ql_champion_serve" -> (graft.streaming.ServeStream.qStreamQlChampionServe _),
     "stream_hybrid_ivf_serve" -> (graft.streaming.ServeStream.qStreamHybridIvfServe _),
     "stream_vector_ivf_serve" -> (graft.streaming.ServeStream.qStreamVectorIvfServe _),
     "stream_vector_serve" -> (graft.streaming.ServeStream.qStreamVectorServe _),
@@ -363,6 +371,7 @@ object SparkEntry {
     "stream_hybrid_serve" -> HybridSearch.batchSearchOracle,
     "stream_bm25_serve" -> KeywordSearch.batchSearchOracle,
     "stream_kw_champion_serve" -> ChampionIndex.batchPrunedOracle,
+    "stream_ql_champion_serve" -> QueryLikelihood.qBatchSearchPrunedOracle,
     "stream_hybrid_ivf_serve" -> HybridSearch.batchSearchIvfOracle,
     "stream_vector_ivf_serve" -> IvfIndex.qBatchSearchOracle,
     "stream_vector_serve" -> VectorSearch.batchSearchOracle,
@@ -380,6 +389,7 @@ object SparkEntry {
     "rerank_learned" -> LearnedReranker.searchOracle,
     "rerank_maxsim" -> MaxSimReranker.searchOracle,
     "rerank_maxsim_batch" -> MaxSimReranker.batchRerankOracle,
+    "rerank_maxsim_batch_pruned" -> MaxSimReranker.batchRerankPrunedOracle,
     "pq_adc_search" -> ProductQuantizer.adcSearchOracle,
     "ivf_pq_search" -> ProductQuantizer.ivfAdcSearchOracle,
     "vector_search_batch_ivf_pq" -> ProductQuantizer.batchIvfAdcSearchOracle

@@ -129,14 +129,31 @@ object MaxSimReranker {
   def qBatchRerank(s: SparkSession, dir: String): DataFrame =
     batchRerank(s, dir, pruneDict = true)
 
+  /** [[qBatchRerank]]'s AT-SCALE twin: the first stage is the
+    * champion-pruned batch BM25 ([[ChampionIndex.bm25BatchPrunedSel]],
+    * nTerms·M rows per query off the standing impact lists) instead of
+    * the exact postings probe, so the WHOLE rerank pipeline — candidate
+    * retrieval, dictionary support, MaxSim probes — has per-query cost
+    * independent of corpus size. The exact-candidate form rides the
+    * ~N² batch-BM25 probe and caps at 10× in SCALE.md; this form
+    * carries the family's 100× row. The rerank tail is byte-identical
+    * ([[batchRerank]]'s): only the candidate SET differs, exactly as a
+    * deployed late-interaction stack swaps its first-stage retriever.
+    */
+  def qBatchRerankPruned(s: SparkSession, dir: String): DataFrame =
+    batchRerank(s, dir, pruneDict = true, championCandidates = true)
+
   /** [[qBatchRerank]]'s core with the dictionary's vocab side either
     * pruned to the candidates' distinct terms (the serving form) or the
     * full trained vocabulary (the spec's equivalence baseline — pruning
     * only removes dictionary rows no candidate token can probe, so the
-    * two forms are row-for-row identical).
+    * two forms are row-for-row identical), and the first stage either
+    * the exact batch BM25 or its champion-pruned twin
+    * (`championCandidates`).
     */
   private[graft] def batchRerank(s: SparkSession, dir: String,
-                                 pruneDict: Boolean): DataFrame = {
+                                 pruneDict: Boolean,
+                                 championCandidates: Boolean = false): DataFrame = {
     import s.implicits._
     val w = Word2VecEmbedder.weightsFor(s, dir)
     val docs = Tables.documents(s, dir)
@@ -148,8 +165,12 @@ object MaxSimReranker {
     // candidate tokens feed two consumers (the dictionary's term
     // support and the scoring join — each re-reads only the standing
     // postings parquet, never the ranking stage)
-    val cand0 = KeywordSearch.bm25BatchSel(docs, sel, index = Some(postings))
-      .select(col("q_id"), col("doc_id"))
+    val cand0 =
+      (if (championCandidates)
+        ChampionIndex.bm25BatchPrunedSel(docs, postings,
+          ChampionIndex.cachedChampions(s, dir), sel)
+      else KeywordSearch.bm25BatchSel(docs, sel, index = Some(postings)))
+        .select(col("q_id"), col("doc_id"))
     val cand = if (pruneDict) cand0.localCheckpoint() else cand0
     // the same rarest-token query assembly the first stage scored with
     val qtoks = KeywordSearch.batchQueryTokens(postings, docs, sel)
@@ -200,13 +221,29 @@ object MaxSimReranker {
     * corpus; the trained weights land as literals; max → qterm-ordered
     * sum → 6dp rounding → per-query window replay the heap exactly.
     */
-  def batchRerankOracle: String = {
+  def batchRerankOracle: String =
+    batchRerankSqlOver(KeywordSearch.batchKwRawSqlCtes(
+      KeywordSearch.BatchStride, KeywordSearch.BatchTerms))
+
+  /** Oracle for the champion-candidate form: the champion CTE chain
+    * re-derives the impact index AND the pruned candidates from the raw
+    * corpus; the MaxSim tail is [[batchRerankOracle]]'s verbatim.
+    */
+  def batchRerankPrunedOracle: String =
+    batchRerankSqlOver(ChampionIndex.championScoredSqlCtes(
+      KeywordSearch.BatchStride, KeywordSearch.BatchTerms))
+
+  /** The shared MaxSim replay over any CTE chain producing
+    * `scored(q_id, doc_id, raw_score)` + `postings` + `qterms`: first
+    * stage's top-[[KeywordSearch.BatchK]] → trained weights as literals
+    * → max → qterm-ordered sum → 6dp edge rounding → per-query window.
+    */
+  private def batchRerankSqlOver(scoredCtes: String): String = {
     Word2VecEmbedder.cachedWeights.fold(emptyOracle) { w =>
       val weightValues = w.toSeq.sortBy(_._1).map { case (term, v) =>
         s"('$term', [${v.map(_.toDouble).mkString(", ")}])"
       }.mkString(",\n    ")
-      s"""WITH ${KeywordSearch.batchKwRawSqlCtes(KeywordSearch.BatchStride,
-        KeywordSearch.BatchTerms)},
+      s"""WITH $scoredCtes,
          |cand AS (
          |  SELECT q_id, doc_id,
          |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS crn

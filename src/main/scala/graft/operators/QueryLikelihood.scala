@@ -315,8 +315,25 @@ object QueryLikelihood {
                                    stride: Int = KeywordSearch.BatchStride,
                                    nTerms: Int = KeywordSearch.BatchTerms,
                                    k: Int = KeywordSearch.BatchK,
-                                   mu: Double = Mu): DataFrame = {
-    val sel: DataFrame => DataFrame = _.filter(col("doc_id") % stride === 0)
+                                   mu: Double = Mu): DataFrame =
+    qlBatchPrunedSel(docs, postings, qchamps,
+      _.filter(col("doc_id") % stride === 0), nTerms, k, mu)
+
+  /** [[qlBatchPruned]] over an arbitrary query selector — the
+    * micro-batch serving entry
+    * ([[graft.streaming.ServeStream.qlChampionServe]] passes the
+    * batch's id frame as a broadcast semi-join). Every score input is
+    * a global index constant (champion impacts, collection LM, the
+    * k+1-shortest closure), so a query's results are identical
+    * whichever micro-batch it arrives in.
+    */
+  private[graft] def qlBatchPrunedSel(docs: DataFrame, postings: DataFrame,
+                                      qchamps: DataFrame,
+                                      selectDocQueries: DataFrame => DataFrame,
+                                      nTerms: Int = KeywordSearch.BatchTerms,
+                                      k: Int = KeywordSearch.BatchK,
+                                      mu: Double = Mu): DataFrame = {
+    val sel = selectDocQueries
     val qtoks = KeywordSearch.batchQueryTokens(postings, docs, sel)
     val qdict = KeywordSearch.batchQueryDict(postings, qtoks)
     val qterms = KeywordSearch.batchQueryTermsFrom(qtoks, qdict, nTerms)

@@ -66,6 +66,21 @@ object ServeStream {
         graft.operators.ChampionIndex.cachedChampions(s, dir))(sink)
     }
 
+  /** Driver query: one micro-batch of CHAMPION-PRUNED query-likelihood
+    * serving ([[qlChampionServe]]) probing the standing postings + QL
+    * champion artifacts; a single batch holding the stride queries must
+    * hash-match the pruned batch QL oracle
+    * ([[graft.operators.QueryLikelihood.qBatchSearchPrunedOracle]]).
+    */
+  def qStreamQlChampionServe(s: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame =
+    collectServed(s, docStrideIds(s, dir)) { (queryIds, sink) =>
+      qlChampionServe(queryIds, graft.sources.Tables.documents(s, dir),
+        graft.operators.KeywordSearch.BatchK,
+        graft.operators.KeywordSearch.cachedBatchPostings(s, dir),
+        graft.operators.QueryLikelihood.cachedQlChampions(s, dir))(sink)
+    }
+
   /** Driver query: one micro-batch of IVF-PRUNED hybrid serving
     * ([[hybridServeIvf]], 40h) probing the standing centroid + postings
     * artifacts; must hash-match the batch IVF fusion oracle
@@ -307,6 +322,32 @@ object ServeStream {
         if (!batch.isEmpty) {
           val ranked = graft.operators.ChampionIndex.bm25BatchPrunedSel(
             docs, postings, champs,
+            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"), k = k)
+          sink(ranked, batchId)
+        }
+      }
+      .start()
+
+  /** Micro-batch CHAMPION-PRUNED query-likelihood serving — the LM
+    * scoring family's serving parity with [[championServe]]: each
+    * batch's queries probe the standing QL champion artifact
+    * ([[graft.operators.QueryLikelihood.cachedQlChampions]] — per-term
+    * top-M postings by the query-independent QL impact, dl riding
+    * along) plus the k+1-shortest closure, so per-batch cost is
+    * queries × nTerms × M + (k+1) regardless of corpus size. Impacts,
+    * collection LM constants, and the closure are all global index
+    * artifacts ⇒ batch-split invariant by construction.
+    */
+  def qlChampionServe(queryIds: DataFrame, docs: DataFrame, k: Int,
+                      postings: DataFrame, qchamps: DataFrame)
+                     (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryIds.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ids = batch.select(col("q_id")).na.drop().distinct()
+        if (!batch.isEmpty) {
+          val ranked = graft.operators.QueryLikelihood.qlBatchPrunedSel(
+            docs, postings, qchamps,
             _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"), k = k)
           sink(ranked, batchId)
         }

@@ -66,6 +66,33 @@ class MaxSimRerankerSpec extends SparkSpec {
     }
   }
 
+  test("champion-candidate batch rerank reranks exactly the champion candidate sets") {
+    val dir = TestSpark.Sf001
+    val docs = Tables.documents(spark, dir)
+    val postings = KeywordSearch.cachedBatchPostings(spark, dir)
+    val cand = ChampionIndex.bm25BatchPrunedSel(docs, postings,
+        ChampionIndex.cachedChampions(spark, dir),
+        _.filter(col("doc_id") % KeywordSearch.BatchStride === 0))
+      .select("q_id", "doc_id").as[(Long, Long)].collect().toSet
+    val reranked = MaxSimReranker.qBatchRerankPruned(spark, dir).collect()
+    assert(reranked.nonEmpty)
+    assert(reranked.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"))).toSet == cand)
+    // the rerank TAIL is the exact form's: any (q, doc) pair both
+    // pipelines retain must carry the identical MaxSim score
+    val exactScores = MaxSimReranker.qBatchRerank(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Double]("score")).toMap
+    val shared = reranked.flatMap { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"))
+      exactScores.get(key).map(e => (key, r.getAs[Double]("score"), e))
+    }
+    assert(shared.nonEmpty)
+    shared.foreach { case (key, p, e) =>
+      assert(p == e, s"maxsim score diverged on shared candidate $key: $p vs $e")
+    }
+  }
+
   test("pruned-dict batch rerank is row-for-row the full-vocab-dict form") {
     // pruning the dictionary's vocab side to the candidates' distinct
     // terms only removes rows no candidate token can probe — the two

@@ -244,6 +244,31 @@ class StreamingSpec extends SparkSpec {
     assert(buf.nonEmpty)
   }
 
+  test("micro-batch ql champion serving equals the pruned batch across a batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = TestSpark.Sf0001
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val postings = graft.operators.KeywordSearch.cachedBatchPostings(spark, dir)
+    val champs = graft.operators.QueryLikelihood.cachedQlChampions(spark, dir)
+    val allIds = Seq(0L, 7L, 23L, 31L, 42L)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+    val input = MemoryStream[Long]
+    val q = graft.streaming.ServeStream.qlChampionServe(
+      input.toDS().toDF("q_id"), docs, 5, postings, champs) { (ranked, _) =>
+      buf ++= ranked.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    }
+    input.addData(allIds.take(2): _*); q.processAllAvailable()
+    input.addData(allIds.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val want = graft.operators.QueryLikelihood.qlBatchPrunedSel(
+      docs, postings, champs,
+      _.filter(col("doc_id").isin(allIds: _*)), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(buf.sortBy(t => (t._1, t._2)).toSeq == want.sortBy(t => (t._1, t._2)).toSeq)
+    assert(buf.nonEmpty)
+  }
+
   test("micro-batch hybrid serving equals the batch fusion across a batch split") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
