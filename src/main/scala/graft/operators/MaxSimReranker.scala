@@ -103,17 +103,19 @@ object MaxSimReranker {
     * query's BM25 top-[[KeywordSearch.BatchK]] candidates reranked by
     * late interaction in ONE plan. The similarity dictionary FACTORS as
     * `(term, qterm, cos)`: token vectors are fixed per term, so the
-    * cosine depends only on the unordered (vocab term, query term) pair
-    * — the dictionary is built over the CANDIDATES' distinct in-vocab
-    * tokens × the batch's DISTINCT in-vocab query terms, so the
-    * broadcast scales with the data actually in the batch, NOT with the
-    * model's vocabulary and NOT with |Q| (a corpus-strided query batch
-    * grows with the corpus; the old |vocab|·|Q|·nTerms form was a
-    * broadcast killer at a 100k-term vocab × 1k queries). The per-query
-    * (q_id, qterm) pairing is a separate tiny broadcast with no
-    * vectors. Candidates come straight off the standing postings
-    * artifact, so nothing re-tokenizes and the per-query cost is
-    * k·|candidate tokens|·nTerms broadcast hash probes.
+    * cosine depends only on the unordered (vocab term, query term)
+    * pair — the dictionary is |vocab| × the batch's DISTINCT in-vocab
+    * query terms, with NO |Q| factor (the old per-query
+    * |vocab|·|Q|·nTerms form grew with the corpus under strided query
+    * selection — a broadcast killer at a 100k-term vocab × 1k
+    * queries). The per-query (q_id, qterm) pairing is a separate tiny
+    * vector-free broadcast, and the dictionary join's strategy is left
+    * to the planner: it broadcasts while the product is small and
+    * shuffle-joins when a huge vocab × query-vocabulary product
+    * outgrows that — no driver-memory hazard at any scale. Candidates
+    * come straight off the standing postings artifact, so nothing
+    * re-tokenizes and the per-query cost is k·|candidate
+    * tokens|·nTerms dictionary-joined rows.
     *
     * OOV semantics (documented contract, shared by the oracle): the
     * scoring joins are INNER on the trained vocabulary — a candidate
@@ -127,7 +129,7 @@ object MaxSimReranker {
     * First stage IS the oracle-gated batch BM25 over the same postings.
     */
   def qBatchRerank(s: SparkSession, dir: String): DataFrame =
-    batchRerank(s, dir, pruneDict = true)
+    batchRerank(s, dir)
 
   /** [[qBatchRerank]]'s AT-SCALE twin: the first stage is the
     * champion-pruned batch BM25 ([[ChampionIndex.bm25BatchPrunedSel]],
@@ -141,18 +143,12 @@ object MaxSimReranker {
     * deployed late-interaction stack swaps its first-stage retriever.
     */
   def qBatchRerankPruned(s: SparkSession, dir: String): DataFrame =
-    batchRerank(s, dir, pruneDict = true, championCandidates = true)
+    batchRerank(s, dir, championCandidates = true)
 
-  /** [[qBatchRerank]]'s core with the dictionary's vocab side either
-    * pruned to the candidates' distinct terms (the serving form) or the
-    * full trained vocabulary (the spec's equivalence baseline — pruning
-    * only removes dictionary rows no candidate token can probe, so the
-    * two forms are row-for-row identical), and the first stage either
-    * the exact batch BM25 or its champion-pruned twin
-    * (`championCandidates`).
+  /** [[qBatchRerank]]'s core with the first stage either the exact
+    * batch BM25 or its champion-pruned twin (`championCandidates`).
     */
   private[graft] def batchRerank(s: SparkSession, dir: String,
-                                 pruneDict: Boolean,
                                  championCandidates: Boolean = false): DataFrame = {
     import s.implicits._
     val w = Word2VecEmbedder.weightsFor(s, dir)
@@ -160,18 +156,12 @@ object MaxSimReranker {
     val postings = KeywordSearch.cachedBatchPostings(s, dir)
     val sel: DataFrame => DataFrame =
       _.filter(col("doc_id") % KeywordSearch.BatchStride === 0)
-    // the candidate FRAME (|Q|·k id pairs, tiny) is materialized once so
-    // the first-stage BM25 computes a single time even though the
-    // candidate tokens feed two consumers (the dictionary's term
-    // support and the scoring join — each re-reads only the standing
-    // postings parquet, never the ranking stage)
-    val cand0 =
+    val cand =
       (if (championCandidates)
         ChampionIndex.bm25BatchPrunedSel(docs, postings,
           ChampionIndex.cachedChampions(s, dir), sel)
       else KeywordSearch.bm25BatchSel(docs, sel, index = Some(postings)))
         .select(col("q_id"), col("doc_id"))
-    val cand = if (pruneDict) cand0.localCheckpoint() else cand0
     // the same rarest-token query assembly the first stage scored with
     val qtoks = KeywordSearch.batchQueryTokens(postings, docs, sel)
     val qdict = KeywordSearch.batchQueryDict(postings, qtoks)
@@ -188,19 +178,21 @@ object MaxSimReranker {
     val qtermVecs = qpairs.select(col("qterm")).distinct()
       .join(vocab.select(col("term").as("qterm"), col("v").as("qvec")),
         Seq("qterm"))
-    // candidate token stream off the standing postings — lazy: both
-    // consumers re-derive it as a broadcast probe of the materialized
-    // candidate ids against the postings parquet (two cheap scans, the
-    // ranking stage itself is never recomputed)
+    // candidate token stream off the standing postings — one consumer
+    // (the scoring join), so the first-stage ranking runs exactly once
+    // inside a single pipelined job (no checkpoint barrier: a
+    // candidate-derived dictionary bound was tried and its serialized
+    // checkpoint + broadcast-dependency stages cost more than the
+    // whole r7 scoring tail; the (term, qterm) factoring below already
+    // removes the |Q| blow-up, and the join strategy is left to the
+    // planner so a huge vocab × query-vocabulary product shuffles
+    // instead of broadcasting — no driver-memory hazard at any scale)
     val dtoks = cand.join(postings.select(col("doc_id"), col("term")), Seq("doc_id"))
-    val vocabSide =
-      if (pruneDict) vocab.join(dtoks.select("term").distinct(), Seq("term"), "semi")
-      else vocab
-    val dict = vocabSide.crossJoin(broadcast(qtermVecs))
+    val dict = vocab.crossJoin(broadcast(qtermVecs))
       .select(col("term"), col("qterm"),
         cosineSim(col("v"), col("qvec")).as("sim"))
     dtoks.join(broadcast(qpairs), Seq("q_id"))
-      .join(broadcast(dict), Seq("term", "qterm"))
+      .join(dict, Seq("term", "qterm"))
       .groupBy("q_id", "doc_id", "qterm").agg(max(col("sim")).as("m"))
       .groupBy("q_id", "doc_id")
       .agg(collect_list(struct(col("qterm"), col("m"))).as("ms"))

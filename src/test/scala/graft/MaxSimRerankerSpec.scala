@@ -93,19 +93,6 @@ class MaxSimRerankerSpec extends SparkSpec {
     }
   }
 
-  test("pruned-dict batch rerank is row-for-row the full-vocab-dict form") {
-    // pruning the dictionary's vocab side to the candidates' distinct
-    // terms only removes rows no candidate token can probe — the two
-    // forms must agree bitwise (order included)
-    val dir = TestSpark.Sf001
-    val pruned = MaxSimReranker.batchRerank(spark, dir, pruneDict = true)
-      .collect().toSeq
-    val full = MaxSimReranker.batchRerank(spark, dir, pruneDict = false)
-      .collect().toSeq
-    assert(pruned.nonEmpty)
-    assert(pruned == full)
-  }
-
   test("maxsim is invariant to token multiplicity (max over support)") {
     val w = Map(
       "spark" -> Array.tabulate(16)(i => if (i == 0) 1f else 0f),
