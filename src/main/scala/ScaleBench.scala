@@ -235,11 +235,21 @@ object ScaleBench {
             else rowKey(l).filter(only).map(rows(_)).orElse(Some(l)).toList
           if (i == lastRowIdx) line ++ newRows else line
         }
+        // rebuild the Errors section from scratch: surviving old lines +
+        // this run's, or no section at all — never a dangling header and
+        // never error lines stranded after EOF outside the section
+        val hdrIdx = kept.indexWhere(_.startsWith("## Errors"))
+        val body =
+          (if (hdrIdx >= 0)
+            kept.take(hdrIdx) ++ kept.drop(hdrIdx + 1).filterNot(l =>
+              errKey(l).isDefined || l.trim.isEmpty)
+          else kept).reverse.dropWhile(_.trim.isEmpty).reverse
+        val survivors = if (hdrIdx >= 0) kept.drop(hdrIdx + 1).filter(errKey(_).isDefined)
+                        else Vector()
+        val allErrs = survivors ++ errLines.map(_._2)
         val withErrs =
-          if (errLines.isEmpty) kept
-          else if (kept.exists(_.startsWith("## Errors")))
-            kept ++ errLines.map(_._2)
-          else kept ++ Vector("", "## Errors", "") ++ errLines.map(_._2)
+          if (allErrs.isEmpty) body
+          else body ++ Vector("", "## Errors", "") ++ allErrs
         withErrs.mkString("", "\n", "\n")
       }
     java.nio.file.Files.writeString(out, text)

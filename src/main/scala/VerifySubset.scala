@@ -12,6 +12,17 @@ object VerifySubset {
   def main(args: Array[String]): Unit = {
     val dir = args(0); val out = args(1)
     val names = args.drop(2)
+    // fail fast on a bad name BEFORE any Spark work: a typo must not
+    // cost the whole multi-query dump (and every named query needs an
+    // oracle — rows-only surfaces have nothing to compare here)
+    require(names.nonEmpty, "usage: VerifySubset <sfDir> <outDir> <query>...")
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — see SparkEntry.queries")
+    val noOracle = names.filterNot(graft.SparkEntry.oracleSql.contains)
+    require(noOracle.isEmpty,
+      s"queries without a registered oracle: ${noOracle.mkString(", ")} — " +
+        "VerifySubset compares against oracleSql; these are rows-only surfaces")
     val spark = graft.GraftSession.local(32)
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(out).mkdirs()

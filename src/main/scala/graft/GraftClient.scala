@@ -129,10 +129,13 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     * keeps the exact path in every mode (the pruned artifacts are
     * filter-agnostic index structures — the documented Weaviate-config
     * trade, same as [[keywordSearch]]'s multi-property fallback).
+    * "No filter" is the explicit `None`, not a sentinel expression —
+    * routing must never depend on how a caller happened to spell an
+    * always-true predicate.
     */
   def hybridSearch(request: String, alpha: Double = HybridSearch.Alpha,
-                   limit: Int = 10, filter: Column = lit(true)): DataFrame =
-    if (pruned && filter.toString == lit(true).toString)
+                   limit: Int = 10, filter: Option[Column] = None): DataFrame =
+    if (pruned && filter.isEmpty)
       HybridSearch.fusedPrunedWithQuery(embs,
           ChampionIndex.cachedChampions(spark, dir),
           requestTerms(request), requestVector(request), qId = -1L,
@@ -143,7 +146,7 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
         .orderBy(desc("score"), asc("doc_id"))
     else
       HybridSearch.fusedWithQuery(docs, embs, requestTerms(request),
-        requestVector(request), alpha, limit, filter)
+        requestVector(request), alpha, limit, filter.getOrElse(lit(true)))
 
   /** v4 `near_object(uuid)` — seed the vector search with an EXISTING
     * object's stored vector instead of embedding a request (the

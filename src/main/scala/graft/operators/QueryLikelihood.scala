@@ -161,12 +161,7 @@ object QueryLikelihood {
       .select(col("q_id"), col("doc_id"), col("dl"),
         aggregate(transform(array_sort(col("cs")), x => x.getField("c")),
           lit(0.0), (a, x) => a + x).as("corr"))
-    // the k+1 globally shortest docs: the only docs that can enter a
-    // top-k WITHOUT matching a query term (the per-doc length reduction
-    // TakeOrdered-s to k+1 rows; at a real deployment this is a column
-    // of the standing postings artifact's doc summary)
-    val shortest = postings.groupBy("doc_id").agg(first("dl").as("dl"))
-      .orderBy(asc("dl"), asc("doc_id")).limit(k + 1)
+    val shortest = shortestDocs(docs, k)
     val cand = corr
       .unionByName(qconsts.select("q_id").crossJoin(broadcast(shortest))
         .withColumn("corr", lit(0.0)))
@@ -181,6 +176,22 @@ object QueryLikelihood {
     KeywordSearch.rankKwScored(scored, k)
   }
 
+  /** The k+1 globally shortest docs: the only docs that can enter a
+    * top-k WITHOUT matching a query term. Derived from the DOCUMENTS
+    * table, not the postings — a doc whose text tokenizes to nothing
+    * has no postings row, yet its Dirichlet background score (dl = 0)
+    * outranks every non-matching doc; deriving the closure from
+    * postings would silently drop it from every ranking (the r8 ADVICE
+    * finding). Cost: one zero-shuffle projection TakeOrdered-ed to k+1
+    * rows; at a real deployment dl (including 0) is a column of the
+    * standing doc-summary artifact ([[IndexRefresh]]'s docstats
+    * convention), not a re-tokenize.
+    */
+  private def shortestDocs(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("double").as("dl"))
+      .orderBy(asc("dl"), asc("doc_id")).limit(k + 1)
+
   /** Driver query: batch QL over the standing postings artifact. */
   def qBatchSearch(s: SparkSession, dir: String): DataFrame =
     qlBatch(Tables.documents(s, dir),
@@ -193,7 +204,12 @@ object QueryLikelihood {
        |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM documents),
        |postings AS (
        |  SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM postings GROUP BY 1),
+       |dl AS (
+       |  -- doc lengths from the DOCUMENTS table: token-free docs keep a
+       |  -- dl = 0 row so the k+1-shortest closure can rank them (the
+       |  -- engine-side shortestDocs contract)
+       |  SELECT doc_id, CAST(len(${TextAnalysis.sqlToks}) AS DOUBLE) AS dl
+       |  FROM documents),
        |dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
        |qtoks AS (
        |  SELECT doc_id AS q_id, unnest(list_distinct(${TextAnalysis.sqlToks})) AS term
@@ -361,8 +377,7 @@ object QueryLikelihood {
       .select(col("q_id"), col("doc_id"), col("dl"),
         aggregate(transform(array_sort(col("cs")), x => x.getField("imp")),
           lit(0.0), (a, x) => a + x).as("corr"))
-    val shortest = postings.groupBy("doc_id").agg(first("dl").as("dl"))
-      .orderBy(asc("dl"), asc("doc_id")).limit(k + 1)
+    val shortest = shortestDocs(docs, k)
     val cand = corr
       .unionByName(qconsts.select("q_id").crossJoin(broadcast(shortest))
         .withColumn("corr", lit(0.0)))
@@ -395,7 +410,12 @@ object QueryLikelihood {
        |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM documents),
        |postings AS (
        |  SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM postings GROUP BY 1),
+       |dl AS (
+       |  -- doc lengths from the DOCUMENTS table: token-free docs keep a
+       |  -- dl = 0 row so the k+1-shortest closure can rank them (the
+       |  -- engine-side shortestDocs contract)
+       |  SELECT doc_id, CAST(len(${TextAnalysis.sqlToks}) AS DOUBLE) AS dl
+       |  FROM documents),
        |dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
        |totals AS (SELECT sum(tf) AS c_total FROM postings),
        |ctf_all AS (SELECT term, sum(tf) AS ctf FROM postings GROUP BY term),

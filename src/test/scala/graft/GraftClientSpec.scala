@@ -121,8 +121,8 @@ class GraftClientSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
     // a metadata filter keeps the exact path in every mode: identical rows
     val f = col("lang") === "en"
-    assert(prunedClient.hybridSearch("spark hash join", filter = f).collect().toSeq ==
-      client.hybridSearch("spark hash join", filter = f).collect().toSeq)
+    assert(prunedClient.hybridSearch("spark hash join", filter = Some(f)).collect().toSeq ==
+      client.hybridSearch("spark hash join", filter = Some(f)).collect().toSeq)
   }
 
   test("createCollection registers a queryable view") {
