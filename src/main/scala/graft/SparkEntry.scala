@@ -222,8 +222,8 @@ object SparkEntry {
     "pq_adc_search" -> (ProductQuantizer.qAdcSearch _),
     "ivf_pq_search" -> (ProductQuantizer.qIvfAdcSearch _),
     "vector_search_batch_ivf_pq" -> (ProductQuantizer.qBatchIvfAdcSearch _),
-    // rows-only check (no SQL oracle — binary transforms aren't
-    // SQL-expressible; the spec suite carries the equivalence proofs)
+    // stub-codec resize, oracle-gated since r9: the byte-resample
+    // transform replays in pure SQL blob/hex functions
     "multimodal_resize" -> (Multimodal.qResize _)
   )
 
@@ -359,6 +359,7 @@ object SparkEntry {
     "multimodal_meta" -> Multimodal.metaOracle,
     "multimodal_decode" -> Multimodal.decodeOracle,
     "multimodal_resize_real" -> Multimodal.resizeRealOracle,
+    "multimodal_resize" -> Multimodal.resizeStubOracle(),
     // streaming twins replay their batch twins' oracles
     "stream_events_latest" -> Events.latestOracle,
     "stream_events_hourly" -> Events.hourlyOracle,

@@ -299,13 +299,42 @@ object Multimodal {
 
   def qMeta(s: SparkSession, dir: String): DataFrame = meta(Tables.documents(s, dir))
 
-  /** Rows-only driver query: binary-in/binary-out resize over the whole
-    * corpus (stubbed codec, real partition-parallel batch shape), with a
-    * digest instead of raw bytes so the dump stays compact.
+  /** Driver query: binary-in/binary-out resize over the whole corpus
+    * (stubbed codec, real partition-parallel batch shape), with a
+    * digest instead of raw bytes so the dump stays compact. The digest
+    * is md5 over the payload's HEX encoding (not the raw bytes): the
+    * oracle engine's md5 accepts only VARCHAR, and hex round-trips the
+    * bytes losslessly on both sides — so the stub's byte-resample
+    * semantics ARE oracle-gated ([[resizeStubOracle]] rebuilds the
+    * resampled payload byte-for-byte from the document text in SQL).
     */
   def qResize(s: SparkSession, dir: String): DataFrame =
     resize(Tables.documents(s, dir), 8, 8)
       .select(col("doc_id"), col("width"), col("height"),
-        md5(col("payload")).as("payload_md5"))
+        md5(hex(col("payload"))).as("payload_md5"))
       .orderBy("doc_id")
+
+  /** Oracle for the stubbed resize: replay `out(i) = p[(i·len) / n]`
+    * over the UTF-8 bytes of the text (the payload) with pure blob
+    * functions — byte `i` of the output is the 2-hex-char slice of the
+    * payload's hex string at the resampled offset; empty payloads emit
+    * n zero bytes, matching the engine's `p.isEmpty` branch.
+    */
+  def resizeStubOracle(w: Int = 8, h: Int = 8): String = {
+    val n = w * h
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS len
+       |  FROM documents),
+       |bytes AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN len = 0 THEN '00'
+       |         ELSE substring(ph, CAST((i * len) // $n AS INT) * 2 + 1, 2) END AS hx
+       |  FROM b, range(0, $n) t(i)),
+       |payloads AS (
+       |  SELECT doc_id, string_agg(hx, '' ORDER BY i) AS payhex
+       |  FROM bytes GROUP BY doc_id)
+       |SELECT doc_id, $w AS width, $h AS height, md5(payhex) AS payload_md5
+       |FROM payloads
+       |ORDER BY doc_id""".stripMargin
+  }
 }
