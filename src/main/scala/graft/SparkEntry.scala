@@ -152,6 +152,8 @@ object SparkEntry {
     // the sweep a practitioner can afford at scale: same alpha grid and
     // metric tail over the doubly-pruned champion+IVF fusion
     "eval_alpha_sweep_pruned" -> (RetrievalEval.queryAlphaSweepPruned _),
+    // file-driven golden-dataset evaluation (external JSON golden set)
+    "eval_retrieval_golden" -> (GoldenEval.qGoldenEval _),
     "eval_answer_cases" -> (AnswerEval.queryCases _),
     "eval_answer_poll" -> (AnswerEval.queryPoll _),
     "finetune_triplets" -> (FinetuneData.query _),
@@ -353,6 +355,7 @@ object SparkEntry {
     "eval_retrieval_hybrid" -> RetrievalEval.hybridOracle,
     "eval_retrieval_pruned" -> RetrievalEval.prunedOracle,
     "eval_alpha_sweep" -> RetrievalEval.alphaSweepOracle,
+    "eval_retrieval_golden" -> GoldenEval.goldenEvalOracle,
     "eval_answer_cases" -> AnswerEval.casesOracle,
     "eval_answer_poll" -> AnswerEval.pollOracle,
     "finetune_triplets" -> FinetuneData.oracle,
