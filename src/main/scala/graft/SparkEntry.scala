@@ -67,6 +67,11 @@ object SparkEntry {
     "filter_search_fuzzy" -> (KeywordSearch.searchFilterFuzzy _),
     "doc_count" -> (KeywordSearch.docCount _),
     "kw_index_dictionary" -> (KeywordIndex.qDictionary _),
+    // incremental index refresh: base built on the previous snapshot,
+    // one delta batch applied; oracles replay a FULL REBUILD on the
+    // current snapshot (base+delta must be indistinguishable from it)
+    "kw_index_refresh" -> (IndexRefresh.qRefreshSearch _),
+    "kw_index_refresh_dict" -> (IndexRefresh.qRefreshDict _),
     "kw_search_indexed" -> (KeywordIndex.qSearchIndexed _),
     "vector_search_topk" -> (VectorSearch.search _),
     "vector_search_batch" -> (VectorSearch.batchSearch _),
@@ -272,6 +277,8 @@ object SparkEntry {
     "filter_search_fuzzy" -> KeywordSearch.searchFilterFuzzyOracle,
     "doc_count" -> KeywordSearch.docCountOracle,
     "kw_index_dictionary" -> KeywordIndex.dictionaryOracle,
+    "kw_index_refresh" -> IndexRefresh.refreshSearchOracle,
+    "kw_index_refresh_dict" -> IndexRefresh.refreshDictOracle,
     "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,
     "kw_search_materialized" -> KeywordIndex.searchIndexedOracle,
     "ivf_search_materialized" -> IvfIndex.qSearchMaterializedOracle,

@@ -266,14 +266,24 @@ object CorpusOps {
           .otherwise("unchanged").as("status"))
       .orderBy("doc_id")
 
-  def qDiff(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val curr = docs.filter(col("doc_id") % DiffRemoveStride =!= 3)
-    val prev = docs.filter(col("doc_id") % DiffAddStride =!= 5)
+  /** The CURRENT snapshot view (shared with [[IndexRefresh]]'s driver
+    * queries so engine and oracle agree on the exact same versions).
+    */
+  private[operators] def currSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % DiffRemoveStride =!= 3)
+
+  /** The PREVIOUS snapshot view: added docs absent, changed docs carry
+    * the perturbed prior text.
+    */
+  private[operators] def prevSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % DiffAddStride =!= 5)
       .withColumn("text",
         when(col("doc_id") % DiffChangeStride === 4,
           concat(col("text"), lit(" rev1"))).otherwise(col("text")))
-    snapshotDiff(curr, prev)
+
+  def qDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    snapshotDiff(currSnapshot(docs), prevSnapshot(docs))
   }
 
   val diffOracle: String =

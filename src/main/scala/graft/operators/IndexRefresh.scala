@@ -1,0 +1,411 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTALLY-REFRESHABLE keyword index — the standing-artifact
+  * refresh path a deployed corpus needs: the reference's indexing entry
+  * is repeatedly callable on new batches (`batch_index_data`, reference
+  * `src/database/weaviate_interface_v4.py:409-492` — Weaviate merges
+  * each batch into its live inverted index), while the engine's other
+  * keyword artifacts ([[IndexCache]]) are build-once per source dir. A
+  * 100 TB deployment appends/changes documents daily and cannot full-
+  * rebuild its index per batch; this operator gives the postings /
+  * dictionary / champion / corpus-stats artifact family an append
+  * path whose PER-BATCH COST IS INDEPENDENT OF CORPUS SIZE, driven by
+  * exactly the added∪changed∪removed classification
+  * [[CorpusOps.snapshotDiff]] (op 34i) computes.
+  *
+  * Design — the log-structured segment layout every production engine
+  * uses (Lucene segments + deletes; LSM trees):
+  *
+  *   path/seg=0/{postings,docstats,dict,champions,stats}   base build
+  *   path/seg=r/{...}                                      refresh r
+  *   path/tombstones/seg=r                                 kills for refresh r
+  *
+  * - `postings(doc_id, dl, term, tf)`, term_bucket-partitioned: a
+  *   refresh WRITES only the delta docs' rows; rows of replaced doc
+  *   versions are killed by tombstones `(doc_id, dl, asof_seg)` — a
+  *   postings row in segment s is live iff no tombstone for its doc has
+  *   `asof_seg > s`. The merged live multiset is bitwise the full
+  *   rebuild's postings (spec-pinned).
+  * - `dict(term, df, cf)`: re-derived at refresh ONLY for touched terms
+  *   (terms of added/changed/removed docs) over their merged live
+  *   postings — a bucket-pruned read of |touched terms| buckets, never
+  *   the corpus. Serving reads each term's LATEST segment row; a row
+  *   with df = 0 (term vanished with its last doc) masks older
+  *   segments. df is term-local, so untouched terms' rows stay exact.
+  * - `champions(term, doc_id, tf, dl)`: per-term top-[[M]] candidates
+  *   cut by `(tf DESC, dl ASC, doc_id ASC)` — the TEXTBOOK champion
+  *   list (Manning, Raghavan & Schütze, *IIR* §7.1.3: "the r docs with
+  *   the highest tf values for term t"). The cut is deliberately free
+  *   of corpus-level statistics: [[ChampionIndex]]'s impact-ordered cut
+  *   depends on avgdl, so ANY corpus change would stale EVERY term's
+  *   list; the tf cut depends only on the term's own postings, so
+  *   touched-terms-only recutting reproduces the full rebuild BITWISE.
+  *   Scoring happens at probe time with CURRENT stats (below), so
+  *   scores carry no staleness at all — only list membership is the
+  *   (deterministic, stats-free) pruning heuristic.
+  * - `stats(n_docs, sum_dl)`: per-segment partials. dl is an integral
+  *   token count, so segment sums are EXACT in double arithmetic and
+  *   merged `avgdl = (Σ sum_dl − Σ tombstone dl) / (Σ n − |tombs|)` is
+  *   bit-identical to the full rebuild's average. `docstats` keeps a
+  *   row per doc INCLUDING dl = 0 (the [[QueryLikelihood]] shortest-
+  *   closure convention).
+  *
+  * Probe ([[search]]): query terms' champion rows (≤ |terms|·M, read
+  * bucket-pruned) scored with exact current BM25 — idf from the merged
+  * dict, length norm from merged stats — per-term contributions rounded
+  * at 6 decimals (the [[ChampionIndex.ImpactDecimals]] determinism
+  * contract), summed per doc, top-k by (score DESC, doc_id).
+  *
+  * Scale notes: the tombstone liveness join broadcasts the tombstone
+  * set (bounded by delta volume between compactions; at larger delete
+  * volumes it becomes a shuffle semi-join or a bloom pre-filter), and
+  * compaction — folding segments + tombstones into a new base — is the
+  * standard background task that bounds segment count; both are the
+  * documented Lucene/LSM trade, not new machinery.
+  */
+object IndexRefresh {
+  /** Champion depth per term (the [[ChampionIndex.M]] recall knob). */
+  val M = ChampionIndex.M
+  val NumBuckets = 64
+  /** dl bound for the exact composite heap score (tf·2²⁴ − dl). */
+  private val DlBound = 1 << 24
+
+  import KeywordSearch.{K1, B}
+
+  // --- segment construction -------------------------------------------------
+
+  /** One tokenize pass per batch: (doc_id, dl, term, tf) with the
+    * Generate barrier keeping the tokenizer single-evaluated (the
+    * [[KeywordSearch.buildBatchPostings]] lesson), plus the bucket key.
+    */
+  private def segPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array(tokens(col("text")))).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket", pmod(portableHash(col("term")), lit(NumBuckets)))
+
+  /** Per-doc lengths INCLUDING dl = 0 rows for token-free docs. */
+  private def segDocStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("double").as("dl"))
+
+  /** Textbook tf-ordered champion cut via the bounded heap: composite
+    * score `tf·2²⁴ − dl` makes (score DESC, doc_id ASC) ≡
+    * (tf DESC, dl ASC, doc_id ASC) exactly (both integral, dl < 2²⁴),
+    * so the map-side-combining [[topKByScore]] heap replaces a
+    * vocabulary-wide window at build time. tf is recovered from the
+    * composite; dl rides as the payload.
+    */
+  private[graft] def cutChampions(postings: DataFrame, m: Int = M): DataFrame = {
+    import graft.functions.VectorFunctions.topKByScore
+    val composite = col("tf").cast("double") * lit(DlBound.toDouble) - col("dl")
+    postings
+      .groupBy("term")
+      .agg(topKByScore(composite, col("doc_id"), m, col("dl").cast("long")).as("top"))
+      .select(col("term"), explode(col("top")).as("t"))
+      .select(col("term"), col("t.id").as("doc_id"),
+        ((col("t.score") + col("t.payload").cast("double")) / DlBound)
+          .cast("long").as("tf"),
+        col("t.payload").cast("double").as("dl"))
+      .withColumn("term_bucket", pmod(portableHash(col("term")), lit(NumBuckets)))
+  }
+
+  private def writeSegment(segDir: String, postings: DataFrame,
+                           docstats: DataFrame, dict: DataFrame,
+                           champs: DataFrame): Unit = {
+    postings.write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$segDir/postings")
+    docstats.write.mode("overwrite").parquet(s"$segDir/docstats")
+    dict.write.mode("overwrite").partitionBy("term_bucket").parquet(s"$segDir/dict")
+    champs.write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$segDir/champions")
+    docstats.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$segDir/stats")
+  }
+
+  /** Base build (segment 0) over a full corpus snapshot. */
+  def buildBase(docs: DataFrame, path: String): Unit = {
+    val p = segPostings(docs).localCheckpoint()
+    val dict = p.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("cf"))
+      .withColumn("term_bucket", pmod(portableHash(col("term")), lit(NumBuckets)))
+    writeSegment(s"$path/seg=0", p, segDocStats(docs), dict, cutChampions(p))
+  }
+
+  // --- refresh --------------------------------------------------------------
+
+  /** Apply one refresh batch. `deltaDocs` = added ∪ changed docs with
+    * their CURRENT text; `removedDocs` = removed ∪ changed docs with
+    * the text of the version being replaced (exactly what the previous
+    * snapshot holds — the [[CorpusOps.snapshotDiff]] consumption
+    * contract). Work done: one tokenize pass over the batch, one
+    * bucket-pruned read of the touched terms' live postings for the
+    * dict/champion recut, and the delta-segment writes — nothing
+    * proportional to corpus size.
+    */
+  def refresh(spark: SparkSession, path: String, deltaDocs: DataFrame,
+              removedDocs: DataFrame): Unit = {
+    val r = segmentIds(path).max + 1
+    // tombstones first: the recut below must see the batch's kills
+    segDocStats(removedDocs).withColumn("asof_seg", lit(r))
+      .write.mode("overwrite").parquet(s"$path/tombstones/seg=$r")
+    val deltaPost = segPostings(deltaDocs).localCheckpoint()
+    // touched terms: everything the batch's new OR replaced versions use
+    val touched = deltaPost.select("term")
+      .union(segPostings(removedDocs).select("term"))
+      .distinct().localCheckpoint()
+    val touchedBuckets = touched
+      .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq // ≤ NumBuckets values
+    // merged live postings of the touched terms: bucket-pruned scan of
+    // every segment (including the delta written below in view form)
+    val liveTouched = livePostings(spark, path,
+        bucketFilter = Some(touchedBuckets), extraSeg = Some((r, deltaPost)))
+      .join(broadcast(touched), Seq("term"))
+    // dict rows for ALL touched terms, df = 0 when the term vanished —
+    // the zero row masks older segments in the serving view
+    val dict = liveTouched.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("cf"))
+      .join(touched, Seq("term"), "right")
+      .na.fill(0L, Seq("df", "cf"))
+      .withColumn("term_bucket", pmod(portableHash(col("term")), lit(NumBuckets)))
+    writeSegment(s"$path/seg=$r", deltaPost, segDocStats(deltaDocs), dict,
+      cutChampions(liveTouched))
+  }
+
+  // --- merged serving views -------------------------------------------------
+
+  private[graft] def segmentIds(path: String): Seq[Int] = {
+    val d = new java.io.File(path)
+    val segs = Option(d.list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toInt).sorted
+    require(segs.nonEmpty, s"no segments under $path — buildBase first")
+    segs.toSeq
+  }
+
+  private def tombstones(spark: SparkSession, path: String): DataFrame = {
+    val d = new java.io.File(s"$path/tombstones")
+    val segs = Option(d.list()).getOrElse(Array.empty[String])
+    if (segs.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"),
+        lit(0.0).as("dl"), lit(0).as("asof_seg"))
+    else spark.read.parquet(segs.map(s => s"$path/tombstones/$s").toSeq: _*)
+  }
+
+  private def readSegFile(spark: SparkSession, path: String, file: String,
+                          bucketFilter: Option[Seq[Long]]): DataFrame = {
+    val dfs = segmentIds(path).map { s =>
+      val df = spark.read.parquet(s"$path/seg=$s/$file")
+      bucketFilter.fold(df)(bs => df.filter(col("term_bucket").isin(bs: _*)))
+        .withColumn("seg", lit(s))
+    }
+    dfs.reduce(_.unionByName(_))
+  }
+
+  /** Live postings across all segments: tombstones kill every row of a
+    * doc's replaced versions (segments older than the kill), current-
+    * version rows survive. `extraSeg` lets [[refresh]] include its
+    * not-yet-written delta in the merge.
+    */
+  private[graft] def livePostings(spark: SparkSession, path: String,
+                                      bucketFilter: Option[Seq[Long]] = None,
+                                      extraSeg: Option[(Int, DataFrame)] = None): DataFrame = {
+    val stored = readSegFile(spark, path, "postings", bucketFilter)
+    val all = extraSeg.fold(stored) { case (s, df) =>
+      stored.unionByName(
+        bucketFilter.fold(df)(bs => df.filter(col("term_bucket").isin(bs: _*)))
+          .withColumn("seg", lit(s)))
+    }
+    val kills = tombstones(spark, path).groupBy("doc_id")
+      .agg(max("asof_seg").as("dead_after"))
+    all.join(broadcast(kills), Seq("doc_id"), "left")
+      .filter(col("dead_after").isNull || col("seg") >= col("dead_after"))
+      .drop("dead_after")
+  }
+
+  /** Latest dict row per term (the version authority): df = 0 rows mask
+    * older segments and then drop from the merged dictionary.
+    */
+  private[graft] def dictView(spark: SparkSession, path: String,
+                                  bucketFilter: Option[Seq[Long]] = None): DataFrame = {
+    val all = readSegFile(spark, path, "dict", bucketFilter)
+    val latest = all.groupBy("term").agg(max("seg").as("seg"))
+    all.join(latest, Seq("term", "seg")).filter(col("df") > 0)
+      .select("term", "df", "cf")
+  }
+
+  /** Serving champion lists: each term's lists come from its latest
+    * dict segment (so a vanished term's empty recut masks older lists).
+    * Invariant (asserted in the spec): no live champion row references
+    * a tombstoned doc version — a replaced doc's terms are by
+    * definition touched, hence recut in the replacing segment.
+    */
+  private[graft] def champsView(spark: SparkSession, path: String,
+                                    bucketFilter: Option[Seq[Long]] = None): DataFrame = {
+    val dictAll = readSegFile(spark, path, "dict", bucketFilter)
+    val latest = dictAll.groupBy("term").agg(max("seg").as("seg"))
+    readSegFile(spark, path, "champions", bucketFilter)
+      .join(latest, Seq("term", "seg"))
+      .select("term", "doc_id", "tf", "dl")
+  }
+
+  /** Exact current corpus stats from the per-segment partials: integral
+    * token counts make every sum exact, so the merged average is
+    * bitwise the full rebuild's.
+    */
+  private[graft] def statsView(spark: SparkSession, path: String): DataFrame = {
+    val segStats = segmentIds(path)
+      .map(s => spark.read.parquet(s"$path/seg=$s/stats"))
+      .reduce(_.unionByName(_))
+      .agg(sum("n_docs").as("n"), sum("sum_dl").as("sdl"))
+    val tomb = tombstones(spark, path)
+      .agg(count(lit(1)).as("tn"), coalesce(sum("dl"), lit(0.0)).as("tdl"))
+    segStats.join(tomb)
+      .select((col("n") - col("tn")).as("n_docs"),
+        ((col("sdl") - col("tdl")) / (col("n") - col("tn")).cast("double"))
+          .as("avgdl"))
+  }
+
+  // --- probe ----------------------------------------------------------------
+
+  private[graft] def termBucket(t: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % NumBuckets
+  }
+
+  /** BM25 top-k over the refreshed artifact: candidates from the query
+    * terms' champion lists (bucket-pruned read), scored with EXACT
+    * current statistics — per-term contributions rounded at 6dp (the
+    * champion determinism contract), per-doc sum rounded at 4.
+    */
+  def search(spark: SparkSession, path: String, docs: DataFrame,
+             terms: Seq[String], topK: Int = KeywordSearch.TopK): DataFrame = {
+    val buckets = terms.map(termBucket).distinct
+    val champs = champsView(spark, path, Some(buckets))
+      .filter(col("term").isin(terms: _*))
+    val dict = dictView(spark, path, Some(buckets))
+      .filter(col("term").isin(terms: _*))
+    val tfD = col("tf").cast("double")
+    val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5))
+    val contrib = round(idf * (tfD * (K1 + 1)) /
+      (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
+    val topk = champs
+      .join(broadcast(dict), Seq("term"))
+      .join(broadcast(statsView(spark, path)))
+      .select(col("doc_id"), contrib.as("contrib"))
+      .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(topK)
+    topk.join(docs.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
+  // --- driver wiring: base on the PREVIOUS snapshot, one refresh batch ------
+
+  /** The refreshed standing artifact for a source dir: base build on
+    * the previous snapshot ([[CorpusOps]]'s stride-carved versions),
+    * then ONE refresh applying exactly the added/changed/removed batch
+    * [[CorpusOps.snapshotDiff]] classifies. Every query below must then
+    * be indistinguishable from a full rebuild on the CURRENT snapshot —
+    * which is precisely what the oracles replay.
+    */
+  private def refreshedArtifact(s: SparkSession, dir: String): String =
+    IndexCache.getOrBuild("kw_refresh", dir) { p =>
+      val docs = Tables.documents(s, dir)
+      val curr = CorpusOps.currSnapshot(docs)
+      val prev = CorpusOps.prevSnapshot(docs)
+      buildBase(prev, p)
+      val diff = CorpusOps.snapshotDiff(curr, prev)
+      val deltaDocs = curr.join(
+        diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+        Seq("doc_id"), "semi")
+      val removedDocs = prev.join(
+        diff.filter(col("status").isin("removed", "changed")).select("doc_id"),
+        Seq("doc_id"), "semi")
+      refresh(s, p, deltaDocs, removedDocs)
+    }
+
+  /** Driver query: champion search over the refreshed artifact — the
+    * oracle runs the same tf-cut champion search on the post-refresh
+    * corpus from scratch, so base+delta ≡ full rebuild is checked at
+    * the search-result level.
+    */
+  def qRefreshSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    search(s, refreshedArtifact(s, dir), CorpusOps.currSnapshot(docs),
+      KeywordSearch.QueryTerms)
+  }
+
+  /** Driver query: the merged dictionary of the refreshed artifact —
+    * the postings-level bitwise proof (df/cf for EVERY term must equal
+    * a from-scratch tokenization of the current snapshot).
+    */
+  def qRefreshDict(s: SparkSession, dir: String): DataFrame =
+    dictView(s, refreshedArtifact(s, dir)).orderBy("term")
+
+  // --- oracles --------------------------------------------------------------
+
+  private def currCte: String =
+    s"curr AS (SELECT * FROM documents WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3)"
+
+  def refreshDictSql: String =
+    s"""WITH $currCte,
+       |toked AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM curr),
+       |postings AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM toked GROUP BY 1, 2)
+       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       |FROM postings
+       |GROUP BY term
+       |ORDER BY term""".stripMargin
+
+  def refreshSearchSql(terms: Seq[String], topK: Int = KeywordSearch.TopK,
+                       m: Int = M): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $currCte,
+       |toked AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM curr),
+       |postings AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM toked GROUP BY 1, 2),
+       |docstats AS (
+       |  SELECT doc_id, CAST(len(${TextAnalysis.sqlToks}) AS DOUBLE) AS dl
+       |  FROM curr),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docstats),
+       |dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+       |champs AS (
+       |  SELECT term, doc_id, tf, dl FROM (
+       |    SELECT p.term, p.doc_id, p.tf, d.dl,
+       |      row_number() OVER (PARTITION BY p.term
+       |        ORDER BY p.tf DESC, d.dl ASC, p.doc_id ASC) AS crn
+       |    FROM postings p JOIN docstats d USING (doc_id))
+       |  WHERE crn <= $m),
+       |topk AS (
+       |  SELECT doc_id, round(sum(
+       |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
+       |        * (CAST(tf AS DOUBLE) * ${K1 + 1})
+       |        / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)
+       |    ), 4) AS score
+       |  FROM champs
+       |  JOIN dict USING (term), stats
+       |  WHERE term IN ($termList)
+       |  GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id
+       |  LIMIT $topK)
+       |SELECT t.doc_id, d.source, d.lang, t.score
+       |FROM topk t JOIN curr d USING (doc_id)
+       |ORDER BY score DESC, doc_id""".stripMargin
+  }
+
+  val refreshSearchOracle: String = refreshSearchSql(KeywordSearch.QueryTerms)
+  val refreshDictOracle: String = refreshDictSql
+}

@@ -1,0 +1,159 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class IndexRefreshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("source", concat(lit("s"), col("doc_id") % 3))
+      .withColumn("lang", lit("en"))
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_refresh_spec").toString
+
+  private val base = docsDF(
+    0L -> "spark joins data fast",
+    1L -> "hash join hash join hash",
+    2L -> "slow scans of cold data",
+    3L -> "fast spark fast spark fast",
+    4L -> "window agg over data stream")
+
+  // refresh batch: doc 5 added, doc 1 changed, doc 2 removed
+  private val curr = docsDF(
+    0L -> "spark joins data fast",
+    1L -> "hash join merged anew",
+    3L -> "fast spark fast spark fast",
+    4L -> "window agg over data stream",
+    5L -> "brand new vector search doc")
+
+  private def buildRefreshed(): String = {
+    val path = tmp()
+    IndexRefresh.buildBase(base, path)
+    val deltaDocs = curr.filter(col("doc_id").isin(1L, 5L))
+    val removedDocs = base.filter(col("doc_id").isin(1L, 2L))
+    IndexRefresh.refresh(spark, path, deltaDocs, removedDocs)
+    path
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("delta refresh is bitwise the full rebuild: postings, dict, champions, stats") {
+    val refreshed = buildRefreshed()
+    val full = tmp()
+    IndexRefresh.buildBase(curr, full)
+    assert(sortedRows(IndexRefresh.livePostings(spark, refreshed).drop("seg")) ==
+      sortedRows(IndexRefresh.livePostings(spark, full).drop("seg")))
+    assert(sortedRows(IndexRefresh.dictView(spark, refreshed)) ==
+      sortedRows(IndexRefresh.dictView(spark, full)))
+    assert(sortedRows(IndexRefresh.champsView(spark, refreshed)) ==
+      sortedRows(IndexRefresh.champsView(spark, full)))
+    assert(sortedRows(IndexRefresh.statsView(spark, refreshed)) ==
+      sortedRows(IndexRefresh.statsView(spark, full)))
+    // and at the search level, for terms spanning touched + untouched
+    for (terms <- Seq(Seq("spark", "fast"), Seq("hash", "join"),
+                      Seq("vector", "search"), Seq("data", "stream", "window"))) {
+      assert(sortedRows(IndexRefresh.search(spark, refreshed, curr, terms)) ==
+        sortedRows(IndexRefresh.search(spark, full, curr, terms)), s"terms=$terms")
+    }
+  }
+
+  test("refresh touches only the delta: recut covers exactly the touched terms, base files unchanged") {
+    val path = tmp()
+    IndexRefresh.buildBase(base, path)
+    def baseFiles(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(path, "seg=0")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+    }
+    val before = baseFiles()
+    val deltaDocs = curr.filter(col("doc_id").isin(1L, 5L))
+    val removedDocs = base.filter(col("doc_id").isin(1L, 2L))
+    IndexRefresh.refresh(spark, path, deltaDocs, removedDocs)
+    assert(baseFiles() == before, "refresh must never rewrite the base segment")
+    // the delta segment's recut terms = tokens of added/changed/removed
+    // versions, nothing else
+    val expected = (deltaDocs.select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+      .union(removedDocs.select(explode(graft.functions.TextFunctions.tokens(col("text")))))
+      ).distinct().as[String].collect().toSet
+    val recut = spark.read.parquet(s"$path/seg=1/dict")
+      .select("term").as[String].collect().toSet
+    assert(recut == expected)
+    // no live champion row references a dead doc version (doc 2 removed;
+    // doc 1's old terms recut)
+    val champs = IndexRefresh.champsView(spark, path)
+    assert(champs.filter(col("doc_id") === 2L).count() == 0)
+  }
+
+  test("a term vanishing with its last doc is masked, not resurfaced") {
+    val path = tmp()
+    IndexRefresh.buildBase(base, path)
+    // doc 2 is the only holder of "scans"/"cold"; remove it with no delta
+    IndexRefresh.refresh(spark, path,
+      base.filter(lit(false)), base.filter(col("doc_id") === 2L))
+    val dict = IndexRefresh.dictView(spark, path)
+    assert(dict.filter(col("term") === "scans").count() == 0)
+    assert(IndexRefresh.champsView(spark, path)
+      .filter(col("term") === "scans").count() == 0)
+    val res = IndexRefresh.search(spark, path,
+      base.filter(col("doc_id") =!= 2L), Seq("scans", "cold"))
+    assert(res.count() == 0)
+  }
+
+  test("two sequential refreshes still equal the full rebuild") {
+    val path = tmp()
+    IndexRefresh.buildBase(base, path)
+    // refresh 1: change doc 1, remove doc 2
+    IndexRefresh.refresh(spark, path,
+      curr.filter(col("doc_id") === 1L), base.filter(col("doc_id").isin(1L, 2L)))
+    // refresh 2: add doc 5, change doc 1 AGAIN (back-to-back versions)
+    val v2 = docsDF(1L -> "join again changed twice", 5L -> "brand new vector search doc")
+    IndexRefresh.refresh(spark, path,
+      v2, curr.filter(col("doc_id") === 1L))
+    val finalCorpus = docsDF(
+      0L -> "spark joins data fast",
+      1L -> "join again changed twice",
+      3L -> "fast spark fast spark fast",
+      4L -> "window agg over data stream",
+      5L -> "brand new vector search doc")
+    val full = tmp()
+    IndexRefresh.buildBase(finalCorpus, full)
+    assert(sortedRows(IndexRefresh.livePostings(spark, path).drop("seg")) ==
+      sortedRows(IndexRefresh.livePostings(spark, full).drop("seg")))
+    assert(sortedRows(IndexRefresh.dictView(spark, path)) ==
+      sortedRows(IndexRefresh.dictView(spark, full)))
+    assert(sortedRows(IndexRefresh.champsView(spark, path)) ==
+      sortedRows(IndexRefresh.champsView(spark, full)))
+    assert(sortedRows(IndexRefresh.search(spark, path, finalCorpus, Seq("join", "spark"))) ==
+      sortedRows(IndexRefresh.search(spark, full, finalCorpus, Seq("join", "spark"))))
+  }
+
+  test("probe reads are partition-pruned to the query terms' buckets") {
+    val path = buildRefreshed()
+    val plan = IndexRefresh.search(spark, path, curr, Seq("spark"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(term_bucket"),
+      s"expected term_bucket PartitionFilters in:\n$plan")
+  }
+
+  test("champion cut is the textbook tf-order: tf desc, dl asc, doc_id asc") {
+    // 4 docs share term "x" with tfs 3,3,1,2 and lengths 5,3,9,9
+    val docs = docsDF(
+      0L -> "x x x a a",      // tf 3, dl 5
+      1L -> "x x x",          // tf 3, dl 3
+      2L -> "x b b c c d d e e", // tf 1, dl 9
+      3L -> "x x f f g g h h i") // tf 2, dl 9
+    val path = tmp()
+    IndexRefresh.buildBase(docs, path)
+    val cut = IndexRefresh.champsView(spark, path)
+      .filter(col("term") === "x").orderBy(desc("tf"), asc("dl"), asc("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(cut == Seq(1L, 0L, 3L, 2L))
+  }
+}
