@@ -72,6 +72,7 @@ object SparkEntry {
     // current snapshot (base+delta must be indistinguishable from it)
     "kw_index_refresh" -> (IndexRefresh.qRefreshSearch _),
     "kw_index_refresh_dict" -> (IndexRefresh.qRefreshDict _),
+    "ivf_index_refresh" -> (VectorRefresh.qRefreshSearch _),
     "kw_search_indexed" -> (KeywordIndex.qSearchIndexed _),
     "vector_search_topk" -> (VectorSearch.search _),
     "vector_search_batch" -> (VectorSearch.batchSearch _),
@@ -279,6 +280,7 @@ object SparkEntry {
     "kw_index_dictionary" -> KeywordIndex.dictionaryOracle,
     "kw_index_refresh" -> IndexRefresh.refreshSearchOracle,
     "kw_index_refresh_dict" -> IndexRefresh.refreshDictOracle,
+    "ivf_index_refresh" -> VectorRefresh.refreshSearchOracle,
     "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,
     "kw_search_materialized" -> KeywordIndex.searchIndexedOracle,
     "ivf_search_materialized" -> IvfIndex.qSearchMaterializedOracle,

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class VectorRefreshSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_vrefresh_spec").toString
+
+  private lazy val embs = Tables.embeddings(spark, TestSpark.Sf0001)
+  private lazy val curr = VectorRefresh.currSnapshot(embs)
+  private lazy val prev = VectorRefresh.prevSnapshot(embs)
+
+  private def buildRefreshed(): String = {
+    val path = tmp()
+    VectorRefresh.buildBase(prev, path)
+    val prevIds = prev.select("vec_id")
+    val currIds = curr.select("vec_id")
+    val changed = col("vec_id") % CorpusOps.DiffChangeStride === 4
+    VectorRefresh.refresh(spark, path,
+      curr.join(prevIds, Seq("vec_id"), "left_anti")
+        .unionByName(curr.filter(changed).join(prevIds, Seq("vec_id"), "semi")),
+      prev.join(currIds, Seq("vec_id"), "left_anti")
+        .unionByName(prev.filter(changed).join(currIds, Seq("vec_id"), "semi")))
+    path
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("cell append + centroid maintenance equals the full rebuild") {
+    val refreshed = buildRefreshed()
+    val full = tmp()
+    VectorRefresh.buildBase(curr, full)
+    assert(sortedRows(VectorRefresh.liveVectors(spark, refreshed)) ==
+      sortedRows(VectorRefresh.liveVectors(spark, full)))
+    // centroids: merged partials vs monolithic partials — equal to 1e-9
+    // (double reassociation only; values are O(1))
+    val a = VectorRefresh.centroidView(spark, refreshed)
+      .select(col("cell"), explode(col("centroid")).as("c"))
+      .orderBy("cell").collect().map(_.getDouble(1))
+    val b = VectorRefresh.centroidView(spark, full)
+      .select(col("cell"), explode(col("centroid")).as("c"))
+      .orderBy("cell").collect().map(_.getDouble(1))
+    assert(a.length == b.length)
+    assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 })
+    val q = curr.filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    assert(sortedRows(VectorRefresh.search(spark, refreshed, q, VectorSearch.QueryVecId)) ==
+      sortedRows(VectorRefresh.search(spark, full, q, VectorSearch.QueryVecId)))
+  }
+
+  test("refresh appends: the base segment's files are never rewritten") {
+    val path = tmp()
+    VectorRefresh.buildBase(prev, path)
+    def baseFiles(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path, "seg=0"))
+        .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+    }
+    val before = baseFiles()
+    VectorRefresh.refresh(spark, path,
+      curr.limit(5), prev.limit(3))
+    assert(baseFiles() == before)
+  }
+
+  test("full probe over the refreshed layout equals brute force on the current snapshot") {
+    val refreshed = buildRefreshed()
+    val q = curr.filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    val nlist = curr.select("label").distinct().count().toInt
+    val viaIndex = VectorRefresh.search(spark, refreshed, q,
+        VectorSearch.QueryVecId, nprobe = nlist)
+      .select("vec_id", "score").collect().map(_.toString).toSeq
+    val brute = VectorSearch.topK(curr, VectorSearch.QueryVecId)
+      .select("vec_id", "score").collect().map(_.toString).toSeq
+    assert(viaIndex == brute)
+  }
+}
