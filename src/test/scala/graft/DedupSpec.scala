@@ -38,6 +38,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(p => p._2 != 3L))
   }
 
+  test("hot-bucket guard: inert on non-degenerate corpora, trips on duplicate blowup") {
+    import spark.implicits._
+    // non-degenerate: guarded (default cap) == unguarded, bitwise
+    val corpus = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val guarded = Dedup.minhashLsh(corpus).collect().map(_.toString).toSeq
+    val exact = Dedup.minhashLsh(corpus, Int.MaxValue).collect().map(_.toString).toSeq
+    assert(guarded == exact)
+    // degenerate: 30 identical docs + one distinct near-pair. With the
+    // cap at 10 the identical block's buckets are skipped from pairwise
+    // verify, the disjoint near-pair still surfaces, and hotBuckets
+    // reports the block with its representative
+    val dup = (0L until 30L).map(i => (i, "spark rows columns tables joins again and again"))
+    val other = Seq(100L -> "totally different text about streams windows watermarks here",
+                    101L -> "totally different text about streams windows watermarks there")
+    val degenerate = (dup ++ other).toDF("doc_id", "text")
+    val g = Dedup.minhashLsh(degenerate, maxBucket = 10).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    assert(!g.exists(p => p._1 < 30L && p._2 < 30L), "hot block must be skipped")
+    assert(g.contains((100L, 101L)), "normal buckets still verify")
+    val hot = Dedup.hotBuckets(degenerate, minSize = 11).collect()
+    assert(hot.nonEmpty)
+    assert(hot.forall(r => r.getAs[Long]("n_docs") == 30L &&
+      r.getAs[Long]("rep_doc") == 0L))
+  }
+
   test("simhash: identical docs equal, near docs close in hamming") {
     val hs = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
