@@ -594,9 +594,18 @@ object HybridSearch {
   }
 
   /** [[fuseTail]]'s alpha-SWEEP twin: identical prep (ONE dense fan-out
-    * + stats), the alpha dimension exploded map-side on the fused
-    * frame, ranking per (alpha, q_id) through the same bounded heap.
-    * Output carries the alpha column.
+    * + stats), then ONE pass over the candidate stream carrying
+    * |alphas| bounded heaps side by side — each alpha's fused score is
+    * its own aggregate column in a single `groupBy(q_id)`, so the
+    * candidate frame is never replicated ×|alphas| (the r8 form
+    * exploded the alpha dimension onto the fused frame before the heap;
+    * at 100× the sweep's candidate volume already grows as
+    * corpus × queries, and the ×|alphas| row replication multiplied the
+    * whole map-side stream plus every per-row aggregate-hash probe).
+    * Per-alpha arithmetic uses literal `alpha` / `1−alpha` factors —
+    * bit-identical to [[fuseTail]]'s single-alpha form and to the
+    * column-alpha oracle (the swept alphas are exact doubles). The
+    * heaps unpivot to the same (alpha, q_id, rn, doc_id, score) output.
     */
   private def fuseTailSweep(vparts0: DataFrame, kparts0: DataFrame,
                             alphas: Seq[Double], k: Int,
@@ -604,20 +613,23 @@ object HybridSearch {
                             materializeCandidates: Boolean = false): DataFrame = {
     val (joined, qstats) = fusePrep(vparts0, kparts0,
       restrictKwToCandidates, materializeCandidates)
-    // column-alpha arithmetic: a * x + (1.0 - a) * y over exact-double
-    // alphas — same math as fuseTail's literal form at each swept value
-    val fscore = round(
-      col("alpha") * (col("vscore") - col("vmin")) /
+    def fscoreFor(a: Double) = round(
+      lit(a) * (col("vscore") - col("vmin")) /
         when(col("vmax") === col("vmin"), 1.0).otherwise(col("vmax") - col("vmin")) +
-        (lit(1.0) - col("alpha")) * (col("kscore") - col("kmin")) /
+        lit(1.0 - a) * (col("kscore") - col("kmin")) /
           when(col("kmax") === col("kmin"), 1.0).otherwise(col("kmax") - col("kmin")),
       4)
+    val heaps = alphas.zipWithIndex.map { case (a, i) =>
+      graft.functions.VectorFunctions
+        .topKByScore(fscoreFor(a), col("doc_id"), k).as(s"top_$i")
+    }
     joined.join(broadcast(qstats), Seq("q_id"))
-      .withColumn("alpha", explode(typedLit(alphas)))
-      .select(col("alpha"), col("q_id"), col("doc_id"), fscore.as("fs"))
-      .groupBy("alpha", "q_id")
-      .agg(graft.functions.VectorFunctions.topKByScore(col("fs"), col("doc_id"), k).as("top"))
-      .select(col("alpha"), col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .groupBy("q_id")
+      .agg(heaps.head, heaps.tail: _*)
+      .select(col("q_id"), explode(array(alphas.zipWithIndex.map { case (a, i) =>
+        struct(lit(a).as("alpha"), col(s"top_$i").as("top")) }: _*)).as("slice"))
+      .select(col("q_id"), col("slice.alpha").as("alpha"),
+        posexplode(col("slice.top")).as(Seq("i", "t")))
       .select(col("alpha"), col("q_id"), (col("i") + 1).as("rn"),
         col("t.id").as("doc_id"), col("t.score").as("score"))
       .orderBy("alpha", "q_id", "rn")
