@@ -228,6 +228,9 @@ object SparkEntry {
     // late-interaction (ColBERT MaxSim) multi-vector rerank over the
     // trained w2v token embeddings; literal-weights oracle
     "rerank_maxsim" -> (MaxSimReranker.qSearch _),
+    // PLAID-style late interaction as the FIRST stage: per-query-token
+    // neighborhoods -> champion candidates -> exact MaxSim on survivors
+    "maxsim_search_pruned" -> (MaxSimReranker.qSearchPruned _),
     "rerank_maxsim_batch" -> (MaxSimReranker.qBatchRerank _),
     "pq_adc_search" -> (ProductQuantizer.qAdcSearch _),
     "ivf_pq_search" -> (ProductQuantizer.qIvfAdcSearch _),
@@ -404,6 +407,7 @@ object SparkEntry {
     "q_salted_join" -> Skew.saltedJoinOracle,
     "rerank_learned" -> LearnedReranker.searchOracle,
     "rerank_maxsim" -> MaxSimReranker.searchOracle,
+    "maxsim_search_pruned" -> MaxSimReranker.searchPrunedOracle,
     "rerank_maxsim_batch" -> MaxSimReranker.batchRerankOracle,
     "rerank_maxsim_batch_pruned" -> MaxSimReranker.batchRerankPrunedOracle,
     "pq_adc_search" -> ProductQuantizer.adcSearchOracle,

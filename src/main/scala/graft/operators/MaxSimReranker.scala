@@ -208,6 +208,150 @@ object MaxSimReranker {
       .orderBy("q_id", "rn")
   }
 
+  // --- PLAID-style pruned late-interaction RETRIEVAL ------------------------
+
+  /** Per-query-token neighborhood width for the candidate stage. */
+  val NearTerms = 8
+
+  /** Late interaction as the FIRST STAGE — the published step beyond
+    * rerank-only MaxSim (Santhanam et al. 2022, arXiv:2205.09707,
+    * PLAID/ColBERTv2: candidate generation by per-query-token index
+    * probes, exact MaxSim only on the survivors). Spark-native
+    * re-derivation over the machinery already standing: each query
+    * token's [[NearTerms]] most-similar VOCAB terms (from the bounded
+    * similarity dictionary — PLAID's centroid-proximity probe, with the
+    * trained token table itself as the centroid set) select candidates
+    * through those terms' tf-ordered champion lists
+    * ([[IndexRefresh.cutChampions]] over the standing postings
+    * artifact), and only the ≤ |qterms|·[[NearTerms]]·M candidate docs
+    * pay the exact full-dictionary MaxSim — per-query cost bounded by
+    * terms·M regardless of corpus size, where the rerank forms depend
+    * on a separate BM25 first stage.
+    *
+    * Approximation contract: a doc sharing no champion row with any
+    * near-term of any query token cannot be retrieved; scores of
+    * retrieved docs are EXACT MaxSim (the full dictionary, all their
+    * tokens — only the candidate SET is pruned, PLAID's final-scoring
+    * discipline). With the neighborhood widened to the whole vocabulary
+    * and unbounded lists, the ranking is exactly the brute-force MaxSim
+    * over every scoreable doc (spec-pinned). OOV-drop semantics as in
+    * [[qBatchRerank]].
+    */
+  def qSearchPruned(s: SparkSession, dir: String): DataFrame = {
+    val w = Word2VecEmbedder.weightsFor(s, dir)
+    val postings = KeywordSearch.cachedBatchPostings(s, dir)
+    val champs = cachedTfChampions(s, dir)
+    searchPrunedCore(s, Tables.documents(s, dir), postings, champs, w,
+      queryTerms(w), NearTerms, TopK)
+  }
+
+  /** The standing tf-ordered champion lists over the batch postings —
+    * the candidate index of the pruned MaxSim retrieval (and exactly
+    * the refresh-stable cut [[IndexRefresh]] maintains incrementally).
+    */
+  private def cachedTfChampions(s: SparkSession, dir: String): DataFrame = {
+    val p = IndexCache.getOrBuild("maxsim_tf_champions", dir)(path =>
+      IndexRefresh.cutChampions(KeywordSearch.cachedBatchPostings(s, dir))
+        .write.mode("overwrite").parquet(path))
+    s.read.parquet(p)
+  }
+
+  private[graft] def searchPrunedCore(s: SparkSession, docs: DataFrame,
+                                      postings: DataFrame, champs: DataFrame,
+                                      w: Map[String, Array[Float]],
+                                      qterms: Seq[String], nearTerms: Int,
+                                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = simDict(s, w, qterms)
+    // PLAID probe: each query token's nearest vocab terms (bounded
+    // dictionary frame — the window is over |vocab|·|qterms| rows)
+    val near = dict
+      .withColumn("nrn", row_number().over(
+        Window.partitionBy("qterm").orderBy(desc("sim"), asc("term"))))
+      .filter(col("nrn") <= nearTerms)
+      .select("term").distinct()
+    val cand = champs.join(broadcast(near), Seq("term"))
+      .select("doc_id").distinct()
+    // exact MaxSim over the candidates: all their tokens, full dictionary
+    val dtoks = cand
+      .join(postings.select(col("doc_id"), col("term")), Seq("doc_id"))
+      .select(col("doc_id"), col("term")).distinct()
+    val topk = dtoks.join(broadcast(dict), Seq("term"))
+      .groupBy("doc_id", "qterm").agg(max(col("sim")).as("m"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("qterm"), col("m"))).as("ms"))
+      .select(col("doc_id"),
+        round(aggregate(transform(array_sort(col("ms")), x => x.getField("m")),
+          lit(0.0), (acc, x) => acc + x), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+    topk.join(docs.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
+  /** Oracle for the pruned retrieval: trained weights as literals, the
+    * per-qterm neighborhood window, the tf-ordered champion cut
+    * re-derived from the raw corpus, then the exact MaxSim tail over
+    * the candidate set.
+    */
+  def searchPrunedOracle: String = {
+    Word2VecEmbedder.cachedWeights.fold(emptyOracle) { w =>
+      val qterms = queryTerms(w)
+      val termList = qterms.map(t => s"('$t')").mkString(", ")
+      val weightValues = w.toSeq.sortBy(_._1).map { case (term, v) =>
+        s"('$term', [${v.map(_.toDouble).mkString(", ")}])"
+      }.mkString(",\n    ")
+      s"""WITH wv AS (SELECT * FROM (VALUES
+         |    $weightValues) AS t(term, v)),
+         |qv AS (
+         |  SELECT term AS qterm, v AS qvec
+         |  FROM wv JOIN (VALUES $termList) AS qt(qterm) ON term = qterm),
+         |dict AS (
+         |  SELECT wv.term, qv.qterm,
+         |    ${VectorSearch.cosineSql("wv.v", "qv.qvec", Word2VecEmbedder.Dim)} AS sim
+         |  FROM wv, qv),
+         |near AS (
+         |  SELECT DISTINCT term FROM (
+         |    SELECT term, qterm,
+         |      row_number() OVER (PARTITION BY qterm ORDER BY sim DESC, term) AS nrn
+         |    FROM dict)
+         |  WHERE nrn <= $NearTerms),
+         |toked AS (
+         |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM documents),
+         |postings AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM postings GROUP BY 1),
+         |champs AS (
+         |  SELECT term, doc_id FROM (
+         |    SELECT p.term, p.doc_id,
+         |      row_number() OVER (PARTITION BY p.term
+         |        ORDER BY p.tf DESC, dl.dl ASC, p.doc_id ASC) AS crn
+         |    FROM postings p JOIN dl USING (doc_id))
+         |  WHERE crn <= ${ChampionIndex.M}),
+         |cand AS (
+         |  SELECT DISTINCT doc_id FROM champs JOIN near USING (term)),
+         |dtoks AS (
+         |  SELECT DISTINCT c.doc_id, p.term
+         |  FROM cand c JOIN postings p ON c.doc_id = p.doc_id),
+         |sims AS (
+         |  SELECT d.doc_id, dict.qterm, dict.sim
+         |  FROM dtoks d JOIN dict ON d.term = dict.term),
+         |maxes AS (
+         |  SELECT doc_id, qterm, max(sim) AS m
+         |  FROM sims GROUP BY 1, 2),
+         |topk AS (
+         |  SELECT doc_id, round(sum(m ORDER BY qterm), 6) AS score
+         |  FROM maxes
+         |  GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id
+         |  LIMIT $TopK)
+         |SELECT t.doc_id, d.source, d.lang, t.score
+         |FROM topk t JOIN documents d USING (doc_id)
+         |ORDER BY score DESC, doc_id""".stripMargin
+    }
+  }
+
   /** Oracle for the batch form: the shared batch-BM25 CTE chain
     * re-derives candidates AND the per-query term sets from the raw
     * corpus; the trained weights land as literals; max → qterm-ordered

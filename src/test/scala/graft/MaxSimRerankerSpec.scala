@@ -107,6 +107,47 @@ class MaxSimRerankerSpec extends SparkSpec {
     assert(scores(0L) == scores(1L))
   }
 
+  test("pruned maxsim retrieval at full depth equals brute-force maxsim ranking") {
+    val dir = TestSpark.Sf0001
+    val w = Word2VecEmbedder.weightsFor(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val postings = KeywordSearch.cachedBatchPostings(spark, dir)
+    val qterms = KeywordSearch.QueryTerms.distinct.filter(w.contains).sorted
+    // full depth: neighborhood = the whole vocabulary, unbounded lists
+    val champsFull = IndexRefresh.cutChampions(postings, m = 1000000)
+    val viaIndex = MaxSimReranker.searchPrunedCore(spark, docs, postings,
+        champsFull, w, qterms, nearTerms = w.size, k = 1000000)
+      .collect().map(_.toString).toSeq
+    // brute force: every doc with at least one in-vocab token, scored by
+    // the same exact-MaxSim tail (candidates = all docs)
+    val brute = MaxSimReranker.searchPrunedCore(spark, docs, postings,
+        postings.select("term", "doc_id"), w, qterms,
+        nearTerms = w.size, k = 1000000)
+      .collect().map(_.toString).toSeq
+    assert(viaIndex.nonEmpty && viaIndex == brute)
+  }
+
+  test("pruned maxsim: candidate volume is bounded by the probe, scores stay exact") {
+    val dir = TestSpark.Sf0001
+    val w = Word2VecEmbedder.weightsFor(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val postings = KeywordSearch.cachedBatchPostings(spark, dir)
+    val qterms = KeywordSearch.QueryTerms.distinct.filter(w.contains).sorted
+    val champs = IndexRefresh.cutChampions(postings)
+    val pruned = MaxSimReranker.searchPrunedCore(spark, docs, postings,
+      champs, w, qterms, MaxSimReranker.NearTerms, MaxSimReranker.TopK)
+      .collect()
+    assert(pruned.nonEmpty && pruned.length <= MaxSimReranker.TopK)
+    // every retrieved doc's score equals the brute-force score for that
+    // doc (only the candidate SET is pruned, never the scoring)
+    val brute = MaxSimReranker.searchPrunedCore(spark, docs, postings,
+        postings.select("term", "doc_id"), w, qterms, w.size, 1000000)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    pruned.foreach { r =>
+      assert(brute(r.getAs[Long]("doc_id")) == r.getAs[Double]("score"))
+    }
+  }
+
   test("maxsim distinguishes docs a mean-pooled bi-encoder cannot") {
     // doc 0 = {u, v}; doc 1 = {m} with E[m] = (E[u] + E[v]) / 2 — the
     // mean-pooled vectors are IDENTICAL, so any bi-encoder scores the
