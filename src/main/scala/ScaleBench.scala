@@ -44,7 +44,11 @@ object ScaleBench {
     "ivf_search_filtered",  // filtered ANN, inline centroid build
     "ivf_search_filtered_materialized", // filtered ANN over standing artifacts
     "hybrid_search_pruned", // single-query IVF x champion fusion
-    "corpus_mix_temperature") // map-side temperature-smoothed mixing
+    "corpus_mix_temperature", // map-side temperature-smoothed mixing
+    "kw_index_refresh",     // segment+tombstone refresh, champion probe
+    "ivf_index_refresh",    // cell-append refresh, merged-centroid probe
+    "eval_retrieval_golden",// file-driven golden eval over the postings artifact
+    "dedup_lsh_hot_buckets")// hot-bucket cluster report (the guard's log)
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):
     * the batch-fusion rows scale the query set AND the corpus with N, so

@@ -99,9 +99,14 @@ object ChampionIndex {
   private[operators] def championScored(docs: DataFrame, postings: DataFrame,
                                         champs: DataFrame,
                                         selectDocQueries: DataFrame => DataFrame,
-                                        nTerms: Int = BatchTerms): DataFrame = {
+                                        nTerms: Int = BatchTerms,
+                                        dict: Option[DataFrame] = None): DataFrame = {
     val qtoks = KeywordSearch.batchQueryTokens(postings, docs, selectDocQueries)
-    val qdict = KeywordSearch.batchQueryDict(postings, qtoks)
+    // df for the rarest-token assembly: from the standing dictionary
+    // artifact when provided (serving path — no per-batch postings
+    // aggregation), else the inline postings aggregation (same values)
+    val qdict = dict.map(KeywordSearch.batchQueryDictFrom(_, qtoks))
+      .getOrElse(KeywordSearch.batchQueryDict(postings, qtoks))
     val qterms = KeywordSearch.batchQueryTermsFrom(qtoks, qdict, nTerms)
     champs.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
@@ -117,9 +122,10 @@ object ChampionIndex {
                                         champs: DataFrame,
                                         selectDocQueries: DataFrame => DataFrame,
                                         nTerms: Int = BatchTerms,
-                                        k: Int = BatchK): DataFrame =
+                                        k: Int = BatchK,
+                                        dict: Option[DataFrame] = None): DataFrame =
     KeywordSearch.rankKwScored(
-      championScored(docs, postings, champs, selectDocQueries, nTerms), k)
+      championScored(docs, postings, champs, selectDocQueries, nTerms, dict), k)
 
   /** Champion-pruned batch scoring over an explicit champion frame —
     * the core both the driver query and the equivalence spec share.
@@ -133,11 +139,13 @@ object ChampionIndex {
       _.filter(col("doc_id") % stride === 0), nTerms, k)
 
   /** Driver query: the SERVING form — champion-pruned batch BM25 over
-    * the standing artifacts.
+    * the standing artifacts (postings, champions, term dictionary).
     */
   def batchSearchPruned(s: SparkSession, dir: String): DataFrame = {
     val postings = KeywordSearch.cachedBatchPostings(s, dir)
-    bm25BatchPruned(Tables.documents(s, dir), postings, cachedChampions(s, dir))
+    bm25BatchPrunedSel(Tables.documents(s, dir), postings, cachedChampions(s, dir),
+      _.filter(col("doc_id") % BatchStride === 0),
+      dict = Some(KeywordSearch.cachedTermDict(s, dir)))
   }
 
   /** The CTE chain producing the champion index `champs(term, doc_id,

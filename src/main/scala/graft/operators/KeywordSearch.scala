@@ -355,6 +355,33 @@ object KeywordSearch {
     s.read.parquet(p)
   }
 
+  /** Standing per-term dictionary `(term, df, ctf)` for a source dir —
+    * the vocabulary-sized summary the PRUNED serving paths probe for
+    * document frequency (rarest-token query assembly) and collection
+    * frequency (the QL collection LM) instead of re-aggregating the
+    * full postings artifact once per micro-batch. Derived from (and
+    * value-identical to) the postings aggregation the inline forms
+    * compute, so oracles are unchanged; at 100 TB this is the term
+    * dictionary every inverted index keeps beside its postings
+    * ([[IndexRefresh]]'s `dict` file is its refresh-maintained form).
+    */
+  private[graft] def cachedTermDict(s: SparkSession, dir: String): DataFrame = {
+    val p = IndexCache.getOrBuild("kw_term_dict", dir)(path =>
+      cachedBatchPostings(s, dir).groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("ctf"))
+        .write.mode("overwrite").parquet(path))
+    s.read.parquet(p)
+  }
+
+  /** [[batchQueryDict]] served from the standing dictionary artifact —
+    * a |query vocabulary| probe of a |vocab|-row table, no postings
+    * pass.
+    */
+  private[operators] def batchQueryDictFrom(dict: DataFrame,
+                                            qtoks: DataFrame): DataFrame =
+    dict.join(broadcast(qtoks.select("term").distinct()), Seq("term"))
+      .select(col("term"), col("df"))
+
   /** Query docs' terms from the materialized postings (rows are already
     * distinct (doc, term) pairs); the selector only has to produce ids.
     * Shared by the exact batch scorer and [[ChampionIndex]] so both

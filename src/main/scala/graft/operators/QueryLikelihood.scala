@@ -126,16 +126,24 @@ object QueryLikelihood {
                              stride: Int = KeywordSearch.BatchStride,
                              nTerms: Int = KeywordSearch.BatchTerms,
                              k: Int = KeywordSearch.BatchK,
-                             mu: Double = Mu): DataFrame = {
+                             mu: Double = Mu,
+                             dict: Option[DataFrame] = None,
+                             shortest: Option[DataFrame] = None): DataFrame = {
     val sel: DataFrame => DataFrame = _.filter(col("doc_id") % stride === 0)
     val qtoks = KeywordSearch.batchQueryTokens(postings, docs, sel)
-    val qdict = KeywordSearch.batchQueryDict(postings, qtoks)
+    val qdict = dict.map(KeywordSearch.batchQueryDictFrom(_, qtoks))
+      .getOrElse(KeywordSearch.batchQueryDict(postings, qtoks))
     val qterms = KeywordSearch.batchQueryTermsFrom(qtoks, qdict, nTerms)
-    // collection LM: P(t|C) = ctf(t)/|C|, computed for query terms only
-    val totals = postings.agg(sum("tf").as("c_total"))
-    val ctf = postings
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      .groupBy("term").agg(sum("tf").as("ctf"))
+    // collection LM: P(t|C) = ctf(t)/|C|, computed for query terms only —
+    // from the standing dictionary when provided (exact same integer
+    // sums; no per-run postings aggregation)
+    val totals = dict.map(_.agg(sum("ctf").as("c_total")))
+      .getOrElse(postings.agg(sum("tf").as("c_total")))
+    val ctf = dict.map(_.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        .select(col("term"), col("ctf")))
+      .getOrElse(postings
+        .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        .groupBy("term").agg(sum("tf").as("ctf")))
     val qp = qterms.join(broadcast(ctf), Seq("term")).join(broadcast(totals))
       .select(col("q_id"), col("term"),
         (col("ctf").cast("double") / col("c_total").cast("double")).as("p"))
@@ -161,9 +169,9 @@ object QueryLikelihood {
       .select(col("q_id"), col("doc_id"), col("dl"),
         aggregate(transform(array_sort(col("cs")), x => x.getField("c")),
           lit(0.0), (a, x) => a + x).as("corr"))
-    val shortest = shortestDocs(docs, k)
+    val shortestF = shortest.getOrElse(shortestDocs(docs, k))
     val cand = corr
-      .unionByName(qconsts.select("q_id").crossJoin(broadcast(shortest))
+      .unionByName(qconsts.select("q_id").crossJoin(broadcast(shortestF))
         .withColumn("corr", lit(0.0)))
       .groupBy("q_id", "doc_id")
       .agg(max("corr").as("corr"), first("dl").as("dl"))
@@ -192,10 +200,14 @@ object QueryLikelihood {
         size(graft.functions.TextFunctions.tokens(col("text"))).cast("double").as("dl"))
       .orderBy(asc("dl"), asc("doc_id")).limit(k + 1)
 
-  /** Driver query: batch QL over the standing postings artifact. */
+  /** Driver query: batch QL over the standing postings artifact (plus
+    * the standing term dictionary and shortest closure).
+    */
   def qBatchSearch(s: SparkSession, dir: String): DataFrame =
     qlBatch(Tables.documents(s, dir),
-      KeywordSearch.cachedBatchPostings(s, dir))
+      KeywordSearch.cachedBatchPostings(s, dir),
+      dict = Some(KeywordSearch.cachedTermDict(s, dir)),
+      shortest = Some(cachedShortest(s, dir)))
 
   def qlBatchSql(stride: Int = KeywordSearch.BatchStride,
                  nTerms: Int = KeywordSearch.BatchTerms,
@@ -331,9 +343,11 @@ object QueryLikelihood {
                                    stride: Int = KeywordSearch.BatchStride,
                                    nTerms: Int = KeywordSearch.BatchTerms,
                                    k: Int = KeywordSearch.BatchK,
-                                   mu: Double = Mu): DataFrame =
+                                   mu: Double = Mu,
+                                   dict: Option[DataFrame] = None,
+                                   shortest: Option[DataFrame] = None): DataFrame =
     qlBatchPrunedSel(docs, postings, qchamps,
-      _.filter(col("doc_id") % stride === 0), nTerms, k, mu)
+      _.filter(col("doc_id") % stride === 0), nTerms, k, mu, dict, shortest)
 
   /** [[qlBatchPruned]] over an arbitrary query selector — the
     * micro-batch serving entry
@@ -348,15 +362,24 @@ object QueryLikelihood {
                                       selectDocQueries: DataFrame => DataFrame,
                                       nTerms: Int = KeywordSearch.BatchTerms,
                                       k: Int = KeywordSearch.BatchK,
-                                      mu: Double = Mu): DataFrame = {
+                                      mu: Double = Mu,
+                                      dict: Option[DataFrame] = None,
+                                      shortest: Option[DataFrame] = None): DataFrame = {
     val sel = selectDocQueries
     val qtoks = KeywordSearch.batchQueryTokens(postings, docs, sel)
-    val qdict = KeywordSearch.batchQueryDict(postings, qtoks)
+    // serving path: df / ctf / |C| / the shortest closure are global
+    // index constants — probed from the standing artifacts when
+    // provided, never re-aggregated per micro-batch (same values)
+    val qdict = dict.map(KeywordSearch.batchQueryDictFrom(_, qtoks))
+      .getOrElse(KeywordSearch.batchQueryDict(postings, qtoks))
     val qterms = KeywordSearch.batchQueryTermsFrom(qtoks, qdict, nTerms)
-    val totals = postings.agg(sum("tf").as("c_total"))
-    val ctf = postings
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      .groupBy("term").agg(sum("tf").as("ctf"))
+    val totals = dict.map(_.agg(sum("ctf").as("c_total")))
+      .getOrElse(postings.agg(sum("tf").as("c_total")))
+    val ctf = dict.map(_.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        .select(col("term"), col("ctf")))
+      .getOrElse(postings
+        .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        .groupBy("term").agg(sum("tf").as("ctf")))
     val qp = qterms.join(broadcast(ctf), Seq("term")).join(broadcast(totals))
       .select(col("q_id"), col("term"),
         (col("ctf").cast("double") / col("c_total").cast("double")).as("p"))
@@ -377,9 +400,9 @@ object QueryLikelihood {
       .select(col("q_id"), col("doc_id"), col("dl"),
         aggregate(transform(array_sort(col("cs")), x => x.getField("imp")),
           lit(0.0), (a, x) => a + x).as("corr"))
-    val shortest = shortestDocs(docs, k)
+    val shortestF = shortest.getOrElse(shortestDocs(docs, k))
     val cand = corr
-      .unionByName(qconsts.select("q_id").crossJoin(broadcast(shortest))
+      .unionByName(qconsts.select("q_id").crossJoin(broadcast(shortestF))
         .withColumn("corr", lit(0.0)))
       .groupBy("q_id", "doc_id")
       .agg(max("corr").as("corr"), first("dl").as("dl"))
@@ -392,10 +415,27 @@ object QueryLikelihood {
     KeywordSearch.rankKwScored(scored, k)
   }
 
-  /** Driver query: champion-pruned batch QL over the standing artifacts. */
+  /** The standing k+1-shortest closure for a source dir: the doc-summary
+    * artifact the serving paths probe (k+1 rows — dl = 0 docs included,
+    * the [[shortestDocs]] contract) instead of re-tokenizing the corpus
+    * per micro-batch.
+    */
+  private[graft] def cachedShortest(s: SparkSession, dir: String,
+                                    k: Int = KeywordSearch.BatchK): DataFrame = {
+    val p = IndexCache.getOrBuild(s"ql_shortest_$k", dir)(path =>
+      shortestDocs(Tables.documents(s, dir), k)
+        .write.mode("overwrite").parquet(path))
+    s.read.parquet(p)
+  }
+
+  /** Driver query: champion-pruned batch QL over the standing artifacts
+    * (postings, QL champions, term dictionary, shortest closure).
+    */
   def qBatchSearchPruned(s: SparkSession, dir: String): DataFrame =
     qlBatchPruned(Tables.documents(s, dir),
-      KeywordSearch.cachedBatchPostings(s, dir), cachedQlChampions(s, dir))
+      KeywordSearch.cachedBatchPostings(s, dir), cachedQlChampions(s, dir),
+      dict = Some(KeywordSearch.cachedTermDict(s, dir)),
+      shortest = Some(cachedShortest(s, dir)))
 
   /** Oracle: re-derives the QL champion index from the raw corpus (the
     * standing-index convention), then replays the pruned closure —

@@ -63,7 +63,8 @@ object ServeStream {
       championServe(queryIds, graft.sources.Tables.documents(s, dir),
         graft.operators.KeywordSearch.BatchK,
         graft.operators.KeywordSearch.cachedBatchPostings(s, dir),
-        graft.operators.ChampionIndex.cachedChampions(s, dir))(sink)
+        graft.operators.ChampionIndex.cachedChampions(s, dir),
+        dict = Some(graft.operators.KeywordSearch.cachedTermDict(s, dir)))(sink)
     }
 
   /** Driver query: one micro-batch of CHAMPION-PRUNED query-likelihood
@@ -78,7 +79,9 @@ object ServeStream {
       qlChampionServe(queryIds, graft.sources.Tables.documents(s, dir),
         graft.operators.KeywordSearch.BatchK,
         graft.operators.KeywordSearch.cachedBatchPostings(s, dir),
-        graft.operators.QueryLikelihood.cachedQlChampions(s, dir))(sink)
+        graft.operators.QueryLikelihood.cachedQlChampions(s, dir),
+        dict = Some(graft.operators.KeywordSearch.cachedTermDict(s, dir)),
+        shortest = Some(graft.operators.QueryLikelihood.cachedShortest(s, dir)))(sink)
     }
 
   /** Driver query: one micro-batch of IVF-PRUNED hybrid serving
@@ -313,7 +316,8 @@ object ServeStream {
     * micro-batch it arrives in (batch-split invariant by construction).
     */
   def championServe(queryIds: DataFrame, docs: DataFrame, k: Int,
-                    postings: DataFrame, champs: DataFrame)
+                    postings: DataFrame, champs: DataFrame,
+                    dict: Option[DataFrame] = None)
                    (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryIds.writeStream
@@ -322,7 +326,8 @@ object ServeStream {
         if (!batch.isEmpty) {
           val ranked = graft.operators.ChampionIndex.bm25BatchPrunedSel(
             docs, postings, champs,
-            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"), k = k)
+            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"), k = k,
+            dict = dict)
           sink(ranked, batchId)
         }
       }
@@ -339,7 +344,9 @@ object ServeStream {
     * artifacts ⇒ batch-split invariant by construction.
     */
   def qlChampionServe(queryIds: DataFrame, docs: DataFrame, k: Int,
-                      postings: DataFrame, qchamps: DataFrame)
+                      postings: DataFrame, qchamps: DataFrame,
+                      dict: Option[DataFrame] = None,
+                      shortest: Option[DataFrame] = None)
                      (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryIds.writeStream
@@ -348,7 +355,8 @@ object ServeStream {
         if (!batch.isEmpty) {
           val ranked = graft.operators.QueryLikelihood.qlBatchPrunedSel(
             docs, postings, qchamps,
-            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"), k = k)
+            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"), k = k,
+            dict = dict, shortest = shortest)
           sink(ranked, batchId)
         }
       }
