@@ -277,7 +277,7 @@ object ChampionIndex {
     s"""WITH ${championScoredSqlCtes(stride, nTerms, m)},
        |ranked AS (
        |  SELECT q_id, doc_id, raw_score,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS rn
+       |    row_number() OVER (PARTITION BY q_id ORDER BY round(raw_score, 4) DESC, doc_id) AS rn
        |  FROM scored
        |  QUALIFY rn <= $k)
        |SELECT q_id, rn, doc_id, round(raw_score, 4) AS score

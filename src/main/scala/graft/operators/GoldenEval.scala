@@ -138,7 +138,7 @@ object GoldenEval {
        |  GROUP BY q_id, doc_id),
        |ranked AS (
        |  SELECT q_id, doc_id,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS rn
+       |    row_number() OVER (PARTITION BY q_id ORDER BY round(raw_score, 4) DESC, doc_id) AS rn
        |  FROM scored
        |  QUALIFY rn <= $k),
        |per_query AS (

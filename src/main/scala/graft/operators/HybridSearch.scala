@@ -225,9 +225,11 @@ object HybridSearch {
                                    nTerms: Int = KeywordSearch.BatchTerms,
                                    alpha: Double = Alpha,
                                    k: Int = BatchK,
-                                   kwIndex: Option[DataFrame] = None): DataFrame = {
+                                   kwIndex: Option[DataFrame] = None,
+                                   kwDict: Option[DataFrame] = None,
+                                   kwStats: Option[DataFrame] = None): DataFrame = {
     val (vparts, kparts) = batchParts(docs, embs, selectVecQueries,
-      selectDocQueries, nTerms, kwIndex)
+      selectDocQueries, nTerms, kwIndex, kwDict, kwStats)
     fuseTail(vparts, kparts, alpha, k)
   }
 
@@ -239,7 +241,9 @@ object HybridSearch {
                          selectVecQueries: DataFrame => DataFrame,
                          selectDocQueries: DataFrame => DataFrame,
                          nTerms: Int,
-                         kwIndex: Option[DataFrame]): (DataFrame, DataFrame) = {
+                         kwIndex: Option[DataFrame],
+                         kwDict: Option[DataFrame] = None,
+                         kwStats: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val queries = selectVecQueries(embs)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val vparts = Tables.parallel(embs)
@@ -253,7 +257,8 @@ object HybridSearch {
     // the fusion nor the normalization stats (caught by the sf0.1 oracle
     // run: sparse stats over all documents skewed kmax and every fused
     // score with it)
-    val kparts = KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms, kwIndex)
+    val kparts = KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms,
+        kwIndex, kwDict, kwStats)
       .join(embs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "semi")
     (vparts, kparts)
   }
@@ -441,7 +446,9 @@ object HybridSearch {
                                       alpha: Double = Alpha,
                                       k: Int = BatchK,
                                       centroids: Option[DataFrame] = None,
-                                      kwIndex: Option[DataFrame] = None): DataFrame = {
+                                      kwIndex: Option[DataFrame] = None,
+                                      kwDict: Option[DataFrame] = None,
+                                      kwStats: Option[DataFrame] = None): DataFrame = {
     val vparts = ivfVparts(embs, selectVecQueries, nprobe, centroids)
     // keyword scores restricted to the PRUNED candidate pairs: a doc
     // outside a query's probed cells contributes to neither fusion nor
@@ -449,7 +456,8 @@ object HybridSearch {
     // fuseTail against the post-exchange candidate frame, so it reuses
     // the one materialized fan-out instead of recomputing it)
     fuseTail(vparts,
-      KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms, kwIndex),
+      KeywordSearch.batchKwRawSel(docs, selectDocQueries, nTerms, kwIndex,
+        kwDict, kwStats),
       alpha, k, restrictKwToCandidates = true,
       materializeCandidates = kwIndex.isDefined)
   }
@@ -827,9 +835,13 @@ object HybridSearch {
        |ORDER BY q_id, rn""".stripMargin
 
   def batchSearchIvf(s: SparkSession, dir: String): DataFrame =
-    fusedBatchIvf(Tables.documents(s, dir), Tables.embeddings(s, dir),
+    fusedBatchIvfSel(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      _.filter(col("vec_id") % KeywordSearch.BatchStride === 0),
+      _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
       centroids = Some(IvfIndex.cachedCentroids(s, dir)),
-      kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir)))
+      kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir)),
+      kwDict = Some(KeywordSearch.cachedTermDict(s, dir)),
+      kwStats = Some(KeywordSearch.cachedCorpusStats(s, dir)))
 
   val batchSearchIvfOracle: String = fusedBatchIvfSql()
 

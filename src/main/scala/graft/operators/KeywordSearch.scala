@@ -285,20 +285,32 @@ object KeywordSearch {
   private[graft] def bm25BatchFor(docs: DataFrame, queryPred: Column,
                                   nTerms: Int = BatchTerms,
                                   k: Int = BatchK,
-                                  index: Option[DataFrame] = None): DataFrame =
-    rankKwScored(batchKwRawFor(docs, queryPred, nTerms, index), k)
+                                  index: Option[DataFrame] = None,
+                                  dict: Option[DataFrame] = None,
+                                  corpusStats: Option[DataFrame] = None): DataFrame =
+    rankKwScored(batchKwRawFor(docs, queryPred, nTerms, index, dict, corpusStats), k)
 
   /** [[bm25BatchFor]] over a selector (see [[batchKwRawSel]]). */
   private[graft] def bm25BatchSel(docs: DataFrame,
                                   selectQueries: DataFrame => DataFrame,
                                   nTerms: Int = BatchTerms,
                                   k: Int = BatchK,
-                                  index: Option[DataFrame] = None): DataFrame =
-    rankKwScored(batchKwRawSel(docs, selectQueries, nTerms, index), k)
+                                  index: Option[DataFrame] = None,
+                                  dict: Option[DataFrame] = None,
+                                  corpusStats: Option[DataFrame] = None): DataFrame =
+    rankKwScored(batchKwRawSel(docs, selectQueries, nTerms, index, dict, corpusStats), k)
 
+  /** Rank on the ROUNDED score (the output contract's 4dp), doc_id
+    * tiebreak — NOT the raw double: raw BM25 sums reassociate under
+    * plan changes (join order, artifact vs inline inputs), so two docs
+    * equal at 4dp could swap ranks on ulp noise while the oracle's own
+    * summation order picked the other — the r9 sf0.1 tie regression.
+    * Rounding before the heap makes ties resolve by doc_id identically
+    * in both engines, the champion-impact determinism contract.
+    */
   private[operators] def rankKwScored(scored: DataFrame, k: Int): DataFrame = {
     scored.groupBy("q_id")
-      .agg(topKByScore(col("raw_score"), col("doc_id"), k).as("top"))
+      .agg(topKByScore(round(col("raw_score"), 4), col("doc_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
       .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("doc_id"),
         round(col("t.score"), 4).as("score"))
@@ -320,8 +332,10 @@ object KeywordSearch {
     */
   private[graft] def batchKwRawFor(docs: DataFrame, queryPred: Column,
                                    nTerms: Int = BatchTerms,
-                                   index: Option[DataFrame] = None): DataFrame =
-    batchKwRawSel(docs, _.filter(queryPred), nTerms, index)
+                                   index: Option[DataFrame] = None,
+                                   dict: Option[DataFrame] = None,
+                                   corpusStats: Option[DataFrame] = None): DataFrame =
+    batchKwRawSel(docs, _.filter(queryPred), nTerms, index, dict, corpusStats)
 
   /** [[batchKwRawFor]] with the query-doc set chosen by an arbitrary
     * selector — the serving path passes a broadcast SEMI-JOIN of the
@@ -373,6 +387,19 @@ object KeywordSearch {
     s.read.parquet(p)
   }
 
+  /** Standing 1-row corpus stats (n_docs, avgdl over docs with
+    * postings) — the other per-batch-invariant the serving paths probe.
+    * avg over integral dl doubles is an exact sum/count, so the value
+    * is bit-identical to the inline aggregation.
+    */
+  private[graft] def cachedCorpusStats(s: SparkSession, dir: String): DataFrame = {
+    val p = IndexCache.getOrBuild("kw_corpus_stats", dir)(path =>
+      cachedBatchPostings(s, dir).groupBy("doc_id").agg(first("dl").as("d"))
+        .agg(count(lit(1)).as("n_docs"), avg("d").as("avgdl"))
+        .write.mode("overwrite").parquet(path))
+    s.read.parquet(p)
+  }
+
   /** [[batchQueryDict]] served from the standing dictionary artifact —
     * a |query vocabulary| probe of a |vocab|-row table, no postings
     * pass.
@@ -419,7 +446,9 @@ object KeywordSearch {
   private[graft] def batchKwRawSel(docs: DataFrame,
                                    selectQueries: DataFrame => DataFrame,
                                    nTerms: Int = BatchTerms,
-                                   index: Option[DataFrame] = None): DataFrame = {
+                                   index: Option[DataFrame] = None,
+                                   dict: Option[DataFrame] = None,
+                                   corpusStats: Option[DataFrame] = None): DataFrame = {
     // Every frame below (stats, query tokens, df dictionary, rarest-term
     // queries, the scoring join itself) derives from ONE materialized
     // postings table — either the standing on-disk index (serving form:
@@ -429,10 +458,16 @@ object KeywordSearch {
     // its own corpus pass and the executed plan became the serialized
     // stage tower the r3 bench flagged.
     val postings = index.getOrElse(buildBatchPostings(docs).localCheckpoint())
-    val stats = postings.groupBy("doc_id").agg(first("dl").as("d"))
-      .agg(count(lit(1)).as("n_docs"), avg("d").as("avgdl"))
+    // serving path: n_docs/avgdl and per-term df are global index
+    // constants — probed from the standing artifacts when provided
+    // (same values; no per-batch postings aggregation). Callers may
+    // pass them ONLY when `index` is the artifact they summarize.
+    val stats = corpusStats.getOrElse(
+      postings.groupBy("doc_id").agg(first("dl").as("d"))
+        .agg(count(lit(1)).as("n_docs"), avg("d").as("avgdl")))
     val qtoks = batchQueryTokens(postings, docs, selectQueries)
-    val qdict = batchQueryDict(postings, qtoks)
+    val qdict = dict.map(batchQueryDictFrom(_, qtoks))
+      .getOrElse(batchQueryDict(postings, qtoks))
     val qterms = batchQueryTermsFrom(qtoks, qdict, nTerms)
     val idf = log(lit(1.0) + (col("n_docs") - col("df").cast("double") + 0.5) /
       (col("df").cast("double") + 0.5))
@@ -488,7 +523,7 @@ object KeywordSearch {
     s"""WITH ${batchKwRawSqlCtes(stride, nTerms)},
        |ranked AS (
        |  SELECT q_id, doc_id, raw_score,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS rn
+       |    row_number() OVER (PARTITION BY q_id ORDER BY round(raw_score, 4) DESC, doc_id) AS rn
        |  FROM scored
        |  QUALIFY rn <= $k)
        |SELECT q_id, rn, doc_id, round(raw_score, 4) AS score
@@ -502,7 +537,9 @@ object KeywordSearch {
     */
   def batchSearch(s: SparkSession, dir: String): DataFrame =
     bm25BatchFor(Tables.documents(s, dir), col("doc_id") % BatchStride === 0,
-      index = Some(cachedBatchPostings(s, dir)))
+      index = Some(cachedBatchPostings(s, dir)),
+      dict = Some(cachedTermDict(s, dir)),
+      corpusStats = Some(cachedCorpusStats(s, dir)))
 
   val batchSearchOracle: String = bm25BatchSql()
 

@@ -382,7 +382,7 @@ object MaxSimReranker {
       s"""WITH $scoredCtes,
          |cand AS (
          |  SELECT q_id, doc_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS crn
+         |    row_number() OVER (PARTITION BY q_id ORDER BY round(raw_score, 4) DESC, doc_id) AS crn
          |  FROM scored
          |  QUALIFY crn <= ${KeywordSearch.BatchK}),
          |wv AS (SELECT * FROM (VALUES

@@ -282,7 +282,7 @@ object RetrievalEval {
          |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
          |${KeywordSearch.batchKwRawSqlCtes(stride, nTerms, "embdocs")}
          |SELECT q_id, doc_id,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY raw_score DESC, doc_id) AS rn
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(raw_score, 4) DESC, doc_id) AS rn
          |FROM scored
          |QUALIFY rn <= $k""".stripMargin)
 

@@ -34,7 +34,9 @@ object ServeStream {
     val embs = graft.sources.Tables.embeddings(s, dir)
     collectServed(s, strideIds(s, dir)) { (queryIds, sink) =>
       hybridServe(queryIds, docs, embs, graft.operators.HybridSearch.BatchK,
-        kwIndex = Some(graft.operators.KeywordSearch.cachedBatchPostings(s, dir)))(sink)
+        kwIndex = Some(graft.operators.KeywordSearch.cachedBatchPostings(s, dir)),
+        kwDict = Some(graft.operators.KeywordSearch.cachedTermDict(s, dir)),
+        kwStats = Some(graft.operators.KeywordSearch.cachedCorpusStats(s, dir)))(sink)
     }
   }
 
@@ -48,7 +50,9 @@ object ServeStream {
     collectServed(s, docStrideIds(s, dir)) { (queryIds, sink) =>
       bm25Serve(queryIds, graft.sources.Tables.documents(s, dir),
         graft.operators.KeywordSearch.BatchK,
-        index = Some(graft.operators.KeywordSearch.cachedBatchPostings(s, dir)))(sink)
+        index = Some(graft.operators.KeywordSearch.cachedBatchPostings(s, dir)),
+        dict = Some(graft.operators.KeywordSearch.cachedTermDict(s, dir)),
+        corpusStats = Some(graft.operators.KeywordSearch.cachedCorpusStats(s, dir)))(sink)
     }
 
   /** Driver query: one micro-batch of CHAMPION-PRUNED keyword serving
@@ -97,7 +101,9 @@ object ServeStream {
       hybridServeIvf(queryIds, docs, embs,
         graft.operators.IvfIndex.NProbe, graft.operators.HybridSearch.BatchK,
         centroids = Some(graft.operators.IvfIndex.cachedCentroids(s, dir)),
-        kwIndex = Some(graft.operators.KeywordSearch.cachedBatchPostings(s, dir)))(sink)
+        kwIndex = Some(graft.operators.KeywordSearch.cachedBatchPostings(s, dir)),
+        kwDict = Some(graft.operators.KeywordSearch.cachedTermDict(s, dir)),
+        kwStats = Some(graft.operators.KeywordSearch.cachedCorpusStats(s, dir)))(sink)
     }
   }
 
@@ -257,7 +263,9 @@ object ServeStream {
   def hybridServeIvf(queryIds: DataFrame, docs: DataFrame, embs: DataFrame,
                      nprobe: Int, k: Int,
                      centroids: Option[DataFrame] = None,
-                     kwIndex: Option[DataFrame] = None)
+                     kwIndex: Option[DataFrame] = None,
+                     kwDict: Option[DataFrame] = None,
+                     kwStats: Option[DataFrame] = None)
                     (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryIds.writeStream
@@ -269,7 +277,8 @@ object ServeStream {
             _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
             _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
             nprobe = nprobe, k = k,
-            centroids = centroids, kwIndex = kwIndex)
+            centroids = centroids, kwIndex = kwIndex,
+            kwDict = kwDict, kwStats = kwStats)
           sink(ranked, batchId)
         }
       }
@@ -289,7 +298,9 @@ object ServeStream {
     * ([[graft.operators.KeywordIndex]]), not a per-batch rebuild.
     */
   def bm25Serve(queryIds: DataFrame, docs: DataFrame, k: Int,
-                index: Option[DataFrame] = None)
+                index: Option[DataFrame] = None,
+                dict: Option[DataFrame] = None,
+                corpusStats: Option[DataFrame] = None)
                (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryIds.writeStream
@@ -301,7 +312,7 @@ object ServeStream {
         if (!batch.isEmpty) {
           val ranked = graft.operators.KeywordSearch.bm25BatchSel(
             docs, _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
-            k = k, index = index)
+            k = k, index = index, dict = dict, corpusStats = corpusStats)
           sink(ranked, batchId)
         }
       }
@@ -370,7 +381,9 @@ object ServeStream {
     * batch-split invariant (spec-verified against the batch fusion).
     */
   def hybridServe(queryIds: DataFrame, docs: DataFrame, embs: DataFrame,
-                  k: Int, kwIndex: Option[DataFrame] = None)
+                  k: Int, kwIndex: Option[DataFrame] = None,
+                  kwDict: Option[DataFrame] = None,
+                  kwStats: Option[DataFrame] = None)
                  (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryIds.writeStream
@@ -381,7 +394,7 @@ object ServeStream {
             docs, embs,
             _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
             _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
-            k = k, kwIndex = kwIndex)
+            k = k, kwIndex = kwIndex, kwDict = kwDict, kwStats = kwStats)
           sink(ranked, batchId)
         }
       }
