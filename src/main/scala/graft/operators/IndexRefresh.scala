@@ -179,6 +179,45 @@ object IndexRefresh {
       cutChampions(liveTouched))
   }
 
+  // --- compaction -----------------------------------------------------------
+
+  /** Fold every segment + the tombstones into a fresh single-segment
+    * artifact at `outPath` — the LSM/Lucene background task that bounds
+    * segment count (and the point where staleness policies reset:
+    * [[VectorRefresh]] re-clusters here). The compacted artifact's
+    * views are BITWISE the pre-compaction merged views (spec-pinned):
+    * postings = the live multiset; docstats/stats = live versions only;
+    * dict and champions re-derive from the live postings, which equals
+    * the serving views exactly BECAUSE the champion cut is stats-free
+    * and dict rows are term-local (the same argument that makes
+    * touched-terms-only refresh exact). Cost: one pass over the live
+    * artifact — amortized over the refreshes it absorbs, never on the
+    * serving path.
+    */
+  def compact(spark: SparkSession, path: String, outPath: String): Unit = {
+    val live = livePostings(spark, path)
+      .select("doc_id", "dl", "term", "tf", "term_bucket").localCheckpoint()
+    val dict = live.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("cf"))
+      .withColumn("term_bucket", pmod(portableHash(col("term")), lit(NumBuckets)))
+    writeSegment(s"$outPath/seg=0", live, liveDocStats(spark, path), dict,
+      cutChampions(live))
+  }
+
+  /** Live per-doc lengths across segments (dl = 0 rows included) — the
+    * [[livePostings]] tombstone rule on the docstats files.
+    */
+  private[graft] def liveDocStats(spark: SparkSession, path: String): DataFrame = {
+    val all = segmentIds(path).map { s =>
+      spark.read.parquet(s"$path/seg=$s/docstats").withColumn("seg", lit(s))
+    }.reduce(_.unionByName(_))
+    val kills = tombstones(spark, path).groupBy("doc_id")
+      .agg(max("asof_seg").as("dead_after"))
+    all.join(broadcast(kills), Seq("doc_id"), "left")
+      .filter(col("dead_after").isNull || col("seg") >= col("dead_after"))
+      .select("doc_id", "dl")
+  }
+
   // --- merged serving views -------------------------------------------------
 
   private[graft] def segmentIds(path: String): Seq[Int] = {

@@ -90,6 +90,21 @@ object VectorRefresh {
     writeSegment(path, r, deltaEmbs)
   }
 
+  /** Compaction — fold segments + tombstones into a fresh base at
+    * `outPath` (the [[IndexRefresh.compact]] convention): live vectors
+    * re-land as segment 0 with centroid partials recomputed from them,
+    * and this is the documented point where the coarse quantizer would
+    * RETRAIN (re-cluster + re-assign) — with the pre-assigned cells the
+    * compacted views are bitwise the merged views up to double
+    * reassociation in the centroid means (spec allows 1e-9).
+    */
+  def compact(spark: SparkSession, path: String, outPath: String): Unit = {
+    val live = liveVectors(spark, path)
+      .select(col("vec_id"), col("embedding"), col("cell").as("label"))
+      .localCheckpoint()
+    writeSegment(outPath, 0, live)
+  }
+
   private def tombstones(spark: SparkSession, path: String): DataFrame = {
     val d = new java.io.File(s"$path/tombstones")
     val segs = Option(d.list()).getOrElse(Array.empty[String])

@@ -134,6 +134,28 @@ class IndexRefreshSpec extends SparkSpec {
       sortedRows(IndexRefresh.search(spark, full, finalCorpus, Seq("join", "spark"))))
   }
 
+  test("compaction folds segments + tombstones into an equivalent single-segment base") {
+    val path = buildRefreshed()
+    val out = tmp()
+    IndexRefresh.compact(spark, path, out)
+    assert(IndexRefresh.segmentIds(out) == Seq(0))
+    assert(sortedRows(IndexRefresh.livePostings(spark, out).drop("seg")) ==
+      sortedRows(IndexRefresh.livePostings(spark, path).drop("seg")))
+    assert(sortedRows(IndexRefresh.dictView(spark, out)) ==
+      sortedRows(IndexRefresh.dictView(spark, path)))
+    assert(sortedRows(IndexRefresh.champsView(spark, out)) ==
+      sortedRows(IndexRefresh.champsView(spark, path)))
+    assert(sortedRows(IndexRefresh.statsView(spark, out)) ==
+      sortedRows(IndexRefresh.statsView(spark, path)))
+    assert(sortedRows(IndexRefresh.search(spark, out, curr, Seq("spark", "join"))) ==
+      sortedRows(IndexRefresh.search(spark, path, curr, Seq("spark", "join"))))
+    // and a compacted artifact keeps refreshing: remove doc 5 again
+    IndexRefresh.refresh(spark, out,
+      curr.filter(lit(false)), curr.filter(col("doc_id") === 5L))
+    assert(IndexRefresh.dictView(spark, out)
+      .filter(col("term") === "brand").count() == 0)
+  }
+
   test("probe reads are partition-pruned to the query terms' buckets") {
     val path = buildRefreshed()
     val plan = IndexRefresh.search(spark, path, curr, Seq("spark"))

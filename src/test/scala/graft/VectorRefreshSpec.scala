@@ -68,6 +68,23 @@ class VectorRefreshSpec extends SparkSpec {
     assert(baseFiles() == before)
   }
 
+  test("compaction re-lands live vectors as one segment with equivalent centroids") {
+    val path = buildRefreshed()
+    val out = tmp()
+    VectorRefresh.compact(spark, path, out)
+    assert(IndexRefresh.segmentIds(out) == Seq(0))
+    assert(sortedRows(VectorRefresh.liveVectors(spark, out)) ==
+      sortedRows(VectorRefresh.liveVectors(spark, path)))
+    val a = VectorRefresh.centroidView(spark, out)
+      .select(col("cell"), explode(col("centroid")).as("c"))
+      .orderBy("cell").collect().map(_.getDouble(1))
+    val b = VectorRefresh.centroidView(spark, path)
+      .select(col("cell"), explode(col("centroid")).as("c"))
+      .orderBy("cell").collect().map(_.getDouble(1))
+    assert(a.length == b.length)
+    assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 })
+  }
+
   test("full probe over the refreshed layout equals brute force on the current snapshot") {
     val refreshed = buildRefreshed()
     val q = curr.filter(col("vec_id") === VectorSearch.QueryVecId)
