@@ -162,6 +162,7 @@ object SparkEntry {
     "eval_alpha_sweep_pruned" -> (RetrievalEval.queryAlphaSweepPruned _),
     // file-driven golden-dataset evaluation (external JSON golden set)
     "eval_retrieval_golden" -> (GoldenEval.qGoldenEval _),
+    "eval_retrieval_golden_pruned" -> (GoldenEval.qGoldenEvalPruned _),
     "eval_answer_cases" -> (AnswerEval.queryCases _),
     "eval_answer_poll" -> (AnswerEval.queryPoll _),
     "finetune_triplets" -> (FinetuneData.query _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "stream_corpus_pack" -> (graft.streaming.CorpusStream.qStreamPack _),
     "stream_clean_ingest" -> (graft.streaming.CorpusStream.qStreamCleanPack _),
     "stream_index_ingest" -> (graft.streaming.IndexStream.qStreamIndexIngest _),
+    "stream_index_refresh" -> (graft.streaming.IndexStream.qStreamIndexRefresh _),
     // materialized-index searches: oracle-checked — the partition-pruned
     // on-disk path must reproduce the inline search's result exactly
     "ivf_search_materialized" -> (IvfIndex.qSearchMaterialized _),
@@ -371,6 +373,7 @@ object SparkEntry {
     "eval_retrieval_pruned" -> RetrievalEval.prunedOracle,
     "eval_alpha_sweep" -> RetrievalEval.alphaSweepOracle,
     "eval_retrieval_golden" -> GoldenEval.goldenEvalOracle,
+    "eval_retrieval_golden_pruned" -> GoldenEval.goldenEvalPrunedOracle,
     "eval_answer_cases" -> AnswerEval.casesOracle,
     "eval_answer_poll" -> AnswerEval.pollOracle,
     "finetune_triplets" -> FinetuneData.oracle,
@@ -387,6 +390,7 @@ object SparkEntry {
     "stream_corpus_pack" -> Chunker.packOracle,
     "stream_clean_ingest" -> graft.streaming.CorpusStream.cleanPackOracle,
     "stream_index_ingest" -> graft.streaming.IndexStream.indexIngestOracle,
+    "stream_index_refresh" -> graft.streaming.IndexStream.streamIndexRefreshOracle,
     "stream_hybrid_serve" -> HybridSearch.batchSearchOracle,
     "stream_bm25_serve" -> KeywordSearch.batchSearchOracle,
     "stream_kw_champion_serve" -> ChampionIndex.batchPrunedOracle,

@@ -269,13 +269,13 @@ object CorpusOps {
   /** The CURRENT snapshot view (shared with [[IndexRefresh]]'s driver
     * queries so engine and oracle agree on the exact same versions).
     */
-  private[operators] def currSnapshot(docs: DataFrame): DataFrame =
+  private[graft] def currSnapshot(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % DiffRemoveStride =!= 3)
 
   /** The PREVIOUS snapshot view: added docs absent, changed docs carry
     * the perturbed prior text.
     */
-  private[operators] def prevSnapshot(docs: DataFrame): DataFrame =
+  private[graft] def prevSnapshot(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % DiffAddStride =!= 5)
       .withColumn("text",
         when(col("doc_id") % DiffChangeStride === 4,

@@ -104,6 +104,68 @@ object GoldenEval {
       goldenRanked(KeywordSearch.cachedBatchPostings(s, dir), golden), golden)
   }
 
+  /** The PRUNED-retriever golden leg — the at-scale twin of
+    * [[qGoldenEval]] (the reference's execute_evaluation loops search
+    * types; the engine's label-derived eval already has its pruned leg,
+    * op 23d): the same external golden file scored through the standing
+    * CHAMPION artifact ([[ChampionIndex]]) instead of the full
+    * postings, so per-query cost is |terms|·M at any corpus size — the
+    * golden eval a practitioner can afford against the deployed index
+    * (the exact leg's SCALE row grows with per-term postings volume,
+    * r100 = 10.2). Same metric tail, same OOV-drop semantics.
+    */
+  def qGoldenEvalPruned(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val golden = loadGolden(s)
+    val qterms = golden.select(col("query_id").as("q_id"),
+      explode(array_distinct(tokens(col("query")))).as("term"))
+    val scored = ChampionIndex.cachedChampions(s, dir)
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy("q_id", "doc_id").agg(sum("imp").as("raw_score"))
+    goldenMetrics(docs, KeywordSearch.rankKwScored(scored, TopK), golden)
+  }
+
+  /** Oracle for the pruned leg: the champion CTE chain re-derives the
+    * impact index from the raw corpus, golden query terms probe it, and
+    * the containment metric tail replays verbatim.
+    */
+  def goldenEvalPrunedSql(k: Int = TopK, path: String = GoldenPath): String = {
+    val qToks =
+      "list_filter(regexp_split_to_array(lower(query), '[^a-z0-9]+'), t -> t <> '')"
+    s"""WITH golden AS (
+       |  SELECT query_id, query, answer
+       |  FROM read_json('$path',
+       |    columns = {query_id: 'BIGINT', query: 'VARCHAR', answer: 'VARCHAR'})),
+       |${ChampionIndex.championChampsSqlCtes()},
+       |qterms AS (
+       |  SELECT query_id AS q_id, unnest(list_distinct($qToks)) AS term
+       |  FROM golden),
+       |scored AS (
+       |  SELECT q_id, doc_id, sum(imp) AS raw_score
+       |  FROM champs
+       |  JOIN qterms USING (term)
+       |  GROUP BY q_id, doc_id),
+       |ranked AS (
+       |  SELECT q_id, doc_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY round(raw_score, 4) DESC, doc_id) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $k),
+       |per_query AS (
+       |  SELECT q_id,
+       |    max(CASE WHEN contains(d.text, g.answer) THEN 1 ELSE 0 END) AS hit,
+       |    min(CASE WHEN contains(d.text, g.answer) THEN rn END) AS first_rel
+       |  FROM ranked
+       |  JOIN documents d USING (doc_id)
+       |  JOIN golden g ON ranked.q_id = g.query_id
+       |  GROUP BY q_id)
+       |SELECT count(*) AS n_queries,
+       |  round(avg(CAST(hit AS DOUBLE)), 4) AS hit_rate,
+       |  round(avg(coalesce(CAST(1.0 AS DOUBLE) / first_rel, CAST(0.0 AS DOUBLE))), 4) AS mrr
+       |FROM per_query""".stripMargin
+  }
+
+  val goldenEvalPrunedOracle: String = goldenEvalPrunedSql()
+
   /** Oracle: reads the SAME golden file (`read_json` with the explicit
     * shared schema), re-derives postings from the raw corpus, replays
     * the scoring join and the containment metric tail.

@@ -86,4 +86,62 @@ object IndexStream {
       .partitionBy("cell")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  // --- streaming incremental refresh (40-series twin of IndexRefresh) ------
+
+  /** Driver query: STREAMING incremental index refresh — corpus-change
+    * batches arrive as a stream and each micro-batch applies
+    * [[graft.operators.IndexRefresh.refresh]] through `foreachBatch`
+    * (refresh is a multi-stage batch job, the [[ServeStream.bm25Serve]]
+    * idiom). The benchmark delta (the [[graft.operators.CorpusOps
+    * .snapshotDiff]] added/changed/removed set) is deliberately split
+    * into TWO micro-batches, so the gate also exercises the
+    * multi-refresh chain (each batch is self-consistent: a changed
+    * doc's new version and tombstone travel together). The artifact
+    * builds once per source dir (standing-artifact semantics, the
+    * [[qStreamIndexIngest]] convention); the registered oracle is the
+    * SAME full-rebuild replay as `kw_index_refresh` — however the
+    * batches arrive, the refreshed index must be indistinguishable
+    * from a from-scratch build of the final corpus.
+    */
+  def qStreamIndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusOps, IndexCache, IndexRefresh, KeywordSearch}
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val curr = CorpusOps.currSnapshot(docs)
+    val prev = CorpusOps.prevSnapshot(docs)
+    val path = IndexCache.getOrBuild("kw_refresh_stream", dir) { p =>
+      IndexRefresh.buildBase(prev, p)
+      val diff = CorpusOps.snapshotDiff(curr, prev)
+        .filter(col("status") =!= "unchanged")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Long]
+      val q = input.toDF().select(col("value").as("doc_id")).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ids = batch.select("doc_id").distinct()
+          if (!batch.isEmpty) {
+            val d = diff.join(ids, Seq("doc_id"), "semi")
+            IndexRefresh.refresh(spark, p,
+              curr.join(d.filter(col("status").isin("added", "changed"))
+                .select("doc_id"), Seq("doc_id"), "semi"),
+              prev.join(d.filter(col("status").isin("removed", "changed"))
+                .select("doc_id"), Seq("doc_id"), "semi"))
+          }
+        }
+        .start()
+      val affected = diff.select("doc_id").as[Long].collect().sorted.toSeq
+      val (b1, b2) = affected.partition(_ % 2 == 0)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+    }
+    IndexRefresh.search(spark, path, curr, KeywordSearch.QueryTerms)
+  }
+
+  /** Same oracle as `kw_index_refresh`: the stream's arrival pattern
+    * must be invisible in the served index.
+    */
+  val streamIndexRefreshOracle: String =
+    graft.operators.IndexRefresh.refreshSearchOracle
 }

@@ -29,6 +29,23 @@ class GoldenEvalSpec extends SparkSpec {
     }
   }
 
+  test("pruned golden leg: bounded lists, same metric universe as the exact leg") {
+    val m = GoldenEval.qGoldenEvalPruned(spark, TestSpark.Sf0001).collect().head
+    // every golden query retrieves something through the champion lists
+    // on this corpus, and the metrics are sane probabilities
+    assert(m.getAs[Long]("n_queries") == 64L)
+    val (hr, mrr) = (m.getAs[Double]("hit_rate"), m.getAs[Double]("mrr"))
+    assert(hr > 0.0 && hr <= 1.0 && mrr > 0.0 && mrr <= 1.0)
+  }
+
+  test("streaming refresh serves the same index as the one-batch refresh") {
+    val a = graft.streaming.IndexStream.qStreamIndexRefresh(spark, TestSpark.Sf0001)
+      .collect().map(_.toString).toSeq
+    val b = graft.operators.IndexRefresh.qRefreshSearch(spark, TestSpark.Sf0001)
+      .collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("goldenMetrics: containment relevance on a hand-built corpus") {
     val docs = Seq(
       (0L, "alpha beta gamma"),
