@@ -48,6 +48,8 @@ object ScaleBench {
     "kw_index_refresh",     // segment+tombstone refresh, champion probe
     "ivf_index_refresh",    // cell-append refresh, merged-centroid probe
     "eval_retrieval_golden",// file-driven golden eval over the postings artifact
+    "eval_retrieval_golden_pruned", // golden eval via champion lists (flat path)
+    "maxsim_search_pruned", // PLAID-style pruned late-interaction retrieval
     "dedup_lsh_hot_buckets")// hot-bucket cluster report (the guard's log)
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):
