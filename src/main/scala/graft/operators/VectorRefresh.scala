@@ -178,6 +178,23 @@ object VectorRefresh {
       .limit(k)
   }
 
+  /** added ∪ changed vectors with their CURRENT values — the refresh
+    * batch's delta side (shared by the one-shot driver artifact and the
+    * streaming twin, which semi-joins it per micro-batch).
+    */
+  private[graft] def deltaEmbs(curr: DataFrame, prev: DataFrame): DataFrame =
+    curr.join(prev.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(curr.filter(col("vec_id") % DiffChangeStride === 4)
+        .join(prev.select(col("vec_id")), Seq("vec_id"), "semi"))
+
+  /** removed ∪ changed PRIOR versions — the tombstone side (their
+    * embeddings feed the exact centroid correction).
+    */
+  private[graft] def removedEmbs(curr: DataFrame, prev: DataFrame): DataFrame =
+    prev.join(curr.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(prev.filter(col("vec_id") % DiffChangeStride === 4)
+        .join(curr.select(col("vec_id")), Seq("vec_id"), "semi"))
+
   /** The refreshed standing layout for a source dir: base on the
     * previous snapshot, one refresh applying the added/changed/removed
     * batch — the [[IndexRefresh.qRefreshSearch]] convention on the
@@ -189,15 +206,7 @@ object VectorRefresh {
       val curr = currSnapshot(embs)
       val prev = prevSnapshot(embs)
       buildBase(prev, p)
-      val currIds = curr.select(col("vec_id"))
-      val prevIds = prev.select(col("vec_id"))
-      val deltaEmbs = curr.join(prevIds, Seq("vec_id"), "left_anti")
-        .unionByName(curr.filter(col("vec_id") % DiffChangeStride === 4)
-          .join(prevIds, Seq("vec_id"), "semi"))
-      val removedEmbs = prev.join(currIds, Seq("vec_id"), "left_anti")
-        .unionByName(prev.filter(col("vec_id") % DiffChangeStride === 4)
-          .join(currIds, Seq("vec_id"), "semi"))
-      refresh(s, p, deltaEmbs, removedEmbs)
+      refresh(s, p, deltaEmbs(curr, prev), removedEmbs(curr, prev))
     }
 
   /** Driver query: IVF search over the refreshed layout — the oracle

@@ -144,4 +144,55 @@ object IndexStream {
     */
   val streamIndexRefreshOracle: String =
     graft.operators.IndexRefresh.refreshSearchOracle
+
+  /** Driver query: STREAMING incremental IVF refresh — the vector-side
+    * twin of [[qStreamIndexRefresh]]: vector-change batches arrive as a
+    * stream, each micro-batch applying
+    * [[graft.operators.VectorRefresh.refresh]] through `foreachBatch`.
+    * The benchmark delta splits into TWO micro-batches by vec_id
+    * parity; each batch is self-consistent because delta and tombstone
+    * sides are semi-joined on the SAME id set — a changed vector's new
+    * version and its kill travel together, so centroid maintenance
+    * stays exact at every intermediate segment. Oracle = the same
+    * full-rebuild replay as `ivf_index_refresh` (arrival pattern must
+    * be invisible in the served layout).
+    */
+  def qStreamVectorRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IndexCache, IvfIndex, VectorRefresh, VectorSearch}
+    val embs = graft.sources.Tables.embeddings(spark, dir)
+    val curr = VectorRefresh.currSnapshot(embs)
+    val prev = VectorRefresh.prevSnapshot(embs)
+    val path = IndexCache.getOrBuild("ivf_refresh_stream", dir) { p =>
+      VectorRefresh.buildBase(prev, p)
+      val delta = VectorRefresh.deltaEmbs(curr, prev).localCheckpoint()
+      val removed = VectorRefresh.removedEmbs(curr, prev).localCheckpoint()
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Long]
+      val q = input.toDF().select(col("value").as("vec_id")).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ids = batch.select("vec_id").distinct()
+          if (!batch.isEmpty) {
+            VectorRefresh.refresh(spark, p,
+              delta.join(ids, Seq("vec_id"), "semi"),
+              removed.join(ids, Seq("vec_id"), "semi"))
+          }
+        }
+        .start()
+      val affected = delta.select("vec_id").unionByName(removed.select("vec_id"))
+        .distinct().as[Long].collect().sorted.toSeq
+      val (b1, b2) = affected.partition(_ % 2 == 0)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+    }
+    val qEmb = curr.filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    VectorRefresh.search(spark, path, qEmb, VectorSearch.QueryVecId)
+  }
+
+  /** Same oracle as `ivf_index_refresh`. */
+  val streamVectorRefreshOracle: String =
+    graft.operators.VectorRefresh.refreshSearchOracle
 }

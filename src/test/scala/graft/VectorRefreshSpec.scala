@@ -17,14 +17,8 @@ class VectorRefreshSpec extends SparkSpec {
   private def buildRefreshed(): String = {
     val path = tmp()
     VectorRefresh.buildBase(prev, path)
-    val prevIds = prev.select("vec_id")
-    val currIds = curr.select("vec_id")
-    val changed = col("vec_id") % CorpusOps.DiffChangeStride === 4
     VectorRefresh.refresh(spark, path,
-      curr.join(prevIds, Seq("vec_id"), "left_anti")
-        .unionByName(curr.filter(changed).join(prevIds, Seq("vec_id"), "semi")),
-      prev.join(currIds, Seq("vec_id"), "left_anti")
-        .unionByName(prev.filter(changed).join(currIds, Seq("vec_id"), "semi")))
+      VectorRefresh.deltaEmbs(curr, prev), VectorRefresh.removedEmbs(curr, prev))
     path
   }
 
@@ -83,6 +77,36 @@ class VectorRefreshSpec extends SparkSpec {
       .orderBy("cell").collect().map(_.getDouble(1))
     assert(a.length == b.length)
     assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 })
+  }
+
+  test("two sequential refreshes (the streaming twin's split) equal the one-batch refresh") {
+    // the parity split qStreamVectorRefresh feeds through foreachBatch:
+    // each half carries its own delta + tombstone sides keyed on the
+    // same ids, so every intermediate segment is self-consistent
+    val delta = VectorRefresh.deltaEmbs(curr, prev).localCheckpoint()
+    val removed = VectorRefresh.removedEmbs(curr, prev).localCheckpoint()
+    val split = tmp()
+    VectorRefresh.buildBase(prev, split)
+    Seq(0, 1).foreach { par =>
+      VectorRefresh.refresh(spark, split,
+        delta.filter(col("vec_id") % 2 === par),
+        removed.filter(col("vec_id") % 2 === par))
+    }
+    val one = buildRefreshed()
+    assert(sortedRows(VectorRefresh.liveVectors(spark, split)) ==
+      sortedRows(VectorRefresh.liveVectors(spark, one)))
+    val a = VectorRefresh.centroidView(spark, split)
+      .select(col("cell"), explode(col("centroid")).as("c"))
+      .orderBy("cell").collect().map(_.getDouble(1))
+    val b = VectorRefresh.centroidView(spark, one)
+      .select(col("cell"), explode(col("centroid")).as("c"))
+      .orderBy("cell").collect().map(_.getDouble(1))
+    assert(a.length == b.length)
+    assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 })
+    val q = curr.filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    assert(sortedRows(VectorRefresh.search(spark, split, q, VectorSearch.QueryVecId)) ==
+      sortedRows(VectorRefresh.search(spark, one, q, VectorSearch.QueryVecId)))
   }
 
   test("full probe over the refreshed layout equals brute force on the current snapshot") {
