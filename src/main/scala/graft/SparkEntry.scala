@@ -72,6 +72,7 @@ object SparkEntry {
     // current snapshot (base+delta must be indistinguishable from it)
     "kw_index_refresh" -> (IndexRefresh.qRefreshSearch _),
     "kw_index_refresh_dict" -> (IndexRefresh.qRefreshDict _),
+    "kw_search_refreshed_batch" -> (IndexRefresh.qRefreshBatchSearch _),
     "ivf_index_refresh" -> (VectorRefresh.qRefreshSearch _),
     "kw_search_indexed" -> (KeywordIndex.qSearchIndexed _),
     "vector_search_topk" -> (VectorSearch.search _),
@@ -288,6 +289,7 @@ object SparkEntry {
     "kw_index_dictionary" -> KeywordIndex.dictionaryOracle,
     "kw_index_refresh" -> IndexRefresh.refreshSearchOracle,
     "kw_index_refresh_dict" -> IndexRefresh.refreshDictOracle,
+    "kw_search_refreshed_batch" -> IndexRefresh.refreshBatchSearchOracle,
     "ivf_index_refresh" -> VectorRefresh.refreshSearchOracle,
     "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,
     "kw_search_materialized" -> KeywordIndex.searchIndexedOracle,

@@ -349,6 +349,53 @@ object IndexRefresh {
       .orderBy(desc("score"), asc("doc_id"))
   }
 
+  /** BATCH multi-query BM25 over the refreshed artifact — the serving
+    * WORKLOAD against the refreshable index, closing the refresh→serve
+    * loop: the benchmark query set (every [[KeywordSearch.BatchStride]]-th
+    * current-snapshot doc, its [[KeywordSearch.BatchTerms]] rarest terms
+    * by the MERGED dictionary's df) probes the champion serving views,
+    * scored with exact current statistics. Per-batch work: ONE doc-keyed
+    * probe of the live postings for the query docs' terms (request-sized
+    * in a real deployment, where query text arrives with the request),
+    * then dictionary + champion reads partition-pruned to the query
+    * vocabulary's ≤ [[NumBuckets]] term buckets, a bounded collect. The
+    * scoring domain is champion candidates only (terms·M per query
+    * regardless of corpus size) — the [[ChampionIndex]] pruning contract
+    * carried over to the refreshed layout.
+    */
+  def batchSearch(spark: SparkSession, path: String, docs: DataFrame,
+                  stride: Int = KeywordSearch.BatchStride,
+                  nTerms: Int = KeywordSearch.BatchTerms,
+                  k: Int = KeywordSearch.BatchK): DataFrame = {
+    val qdocs = docs.filter(col("doc_id") % stride === 0)
+      .select(col("doc_id").as("q_id"))
+    val qtoks = livePostings(spark, path)
+      .join(broadcast(qdocs), col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("term"))
+    // the query vocabulary's buckets: ≤ NumBuckets values, collected so
+    // every dict/champion segment read partition-prunes
+    val buckets = qtoks
+      .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val qdict = dictView(spark, path, Some(buckets))
+      .join(broadcast(qtoks.select("term").distinct()), Seq("term"))
+      .select(col("term"), col("df"))
+    val qterms = KeywordSearch.batchQueryTermsFrom(qtoks, qdict, nTerms)
+    val tfD = col("tf").cast("double")
+    val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5))
+    val contrib = round(idf * (tfD * (K1 + 1)) /
+      (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
+    val scored = champsView(spark, path, Some(buckets))
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(qdict), Seq("term"))
+      .join(broadcast(statsView(spark, path)))
+      .select(col("q_id"), col("doc_id"), contrib.as("s"))
+      .groupBy("q_id", "doc_id").agg(sum("s").as("raw_score"))
+    KeywordSearch.rankKwScored(scored, k)
+  }
+
   // --- driver wiring: base on the PREVIOUS snapshot, one refresh batch ------
 
   /** The refreshed standing artifact for a source dir: base build on
@@ -391,6 +438,16 @@ object IndexRefresh {
     */
   def qRefreshDict(s: SparkSession, dir: String): DataFrame =
     dictView(s, refreshedArtifact(s, dir)).orderBy("term")
+
+  /** Driver query: the batch serving workload over the refreshed
+    * artifact — the oracle replays the same tf-champion pruned batch
+    * BM25 on the post-refresh corpus from scratch, so refresh→serve is
+    * checked at the multi-query result level.
+    */
+  def qRefreshBatchSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    batchSearch(s, refreshedArtifact(s, dir), CorpusOps.currSnapshot(docs))
+  }
 
   // --- oracles --------------------------------------------------------------
 
@@ -445,6 +502,65 @@ object IndexRefresh {
        |ORDER BY score DESC, doc_id""".stripMargin
   }
 
+  /** SQL replay of [[qRefreshBatchSearch]]: full rebuild of the
+    * tf-champion index over the current snapshot, the rarest-term batch
+    * query assembly (the [[KeywordSearch.batchKwRawSqlCtes]] padded-sort
+    * idiom against the rebuilt dictionary), champion-candidate scoring
+    * with the 6dp contribution round, rounded-rank top-k.
+    */
+  def refreshBatchSearchSql(stride: Int = KeywordSearch.BatchStride,
+                            nTerms: Int = KeywordSearch.BatchTerms,
+                            k: Int = KeywordSearch.BatchK,
+                            m: Int = M): String =
+    s"""WITH $currCte,
+       |toked AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM curr),
+       |postings AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM toked GROUP BY 1, 2),
+       |docstats AS (
+       |  SELECT doc_id, CAST(len(${TextAnalysis.sqlToks}) AS DOUBLE) AS dl
+       |  FROM curr),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docstats),
+       |dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+       |champs AS (
+       |  SELECT term, doc_id, tf, dl FROM (
+       |    SELECT p.term, p.doc_id, p.tf, d.dl,
+       |      row_number() OVER (PARTITION BY p.term
+       |        ORDER BY p.tf DESC, d.dl ASC, p.doc_id ASC) AS crn
+       |    FROM postings p JOIN docstats d USING (doc_id))
+       |  WHERE crn <= $m),
+       |qtoks AS (
+       |  SELECT doc_id AS q_id, unnest(list_distinct(${TextAnalysis.sqlToks})) AS term
+       |  FROM curr WHERE doc_id % $stride = 0),
+       |qterms AS (
+       |  SELECT q_id, substring(p, 12, 1000) AS term
+       |  FROM (
+       |    SELECT q_id, unnest(
+       |      (list_sort(list(lpad(CAST(df AS VARCHAR), 10, '0') || '#' || term)))[1:$nTerms]) AS p
+       |    FROM qtoks JOIN dict USING (term)
+       |    GROUP BY q_id)),
+       |scored AS (
+       |  SELECT q_id, c.doc_id,
+       |    round(sum(
+       |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
+       |        * (CAST(tf AS DOUBLE) * ${K1 + 1})
+       |        / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)
+       |    ), 4) AS score
+       |  FROM champs c
+       |  JOIN qterms USING (term)
+       |  JOIN dict USING (term), stats
+       |  WHERE c.doc_id <> q_id
+       |  GROUP BY q_id, c.doc_id),
+       |ranked AS (
+       |  SELECT q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, doc_id, score
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+
   val refreshSearchOracle: String = refreshSearchSql(KeywordSearch.QueryTerms)
   val refreshDictOracle: String = refreshDictSql
+  val refreshBatchSearchOracle: String = refreshBatchSearchSql()
 }

@@ -91,6 +91,16 @@ class IndexRefreshSpec extends SparkSpec {
     assert(champs.filter(col("doc_id") === 2L).count() == 0)
   }
 
+  test("batch serving over the refreshed artifact equals the full rebuild") {
+    val refreshed = buildRefreshed()
+    val full = tmp()
+    IndexRefresh.buildBase(curr, full)
+    // stride 1: every current doc is a query — covers added, changed and
+    // untouched query docs against both layouts
+    assert(sortedRows(IndexRefresh.batchSearch(spark, refreshed, curr, stride = 1)) ==
+      sortedRows(IndexRefresh.batchSearch(spark, full, curr, stride = 1)))
+  }
+
   test("a term vanishing with its last doc is masked, not resurfaced") {
     val path = tmp()
     IndexRefresh.buildBase(base, path)
