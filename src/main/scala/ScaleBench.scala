@@ -50,6 +50,8 @@ object ScaleBench {
     "eval_retrieval_golden",// file-driven golden eval over the postings artifact
     "eval_retrieval_golden_pruned", // golden eval via champion lists (flat path)
     "maxsim_search_pruned", // PLAID-style pruned late-interaction retrieval
+    "stream_vector_refresh",// streaming IVF refresh: per-batch cost ∝ delta
+    "kw_search_refreshed_batch", // batch serving over the refreshed views
     "dedup_lsh_hot_buckets")// hot-bucket cluster report (the guard's log)
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):
