@@ -73,6 +73,7 @@ object SparkEntry {
     "kw_index_refresh" -> (IndexRefresh.qRefreshSearch _),
     "kw_index_refresh_dict" -> (IndexRefresh.qRefreshDict _),
     "kw_search_refreshed_batch" -> (IndexRefresh.qRefreshBatchSearch _),
+    "stream_kw_refresh_serve" -> (graft.streaming.ServeStream.qStreamKwRefreshServe _),
     "ivf_index_refresh" -> (VectorRefresh.qRefreshSearch _),
     "kw_search_indexed" -> (KeywordIndex.qSearchIndexed _),
     "vector_search_topk" -> (VectorSearch.search _),
@@ -290,6 +291,7 @@ object SparkEntry {
     "kw_index_refresh" -> IndexRefresh.refreshSearchOracle,
     "kw_index_refresh_dict" -> IndexRefresh.refreshDictOracle,
     "kw_search_refreshed_batch" -> IndexRefresh.refreshBatchSearchOracle,
+    "stream_kw_refresh_serve" -> IndexRefresh.refreshBatchSearchOracle,
     "ivf_index_refresh" -> VectorRefresh.refreshSearchOracle,
     "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,
     "kw_search_materialized" -> KeywordIndex.searchIndexedOracle,

@@ -366,9 +366,23 @@ object IndexRefresh {
   def batchSearch(spark: SparkSession, path: String, docs: DataFrame,
                   stride: Int = KeywordSearch.BatchStride,
                   nTerms: Int = KeywordSearch.BatchTerms,
-                  k: Int = KeywordSearch.BatchK): DataFrame = {
-    val qdocs = docs.filter(col("doc_id") % stride === 0)
-      .select(col("doc_id").as("q_id"))
+                  k: Int = KeywordSearch.BatchK): DataFrame =
+    batchSearchSel(spark, path, docs,
+      _.filter(col("doc_id") % stride === 0), nTerms, k)
+
+  /** [[batchSearch]] over an arbitrary query selector — the micro-batch
+    * serving entry ([[graft.streaming.ServeStream.refreshServe]] passes
+    * the batch's id frame as a broadcast semi-join). Every score input
+    * is a global artifact of the refreshed layout (merged dictionary,
+    * exactly-merged stats, champion views), so a query's results are
+    * identical whichever micro-batch it arrives in.
+    */
+  private[graft] def batchSearchSel(spark: SparkSession, path: String,
+                                    docs: DataFrame,
+                                    selectQueries: DataFrame => DataFrame,
+                                    nTerms: Int = KeywordSearch.BatchTerms,
+                                    k: Int = KeywordSearch.BatchK): DataFrame = {
+    val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
     val qtoks = livePostings(spark, path)
       .join(broadcast(qdocs), col("doc_id") === col("q_id"))
       .select(col("q_id"), col("term"))
@@ -405,7 +419,7 @@ object IndexRefresh {
     * be indistinguishable from a full rebuild on the CURRENT snapshot —
     * which is precisely what the oracles replay.
     */
-  private def refreshedArtifact(s: SparkSession, dir: String): String =
+  private[graft] def refreshedArtifact(s: SparkSession, dir: String): String =
     IndexCache.getOrBuild("kw_refresh", dir) { p =>
       val docs = Tables.documents(s, dir)
       val curr = CorpusOps.currSnapshot(docs)

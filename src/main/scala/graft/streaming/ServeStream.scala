@@ -88,6 +88,53 @@ object ServeStream {
         shortest = Some(graft.operators.QueryLikelihood.cachedShortest(s, dir)))(sink)
     }
 
+  /** Driver query: one micro-batch of keyword serving over the
+    * REFRESHED index ([[refreshServe]]) — the full deployment loop in
+    * one gate: the LSM artifact ([[graft.operators.IndexRefresh]],
+    * base + delta refresh) serves a micro-batch query stream through
+    * its champion views; a single batch holding the current-snapshot
+    * stride queries must hash-match the full-rebuild batch oracle
+    * ([[graft.operators.IndexRefresh.refreshBatchSearchOracle]]).
+    */
+  def qStreamKwRefreshServe(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    import graft.operators.{CorpusOps, IndexRefresh}
+    val curr = CorpusOps.currSnapshot(graft.sources.Tables.documents(s, dir))
+    val path = IndexRefresh.refreshedArtifact(s, dir)
+    val ids = {
+      import s.implicits._
+      curr.filter(col("doc_id") % graft.operators.KeywordSearch.BatchStride === 0)
+        .select(col("doc_id")).as[Long].collect().toSeq
+    }
+    collectServed(s, ids) { (queryIds, sink) =>
+      refreshServe(queryIds, s, path, curr)(sink)
+    }
+  }
+
+  /** Micro-batch keyword serving over the REFRESHED index — the LSM
+    * layout's serving parity with [[championServe]]: each batch's
+    * queries probe the refreshed artifact's champion views
+    * ([[graft.operators.IndexRefresh.batchSearchSel]] — bucket-pruned
+    * dict/champion reads, terms·M candidates per query), scored from
+    * the exactly-merged statistics. All score inputs are global
+    * artifacts ⇒ batch-split invariant by construction.
+    */
+  def refreshServe(queryIds: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                   path: String, docs: DataFrame)
+                  (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryIds.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ids = batch.select(col("q_id")).na.drop().distinct()
+        if (!batch.isEmpty) {
+          val ranked = graft.operators.IndexRefresh.batchSearchSel(
+            spark, path, docs,
+            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"))
+          sink(ranked, batchId)
+        }
+      }
+      .start()
+
   /** Driver query: one micro-batch of IVF-PRUNED hybrid serving
     * ([[hybridServeIvf]], 40h) probing the standing centroid + postings
     * artifacts; must hash-match the batch IVF fusion oracle

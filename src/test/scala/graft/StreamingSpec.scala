@@ -269,6 +269,31 @@ class StreamingSpec extends SparkSpec {
     assert(buf.nonEmpty)
   }
 
+  test("micro-batch refreshed-index serving equals the batch run across a batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = TestSpark.Sf0001
+    val curr = graft.operators.CorpusOps.currSnapshot(
+      graft.sources.Tables.documents(spark, dir))
+    val path = graft.operators.IndexRefresh.refreshedArtifact(spark, dir)
+    // current-snapshot ids only (doc_id % 29 != 3): a removed doc can't query
+    val allIds = Seq(0L, 7L, 23L, 42L)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+    val input = MemoryStream[Long]
+    val q = graft.streaming.ServeStream.refreshServe(
+      input.toDS().toDF("q_id"), spark, path, curr) { (ranked, _) =>
+      buf ++= ranked.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    }
+    input.addData(allIds.take(2): _*); q.processAllAvailable()
+    input.addData(allIds.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val want = graft.operators.IndexRefresh.batchSearchSel(
+      spark, path, curr, _.filter(col("doc_id").isin(allIds: _*)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(buf.sortBy(t => (t._1, t._2)).toSeq == want.sortBy(t => (t._1, t._2)).toSeq)
+    assert(buf.nonEmpty)
+  }
+
   test("micro-batch hybrid serving equals the batch fusion across a batch split") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
