@@ -105,6 +105,46 @@ object VectorRefresh {
     writeSegment(outPath, 0, live)
   }
 
+  /** Compaction WITH quantizer retrain — the documented compaction-time
+    * policy made real: the live vectors re-cluster through the learned
+    * k-means coarse quantizer ([[IvfIndex.assignKmeansCells]], seeded)
+    * and re-land as segment 0 under their NEW cells, partials
+    * recomputed from the retrained assignment. This is the reset point
+    * after drift has degraded the original cells' recall — FAISS/Milvus
+    * re-cluster on rebuild the same way. The retrained layout serves
+    * through the same views/search, and keeps refreshing: subsequent
+    * deltas are assigned by the retrained quantizer via
+    * [[assignToNearest]] (nearest merged centroid — the serving-side
+    * application of a trained coarse quantizer). Spec-gated (recall
+    * and live-set contracts); k-means has no DuckDB analog — the 19a
+    * convention.
+    */
+  def compactRetrain(spark: SparkSession, path: String, outPath: String,
+                     nlist: Int, seed: Long = 42L): Unit = {
+    val live = liveVectors(spark, path).select(col("vec_id"), col("embedding"))
+    val assigned = IvfIndex.assignKmeansCells(live, nlist, seed)
+      .select(col("vec_id"), col("embedding"), col("cell").as("label"))
+      .localCheckpoint()
+    writeSegment(outPath, 0, assigned)
+  }
+
+  /** Assign vectors to their nearest merged centroid — how a refresh
+    * batch gets its cells AFTER a quantizer retrain (the layout's
+    * centroids, not the source table's pre-assigned labels, are then
+    * the quantizer). Deterministic: 6dp-rounded cosine, lowest cell on
+    * ties; the centroid table is nlist rows, broadcast.
+    */
+  private[graft] def assignToNearest(spark: SparkSession, path: String,
+                                     embs: DataFrame): DataFrame =
+    embs.join(broadcast(centroidView(spark, path)))
+      .select(col("vec_id"),
+        struct(round(cosineSim(col("centroid"), col("embedding")), 6).as("cs"),
+          (lit(0) - col("cell")).as("negcell"), col("cell").as("cell"),
+          col("embedding").as("embedding")).as("sc"))
+      .groupBy("vec_id").agg(max("sc").as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.cell").as("label"))
+
   private def tombstones(spark: SparkSession, path: String): DataFrame = {
     val d = new java.io.File(s"$path/tombstones")
     val segs = Option(d.list()).getOrElse(Array.empty[String])

@@ -109,6 +109,48 @@ class VectorRefreshSpec extends SparkSpec {
       sortedRows(VectorRefresh.search(spark, one, q, VectorSearch.QueryVecId)))
   }
 
+  test("compaction-time quantizer retrain re-clusters the live set and keeps refreshing") {
+    val path = buildRefreshed()
+    val out = tmp()
+    val nlist = 4
+    VectorRefresh.compactRetrain(spark, path, out, nlist)
+    assert(IndexRefresh.segmentIds(out) == Seq(0))
+    // the live set survives the retrain bitwise; only cells change
+    def liveSet(p: String) = VectorRefresh.liveVectors(spark, p)
+      .select("vec_id", "embedding").collect().map(_.toString).sorted.toSeq
+    assert(liveSet(out) == liveSet(path))
+    assert(VectorRefresh.liveVectors(spark, out)
+      .select("cell").distinct().count() <= nlist)
+    // full probe over the retrained layout ≡ brute force (recall 1.0
+    // whatever the quantizer)
+    val q = curr.filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    assert(VectorRefresh.search(spark, out, q, VectorSearch.QueryVecId, nprobe = nlist)
+        .select("vec_id", "score").collect().map(_.toString).toSeq ==
+      VectorSearch.topK(curr, VectorSearch.QueryVecId)
+        .select("vec_id", "score").collect().map(_.toString).toSeq)
+    // the retrained artifact keeps refreshing: deltas are assigned by
+    // the RETRAINED quantizer (nearest merged centroid), prior versions
+    // tombstoned with their layout cells
+    val v = curr.filter(col("vec_id") =!= VectorSearch.QueryVecId)
+      .agg(max("vec_id")).head().getLong(0)
+    val newVal = curr.filter(col("vec_id") === v)
+      .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+    val removed = VectorRefresh.liveVectors(spark, out)
+      .filter(col("vec_id") === v)
+      .select(col("vec_id"), col("embedding"), col("cell").as("label"))
+    VectorRefresh.refresh(spark, out,
+      VectorRefresh.assignToNearest(spark, out, newVal), removed)
+    val updated = curr.withColumn("embedding",
+      when(col("vec_id") === v, transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")))
+    assert(VectorRefresh.liveVectors(spark, out).count() == curr.count())
+    assert(VectorRefresh.search(spark, out, q, VectorSearch.QueryVecId, nprobe = nlist)
+        .select("vec_id", "score").collect().map(_.toString).toSeq ==
+      VectorSearch.topK(updated, VectorSearch.QueryVecId)
+        .select("vec_id", "score").collect().map(_.toString).toSeq)
+  }
+
   test("full probe over the refreshed layout equals brute force on the current snapshot") {
     val refreshed = buildRefreshed()
     val q = curr.filter(col("vec_id") === VectorSearch.QueryVecId)
