@@ -73,6 +73,7 @@ object SparkEntry {
     "kw_index_refresh" -> (IndexRefresh.qRefreshSearch _),
     "kw_index_refresh_dict" -> (IndexRefresh.qRefreshDict _),
     "kw_search_refreshed_batch" -> (IndexRefresh.qRefreshBatchSearch _),
+    "ql_search_refreshed_batch" -> (IndexRefresh.qRefreshQlSearch _),
     "stream_kw_refresh_serve" -> (graft.streaming.ServeStream.qStreamKwRefreshServe _),
     "ivf_index_refresh" -> (VectorRefresh.qRefreshSearch _),
     "kw_search_indexed" -> (KeywordIndex.qSearchIndexed _),
@@ -291,6 +292,7 @@ object SparkEntry {
     "kw_index_refresh" -> IndexRefresh.refreshSearchOracle,
     "kw_index_refresh_dict" -> IndexRefresh.refreshDictOracle,
     "kw_search_refreshed_batch" -> IndexRefresh.refreshBatchSearchOracle,
+    "ql_search_refreshed_batch" -> IndexRefresh.refreshQlSearchOracle,
     "stream_kw_refresh_serve" -> IndexRefresh.refreshBatchSearchOracle,
     "ivf_index_refresh" -> VectorRefresh.refreshSearchOracle,
     "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,

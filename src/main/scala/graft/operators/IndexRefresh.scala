@@ -308,7 +308,11 @@ object IndexRefresh {
     segStats.join(tomb)
       .select((col("n") - col("tn")).as("n_docs"),
         ((col("sdl") - col("tdl")) / (col("n") - col("tn")).cast("double"))
-          .as("avgdl"))
+          .as("avgdl"),
+        // total live token count (Σ dl ≡ Σ tf ≡ Σ cf) — integral, so the
+        // merged value is exact; the collection-LM denominator for the
+        // refreshed QL probe
+        (col("sdl") - col("tdl")).as("sum_dl"))
   }
 
   // --- probe ----------------------------------------------------------------
@@ -410,6 +414,91 @@ object IndexRefresh {
     KeywordSearch.rankKwScored(scored, k)
   }
 
+  /** BATCH Dirichlet-QL over the refreshed artifact — the LM scoring
+    * family served from the SAME refreshable layout as [[batchSearch]]:
+    * the tf-cut champion rows carry (tf, dl), the merged dictionary
+    * carries cf, and [[statsView]]'s exact Σdl is the collection-LM
+    * denominator — so the query-independent QL impact
+    * ln(tf + μp) − ln(μp) is computed AT PROBE TIME from current
+    * merged statistics (zero score staleness, the same argument as
+    * BM25's probe-time idf). Score chain = [[QueryLikelihood]]'s dense
+    * decomposition: corr + qconst − |q|·ln(dl + μ) over champion
+    * candidates ∪ the k+1 shortest LIVE docs (dl = 0 rows included via
+    * [[liveDocStats]]). List membership is the layout's stats-free
+    * tf-cut — the refresh-exactness trade — which equals the impact
+    * order within a term (impact is monotone in tf for fixed term);
+    * the oracle replays exactly this contract on a full rebuild.
+    */
+  def qlBatchSearch(spark: SparkSession, path: String, docs: DataFrame,
+                    stride: Int = KeywordSearch.BatchStride,
+                    nTerms: Int = KeywordSearch.BatchTerms,
+                    k: Int = KeywordSearch.BatchK,
+                    mu: Double = QueryLikelihood.Mu): DataFrame =
+    qlBatchSearchSel(spark, path, docs,
+      _.filter(col("doc_id") % stride === 0), nTerms, k, mu)
+
+  /** [[qlBatchSearch]] over an arbitrary query selector (the
+    * micro-batch serving entry; all score inputs are global artifacts
+    * ⇒ batch-split invariant).
+    */
+  private[graft] def qlBatchSearchSel(spark: SparkSession, path: String,
+                                      docs: DataFrame,
+                                      selectQueries: DataFrame => DataFrame,
+                                      nTerms: Int = KeywordSearch.BatchTerms,
+                                      k: Int = KeywordSearch.BatchK,
+                                      mu: Double = QueryLikelihood.Mu): DataFrame = {
+    val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
+    val qtoks = livePostings(spark, path)
+      .join(broadcast(qdocs), col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("term"))
+    val buckets = qtoks
+      .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val dictQ = dictView(spark, path, Some(buckets))
+      .join(broadcast(qtoks.select("term").distinct()), Seq("term"))
+    val qterms = KeywordSearch.batchQueryTermsFrom(
+      qtoks, dictQ.select(col("term"), col("df")), nTerms)
+    val qp = qterms.join(broadcast(dictQ.select(col("term"), col("cf"))), Seq("term"))
+      .join(broadcast(statsView(spark, path).select(col("sum_dl").as("c_total"))))
+      .select(col("q_id"), col("term"),
+        (col("cf").cast("double") / col("c_total")).as("p"))
+    val qconsts = qp.groupBy("q_id")
+      .agg(collect_list(struct(col("term"),
+        log(lit(mu) * col("p")).as("lp"))).as("ls"))
+      .select(col("q_id"),
+        aggregate(transform(array_sort(col("ls")), x => x.getField("lp")),
+          lit(0.0), (a, x) => a + x).as("qconst"),
+        size(col("ls")).as("nq"))
+    // probe-time impacts over the query terms' champion rows, summed in
+    // term order (the QueryLikelihood determinism convention)
+    val imp = round(
+      log(col("tf").cast("double") + lit(mu) * col("p")) - log(lit(mu) * col("p")),
+      ChampionIndex.ImpactDecimals)
+    val corr = champsView(spark, path, Some(buckets))
+      .join(broadcast(qp), Seq("term"))
+      .select(col("q_id"), col("doc_id"), col("dl"),
+        struct(col("term"), imp.as("imp")).as("tc"))
+      .groupBy("q_id", "doc_id")
+      .agg(first("dl").as("dl"), collect_list(col("tc")).as("cs"))
+      .select(col("q_id"), col("doc_id"), col("dl"),
+        aggregate(transform(array_sort(col("cs")), x => x.getField("imp")),
+          lit(0.0), (a, x) => a + x).as("corr"))
+    val shortest = liveDocStats(spark, path)
+      .orderBy(col("dl").asc, col("doc_id").asc).limit(k + 1)
+    val cand = corr
+      .unionByName(qconsts.select("q_id").crossJoin(broadcast(shortest))
+        .withColumn("corr", lit(0.0)))
+      .groupBy("q_id", "doc_id")
+      .agg(max("corr").as("corr"), first("dl").as("dl"))
+    val scored = cand
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(qconsts), Seq("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        (col("corr") + col("qconst") -
+          col("nq").cast("double") * log(col("dl") + lit(mu))).as("raw_score"))
+    KeywordSearch.rankKwScored(scored, k)
+  }
+
   // --- driver wiring: base on the PREVIOUS snapshot, one refresh batch ------
 
   /** The refreshed standing artifact for a source dir: base build on
@@ -461,6 +550,16 @@ object IndexRefresh {
   def qRefreshBatchSearch(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     batchSearch(s, refreshedArtifact(s, dir), CorpusOps.currSnapshot(docs))
+  }
+
+  /** Driver query: the batch Dirichlet-QL serving workload over the
+    * refreshed artifact — probe-time impacts from merged statistics;
+    * oracle replays the tf-cut-champion QL on a full rebuild of the
+    * current snapshot.
+    */
+  def qRefreshQlSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    qlBatchSearch(s, refreshedArtifact(s, dir), CorpusOps.currSnapshot(docs))
   }
 
   // --- oracles --------------------------------------------------------------
@@ -574,7 +673,82 @@ object IndexRefresh {
        |FROM ranked
        |ORDER BY q_id, rn""".stripMargin
 
+  /** SQL replay of [[qRefreshQlSearch]]: full rebuild over the current
+    * snapshot — tf-cut champion lists, probe-time QL impacts from the
+    * rebuilt collection LM (p = cf / Σdl), the dense-decomposition
+    * score chain with the k+1-shortest closure (dl = 0 docs included).
+    */
+  def refreshQlSearchSql(stride: Int = KeywordSearch.BatchStride,
+                         nTerms: Int = KeywordSearch.BatchTerms,
+                         k: Int = KeywordSearch.BatchK,
+                         mu: Double = QueryLikelihood.Mu,
+                         m: Int = M): String =
+    s"""WITH $currCte,
+       |toked AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM curr),
+       |postings AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM toked GROUP BY 1, 2),
+       |docstats AS (
+       |  SELECT doc_id, CAST(len(${TextAnalysis.sqlToks}) AS DOUBLE) AS dl
+       |  FROM curr),
+       |dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+       |totals AS (SELECT CAST(sum(dl) AS DOUBLE) AS c_total FROM docstats),
+       |ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM postings GROUP BY 1),
+       |pt AS (
+       |  SELECT term, CAST(cf AS DOUBLE) / c_total AS p FROM ctf, totals),
+       |champs AS (
+       |  SELECT term, doc_id, tf, dl FROM (
+       |    SELECT p.term, p.doc_id, p.tf, d.dl,
+       |      row_number() OVER (PARTITION BY p.term
+       |        ORDER BY p.tf DESC, d.dl ASC, p.doc_id ASC) AS crn
+       |    FROM postings p JOIN docstats d USING (doc_id))
+       |  WHERE crn <= $m),
+       |qtoks AS (
+       |  SELECT doc_id AS q_id, unnest(list_distinct(${TextAnalysis.sqlToks})) AS term
+       |  FROM curr WHERE doc_id % $stride = 0),
+       |qterms AS (
+       |  SELECT q_id, substring(p, 12, 1000) AS term
+       |  FROM (
+       |    SELECT q_id, unnest(
+       |      (list_sort(list(lpad(CAST(df AS VARCHAR), 10, '0') || '#' || term)))[1:$nTerms]) AS p
+       |    FROM qtoks JOIN dict USING (term)
+       |    GROUP BY q_id)),
+       |qp AS (SELECT q_id, qterms.term, pt.p FROM qterms JOIN pt USING (term)),
+       |qconsts AS (
+       |  SELECT q_id, sum(ln($mu * p) ORDER BY term) AS qconst,
+       |    count(*) AS nq
+       |  FROM qp GROUP BY q_id),
+       |corr AS (
+       |  SELECT qp.q_id, c.doc_id, any_value(c.dl) AS dl,
+       |    sum(round(ln(CAST(c.tf AS DOUBLE) + $mu * qp.p) - ln($mu * qp.p),
+       |      ${ChampionIndex.ImpactDecimals}) ORDER BY c.term) AS corr
+       |  FROM champs c JOIN qp ON c.term = qp.term
+       |  GROUP BY 1, 2),
+       |shortest AS (SELECT doc_id, dl FROM docstats ORDER BY dl, doc_id LIMIT ${k + 1}),
+       |cand AS (
+       |  SELECT q_id, doc_id, max(corr) AS corr, any_value(dl) AS dl FROM (
+       |    SELECT q_id, doc_id, corr, dl FROM corr
+       |    UNION ALL
+       |    SELECT q.q_id, s.doc_id, 0.0 AS corr, s.dl
+       |    FROM (SELECT q_id FROM qconsts) q, shortest s)
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.q_id, c.doc_id,
+       |    c.corr + qc.qconst - CAST(qc.nq AS DOUBLE) * ln(c.dl + $mu) AS raw_score
+       |  FROM cand c
+       |  JOIN qconsts qc USING (q_id)
+       |  WHERE c.doc_id <> c.q_id),
+       |ranked AS (
+       |  SELECT q_id, doc_id, raw_score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY round(raw_score, 4) DESC, doc_id) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, doc_id, round(raw_score, 4) AS score
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+
   val refreshSearchOracle: String = refreshSearchSql(KeywordSearch.QueryTerms)
   val refreshDictOracle: String = refreshDictSql
   val refreshBatchSearchOracle: String = refreshBatchSearchSql()
+  val refreshQlSearchOracle: String = refreshQlSearchSql()
 }

@@ -101,6 +101,14 @@ class IndexRefreshSpec extends SparkSpec {
       sortedRows(IndexRefresh.batchSearch(spark, full, curr, stride = 1)))
   }
 
+  test("batch QL serving over the refreshed artifact equals the full rebuild") {
+    val refreshed = buildRefreshed()
+    val full = tmp()
+    IndexRefresh.buildBase(curr, full)
+    assert(sortedRows(IndexRefresh.qlBatchSearch(spark, refreshed, curr, stride = 1)) ==
+      sortedRows(IndexRefresh.qlBatchSearch(spark, full, curr, stride = 1)))
+  }
+
   test("a term vanishing with its last doc is masked, not resurfaced") {
     val path = tmp()
     IndexRefresh.buildBase(base, path)
