@@ -52,6 +52,7 @@ object ScaleBench {
     "maxsim_search_pruned", // PLAID-style pruned late-interaction retrieval
     "stream_vector_refresh",// streaming IVF refresh: per-batch cost ∝ delta
     "kw_search_refreshed_batch", // batch serving over the refreshed views
+    "ql_search_refreshed_batch", // QL from the refreshed views, probe-time impacts
     "dedup_lsh_hot_buckets")// hot-bucket cluster report (the guard's log)
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):

@@ -907,6 +907,155 @@ object HybridSearch {
 
   val batchSearchChampionOracle: String = fusedBatchChampionSql()
 
+  /** Doubly-pruned batch fusion over BOTH refreshable layouts — the
+    * hybrid family completed on the refresh path: the vector leg probes
+    * the refreshed IVF segments' merged centroids + live cells
+    * ([[VectorRefresh.batchVparts]]), the keyword leg probes the
+    * refreshed champion views with probe-time idf
+    * ([[IndexRefresh.batchScoredSel]]), and the one shared fusion tail
+    * normalizes and ranks — so a deployment that appends documents and
+    * vectors daily serves its full hybrid workload with zero full
+    * rebuilds and zero score staleness. Fusion semantics are
+    * [[fusedBatchChampionSel]]'s (candidate domain = probed live cells,
+    * keyword restricted to candidates, sparse stats + implicit-zero
+    * clamp).
+    */
+  private[graft] def fusedBatchRefreshedPaths(s: SparkSession,
+                                              kwPath: String, vecPath: String,
+                                              currDocs: DataFrame,
+                                              currEmbs: DataFrame,
+                                              stride: Int = KeywordSearch.BatchStride,
+                                              nTerms: Int = KeywordSearch.BatchTerms,
+                                              nprobe: Int = IvfIndex.NProbe,
+                                              alpha: Double = Alpha,
+                                              k: Int = BatchK): DataFrame = {
+    val queries = currEmbs.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val vparts = VectorRefresh.batchVparts(s, vecPath, queries, nprobe)
+    val kparts = IndexRefresh.batchScoredSel(s, kwPath, currDocs,
+      _.filter(col("doc_id") % stride === 0), nTerms)
+    fuseTail(vparts, kparts, alpha, k,
+      restrictKwToCandidates = true, materializeCandidates = true)
+  }
+
+  /** Driver query: the refreshed hybrid fusion over the standing
+    * refreshed artifacts of a source dir.
+    */
+  def batchSearchRefreshed(s: SparkSession, dir: String): DataFrame =
+    fusedBatchRefreshedPaths(s,
+      IndexRefresh.refreshedArtifact(s, dir),
+      VectorRefresh.refreshedArtifact(s, dir),
+      CorpusOps.currSnapshot(Tables.documents(s, dir)),
+      VectorRefresh.currSnapshot(Tables.embeddings(s, dir)))
+
+  /** Oracle for the refreshed fusion: full rebuild of BOTH layouts over
+    * the current snapshots — tf-cut champion keyword scoring with
+    * probe-time idf (the [[IndexRefresh.refreshBatchSearchSql]] chain,
+    * unrounded sum of 6dp contributions), label-cell IVF probing over
+    * the current embeddings, the coalesced joined-frame normalization.
+    */
+  def fusedBatchRefreshedSql(stride: Int = KeywordSearch.BatchStride,
+                             nTerms: Int = KeywordSearch.BatchTerms,
+                             nprobe: Int = IvfIndex.NProbe,
+                             m: Int = IndexRefresh.M,
+                             alpha: Double = Alpha, k: Int = BatchK): String = {
+    import KeywordSearch.{K1, B}
+    s"""WITH currd AS (
+       |  SELECT * FROM documents WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3),
+       |curre AS (
+       |  SELECT * FROM embeddings WHERE vec_id % ${CorpusOps.DiffRemoveStride} <> 3),
+       |toked AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM currd),
+       |postings AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM toked GROUP BY 1, 2),
+       |docstats AS (
+       |  SELECT doc_id, CAST(len(${TextAnalysis.sqlToks}) AS DOUBLE) AS dl
+       |  FROM currd),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docstats),
+       |dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+       |champs AS (
+       |  SELECT term, doc_id, tf, dl FROM (
+       |    SELECT p.term, p.doc_id, p.tf, d.dl,
+       |      row_number() OVER (PARTITION BY p.term
+       |        ORDER BY p.tf DESC, d.dl ASC, p.doc_id ASC) AS crn
+       |    FROM postings p JOIN docstats d USING (doc_id))
+       |  WHERE crn <= $m),
+       |qtoks AS (
+       |  SELECT doc_id AS q_id, unnest(list_distinct(${TextAnalysis.sqlToks})) AS term
+       |  FROM currd WHERE doc_id % $stride = 0),
+       |qterms AS (
+       |  SELECT q_id, substring(p, 12, 1000) AS term
+       |  FROM (
+       |    SELECT q_id, unnest(
+       |      (list_sort(list(lpad(CAST(df AS VARCHAR), 10, '0') || '#' || term)))[1:$nTerms]) AS p
+       |    FROM qtoks JOIN dict USING (term)
+       |    GROUP BY q_id)),
+       |scored AS (
+       |  SELECT q_id, c.doc_id,
+       |    sum(round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * ${K1 + 1})
+       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)) AS raw_score
+       |  FROM champs c
+       |  JOIN qterms USING (term)
+       |  JOIN dict USING (term), stats
+       |  WHERE c.doc_id <> q_id
+       |  GROUP BY q_id, c.doc_id),
+       |queries AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM curre WHERE vec_id % $stride = 0),
+       |cexp AS (
+       |  SELECT label AS cell, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS ev
+       |  FROM curre),
+       |cent AS (
+       |  SELECT cell, list(cv ORDER BY dim) AS centroid
+       |  FROM (SELECT cell, dim, avg(ev) AS cv FROM cexp GROUP BY 1, 2) t
+       |  GROUP BY cell),
+       |cscored AS (
+       |  SELECT q_id, cell,
+       |    round(${VectorSearch.cosineSql("centroid", "q_emb")}, 6) AS cscore
+       |  FROM cent, queries),
+       |probed AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cscore DESC, cell) AS crn
+       |    FROM cscored) t
+       |  WHERE crn <= $nprobe),
+       |vparts AS (
+       |  SELECT p.q_id, e.vec_id AS doc_id,
+       |    ${VectorSearch.cosineSql("e.embedding", "q.q_emb")} AS vscore
+       |  FROM curre e
+       |  JOIN probed p ON e.label = p.cell
+       |  JOIN queries q ON q.q_id = p.q_id
+       |  WHERE e.vec_id <> p.q_id),
+       |joined AS (
+       |  SELECT vparts.q_id, vparts.doc_id, vscore,
+       |    coalesce(raw_score, 0.0) AS kscore
+       |  FROM vparts LEFT JOIN scored
+       |    ON vparts.q_id = scored.q_id AND vparts.doc_id = scored.doc_id),
+       |qstats AS (
+       |  SELECT q_id, min(vscore) AS vmin, max(vscore) AS vmax,
+       |    min(kscore) AS kmin, max(kscore) AS kmax
+       |  FROM joined GROUP BY 1),
+       |fusedt AS (
+       |  SELECT q_id, doc_id,
+       |    round($alpha * (vscore - vmin) /
+       |            (CASE WHEN vmax = vmin THEN 1.0 ELSE vmax - vmin END)
+       |        + ${1 - alpha} * (kscore - kmin) /
+       |            (CASE WHEN kmax = kmin THEN 1.0 ELSE kmax - kmin END), 4) AS score
+       |  FROM joined JOIN qstats USING (q_id)),
+       |ranked AS (
+       |  SELECT q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+       |  FROM fusedt
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, doc_id, score
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
+  val batchSearchRefreshedOracle: String = fusedBatchRefreshedSql()
+
   def search(s: SparkSession, dir: String): DataFrame =
     fused(Tables.documents(s, dir), Tables.embeddings(s, dir),
       KeywordSearch.QueryTerms, VectorSearch.QueryVecId)

@@ -385,7 +385,18 @@ object IndexRefresh {
                                     docs: DataFrame,
                                     selectQueries: DataFrame => DataFrame,
                                     nTerms: Int = KeywordSearch.BatchTerms,
-                                    k: Int = KeywordSearch.BatchK): DataFrame = {
+                                    k: Int = KeywordSearch.BatchK): DataFrame =
+    KeywordSearch.rankKwScored(
+      batchScoredSel(spark, path, docs, selectQueries, nTerms), k)
+
+  /** The pre-ranking stage of [[batchSearchSel]] — (q_id, doc_id,
+    * raw_score = Σ 6dp-rounded contributions); shared with the
+    * refreshed hybrid fusion's keyword leg.
+    */
+  private[graft] def batchScoredSel(spark: SparkSession, path: String,
+                                    docs: DataFrame,
+                                    selectQueries: DataFrame => DataFrame,
+                                    nTerms: Int = KeywordSearch.BatchTerms): DataFrame = {
     val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
     val qtoks = livePostings(spark, path)
       .join(broadcast(qdocs), col("doc_id") === col("q_id"))
@@ -404,14 +415,13 @@ object IndexRefresh {
       (col("df").cast("double") + 0.5))
     val contrib = round(idf * (tfD * (K1 + 1)) /
       (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
-    val scored = champsView(spark, path, Some(buckets))
+    champsView(spark, path, Some(buckets))
       .join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(qdict), Seq("term"))
       .join(broadcast(statsView(spark, path)))
       .select(col("q_id"), col("doc_id"), contrib.as("s"))
       .groupBy("q_id", "doc_id").agg(sum("s").as("raw_score"))
-    KeywordSearch.rankKwScored(scored, k)
   }
 
   /** BATCH Dirichlet-QL over the refreshed artifact — the LM scoring

@@ -235,12 +235,33 @@ object VectorRefresh {
       .unionByName(prev.filter(col("vec_id") % DiffChangeStride === 4)
         .join(curr.select(col("vec_id")), Seq("vec_id"), "semi"))
 
+  /** Batch candidate fan-out over the refreshed layout — the vector leg
+    * of the refreshed hybrid fusion: per-query top-nprobe cells ranked
+    * against the merged serving centroids
+    * ([[IvfIndex.batchProbedCellsFrom]] — 6dp-rounded cosine, cell
+    * tiebreak, bounded heap), then only those cells' LIVE vectors pay
+    * the exact cosine. Same (q_id, doc_id, vscore) shape as
+    * [[HybridSearch]]'s ivfVparts.
+    */
+  private[graft] def batchVparts(spark: SparkSession, path: String,
+                                 queries: DataFrame,
+                                 nprobe: Int = IvfIndex.NProbe): DataFrame = {
+    val probed = IvfIndex.batchProbedCellsFrom(
+      centroidView(spark, path), queries, nprobe)
+    liveVectors(spark, path)
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        cosineSim(col("embedding"), col("q_emb")).as("vscore"))
+  }
+
   /** The refreshed standing layout for a source dir: base on the
     * previous snapshot, one refresh applying the added/changed/removed
     * batch — the [[IndexRefresh.qRefreshSearch]] convention on the
     * embeddings table.
     */
-  private def refreshedArtifact(s: SparkSession, dir: String): String =
+  private[graft] def refreshedArtifact(s: SparkSession, dir: String): String =
     IndexCache.getOrBuild("ivf_refresh", dir) { p =>
       val embs = Tables.embeddings(s, dir)
       val curr = currSnapshot(embs)

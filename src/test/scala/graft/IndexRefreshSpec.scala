@@ -109,6 +109,36 @@ class IndexRefreshSpec extends SparkSpec {
       sortedRows(IndexRefresh.qlBatchSearch(spark, full, curr, stride = 1)))
   }
 
+  test("refreshed hybrid fusion equals the fusion over full rebuilds of both layouts") {
+    val dir = TestSpark.Sf0001
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val embs = graft.sources.Tables.embeddings(spark, dir)
+    val currD = CorpusOps.currSnapshot(docs)
+    val prevD = CorpusOps.prevSnapshot(docs)
+    val currE = VectorRefresh.currSnapshot(embs)
+    val prevE = VectorRefresh.prevSnapshot(embs)
+    // refreshed layouts: base on the previous snapshots + one refresh
+    val kwR = tmp()
+    IndexRefresh.buildBase(prevD, kwR)
+    val diff = CorpusOps.snapshotDiff(currD, prevD)
+    IndexRefresh.refresh(spark, kwR,
+      currD.join(diff.filter(col("status").isin("added", "changed"))
+        .select("doc_id"), Seq("doc_id"), "semi"),
+      prevD.join(diff.filter(col("status").isin("removed", "changed"))
+        .select("doc_id"), Seq("doc_id"), "semi"))
+    val vecR = tmp()
+    VectorRefresh.buildBase(prevE, vecR)
+    VectorRefresh.refresh(spark, vecR,
+      VectorRefresh.deltaEmbs(currE, prevE), VectorRefresh.removedEmbs(currE, prevE))
+    // full rebuilds on the current snapshots
+    val kwF = tmp(); IndexRefresh.buildBase(currD, kwF)
+    val vecF = tmp(); VectorRefresh.buildBase(currE, vecF)
+    assert(sortedRows(HybridSearch.fusedBatchRefreshedPaths(
+        spark, kwR, vecR, currD, currE, stride = 10)) ==
+      sortedRows(HybridSearch.fusedBatchRefreshedPaths(
+        spark, kwF, vecF, currD, currE, stride = 10)))
+  }
+
   test("a term vanishing with its last doc is masked, not resurfaced") {
     val path = tmp()
     IndexRefresh.buildBase(base, path)
