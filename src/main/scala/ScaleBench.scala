@@ -53,6 +53,7 @@ object ScaleBench {
     "stream_vector_refresh",// streaming IVF refresh: per-batch cost ∝ delta
     "kw_search_refreshed_batch", // batch serving over the refreshed views
     "ql_search_refreshed_batch", // QL from the refreshed views, probe-time impacts
+    "hybrid_search_refreshed_batch", // fusion over both refreshable layouts
     "dedup_lsh_hot_buckets")// hot-bucket cluster report (the guard's log)
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):

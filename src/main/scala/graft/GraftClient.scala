@@ -31,8 +31,16 @@ import org.apache.spark.sql.functions._
   * `hybridSearch` to the doubly-pruned IVF×champion fusion
   * ([[operators.HybridSearch.fusedPrunedWithQuery]]) — per-request cost
   * independent of corpus size, the deployed-index behavior a Weaviate
-  * collection config selects. Spec-pinned: each routing reproduces its
-  * oracle-gated operator.
+  * collection config selects. With [[GraftClient.IndexRefreshed]] every
+  * search serves from the INCREMENTALLY-REFRESHED artifacts
+  * ([[operators.IndexRefresh]] / [[operators.VectorRefresh]] — the LSM
+  * segment layouts a deployment that appends daily maintains): keyword
+  * probes the refreshed champion views with probe-time idf, vector
+  * probes the merged serving centroids + live cells, hybrid fuses both
+  * refreshed legs. The refreshed mode's corpus state is the artifact's
+  * (the current snapshot of the diff convention — in a deployment, the
+  * table and the artifact describe the same state). Spec-pinned: each
+  * routing reproduces its oracle-gated operator.
   */
 class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
                   indexMode: String = GraftClient.IndexExact) {
@@ -42,6 +50,11 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
   private def docs: DataFrame = Tables.documents(spark, dir)
   private def embs: DataFrame = Tables.embeddings(spark, dir)
   private def pruned: Boolean = indexMode == GraftClient.IndexPruned
+  private def refreshed: Boolean = indexMode == GraftClient.IndexRefreshed
+  /** The refreshed mode's serving universe: the refreshable artifacts'
+    * corpus state (the diff convention's current snapshot).
+    */
+  private def currDocs: DataFrame = CorpusOps.currSnapshot(docs)
 
   /** The reference tokenizes the request server-side; same split as the
     * corpus tokenizer, duplicates collapsed.
@@ -80,7 +93,10 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
       }
     }
     if (fields == Seq("text" -> 1.0)) {
-      if (pruned)
+      if (refreshed)
+        IndexRefresh.search(spark, IndexRefresh.refreshedArtifact(spark, dir),
+          currDocs, requestTerms(request), limit, docFilter = filter)
+      else if (pruned)
         ChampionIndex.bm25ChampionFiltered(docs,
           ChampionIndex.cachedChampions(spark, dir),
           requestTerms(request), limit, filter)
@@ -109,7 +125,11 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     */
   def vectorSearch(request: String, limit: Int = 10,
                    filter: Column = lit(true)): DataFrame =
-    if (pruned)
+    if (refreshed)
+      VectorRefresh.requestSearch(spark,
+        VectorRefresh.refreshedArtifact(spark, dir), currDocs,
+        requestVector(request), k = limit, docFilter = filter)
+    else if (pruned)
       IvfIndex.searchPrunedWithQuery(embs, docs, requestVector(request),
         IvfIndex.cachedCentroids(spark, dir), k = limit, docFilter = filter)
     else
@@ -135,7 +155,16 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     */
   def hybridSearch(request: String, alpha: Double = HybridSearch.Alpha,
                    limit: Int = 10, filter: Option[Column] = None): DataFrame =
-    if (pruned && filter.isEmpty)
+    if (refreshed && filter.isEmpty)
+      HybridSearch.fusedRefreshedWithQuery(spark,
+          IndexRefresh.refreshedArtifact(spark, dir),
+          VectorRefresh.refreshedArtifact(spark, dir),
+          requestTerms(request), requestVector(request), qId = -1L,
+          alpha = alpha, k = limit)
+        .join(currDocs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    else if (pruned && filter.isEmpty)
       HybridSearch.fusedPrunedWithQuery(embs,
           ChampionIndex.cachedChampions(spark, dir),
           requestTerms(request), requestVector(request), qId = -1L,
@@ -214,5 +243,10 @@ object GraftClient {
     * IVF×champion — the deployed-index collection config.
     */
   val IndexPruned = "pruned"
-  val IndexModes: Set[String] = Set(IndexExact, IndexPruned)
+  /** Refreshed index mode: every search serves from the incrementally-
+    * refreshed LSM artifacts (zero full rebuilds, zero score
+    * staleness).
+    */
+  val IndexRefreshed = "refreshed"
+  val IndexModes: Set[String] = Set(IndexExact, IndexPruned, IndexRefreshed)
 }

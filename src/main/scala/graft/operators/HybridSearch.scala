@@ -376,6 +376,27 @@ object HybridSearch {
       .select(col("rn"), col("doc_id"), col("score"))
   }
 
+  /** Single-request doubly-pruned fusion over BOTH refreshable layouts
+    * — the facade's refreshed `hybridSearch` route: vector candidates
+    * from the refreshed IVF segments' merged centroids + live cells,
+    * keyword scores from the refreshed champion views with probe-time
+    * idf ([[IndexRefresh.requestScored]]), the one shared fusion tail.
+    */
+  private[graft] def fusedRefreshedWithQuery(s: SparkSession,
+                                             kwPath: String, vecPath: String,
+                                             terms: Seq[String], q: DataFrame,
+                                             qId: Long,
+                                             alpha: Double = Alpha, k: Int = TopK,
+                                             nprobe: Int = IvfIndex.NProbe): DataFrame = {
+    val queries = q.select(lit(qId).as("q_id"), col("q_emb"))
+    val vparts = VectorRefresh.batchVparts(s, vecPath, queries, nprobe)
+    val kparts = IndexRefresh.requestScored(s, kwPath, terms.distinct.sorted)
+      .withColumn("q_id", lit(qId))
+    fuseTail(vparts, kparts, alpha, k,
+      restrictKwToCandidates = true, materializeCandidates = true)
+      .select(col("rn"), col("doc_id"), col("score"))
+  }
+
   /** Driver query: the single-query pruned hybrid, seeded like
     * [[search]] by the benchmark object's stored vector, over the
     * standing champion + centroid artifacts.

@@ -324,13 +324,14 @@ object IndexRefresh {
     java.lang.Long.parseLong(hex, 16) % NumBuckets
   }
 
-  /** BM25 top-k over the refreshed artifact: candidates from the query
-    * terms' champion lists (bucket-pruned read), scored with EXACT
-    * current statistics — per-term contributions rounded at 6dp (the
-    * champion determinism contract), per-doc sum rounded at 4.
+  /** One request's champion-candidate BM25 scores over the refreshed
+    * artifact — (doc_id, raw_score = Σ 6dp-rounded contributions from
+    * EXACT current statistics), bucket-pruned reads; the pre-ranking
+    * stage of [[search]] and the keyword leg of the facade's refreshed
+    * hybrid route.
     */
-  def search(spark: SparkSession, path: String, docs: DataFrame,
-             terms: Seq[String], topK: Int = KeywordSearch.TopK): DataFrame = {
+  private[graft] def requestScored(spark: SparkSession, path: String,
+                                   terms: Seq[String]): DataFrame = {
     val buckets = terms.map(termBucket).distinct
     val champs = champsView(spark, path, Some(buckets))
       .filter(col("term").isin(terms: _*))
@@ -341,14 +342,31 @@ object IndexRefresh {
       (col("df").cast("double") + 0.5))
     val contrib = round(idf * (tfD * (K1 + 1)) /
       (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
-    val topk = champs
+    champs
       .join(broadcast(dict), Seq("term"))
       .join(broadcast(statsView(spark, path)))
       .select(col("doc_id"), contrib.as("contrib"))
-      .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
+      .groupBy("doc_id").agg(sum("contrib").as("raw_score"))
+  }
+
+  /** BM25 top-k over the refreshed artifact: candidates from the query
+    * terms' champion lists (bucket-pruned read), scored with EXACT
+    * current statistics — per-term contributions rounded at 6dp (the
+    * champion determinism contract), per-doc sum rounded at 4. An
+    * optional metadata filter restricts the candidate domain during
+    * the walk (the [[IvfIndex.searchPrunedWithQuery]] convention —
+    * selective filters shrink the served page, M is the recall knob).
+    */
+  def search(spark: SparkSession, path: String, docs: DataFrame,
+             terms: Seq[String], topK: Int = KeywordSearch.TopK,
+             docFilter: Column = lit(true)): DataFrame = {
+    val filtered = docs.filter(docFilter)
+    val topk = requestScored(spark, path, terms)
+      .join(filtered.select(col("doc_id")), Seq("doc_id"), "semi")
+      .select(col("doc_id"), round(col("raw_score"), 4).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(topK)
-    topk.join(docs.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+    topk.join(filtered.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("lang"), col("score"))
       .orderBy(desc("score"), asc("doc_id"))
   }

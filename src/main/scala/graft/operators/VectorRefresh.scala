@@ -235,6 +235,35 @@ object VectorRefresh {
       .unionByName(prev.filter(col("vec_id") % DiffChangeStride === 4)
         .join(curr.select(col("vec_id")), Seq("vec_id"), "semi"))
 
+  /** Single-request ANN over the refreshed layout — the facade's
+    * refreshed `vectorSearch` route: nprobe cells ranked against the
+    * merged serving centroids (collected to a literal predicate so
+    * every segment's scan partition-prunes), exact cosine over the
+    * probed LIVE vectors, metadata filter evaluated during the walk
+    * (the [[IvfIndex.searchPrunedWithQuery]] convention). Output shape
+    * matches the facade's exact route (doc_id, source, lang, score).
+    */
+  private[graft] def requestSearch(spark: SparkSession, path: String,
+                                   docs: DataFrame, q: DataFrame,
+                                   nprobe: Int = IvfIndex.NProbe,
+                                   k: Int = IvfIndex.TopK,
+                                   docFilter: org.apache.spark.sql.Column =
+                                     org.apache.spark.sql.functions.lit(true)): DataFrame = {
+    val cells = centroidView(spark, path).join(broadcast(q))
+      .select(col("cell"),
+        round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
+      .orderBy(desc("cscore"), asc("cell")).limit(nprobe)
+      .collect().map(_.getInt(0)).toSeq
+    liveVectors(spark, path, Some(cells))
+      .join(docs.filter(docFilter).select(col("doc_id"), col("source"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .join(broadcast(q))
+      .select(col("doc_id"), col("source"), col("lang"),
+        round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Batch candidate fan-out over the refreshed layout — the vector leg
     * of the refreshed hybrid fusion: per-query top-nprobe cells ranked
     * against the merged serving centroids

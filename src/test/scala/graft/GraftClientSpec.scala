@@ -125,6 +125,51 @@ class GraftClientSpec extends SparkSpec {
       client.hybridSearch("spark hash join", filter = Some(f)).collect().toSeq)
   }
 
+  test("refreshed index mode routes every search to the refreshable LSM artifacts") {
+    import graft.operators.{CorpusOps, HybridSearch, IndexRefresh, VectorRefresh}
+    val rc = new GraftClient(TestSpark.spark, TestSpark.Sf0001,
+      indexMode = GraftClient.IndexRefreshed)
+    val currD = CorpusOps.currSnapshot(
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001))
+    val kwPath = IndexRefresh.refreshedArtifact(spark, TestSpark.Sf0001)
+    val vecPath = VectorRefresh.refreshedArtifact(spark, TestSpark.Sf0001)
+    // keyword: client routing ≡ the oracle-gated refreshed probe
+    val viaKw = rc.keywordSearch(KeywordSearch.QueryTerms.mkString(" ")).collect().toSeq
+    val directKw = IndexRefresh.search(spark, kwPath, currD,
+      KeywordSearch.QueryTerms).collect().toSeq
+    assert(viaKw == directKw && viaKw.nonEmpty)
+    // vector: client routing ≡ the refreshed cell walk with the same
+    // embedded request
+    val req = "spark hash join fast"
+    val q = spark.range(1).select(
+      graft.operators.Embedder.embed(lit(req), 64).cast("array<float>").as("q_emb"))
+    val viaVec = rc.vectorSearch(req, limit = 7).collect().toSeq
+    val directVec = VectorRefresh.requestSearch(spark, vecPath, currD, q, k = 7)
+      .collect().toSeq
+    assert(viaVec == directVec && viaVec.nonEmpty)
+    // hybrid: client routing ≡ the refreshed two-leg fusion
+    val terms = req.split(" ").toSeq
+    val viaHy = rc.hybridSearch(req, limit = 5).collect().toSeq
+    val directHy = HybridSearch.fusedRefreshedWithQuery(spark, kwPath, vecPath,
+        terms, q, qId = -1L, k = 5)
+      .join(currD.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .collect().toSeq
+    assert(viaHy == directHy && viaHy.nonEmpty)
+    // a metadata filter keeps the exact path for hybrid in every mode
+    val f = col("lang") === "en"
+    assert(rc.hybridSearch("spark hash join", filter = Some(f)).collect().toSeq ==
+      client.hybridSearch("spark hash join", filter = Some(f)).collect().toSeq)
+    // keyword/vector filters stay on the refreshed path, evaluated
+    // during the walk — pages are subsets of the unfiltered pages' docs
+    val kwF = rc.keywordSearch(KeywordSearch.QueryTerms.mkString(" "), filter = f)
+      .collect().map(_.getLong(0)).toSet
+    assert(kwF.subsetOf(
+      IndexRefresh.search(spark, kwPath, currD, KeywordSearch.QueryTerms,
+        topK = Int.MaxValue).collect().map(_.getLong(0)).toSet))
+  }
+
   test("createCollection registers a queryable view") {
     client.createCollection("scratch_docs",
       graft.sources.Tables.documents(spark, TestSpark.Sf0001))
