@@ -54,6 +54,7 @@ object ScaleBench {
     "kw_search_refreshed_batch", // batch serving over the refreshed views
     "ql_search_refreshed_batch", // QL from the refreshed views, probe-time impacts
     "hybrid_search_refreshed_batch", // fusion over both refreshable layouts
+    "kw_search_rm3_refreshed", // RM3 with both rounds on the refreshed index
     "dedup_lsh_hot_buckets")// hot-bucket cluster report (the guard's log)
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):

@@ -74,6 +74,7 @@ object SparkEntry {
     "kw_index_refresh_dict" -> (IndexRefresh.qRefreshDict _),
     "kw_search_refreshed_batch" -> (IndexRefresh.qRefreshBatchSearch _),
     "ql_search_refreshed_batch" -> (IndexRefresh.qRefreshQlSearch _),
+    "kw_search_rm3_refreshed" -> (Rm3Expansion.qSearchRefreshed _),
     "stream_kw_refresh_serve" -> (graft.streaming.ServeStream.qStreamKwRefreshServe _),
     "ivf_index_refresh" -> (VectorRefresh.qRefreshSearch _),
     "kw_search_indexed" -> (KeywordIndex.qSearchIndexed _),
@@ -294,6 +295,7 @@ object SparkEntry {
     "kw_index_refresh_dict" -> IndexRefresh.refreshDictOracle,
     "kw_search_refreshed_batch" -> IndexRefresh.refreshBatchSearchOracle,
     "ql_search_refreshed_batch" -> IndexRefresh.refreshQlSearchOracle,
+    "kw_search_rm3_refreshed" -> Rm3Expansion.searchRefreshedOracle,
     "stream_kw_refresh_serve" -> IndexRefresh.refreshBatchSearchOracle,
     "ivf_index_refresh" -> VectorRefresh.refreshSearchOracle,
     "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,

@@ -331,7 +331,17 @@ object IndexRefresh {
     * hybrid route.
     */
   private[graft] def requestScored(spark: SparkSession, path: String,
-                                   terms: Seq[String]): DataFrame = {
+                                   terms: Seq[String]): DataFrame =
+    requestContribs(spark, path, terms)
+      .groupBy("doc_id").agg(sum("contrib").as("raw_score"))
+
+  /** Per-(term, doc) 6dp-rounded BM25 contributions from the request
+    * terms' champion rows — the probe [[requestScored]] sums, exposed
+    * term-wise for weighted consumers (the refreshed RM3 second round
+    * multiplies each term's contribution by its RM3 weight).
+    */
+  private[graft] def requestContribs(spark: SparkSession, path: String,
+                                     terms: Seq[String]): DataFrame = {
     val buckets = terms.map(termBucket).distinct
     val champs = champsView(spark, path, Some(buckets))
       .filter(col("term").isin(terms: _*))
@@ -345,8 +355,7 @@ object IndexRefresh {
     champs
       .join(broadcast(dict), Seq("term"))
       .join(broadcast(statsView(spark, path)))
-      .select(col("doc_id"), contrib.as("contrib"))
-      .groupBy("doc_id").agg(sum("contrib").as("raw_score"))
+      .select(col("term"), col("doc_id"), contrib.as("contrib"))
   }
 
   /** BM25 top-k over the refreshed artifact: candidates from the query

@@ -179,6 +179,127 @@ object Rm3Expansion {
     expandedSearchPruned(Tables.documents(s, dir),
       ChampionIndex.cachedChampions(s, dir))
 
+  // --- refreshed RM3 ---------------------------------------------------------
+
+  /** RM3 with both rounds probing the INCREMENTALLY-REFRESHED index
+    * ([[IndexRefresh]]) — completing the keyword family on the refresh
+    * path (BM25 13i, Dirichlet QL 13j, RM3 here): round 1's feedback
+    * comes from the query terms' refreshed champion rows scored with
+    * probe-time idf ([[IndexRefresh.requestScored]]), the expansion
+    * mining is unchanged (it tokenizes only the F feedback docs of the
+    * CURRENT snapshot), and the second round sums
+    * `weight(t) · contrib(t, d)` over the weighted terms' refreshed
+    * champion rows ([[IndexRefresh.requestContribs]]). The ≤(|q|+E)-row
+    * weighted query collects to the driver so both probes stay
+    * term-bucket partition-pruned (the bounded-literal convention of
+    * [[IndexRefresh.search]]). Same cost bound as the champion form —
+    * (|q|+E)·M rows per query, corpus-size-independent — with zero
+    * score staleness after every refresh.
+    */
+  def expandedSearchRefreshed(spark: SparkSession, path: String,
+                              docs: DataFrame,
+                              terms: Seq[String] = KeywordSearch.QueryTerms,
+                              fbK: Int = FeedbackK, e: Int = ExpandE,
+                              lambda: Double = Lambda, k: Int = TopK): DataFrame = {
+    val qset = terms.distinct.sorted
+    val fb = IndexRefresh.requestScored(spark, path, qset)
+      .select(col("doc_id"), round(col("raw_score"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(fbK)
+    val wterms = expansionWeightsFrom(docs, fb, qset, e, lambda)
+    val wpairs = wterms.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val s = docs.sparkSession
+    import s.implicits._
+    IndexRefresh.requestContribs(spark, path, wpairs.map(_._1))
+      .join(broadcast(wpairs.toDF("term", "weight")), Seq("term"))
+      .select(col("doc_id"), col("term"), (col("weight") * col("contrib")).as("c"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("term"), col("c"))).as("cs"))
+      .select(col("doc_id"), round(orderedSum(col("cs"), "c"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Driver query: refreshed RM3 over the refreshed standing artifact
+    * (current-snapshot universe, the refresh-family convention).
+    */
+  def qSearchRefreshed(s: SparkSession, dir: String): DataFrame =
+    expandedSearchRefreshed(s, IndexRefresh.refreshedArtifact(s, dir),
+      CorpusOps.currSnapshot(Tables.documents(s, dir)))
+
+  /** Oracle for the refreshed form: full rebuild of the tf-cut champion
+    * index over the current snapshot, probe-time-idf round 1, the same
+    * expansion mining, weighted probe-time contributions in term order.
+    */
+  def expandedSearchRefreshedSql(terms: Seq[String] = KeywordSearch.QueryTerms,
+                                 fbK: Int = FeedbackK, e: Int = ExpandE,
+                                 lambda: Double = Lambda, k: Int = TopK,
+                                 m: Int = IndexRefresh.M): String = {
+    val qset = terms.distinct.sorted
+    val qList = qset.map(t => s"'$t'").mkString(", ")
+    val origVals = qset.map(t => s"('$t', ${lambda / qset.size})").mkString(", ")
+    import KeywordSearch.{B, K1}
+    s"""WITH curr AS (
+       |  SELECT * FROM documents WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3),
+       |toked AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM curr),
+       |postings AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM toked GROUP BY 1, 2),
+       |docstats AS (
+       |  SELECT doc_id, CAST(len(${TextAnalysis.sqlToks}) AS DOUBLE) AS dl
+       |  FROM curr),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docstats),
+       |dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+       |champs AS (
+       |  SELECT term, doc_id, tf, dl FROM (
+       |    SELECT p.term, p.doc_id, p.tf, d.dl,
+       |      row_number() OVER (PARTITION BY p.term
+       |        ORDER BY p.tf DESC, d.dl ASC, p.doc_id ASC) AS crn
+       |    FROM postings p JOIN docstats d USING (doc_id))
+       |  WHERE crn <= $m),
+       |contribs AS (
+       |  SELECT c.term, c.doc_id,
+       |    round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * ${K1 + 1})
+       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6) AS contrib
+       |  FROM champs c JOIN dict USING (term), stats),
+       |fb AS (
+       |  SELECT doc_id, round(sum(contrib), 4) AS score
+       |  FROM contribs WHERE term IN ($qList)
+       |  GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id
+       |  LIMIT $fbK),
+       |fbtok AS (
+       |  SELECT f.doc_id, f.score,
+       |    CAST(len(${TextAnalysis.sqlToks}) AS DOUBLE) AS fdl,
+       |    unnest(${TextAnalysis.sqlToks}) AS term
+       |  FROM fb f JOIN curr ON f.doc_id = curr.doc_id),
+       |fbtf AS (
+       |  SELECT term, doc_id,
+       |    CAST(count(*) AS DOUBLE) * any_value(score) / any_value(fdl) AS c
+       |  FROM fbtok WHERE term NOT IN ($qList)
+       |  GROUP BY term, doc_id),
+       |w AS (
+       |  SELECT term, round(sum(c ORDER BY doc_id), 6) AS w
+       |  FROM fbtf GROUP BY term),
+       |expd AS (SELECT term, w FROM w ORDER BY w DESC, term LIMIT $e),
+       |tot AS (SELECT sum(w ORDER BY term) AS tot FROM expd),
+       |wterms AS (
+       |  SELECT term, weight FROM (VALUES $origVals) AS t(term, weight)
+       |  UNION ALL
+       |  SELECT term, ${1 - lambda} * w / tot FROM expd, tot),
+       |weighted AS (
+       |  SELECT c.doc_id, c.term, wt.weight * c.contrib AS c
+       |  FROM contribs c JOIN wterms wt USING (term))
+       |SELECT doc_id, round(sum(c ORDER BY term), 4) AS score
+       |FROM weighted
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  val searchRefreshedOracle: String = expandedSearchRefreshedSql()
+
   /** Oracle for the pruned form: DuckDB re-derives the champion index
     * from the raw corpus ([[ChampionIndex.championChampsSqlCtes]] — the
     * standing-index convention), replays the champion round 1, re-mines

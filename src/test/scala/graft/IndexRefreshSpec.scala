@@ -109,6 +109,18 @@ class IndexRefreshSpec extends SparkSpec {
       sortedRows(IndexRefresh.qlBatchSearch(spark, full, curr, stride = 1)))
   }
 
+  test("refreshed RM3 equals RM3 over the full rebuild") {
+    val refreshed = buildRefreshed()
+    val full = tmp()
+    IndexRefresh.buildBase(curr, full)
+    for (terms <- Seq(Seq("spark", "fast"), Seq("hash", "join"))) {
+      assert(sortedRows(Rm3Expansion.expandedSearchRefreshed(
+          spark, refreshed, curr, terms, fbK = 3, e = 2)) ==
+        sortedRows(Rm3Expansion.expandedSearchRefreshed(
+          spark, full, curr, terms, fbK = 3, e = 2)), s"terms=$terms")
+    }
+  }
+
   test("refreshed hybrid fusion equals the fusion over full rebuilds of both layouts") {
     val dir = TestSpark.Sf0001
     val docs = graft.sources.Tables.documents(spark, dir)
