@@ -109,6 +109,46 @@ class IndexRefreshSpec extends SparkSpec {
       sortedRows(IndexRefresh.qlBatchSearch(spark, full, curr, stride = 1)))
   }
 
+  test("property: random multi-refresh chains stay bitwise the full rebuild") {
+    // seeded randomized edit scripts — the manual tests pin named edge
+    // cases; this sweeps arbitrary add/change/remove interleavings,
+    // including empty batches, immediate re-removal, and vocabulary
+    // churn, through chains of up to 4 refreshes
+    val rnd = new scala.util.Random(7)
+    val words = Vector("spark", "join", "hash", "scan", "data", "fast",
+      "slow", "agg", "window", "stream", "vector", "search", "index")
+    def randText(): String =
+      Seq.fill(1 + rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" ")
+    (1 to 3).foreach { trial =>
+      var corpus: Map[Long, String] =
+        (0L until (3 + rnd.nextInt(4))).map(_ -> randText()).toMap
+      val path = tmp()
+      IndexRefresh.buildBase(docsDF(corpus.toSeq: _*), path)
+      var nextId = corpus.keys.max + 1
+      (1 to (2 + rnd.nextInt(3))).foreach { _ =>
+        val removedIds = corpus.keys.filter(_ => rnd.nextBoolean() && rnd.nextBoolean()).toSeq
+        val changedIds = (corpus.keySet -- removedIds)
+          .filter(_ => rnd.nextBoolean() && rnd.nextBoolean()).toSeq
+        val addedIds = Seq.fill(rnd.nextInt(3)) { val i = nextId; nextId += 1; i }
+        val removedDocs = docsDF((removedIds ++ changedIds).map(i => i -> corpus(i)): _*)
+        corpus = corpus -- removedIds
+        (changedIds ++ addedIds).foreach(i => corpus += i -> randText())
+        val deltaDocs = docsDF((changedIds ++ addedIds).map(i => i -> corpus(i)): _*)
+        IndexRefresh.refresh(spark, path, deltaDocs, removedDocs)
+      }
+      val full = tmp()
+      IndexRefresh.buildBase(docsDF(corpus.toSeq: _*), full)
+      assert(sortedRows(IndexRefresh.livePostings(spark, path).drop("seg")) ==
+        sortedRows(IndexRefresh.livePostings(spark, full).drop("seg")), s"trial=$trial postings")
+      assert(sortedRows(IndexRefresh.dictView(spark, path)) ==
+        sortedRows(IndexRefresh.dictView(spark, full)), s"trial=$trial dict")
+      assert(sortedRows(IndexRefresh.champsView(spark, path)) ==
+        sortedRows(IndexRefresh.champsView(spark, full)), s"trial=$trial champs")
+      assert(sortedRows(IndexRefresh.statsView(spark, path)) ==
+        sortedRows(IndexRefresh.statsView(spark, full)), s"trial=$trial stats")
+    }
+  }
+
   test("refreshed RM3 equals RM3 over the full rebuild") {
     val refreshed = buildRefreshed()
     val full = tmp()
