@@ -1,6 +1,7 @@
-/** Dev scratch: time named SparkEntry queries (warm-up + median of 3)
-  * at an SF dir — `runMain DevTime <sfDir> <query>...`. Not part of the
-  * driver contract; deleted when the measurement session ends.
+/** Dev tool: time named SparkEntry queries (warm-up + median of 3) at
+  * an SF dir — `runMain DevTime <sfDir> <query>...`. The quick
+  * before/after harness for serving-latency work (the [[QPlan]]
+  * convention); not part of the driver contract.
   */
 object DevTime {
   def main(args: Array[String]): Unit = {

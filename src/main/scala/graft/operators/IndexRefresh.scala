@@ -116,15 +116,28 @@ object IndexRefresh {
       .withColumn("term_bucket", pmod(portableHash(col("term")), lit(NumBuckets)))
   }
 
+  /** partitionBy write that stays READABLE when the frame is empty: an
+    * empty partitioned write lands no data files at all and the
+    * read-back then fails schema inference — a pure-removal refresh
+    * batch (empty delta) or a touched-vocabulary extinction would
+    * otherwise poison every later full-layout read (found by the r9
+    * random multi-refresh property sweep). Empty frames land as ONE
+    * unpartitioned empty file carrying the partition column as a data
+    * column — same merged schema after the union's type widening;
+    * bucket pruning on an empty segment is moot.
+    */
+  private[graft] def writePartitionedSafe(df: DataFrame, partCol: String,
+                                          path: String): Unit =
+    if (df.isEmpty) df.write.mode("overwrite").parquet(path)
+    else df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   private def writeSegment(segDir: String, postings: DataFrame,
                            docstats: DataFrame, dict: DataFrame,
                            champs: DataFrame): Unit = {
-    postings.write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$segDir/postings")
+    writePartitionedSafe(postings, "term_bucket", s"$segDir/postings")
     docstats.write.mode("overwrite").parquet(s"$segDir/docstats")
-    dict.write.mode("overwrite").partitionBy("term_bucket").parquet(s"$segDir/dict")
-    champs.write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$segDir/champions")
+    writePartitionedSafe(dict, "term_bucket", s"$segDir/dict")
+    writePartitionedSafe(champs, "term_bucket", s"$segDir/champions")
     docstats.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$segDir/stats")
   }

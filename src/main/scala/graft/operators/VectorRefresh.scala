@@ -63,8 +63,10 @@ object VectorRefresh {
           transform(col("embedding"), x => -x)).otherwise(col("embedding")))
 
   private def writeSegment(path: String, r: Int, embs: DataFrame): Unit = {
-    embs.select(col("vec_id"), col("embedding"), col("label").as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/seg=$r/vectors")
+    // the empty-frame-readability contract of IndexRefresh.writeSegment
+    IndexRefresh.writePartitionedSafe(
+      embs.select(col("vec_id"), col("embedding"), col("label").as("cell")),
+      "cell", s"$path/seg=$r/vectors")
     embs.select(col("label").as("cell"),
         posexplode(col("embedding")).as(Seq("dim", "e")))
       .groupBy("cell", "dim")

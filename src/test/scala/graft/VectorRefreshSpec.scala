@@ -151,6 +151,48 @@ class VectorRefreshSpec extends SparkSpec {
         .select("vec_id", "score").collect().map(_.toString).toSeq)
   }
 
+  test("property: random vector edit chains keep the live set and exact centroids") {
+    // the vector twin of the keyword multi-refresh property sweep:
+    // random add/change/remove interleavings through chains of up to 4
+    // refreshes, checked against a from-scratch base on the final state
+    val rnd = new scala.util.Random(11)
+    def randEmb(): Array[Float] = Array.fill(4)(rnd.nextInt(9) / 4.0f - 1.0f)
+    import spark.implicits._
+    def embDF(m: Map[Long, Array[Float]]) =
+      m.toSeq.toDF("vec_id", "embedding")
+        .withColumn("label", (col("vec_id") % 3).cast("int"))
+    (1 to 3).foreach { trial =>
+      var corpus: Map[Long, Array[Float]] =
+        (0L until (4 + rnd.nextInt(4))).map(_ -> randEmb()).toMap
+      val path = tmp()
+      VectorRefresh.buildBase(embDF(corpus), path)
+      var nextId = corpus.keys.max + 1
+      (1 to (2 + rnd.nextInt(3))).foreach { _ =>
+        val removedIds = corpus.keys.filter(_ => rnd.nextBoolean() && rnd.nextBoolean()).toSeq
+        val changedIds = (corpus.keySet -- removedIds)
+          .filter(_ => rnd.nextBoolean() && rnd.nextBoolean()).toSeq
+        val addedIds = Seq.fill(rnd.nextInt(3)) { val i = nextId; nextId += 1; i }
+        val removed = embDF((removedIds ++ changedIds).map(i => i -> corpus(i)).toMap)
+        corpus = corpus -- removedIds
+        (changedIds ++ addedIds).foreach(i => corpus += i -> randEmb())
+        val delta = embDF((changedIds ++ addedIds).map(i => i -> corpus(i)).toMap)
+        VectorRefresh.refresh(spark, path, delta, removed)
+      }
+      val full = tmp()
+      VectorRefresh.buildBase(embDF(corpus), full)
+      assert(sortedRows(VectorRefresh.liveVectors(spark, path)) ==
+        sortedRows(VectorRefresh.liveVectors(spark, full)), s"trial=$trial vectors")
+      val a = VectorRefresh.centroidView(spark, path)
+        .select(col("cell"), posexplode(col("centroid")).as(Seq("dim", "c")))
+        .orderBy("cell", "dim").collect().map(_.getDouble(2))
+      val b = VectorRefresh.centroidView(spark, full)
+        .select(col("cell"), posexplode(col("centroid")).as(Seq("dim", "c")))
+        .orderBy("cell", "dim").collect().map(_.getDouble(2))
+      assert(a.length == b.length, s"trial=$trial centroid count")
+      assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 }, s"trial=$trial centroids")
+    }
+  }
+
   test("full probe over the refreshed layout equals brute force on the current snapshot") {
     val refreshed = buildRefreshed()
     val q = curr.filter(col("vec_id") === VectorSearch.QueryVecId)
