@@ -55,6 +55,7 @@ object ScaleBench {
     "ql_search_refreshed_batch", // QL from the refreshed views, probe-time impacts
     "hybrid_search_refreshed_batch", // fusion over both refreshable layouts
     "kw_search_rm3_refreshed", // RM3 with both rounds on the refreshed index
+    "hybrid_search_refreshed_compacted", // same fusion after LSM compaction
     "dedup_lsh_hot_buckets")// hot-bucket cluster report (the guard's log)
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):

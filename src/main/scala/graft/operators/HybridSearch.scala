@@ -969,6 +969,30 @@ object HybridSearch {
       CorpusOps.currSnapshot(Tables.documents(s, dir)),
       VectorRefresh.currSnapshot(Tables.embeddings(s, dir)))
 
+  /** Driver query: [[batchSearchRefreshed]] over COMPACTED artifacts —
+    * the LSM read-amplification remedy measured: the multi-segment
+    * serving views pay a per-view segment union + tombstone anti-join,
+    * and compaction folds both layouts back to single-segment bases
+    * (bitwise-equal views, spec-pinned), restoring single-read probe
+    * cost. Registered under the SAME oracle as the refreshed fusion —
+    * compaction must be invisible in every served result.
+    */
+  def batchSearchRefreshedCompacted(s: SparkSession, dir: String): DataFrame = {
+    // build the refreshed artifacts BEFORE entering the compacted
+    // artifacts' getOrBuild lambdas: IndexCache is one ConcurrentHashMap
+    // and a nested computeIfAbsent throws "Recursive update" whenever
+    // the two keys land in the same bin (caught by the x10 SCALE cell)
+    val kwR = IndexRefresh.refreshedArtifact(s, dir)
+    val vecR = VectorRefresh.refreshedArtifact(s, dir)
+    val kwC = IndexCache.getOrBuild("kw_refresh_compact", dir)(
+      IndexRefresh.compact(s, kwR, _))
+    val vecC = IndexCache.getOrBuild("ivf_refresh_compact", dir)(
+      VectorRefresh.compact(s, vecR, _))
+    fusedBatchRefreshedPaths(s, kwC, vecC,
+      CorpusOps.currSnapshot(Tables.documents(s, dir)),
+      VectorRefresh.currSnapshot(Tables.embeddings(s, dir)))
+  }
+
   /** Oracle for the refreshed fusion: full rebuild of BOTH layouts over
     * the current snapshots — tf-cut champion keyword scoring with
     * probe-time idf (the [[IndexRefresh.refreshBatchSearchSql]] chain,
