@@ -76,6 +76,7 @@ object SparkEntry {
     "ql_search_refreshed_batch" -> (IndexRefresh.qRefreshQlSearch _),
     "kw_search_rm3_refreshed" -> (Rm3Expansion.qSearchRefreshed _),
     "stream_kw_refresh_serve" -> (graft.streaming.ServeStream.qStreamKwRefreshServe _),
+    "stream_ql_refresh_serve" -> (graft.streaming.ServeStream.qStreamQlRefreshServe _),
     "ivf_index_refresh" -> (VectorRefresh.qRefreshSearch _),
     "kw_search_indexed" -> (KeywordIndex.qSearchIndexed _),
     "vector_search_topk" -> (VectorSearch.search _),
@@ -298,6 +299,7 @@ object SparkEntry {
     "ql_search_refreshed_batch" -> IndexRefresh.refreshQlSearchOracle,
     "kw_search_rm3_refreshed" -> Rm3Expansion.searchRefreshedOracle,
     "stream_kw_refresh_serve" -> IndexRefresh.refreshBatchSearchOracle,
+    "stream_ql_refresh_serve" -> IndexRefresh.refreshQlSearchOracle,
     "ivf_index_refresh" -> VectorRefresh.refreshSearchOracle,
     "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,
     "kw_search_materialized" -> KeywordIndex.searchIndexedOracle,

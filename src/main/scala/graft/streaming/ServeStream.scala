@@ -111,6 +111,51 @@ object ServeStream {
     }
   }
 
+  /** Driver query: one micro-batch of Dirichlet-QL serving over the
+    * REFRESHED index — the LM family's serving stream against the same
+    * LSM artifact as [[qStreamKwRefreshServe]]; a single batch holding
+    * the current-snapshot stride queries must hash-match the
+    * full-rebuild QL oracle
+    * ([[graft.operators.IndexRefresh.refreshQlSearchOracle]]).
+    */
+  def qStreamQlRefreshServe(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    import graft.operators.{CorpusOps, IndexRefresh}
+    val curr = CorpusOps.currSnapshot(graft.sources.Tables.documents(s, dir))
+    val path = IndexRefresh.refreshedArtifact(s, dir)
+    val ids = {
+      import s.implicits._
+      curr.filter(col("doc_id") % graft.operators.KeywordSearch.BatchStride === 0)
+        .select(col("doc_id")).as[Long].collect().toSeq
+    }
+    collectServed(s, ids) { (queryIds, sink) =>
+      qlRefreshServe(queryIds, s, path, curr)(sink)
+    }
+  }
+
+  /** Micro-batch Dirichlet-QL serving over the REFRESHED index —
+    * [[refreshServe]]'s LM twin via
+    * [[graft.operators.IndexRefresh.qlBatchSearchSel]]: probe-time
+    * impacts from the merged dictionary's cf and the exact Σdl, the
+    * k+1-shortest LIVE-docs closure; all score inputs are global
+    * artifacts ⇒ batch-split invariant by construction.
+    */
+  def qlRefreshServe(queryIds: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                     path: String, docs: DataFrame)
+                    (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryIds.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ids = batch.select(col("q_id")).na.drop().distinct()
+        if (!batch.isEmpty) {
+          val ranked = graft.operators.IndexRefresh.qlBatchSearchSel(
+            spark, path, docs,
+            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"))
+          sink(ranked, batchId)
+        }
+      }
+      .start()
+
   /** Micro-batch keyword serving over the REFRESHED index — the LSM
     * layout's serving parity with [[championServe]]: each batch's
     * queries probe the refreshed artifact's champion views
