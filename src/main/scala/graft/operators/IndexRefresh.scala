@@ -163,8 +163,23 @@ object IndexRefresh {
     * proportional to corpus size.
     */
   def refresh(spark: SparkSession, path: String, deltaDocs: DataFrame,
-              removedDocs: DataFrame): Unit = {
-    val r = segmentIds(path).max + 1
+              removedDocs: DataFrame): Unit =
+    refreshAt(spark, path, segmentIds(path).max + 1, deltaDocs, removedDocs)
+
+  /** [[refresh]] at an EXPLICIT segment id — the exactly-once form for
+    * micro-batch drivers: a Structured Streaming retry re-invokes
+    * `foreachBatch` with the SAME batchId, and replaying a refresh at
+    * the same segment id is idempotent BY OVERWRITE (every write lands
+    * at a deterministic path in mode overwrite with identical content),
+    * where the auto-incrementing [[refresh]] would land the same delta
+    * in a SECOND live segment and double its postings. The recut reads
+    * only segments BELOW `r` from disk (plus the in-memory delta), so a
+    * partially-written failed attempt at `r` can never leak into its
+    * own replay's statistics. `r` must be above every COMMITTED
+    * segment; gaps are fine (batchId-derived ids).
+    */
+  def refreshAt(spark: SparkSession, path: String, r: Int,
+                deltaDocs: DataFrame, removedDocs: DataFrame): Unit = {
     // tombstones first: the recut below must see the batch's kills
     segDocStats(removedDocs).withColumn("asof_seg", lit(r))
       .write.mode("overwrite").parquet(s"$path/tombstones/seg=$r")
@@ -177,9 +192,11 @@ object IndexRefresh {
       .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq // ≤ NumBuckets values
     // merged live postings of the touched terms: bucket-pruned scan of
-    // every segment (including the delta written below in view form)
+    // every segment below r (including the delta written below in view
+    // form; a failed prior attempt at r stays invisible to its replay)
     val liveTouched = livePostings(spark, path,
-        bucketFilter = Some(touchedBuckets), extraSeg = Some((r, deltaPost)))
+        bucketFilter = Some(touchedBuckets), extraSeg = Some((r, deltaPost)),
+        belowSeg = Some(r))
       .join(broadcast(touched), Seq("term"))
     // dict rows for ALL touched terms, df = 0 when the term vanished —
     // the zero row masks older segments in the serving view
@@ -251,8 +268,12 @@ object IndexRefresh {
   }
 
   private def readSegFile(spark: SparkSession, path: String, file: String,
-                          bucketFilter: Option[Seq[Long]]): DataFrame = {
-    val dfs = segmentIds(path).map { s =>
+                          bucketFilter: Option[Seq[Long]],
+                          belowSeg: Option[Int] = None): DataFrame = {
+    // belowSeg: the exactly-once recut reads only COMMITTED segments —
+    // a failed attempt's partial (possibly unreadable) directory at the
+    // id being replayed must be skipped at the listing level
+    val dfs = segmentIds(path).filter(s => belowSeg.forall(s < _)).map { s =>
       val df = spark.read.parquet(s"$path/seg=$s/$file")
       bucketFilter.fold(df)(bs => df.filter(col("term_bucket").isin(bs: _*)))
         .withColumn("seg", lit(s))
@@ -267,8 +288,9 @@ object IndexRefresh {
     */
   private[graft] def livePostings(spark: SparkSession, path: String,
                                       bucketFilter: Option[Seq[Long]] = None,
-                                      extraSeg: Option[(Int, DataFrame)] = None): DataFrame = {
-    val stored = readSegFile(spark, path, "postings", bucketFilter)
+                                      extraSeg: Option[(Int, DataFrame)] = None,
+                                      belowSeg: Option[Int] = None): DataFrame = {
+    val stored = readSegFile(spark, path, "postings", bucketFilter, belowSeg)
     val all = extraSeg.fold(stored) { case (s, df) =>
       stored.unionByName(
         bucketFilter.fold(df)(bs => df.filter(col("term_bucket").isin(bs: _*)))

@@ -84,8 +84,20 @@ object VectorRefresh {
     * frame + the tombstone write.
     */
   def refresh(spark: SparkSession, path: String, deltaEmbs: DataFrame,
-              removedEmbs: DataFrame): Unit = {
-    val r = IndexRefresh.segmentIds(path).max + 1
+              removedEmbs: DataFrame): Unit =
+    refreshAt(spark, path, IndexRefresh.segmentIds(path).max + 1,
+      deltaEmbs, removedEmbs)
+
+  /** [[refresh]] at an EXPLICIT segment id — the exactly-once form for
+    * micro-batch drivers (the [[IndexRefresh.refreshAt]] contract): a
+    * retried micro-batch replays at the SAME id and every write lands
+    * at a deterministic overwrite path with identical content, so the
+    * replay is a no-op-equivalent; the auto-incrementing form would
+    * land the delta in a second live segment and double its vectors
+    * and centroid partials.
+    */
+  def refreshAt(spark: SparkSession, path: String, r: Int,
+                deltaEmbs: DataFrame, removedEmbs: DataFrame): Unit = {
     removedEmbs.select(col("vec_id"), col("label").as("cell"), col("embedding"))
       .withColumn("asof_seg", lit(r))
       .write.mode("overwrite").parquet(s"$path/tombstones/seg=$r")

@@ -118,11 +118,14 @@ object IndexStream {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val input = MemoryStream[Long]
       val q = input.toDF().select(col("value").as("doc_id")).writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val ids = batch.select("doc_id").distinct()
           if (!batch.isEmpty) {
             val d = diff.join(ids, Seq("doc_id"), "semi")
-            IndexRefresh.refresh(spark, p,
+            // segment id derived from batchId (exactly-once: a retried
+            // micro-batch replays at the SAME id — idempotent by
+            // overwrite, IndexRefresh.refreshAt); base is seg 0
+            IndexRefresh.refreshAt(spark, p, 1 + batchId.toInt,
               curr.join(d.filter(col("status").isin("added", "changed"))
                 .select("doc_id"), Seq("doc_id"), "semi"),
               prev.join(d.filter(col("status").isin("removed", "changed"))
@@ -171,10 +174,12 @@ object IndexStream {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val input = MemoryStream[Long]
       val q = input.toDF().select(col("value").as("vec_id")).writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val ids = batch.select("vec_id").distinct()
           if (!batch.isEmpty) {
-            VectorRefresh.refresh(spark, p,
+            // batchId-derived segment id — exactly-once under retries
+            // (VectorRefresh.refreshAt: idempotent by overwrite)
+            VectorRefresh.refreshAt(spark, p, 1 + batchId.toInt,
               delta.join(ids, Seq("vec_id"), "semi"),
               removed.join(ids, Seq("vec_id"), "semi"))
           }

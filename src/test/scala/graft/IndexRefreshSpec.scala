@@ -109,6 +109,47 @@ class IndexRefreshSpec extends SparkSpec {
       sortedRows(IndexRefresh.qlBatchSearch(spark, full, curr, stride = 1)))
   }
 
+  test("exactly-once: replaying a refresh at the same segment id is idempotent") {
+    val deltaDocs = curr.filter(col("doc_id").isin(1L, 5L))
+    val removedDocs = base.filter(col("doc_id").isin(1L, 2L))
+    def views(p: String) = Seq(
+      sortedRows(IndexRefresh.livePostings(spark, p).drop("seg")),
+      sortedRows(IndexRefresh.dictView(spark, p)),
+      sortedRows(IndexRefresh.champsView(spark, p)),
+      sortedRows(IndexRefresh.statsView(spark, p)))
+    val once = tmp()
+    IndexRefresh.buildBase(base, once)
+    IndexRefresh.refreshAt(spark, once, 1, deltaDocs, removedDocs)
+    // full replay (a retry AFTER a completed attempt): same id, same
+    // content, every write overwrites itself — views unchanged
+    val replay = tmp()
+    IndexRefresh.buildBase(base, replay)
+    IndexRefresh.refreshAt(spark, replay, 1, deltaDocs, removedDocs)
+    IndexRefresh.refreshAt(spark, replay, 1, deltaDocs, removedDocs)
+    assert(views(replay) == views(once))
+    // partial-failure replay: the failed attempt left only some of the
+    // segment's files; the recut must not read the partial segment
+    val partial = tmp()
+    IndexRefresh.buildBase(base, partial)
+    IndexRefresh.refreshAt(spark, partial, 1, deltaDocs, removedDocs)
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    Seq("dict", "champions", "stats").foreach(f =>
+      rmrf(java.nio.file.Paths.get(partial, "seg=1", f)))
+    IndexRefresh.refreshAt(spark, partial, 1, deltaDocs, removedDocs)
+    assert(views(partial) == views(once))
+    // batchId-derived ids may leave gaps — the merge only orders by id
+    val gap = tmp()
+    IndexRefresh.buildBase(base, gap)
+    IndexRefresh.refreshAt(spark, gap, 7, deltaDocs, removedDocs)
+    assert(views(gap) == views(once))
+  }
+
   test("property: random multi-refresh chains stay bitwise the full rebuild") {
     // seeded randomized edit scripts — the manual tests pin named edge
     // cases; this sweeps arbitrary add/change/remove interleavings,

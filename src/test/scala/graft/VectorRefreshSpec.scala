@@ -151,6 +151,22 @@ class VectorRefreshSpec extends SparkSpec {
         .select("vec_id", "score").collect().map(_.toString).toSeq)
   }
 
+  test("exactly-once: vector refresh replay at the same segment id is idempotent") {
+    val delta = VectorRefresh.deltaEmbs(curr, prev).localCheckpoint()
+    val removed = VectorRefresh.removedEmbs(curr, prev).localCheckpoint()
+    val once = tmp()
+    VectorRefresh.buildBase(prev, once)
+    VectorRefresh.refreshAt(spark, once, 1, delta, removed)
+    val replay = tmp()
+    VectorRefresh.buildBase(prev, replay)
+    VectorRefresh.refreshAt(spark, replay, 1, delta, removed)
+    VectorRefresh.refreshAt(spark, replay, 1, delta, removed)
+    assert(sortedRows(VectorRefresh.liveVectors(spark, replay)) ==
+      sortedRows(VectorRefresh.liveVectors(spark, once)))
+    assert(sortedRows(VectorRefresh.centroidView(spark, replay)) ==
+      sortedRows(VectorRefresh.centroidView(spark, once)))
+  }
+
   test("property: random vector edit chains keep the live set and exact centroids") {
     // the vector twin of the keyword multi-refresh property sweep:
     // random add/change/remove interleavings through chains of up to 4
