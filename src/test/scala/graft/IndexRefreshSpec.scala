@@ -163,7 +163,7 @@ class IndexRefreshSpec extends SparkSpec {
     (1 to 3).foreach { trial =>
       var corpus: Map[Long, String] =
         (0L until (3 + rnd.nextInt(4))).map(_ -> randText()).toMap
-      val path = tmp()
+      var path = tmp()
       IndexRefresh.buildBase(docsDF(corpus.toSeq: _*), path)
       var nextId = corpus.keys.max + 1
       (1 to (2 + rnd.nextInt(3))).foreach { _ =>
@@ -176,6 +176,12 @@ class IndexRefreshSpec extends SparkSpec {
         (changedIds ++ addedIds).foreach(i => corpus += i -> randText())
         val deltaDocs = docsDF((changedIds ++ addedIds).map(i => i -> corpus(i)): _*)
         IndexRefresh.refresh(spark, path, deltaDocs, removedDocs)
+        // occasionally compact mid-chain and keep refreshing on the
+        // compacted artifact — the background-task interleaving a
+        // deployment actually runs
+        if (rnd.nextInt(3) == 0) {
+          val c = tmp(); IndexRefresh.compact(spark, path, c); path = c
+        }
       }
       val full = tmp()
       IndexRefresh.buildBase(docsDF(corpus.toSeq: _*), full)

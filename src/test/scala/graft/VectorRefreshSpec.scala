@@ -180,7 +180,7 @@ class VectorRefreshSpec extends SparkSpec {
     (1 to 3).foreach { trial =>
       var corpus: Map[Long, Array[Float]] =
         (0L until (4 + rnd.nextInt(4))).map(_ -> randEmb()).toMap
-      val path = tmp()
+      var path = tmp()
       VectorRefresh.buildBase(embDF(corpus), path)
       var nextId = corpus.keys.max + 1
       (1 to (2 + rnd.nextInt(3))).foreach { _ =>
@@ -193,6 +193,10 @@ class VectorRefreshSpec extends SparkSpec {
         (changedIds ++ addedIds).foreach(i => corpus += i -> randEmb())
         val delta = embDF((changedIds ++ addedIds).map(i => i -> corpus(i)).toMap)
         VectorRefresh.refresh(spark, path, delta, removed)
+        // occasionally compact mid-chain and keep refreshing on it
+        if (rnd.nextInt(3) == 0) {
+          val c = tmp(); VectorRefresh.compact(spark, path, c); path = c
+        }
       }
       val full = tmp()
       VectorRefresh.buildBase(embDF(corpus), full)
