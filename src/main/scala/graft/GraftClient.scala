@@ -180,9 +180,23 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
   /** v4 `near_object(uuid)` — seed the vector search with an EXISTING
     * object's stored vector instead of embedding a request (the
     * benchmark query `vector_search_topk` is exactly this shape).
+    * Honors the collection's index mode like every other search call
+    * site: pruned walks the standing IVF cells, refreshed walks the
+    * refreshed layout's merged centroids + live cells (seed vector
+    * from the layout itself — the object's CURRENT stored version).
     */
   def nearObject(vecId: Long, limit: Int = 10): DataFrame =
-    VectorSearch.topK(embs, vecId, limit)
+    if (refreshed) {
+      val path = VectorRefresh.refreshedArtifact(spark, dir)
+      val q = VectorRefresh.liveVectors(spark, path)
+        .filter(col("vec_id") === vecId)
+        .select(col("embedding").as("q_emb"))
+      VectorRefresh.search(spark, path, q, excludeVecId = vecId, k = limit)
+        .select(col("vec_id"), col("cell").as("label"), col("score"))
+    } else if (pruned)
+      IvfIndex.searchFrom(embs, IvfIndex.cachedCentroids(spark, dir),
+        vecId, k = limit)
+    else VectorSearch.topK(embs, vecId, limit)
 
   /** `create_collection(name)` — register a frame as a queryable
     * collection (temp view; the reference's schema config maps to the

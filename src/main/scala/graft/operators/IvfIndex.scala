@@ -61,9 +61,18 @@ object IvfIndex {
         x => x.getField("c")).as("centroid"))
 
   def search(embs: DataFrame, queryVecId: Long, nprobe: Int = NProbe,
-             k: Int = TopK): DataFrame = {
+             k: Int = TopK): DataFrame =
+    searchFrom(embs, centroidArrays(embs), queryVecId, nprobe, k)
+
+  /** [[search]] probing an EXPLICIT standing centroid table instead of
+    * re-deriving centroids inline — the facade's pruned `nearObject`
+    * route ([[graft.GraftClient]]): cell ranking is a scan of nlist
+    * compact rows against the cached artifact.
+    */
+  def searchFrom(embs: DataFrame, centroids: DataFrame, queryVecId: Long,
+                 nprobe: Int = NProbe, k: Int = TopK): DataFrame = {
     val q = embs.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
-    val probed = centroidArrays(embs)
+    val probed = centroids
       .join(broadcast(q))
       .select(col("cell"), round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
       .orderBy(desc("cscore"), asc("cell"))

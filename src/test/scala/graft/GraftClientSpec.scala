@@ -170,6 +170,37 @@ class GraftClientSpec extends SparkSpec {
         topK = Int.MaxValue).collect().map(_.getLong(0)).toSet))
   }
 
+  test("nearObject honors the collection's index mode") {
+    import graft.operators.{IvfIndex, VectorRefresh, VectorSearch}
+    val embs = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+    val pc = new GraftClient(TestSpark.spark, TestSpark.Sf0001,
+      indexMode = GraftClient.IndexPruned)
+    val viaPruned = pc.nearObject(VectorSearch.QueryVecId).collect().toSeq
+    val directPruned = IvfIndex.searchFrom(embs,
+      IvfIndex.cachedCentroids(spark, TestSpark.Sf0001),
+      VectorSearch.QueryVecId).collect().toSeq
+    assert(viaPruned == directPruned && viaPruned.nonEmpty)
+    val rc = new GraftClient(TestSpark.spark, TestSpark.Sf0001,
+      indexMode = GraftClient.IndexRefreshed)
+    val viaRefreshed = rc.nearObject(VectorSearch.QueryVecId).collect().toSeq
+    val path = VectorRefresh.refreshedArtifact(spark, TestSpark.Sf0001)
+    val q = VectorRefresh.liveVectors(spark, path)
+      .filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    val directRefreshed = VectorRefresh.search(spark, path, q,
+        VectorSearch.QueryVecId)
+      .select(col("vec_id"), col("cell").as("label"), col("score"))
+      .collect().toSeq
+    assert(viaRefreshed == directRefreshed && viaRefreshed.nonEmpty)
+    // exact mode unchanged, same output shape on all three routes
+    val exact = client.nearObject(VectorSearch.QueryVecId)
+    assert(exact.collect().toSeq ==
+      VectorSearch.topK(embs, VectorSearch.QueryVecId).collect().toSeq)
+    assert(exact.columns.toSeq == Seq("vec_id", "label", "score"))
+    assert(viaPruned.head.schema.fieldNames.toSeq == Seq("vec_id", "label", "score"))
+    assert(viaRefreshed.head.schema.fieldNames.toSeq == Seq("vec_id", "label", "score"))
+  }
+
   test("createCollection registers a queryable view") {
     client.createCollection("scratch_docs",
       graft.sources.Tables.documents(spark, TestSpark.Sf0001))
