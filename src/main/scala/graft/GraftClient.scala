@@ -52,9 +52,16 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
   private def pruned: Boolean = indexMode == GraftClient.IndexPruned
   private def refreshed: Boolean = indexMode == GraftClient.IndexRefreshed
   /** The refreshed mode's serving universe: the refreshable artifacts'
-    * corpus state (the diff convention's current snapshot).
+    * corpus state (the diff convention's current snapshot). EVERY
+    * refreshed-mode path — including the exact fallbacks a filter or a
+    * multi-property request takes — must serve this universe, or a
+    * filtered request could return documents the index has deleted.
     */
   private def currDocs: DataFrame = CorpusOps.currSnapshot(docs)
+  private def currEmbs: DataFrame = VectorRefresh.currSnapshot(embs)
+  /** The corpus universe of the collection's index mode. */
+  private def modeDocs: DataFrame = if (refreshed) currDocs else docs
+  private def modeEmbs: DataFrame = if (refreshed) currEmbs else embs
 
   /** The reference tokenizes the request server-side; same split as the
     * corpus tokenizer, duplicates collapsed.
@@ -104,7 +111,9 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     } else
       // the champion artifact indexes the content field only; boosted
       // multi-property requests take the exact BM25F path in every mode
-      KeywordSearch.bm25MultiField(docs.filter(filter),
+      // — over the MODE's corpus universe, so the refreshed fallback
+      // never surfaces rows the refreshed index has deleted
+      KeywordSearch.bm25MultiField(modeDocs.filter(filter),
         requestTerms(request), fields, limit)
   }
 
@@ -174,7 +183,10 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
         .select(col("doc_id"), col("source"), col("score"))
         .orderBy(desc("score"), asc("doc_id"))
     else
-      HybridSearch.fusedWithQuery(docs, embs, requestTerms(request),
+      // exact fallback over the MODE's corpus universe: in refreshed
+      // mode a filtered fusion scores the current snapshot — the same
+      // corpus state the unfiltered refreshed route serves
+      HybridSearch.fusedWithQuery(modeDocs, modeEmbs, requestTerms(request),
         requestVector(request), alpha, limit, filter.getOrElse(lit(true)))
 
   /** v4 `near_object(uuid)` — seed the vector search with an EXISTING

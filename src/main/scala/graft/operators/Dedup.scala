@@ -117,10 +117,13 @@ object Dedup {
     * already agree on a full minhash band, i.e. are near-certain
     * duplicates) instead of verifying every pair. Sized far above any
     * bucket the benchmark corpora produce (max observed: 3 at sf0.01,
-    * 6 at sf0.1 — the guarded output is bitwise the exact output there,
-    * oracle-gated), while the 100× duplicate-replicated SCALE run trips
-    * it and stays bounded. A pair sharing BOTH a hot and a normal
-    * bucket is still verified via the normal one.
+    * 6 at sf0.1 — the guarded output is bitwise the exact output there),
+    * while the 100× duplicate-replicated SCALE run trips it and stays
+    * bounded. A pair sharing BOTH a hot and a normal bucket is still
+    * verified via the normal one. The SQL oracles ([[minhashLshOracle]],
+    * [[incrementalOracle]]) encode the SAME cap, so driver query and
+    * oracle agree even on a degenerate corpus; the spec separately pins
+    * guarded ≡ unguarded where no bucket trips the cap.
     */
   val MaxBucket = 64
 
@@ -217,11 +220,22 @@ object Dedup {
        |  $bandRows)""".stripMargin
   }
 
+  /** Carries the SAME [[MaxBucket]] hot-bucket guard as the Spark
+    * default — the driver query and its oracle agree on degenerate
+    * corpora too, not just where no bucket trips the cap.
+    */
   val minhashLshOracle: String = {
     s"""WITH $bandsCtesSql,
+       |sized AS (
+       |  SELECT band_id, band_sig FROM bands
+       |  GROUP BY band_id, band_sig HAVING count(*) <= $MaxBucket),
+       |normal AS (
+       |  SELECT b.doc_id, b.band_id, b.band_sig
+       |  FROM bands b JOIN sized s
+       |    ON b.band_id = s.band_id AND b.band_sig = s.band_sig),
        |cands AS (
        |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-       |  FROM bands l JOIN bands r
+       |  FROM normal l JOIN normal r
        |    ON l.band_id = r.band_id AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id),
        |sets AS (
        |  SELECT doc_id, list_distinct($shingleSql) AS sset FROM toked)
@@ -257,11 +271,25 @@ object Dedup {
     * is O(|batch| + collisions), independent of corpus size — the full
     * [[minhashLsh]] would re-shingle the whole corpus every day.
     */
-  def incremental(docs: DataFrame, indexBands: DataFrame): DataFrame = {
+  def incremental(docs: DataFrame, indexBands: DataFrame,
+                  maxBucket: Int = MaxBucket): DataFrame = {
     val newDocs = docs.filter(pmod(col("doc_id"), lit(NewMod)) === NewMod - 1)
-    val newBands = bandSignatures(newDocs)
-    val probed = indexBands.select("doc_id", "band_id", "band_sig")
-      .union(newBands)
+    val batchBands = bandSignatures(newDocs)
+    // the same MaxBucket hot-bucket guard as [[minhashLsh]], measured
+    // over index ∪ batch (= the full corpus's buckets, so the probe
+    // verifies exactly the pairs the guarded full run would) but
+    // counted ONLY for buckets the batch touches — the guard costs one
+    // extra pass over the collision rows, never a corpus-wide rollup
+    val touched = batchBands.select("band_id", "band_sig").distinct()
+    val touchedRows = indexBands.select("doc_id", "band_id", "band_sig")
+      .union(batchBands)
+      .join(touched, Seq("band_id", "band_sig"))
+    val bucketOk = touchedRows.groupBy("band_id", "band_sig")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("band_id", "band_sig")
+    val probed = touchedRows.join(bucketOk, Seq("band_id", "band_sig"))
+    val newBands = batchBands.join(bucketOk, Seq("band_id", "band_sig"))
     val cands = newBands.as("n").join(probed.as("o"),
         col("n.band_id") === col("o.band_id") &&
           col("n.band_sig") === col("o.band_sig") &&

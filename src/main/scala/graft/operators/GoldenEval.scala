@@ -35,10 +35,14 @@ import org.apache.spark.sql.functions._
   */
 object GoldenEval {
   /** The committed golden analog of the reference's golden_256.json.
-    * Absolute so the DuckDB oracle and the engine read the SAME file
-    * regardless of working directory.
+    * Resolved ONCE to an absolute path — `-Dgraft.golden.path` wins,
+    * else the repo-relative default under the working directory (sbt
+    * runs from the repo root) — so the DuckDB oracle and the engine
+    * read the SAME file on any checkout location, not just /root/repo.
     */
-  val GoldenPath = "/root/repo/data/golden/golden_queries.json"
+  val GoldenPath: String = sys.props.getOrElse("graft.golden.path",
+    new java.io.File(sys.props.getOrElse("user.dir", "."),
+      "data/golden/golden_queries.json").getAbsolutePath)
   val TopK = 10
 
   /** Load the golden file: explicit schema (a malformed file fails

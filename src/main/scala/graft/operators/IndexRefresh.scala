@@ -131,6 +131,23 @@ object IndexRefresh {
     if (df.isEmpty) df.write.mode("overwrite").parquet(path)
     else df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
+  /** Per-segment commit marker, written LAST by [[writeSegment]] (and
+    * cleared FIRST by a replay at the same id): a segment directory
+    * without it is a failed attempt's partial write. [[segmentIds]]
+    * refuses to build on one — a refresh attempt that dies between its
+    * tombstone write and its segment commit would otherwise leave docs
+    * killed whose replacement delta never landed, and the next
+    * auto-incrementing [[refresh]] would silently build above the
+    * corruption.
+    */
+  private[graft] val CommitMarker = "_graft_committed"
+
+  private[graft] def commitSegment(segDir: String): Unit =
+    new java.io.File(segDir, CommitMarker).createNewFile()
+
+  private[graft] def uncommitSegment(segDir: String): Unit =
+    new java.io.File(segDir, CommitMarker).delete()
+
   private def writeSegment(segDir: String, postings: DataFrame,
                            docstats: DataFrame, dict: DataFrame,
                            champs: DataFrame): Unit = {
@@ -140,6 +157,7 @@ object IndexRefresh {
     writePartitionedSafe(champs, "term_bucket", s"$segDir/champions")
     docstats.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$segDir/stats")
+    commitSegment(segDir)
   }
 
   /** Base build (segment 0) over a full corpus snapshot. */
@@ -180,6 +198,10 @@ object IndexRefresh {
     */
   def refreshAt(spark: SparkSession, path: String, r: Int,
                 deltaDocs: DataFrame, removedDocs: DataFrame): Unit = {
+    // a replay over a COMPLETED attempt re-overwrites the segment's
+    // files; clear its marker first so a failure mid-replay leaves the
+    // segment visibly uncommitted instead of committed-with-mixed-files
+    uncommitSegment(s"$path/seg=$r")
     // tombstones first: the recut below must see the batch's kills
     segDocStats(removedDocs).withColumn("asof_seg", lit(r))
       .write.mode("overwrite").parquet(s"$path/tombstones/seg=$r")
@@ -250,12 +272,37 @@ object IndexRefresh {
 
   // --- merged serving views -------------------------------------------------
 
-  private[graft] def segmentIds(path: String): Seq[Int] = {
-    val d = new java.io.File(path)
-    val segs = Option(d.list()).getOrElse(Array.empty[String])
-      .filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toInt).sorted
-    require(segs.nonEmpty, s"no segments under $path — buildBase first")
-    segs.toSeq
+  /** Committed segment ids under `path`, FAIL-FAST on corruption: a
+    * seg dir without its [[CommitMarker]] is a failed refresh attempt's
+    * partial write, and a tombstone batch whose segment never committed
+    * has killed docs whose replacement delta never landed — building on
+    * either silently loses documents, so both throw with the remedy
+    * (replay the batch with [[refreshAt]] at the SAME id; overwrite
+    * makes the replay exact). `inFlight` is the id the CURRENT
+    * [[refreshAt]] call is writing — its (by-design) uncommitted state
+    * is invisible to its own recut reads.
+    */
+  private[graft] def segmentIds(path: String,
+                                inFlight: Option[Int] = None): Seq[Int] = {
+    def ids(dir: java.io.File): Array[Int] =
+      Option(dir.list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toInt)
+    val (committed, partial) = ids(new java.io.File(path)).partition(s =>
+      new java.io.File(s"$path/seg=$s/$CommitMarker").exists())
+    val badSegs = partial.filterNot(inFlight.contains).sorted
+    require(badSegs.isEmpty,
+      s"partially-written segment(s) ${badSegs.mkString(", ")} under $path " +
+        "(no commit marker — a failed refresh attempt); replay the batch " +
+        "with refreshAt at the same segment id, or compact from a " +
+        "known-good snapshot, before building further")
+    val orphanTombs = ids(new java.io.File(s"$path/tombstones"))
+      .filterNot(t => committed.contains(t) || inFlight.contains(t)).sorted
+    require(orphanTombs.isEmpty,
+      s"orphan tombstone batch(es) ${orphanTombs.mkString(", ")} under " +
+        s"$path — kills whose replacement segment never committed; replay " +
+        "each batch with refreshAt at the same segment id")
+    require(committed.nonEmpty, s"no segments under $path — buildBase first")
+    committed.sorted.toSeq
   }
 
   private def tombstones(spark: SparkSession, path: String): DataFrame = {
@@ -270,10 +317,12 @@ object IndexRefresh {
   private def readSegFile(spark: SparkSession, path: String, file: String,
                           bucketFilter: Option[Seq[Long]],
                           belowSeg: Option[Int] = None): DataFrame = {
-    // belowSeg: the exactly-once recut reads only COMMITTED segments —
-    // a failed attempt's partial (possibly unreadable) directory at the
-    // id being replayed must be skipped at the listing level
-    val dfs = segmentIds(path).filter(s => belowSeg.forall(s < _)).map { s =>
+    // belowSeg: the exactly-once recut reads only segments below the
+    // id being replayed — a failed attempt's partial (possibly
+    // unreadable) directory there is skipped at the listing level and
+    // exempted from the completeness check (it IS the in-flight write)
+    val dfs = segmentIds(path, inFlight = belowSeg)
+      .filter(s => belowSeg.forall(s < _)).map { s =>
       val df = spark.read.parquet(s"$path/seg=$s/$file")
       bucketFilter.fold(df)(bs => df.filter(col("term_bucket").isin(bs: _*)))
         .withColumn("seg", lit(s))

@@ -72,6 +72,8 @@ object VectorRefresh {
       .groupBy("cell", "dim")
       .agg(sum(col("e").cast("double")).as("sum_e"), count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/seg=$r/centparts")
+    // marker LAST — the IndexRefresh.segmentIds completeness contract
+    IndexRefresh.commitSegment(s"$path/seg=$r")
   }
 
   /** Base build (segment 0). */
@@ -98,6 +100,8 @@ object VectorRefresh {
     */
   def refreshAt(spark: SparkSession, path: String, r: Int,
                 deltaEmbs: DataFrame, removedEmbs: DataFrame): Unit = {
+    // clear the marker first (replay contract — IndexRefresh.refreshAt)
+    IndexRefresh.uncommitSegment(s"$path/seg=$r")
     removedEmbs.select(col("vec_id"), col("label").as("cell"), col("embedding"))
       .withColumn("asof_seg", lit(r))
       .write.mode("overwrite").parquet(s"$path/tombstones/seg=$r")

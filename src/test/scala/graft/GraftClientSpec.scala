@@ -157,10 +157,26 @@ class GraftClientSpec extends SparkSpec {
       .orderBy(desc("score"), asc("doc_id"))
       .collect().toSeq
     assert(viaHy == directHy && viaHy.nonEmpty)
-    // a metadata filter keeps the exact path for hybrid in every mode
+    // a metadata filter keeps the exact path for hybrid in every mode,
+    // but over the MODE's corpus universe: the refreshed client scores
+    // the current snapshot — the corpus state its unfiltered routes
+    // serve — never the raw table's removed-snapshot rows
     val f = col("lang") === "en"
+    val currE = VectorRefresh.currSnapshot(
+      graft.sources.Tables.embeddings(spark, TestSpark.Sf0001))
     assert(rc.hybridSearch("spark hash join", filter = Some(f)).collect().toSeq ==
-      client.hybridSearch("spark hash join", filter = Some(f)).collect().toSeq)
+      HybridSearch.fusedWithQuery(currD, currE, Seq("spark", "hash", "join"),
+          spark.range(1).select(graft.operators.Embedder
+            .embed(lit("spark hash join"), 64).cast("array<float>").as("q_emb")),
+          HybridSearch.Alpha, 10, f)
+        .collect().toSeq)
+    // ... and the multi-property fallback serves the same universe
+    val mpDocs = rc.keywordSearch("spark hash join", filter = f,
+        queryProperties = Seq("text", "source^2"))
+      .collect().map(_.getLong(0)).toSet
+    val removedIds = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .exceptAll(currD).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mpDocs.intersect(removedIds).isEmpty)
     // keyword/vector filters stay on the refreshed path, evaluated
     // during the walk — pages are subsets of the unfiltered pages' docs
     val kwF = rc.keywordSearch(KeywordSearch.QueryTerms.mkString(" "), filter = f)

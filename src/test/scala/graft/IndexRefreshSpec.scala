@@ -139,10 +139,30 @@ class IndexRefreshSpec extends SparkSpec {
           .foreach(java.nio.file.Files.delete)
       }
     }
-    Seq("dict", "champions", "stats").foreach(f =>
+    Seq("dict", "champions", "stats", IndexRefresh.CommitMarker).foreach(f =>
       rmrf(java.nio.file.Paths.get(partial, "seg=1", f)))
+    // fail-fast: building on (or serving from) the partial segment
+    // throws — a failed attempt's tombstones have killed docs whose
+    // replacement delta never landed
+    assert(intercept[IllegalArgumentException] {
+      IndexRefresh.refresh(spark, partial, deltaDocs, removedDocs)
+    }.getMessage.contains("partially-written"))
+    assert(intercept[IllegalArgumentException] {
+      views(partial)
+    }.getMessage.contains("partially-written"))
     IndexRefresh.refreshAt(spark, partial, 1, deltaDocs, removedDocs)
     assert(views(partial) == views(once))
+    // a failed FIRST attempt that died right after its tombstone write
+    // (no segment dir at all) is caught by the orphan-tombstone check
+    val orphan = tmp()
+    IndexRefresh.buildBase(base, orphan)
+    IndexRefresh.refreshAt(spark, orphan, 1, deltaDocs, removedDocs)
+    rmrf(java.nio.file.Paths.get(orphan, "seg=1"))
+    assert(intercept[IllegalArgumentException] {
+      IndexRefresh.refresh(spark, orphan, deltaDocs, removedDocs)
+    }.getMessage.contains("orphan tombstone"))
+    IndexRefresh.refreshAt(spark, orphan, 1, deltaDocs, removedDocs)
+    assert(views(orphan) == views(once))
     // batchId-derived ids may leave gaps — the merge only orders by id
     val gap = tmp()
     IndexRefresh.buildBase(base, gap)

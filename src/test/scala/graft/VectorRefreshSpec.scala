@@ -165,6 +165,31 @@ class VectorRefreshSpec extends SparkSpec {
       sortedRows(VectorRefresh.liveVectors(spark, once)))
     assert(sortedRows(VectorRefresh.centroidView(spark, replay)) ==
       sortedRows(VectorRefresh.centroidView(spark, once)))
+    // fail-fast on a failed attempt's leftovers (the IndexRefresh
+    // commit-marker contract): a partial segment or an orphan tombstone
+    // batch throws instead of silently killing vectors whose
+    // replacement never landed; replaying at the same id heals
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    val broken = tmp()
+    VectorRefresh.buildBase(prev, broken)
+    VectorRefresh.refreshAt(spark, broken, 1, delta, removed)
+    rmrf(java.nio.file.Paths.get(broken, "seg=1", "centparts"))
+    rmrf(java.nio.file.Paths.get(broken, "seg=1", IndexRefresh.CommitMarker))
+    assert(intercept[IllegalArgumentException] {
+      VectorRefresh.refresh(spark, broken, delta, removed)
+    }.getMessage.contains("partially-written"))
+    rmrf(java.nio.file.Paths.get(broken, "seg=1"))
+    assert(intercept[IllegalArgumentException] {
+      VectorRefresh.liveVectors(spark, broken).collect()
+    }.getMessage.contains("orphan tombstone"))
+    VectorRefresh.refreshAt(spark, broken, 1, delta, removed)
+    assert(sortedRows(VectorRefresh.liveVectors(spark, broken)) ==
+      sortedRows(VectorRefresh.liveVectors(spark, once)))
   }
 
   test("property: random vector edit chains keep the live set and exact centroids") {
