@@ -399,6 +399,61 @@ object IndexRefresh {
         (col("sdl") - col("tdl")).as("sum_dl"))
   }
 
+  // --- epoch-cached serving views --------------------------------------------
+
+  /** Process-local cache of MERGED serving views, keyed by the layout's
+    * EPOCH (committed segment ids + tombstone batch ids): the
+    * deployment pattern of a warm segment reader — Lucene reopens its
+    * IndexReader only when a new segment commits; between commits every
+    * probe reuses the same merged view. Here a view is materialized
+    * once per epoch (localCheckpoint — the segment union + tombstone
+    * anti-join and latest-per-term resolution are paid once, not per
+    * micro-batch), and a refresh landing a new segment or tombstone
+    * batch changes the epoch so the NEXT probe rebuilds — serving can
+    * never read a stale merge (spec-pinned). At cluster scale the same
+    * role is played by materializing the merged views to storage (what
+    * [[compact]] does); the JVM checkpoint is the single-process form.
+    * `-Dgraft.refresh.nocache` disables it (the per-batch re-merge
+    * form, kept for in-JVM A/B measurement).
+    */
+  private val viewCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+
+  /** The layout's serving epoch: every state change lands a new
+    * `seg=`/tombstone directory, so the id lists identify the merge.
+    */
+  private[graft] def epochOf(path: String): String = {
+    def list(d: String) = Option(new java.io.File(d).list())
+      .getOrElse(Array.empty[String]).sorted.mkString(",")
+    s"${segmentIds(path).mkString(",")}|${list(s"$path/tombstones")}"
+  }
+
+  private[graft] def cachedView(kind: String, path: String)
+                               (build: => DataFrame): DataFrame =
+    viewCache.compute(s"$kind:$path", (_, cur) => {
+      val ep = epochOf(path)
+      if (cur != null && cur._1 == ep) cur
+      else (ep, build.localCheckpoint())
+    })._2
+
+  private[graft] def servingCacheDisabled: Boolean =
+    sys.props.contains("graft.refresh.nocache")
+
+  private[graft] def cachedLivePostings(spark: SparkSession, path: String): DataFrame =
+    cachedView("kw_live", path)(livePostings(spark, path))
+  private[graft] def cachedDictView(spark: SparkSession, path: String): DataFrame =
+    cachedView("kw_dict", path)(dictView(spark, path))
+  private[graft] def cachedChampsView(spark: SparkSession, path: String): DataFrame =
+    cachedView("kw_champs", path)(champsView(spark, path))
+  private[graft] def cachedStatsView(spark: SparkSession, path: String): DataFrame =
+    cachedView("kw_stats", path)(statsView(spark, path))
+  /** The QL k+1-shortest-live-docs closure (corpus-wide sort, k+1 rows). */
+  private[graft] def cachedShortest(spark: SparkSession, path: String,
+                                    k: Int): DataFrame =
+    cachedView(s"kw_shortest_$k", path)(
+      liveDocStats(spark, path).orderBy(col("dl").asc, col("doc_id").asc)
+        .limit(k + 1))
+
   // --- probe ----------------------------------------------------------------
 
   private[graft] def termBucket(t: String): Long = {
@@ -509,15 +564,26 @@ object IndexRefresh {
                                     selectQueries: DataFrame => DataFrame,
                                     nTerms: Int = KeywordSearch.BatchTerms): DataFrame = {
     val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
-    val qtoks = livePostings(spark, path)
+    val nocache = servingCacheDisabled
+    val live = if (nocache) livePostings(spark, path)
+               else cachedLivePostings(spark, path)
+    val qtoks = live
       .join(broadcast(qdocs), col("doc_id") === col("q_id"))
       .select(col("q_id"), col("term"))
-    // the query vocabulary's buckets: ≤ NumBuckets values, collected so
-    // every dict/champion segment read partition-prunes
-    val buckets = qtoks
+    // nocache form only: the query vocabulary's buckets (≤ NumBuckets
+    // values), collected so every dict/champion segment read
+    // partition-prunes; the cached form's views are already merged and
+    // the term joins below restrict them
+    lazy val buckets = qtoks
       .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val qdict = dictView(spark, path, Some(buckets))
+    val dictV = if (nocache) dictView(spark, path, Some(buckets))
+                else cachedDictView(spark, path)
+    val champsV = if (nocache) champsView(spark, path, Some(buckets))
+                  else cachedChampsView(spark, path)
+    val statsV = if (nocache) statsView(spark, path)
+                 else cachedStatsView(spark, path)
+    val qdict = dictV
       .join(broadcast(qtoks.select("term").distinct()), Seq("term"))
       .select(col("term"), col("df"))
     val qterms = KeywordSearch.batchQueryTermsFrom(qtoks, qdict, nTerms)
@@ -526,11 +592,11 @@ object IndexRefresh {
       (col("df").cast("double") + 0.5))
     val contrib = round(idf * (tfD * (K1 + 1)) /
       (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
-    champsView(spark, path, Some(buckets))
+    champsV
       .join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(qdict), Seq("term"))
-      .join(broadcast(statsView(spark, path)))
+      .join(broadcast(statsV))
       .select(col("q_id"), col("doc_id"), contrib.as("s"))
       .groupBy("q_id", "doc_id").agg(sum("s").as("raw_score"))
   }
@@ -569,18 +635,27 @@ object IndexRefresh {
                                       k: Int = KeywordSearch.BatchK,
                                       mu: Double = QueryLikelihood.Mu): DataFrame = {
     val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
-    val qtoks = livePostings(spark, path)
+    val nocache = servingCacheDisabled
+    val live = if (nocache) livePostings(spark, path)
+               else cachedLivePostings(spark, path)
+    val qtoks = live
       .join(broadcast(qdocs), col("doc_id") === col("q_id"))
       .select(col("q_id"), col("term"))
-    val buckets = qtoks
+    lazy val buckets = qtoks
       .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val dictQ = dictView(spark, path, Some(buckets))
+    val dictV = if (nocache) dictView(spark, path, Some(buckets))
+                else cachedDictView(spark, path)
+    val champsV = if (nocache) champsView(spark, path, Some(buckets))
+                  else cachedChampsView(spark, path)
+    val statsV = if (nocache) statsView(spark, path)
+                 else cachedStatsView(spark, path)
+    val dictQ = dictV
       .join(broadcast(qtoks.select("term").distinct()), Seq("term"))
     val qterms = KeywordSearch.batchQueryTermsFrom(
       qtoks, dictQ.select(col("term"), col("df")), nTerms)
     val qp = qterms.join(broadcast(dictQ.select(col("term"), col("cf"))), Seq("term"))
-      .join(broadcast(statsView(spark, path).select(col("sum_dl").as("c_total"))))
+      .join(broadcast(statsV.select(col("sum_dl").as("c_total"))))
       .select(col("q_id"), col("term"),
         (col("cf").cast("double") / col("c_total")).as("p"))
     val qconsts = qp.groupBy("q_id")
@@ -595,7 +670,7 @@ object IndexRefresh {
     val imp = round(
       log(col("tf").cast("double") + lit(mu) * col("p")) - log(lit(mu) * col("p")),
       ChampionIndex.ImpactDecimals)
-    val corr = champsView(spark, path, Some(buckets))
+    val corr = champsV
       .join(broadcast(qp), Seq("term"))
       .select(col("q_id"), col("doc_id"), col("dl"),
         struct(col("term"), imp.as("imp")).as("tc"))
@@ -604,8 +679,10 @@ object IndexRefresh {
       .select(col("q_id"), col("doc_id"), col("dl"),
         aggregate(transform(array_sort(col("cs")), x => x.getField("imp")),
           lit(0.0), (a, x) => a + x).as("corr"))
-    val shortest = liveDocStats(spark, path)
-      .orderBy(col("dl").asc, col("doc_id").asc).limit(k + 1)
+    val shortest =
+      if (nocache) liveDocStats(spark, path)
+        .orderBy(col("dl").asc, col("doc_id").asc).limit(k + 1)
+      else cachedShortest(spark, path, k)
     val cand = corr
       .unionByName(qconsts.select("q_id").crossJoin(broadcast(shortest))
         .withColumn("corr", lit(0.0)))

@@ -290,12 +290,27 @@ object VectorRefresh {
     * the exact cosine. Same (q_id, doc_id, vscore) shape as
     * [[HybridSearch]]'s ivfVparts.
     */
+  /** Epoch-cached merged views (the [[IndexRefresh.cachedView]] warm-
+    * reader contract): the centroid rollup and the live-vector merge
+    * are paid once per refresh epoch, not per micro-batch. The
+    * single-request path keeps its cell-pruned per-segment reads (the
+    * at-scale form); the batch/stream serving paths, which touch most
+    * cells anyway, probe the cached merge.
+    */
+  private[graft] def cachedCentroidView(spark: SparkSession, path: String): DataFrame =
+    IndexRefresh.cachedView("vec_centroids", path)(centroidView(spark, path))
+  private[graft] def cachedLiveVectors(spark: SparkSession, path: String): DataFrame =
+    IndexRefresh.cachedView("vec_live", path)(liveVectors(spark, path))
+
   private[graft] def batchVparts(spark: SparkSession, path: String,
                                  queries: DataFrame,
                                  nprobe: Int = IvfIndex.NProbe): DataFrame = {
+    val nocache = IndexRefresh.servingCacheDisabled
     val probed = IvfIndex.batchProbedCellsFrom(
-      centroidView(spark, path), queries, nprobe)
-    liveVectors(spark, path)
+      if (nocache) centroidView(spark, path)
+      else cachedCentroidView(spark, path), queries, nprobe)
+    (if (nocache) liveVectors(spark, path)
+     else cachedLiveVectors(spark, path))
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(queries), Seq("q_id"))

@@ -170,6 +170,40 @@ class IndexRefreshSpec extends SparkSpec {
     assert(views(gap) == views(once))
   }
 
+  test("epoch-cached serving views: reused within an epoch, rebuilt on refresh") {
+    val p = tmp()
+    IndexRefresh.buildBase(base, p)
+    val d1 = IndexRefresh.cachedDictView(spark, p)
+    // the warm reader: the SAME merged frame until the layout changes
+    assert(d1 eq IndexRefresh.cachedDictView(spark, p))
+    assert(sortedRows(d1) == sortedRows(IndexRefresh.dictView(spark, p)))
+    val deltaDocs = curr.filter(col("doc_id").isin(1L, 5L))
+    val removedDocs = base.filter(col("doc_id").isin(1L, 2L))
+    IndexRefresh.refresh(spark, p, deltaDocs, removedDocs)
+    // a landed refresh changes the epoch: next probe rebuilds, and every
+    // cached view equals its freshly-merged twin — no stale serving
+    val d2 = IndexRefresh.cachedDictView(spark, p)
+    assert(!(d2 eq d1))
+    assert(sortedRows(d2) == sortedRows(IndexRefresh.dictView(spark, p)))
+    assert(sortedRows(IndexRefresh.cachedChampsView(spark, p)) ==
+      sortedRows(IndexRefresh.champsView(spark, p)))
+    assert(sortedRows(IndexRefresh.cachedStatsView(spark, p)) ==
+      sortedRows(IndexRefresh.statsView(spark, p)))
+    assert(sortedRows(IndexRefresh.cachedLivePostings(spark, p).drop("seg")) ==
+      sortedRows(IndexRefresh.livePostings(spark, p).drop("seg")))
+  }
+
+  test("cached and uncached refreshed serving produce identical pages") {
+    val refreshed = buildRefreshed()
+    def run() = Seq(
+      sortedRows(IndexRefresh.batchSearch(spark, refreshed, curr, stride = 1)),
+      sortedRows(IndexRefresh.qlBatchSearch(spark, refreshed, curr, stride = 1)))
+    val cached = run()
+    sys.props("graft.refresh.nocache") = "1"
+    try assert(run() == cached)
+    finally sys.props -= "graft.refresh.nocache"
+  }
+
   test("property: random multi-refresh chains stay bitwise the full rebuild") {
     // seeded randomized edit scripts — the manual tests pin named edge
     // cases; this sweeps arbitrary add/change/remove interleavings,

@@ -192,6 +192,21 @@ class VectorRefreshSpec extends SparkSpec {
       sortedRows(VectorRefresh.liveVectors(spark, once)))
   }
 
+  test("epoch-cached vector views: reused within an epoch, rebuilt on refresh") {
+    val p = tmp()
+    VectorRefresh.buildBase(prev, p)
+    val c1 = VectorRefresh.cachedCentroidView(spark, p)
+    assert(c1 eq VectorRefresh.cachedCentroidView(spark, p))
+    assert(sortedRows(c1) == sortedRows(VectorRefresh.centroidView(spark, p)))
+    VectorRefresh.refresh(spark, p,
+      VectorRefresh.deltaEmbs(curr, prev), VectorRefresh.removedEmbs(curr, prev))
+    val c2 = VectorRefresh.cachedCentroidView(spark, p)
+    assert(!(c2 eq c1))
+    assert(sortedRows(c2) == sortedRows(VectorRefresh.centroidView(spark, p)))
+    assert(sortedRows(VectorRefresh.cachedLiveVectors(spark, p)) ==
+      sortedRows(VectorRefresh.liveVectors(spark, p)))
+  }
+
   test("property: random vector edit chains keep the live set and exact centroids") {
     // the vector twin of the keyword multi-refresh property sweep:
     // random add/change/remove interleavings through chains of up to 4
