@@ -75,6 +75,8 @@ object SparkEntry {
     "kw_search_refreshed_batch" -> (IndexRefresh.qRefreshBatchSearch _),
     "ql_search_refreshed_batch" -> (IndexRefresh.qRefreshQlSearch _),
     "kw_search_rm3_refreshed" -> (Rm3Expansion.qSearchRefreshed _),
+    "kw_search_asof" -> (IndexRefresh.qSearchAsOf _),
+    "kw_index_stats" -> (IndexRefresh.qIndexStats _),
     "stream_kw_refresh_serve" -> (graft.streaming.ServeStream.qStreamKwRefreshServe _),
     "stream_ql_refresh_serve" -> (graft.streaming.ServeStream.qStreamQlRefreshServe _),
     "ivf_index_refresh" -> (VectorRefresh.qRefreshSearch _),
@@ -298,6 +300,8 @@ object SparkEntry {
     "kw_search_refreshed_batch" -> IndexRefresh.refreshBatchSearchOracle,
     "ql_search_refreshed_batch" -> IndexRefresh.refreshQlSearchOracle,
     "kw_search_rm3_refreshed" -> Rm3Expansion.searchRefreshedOracle,
+    "kw_search_asof" -> IndexRefresh.searchAsOfOracle,
+    "kw_index_stats" -> IndexRefresh.indexStatsOracle,
     "stream_kw_refresh_serve" -> IndexRefresh.refreshBatchSearchOracle,
     "stream_ql_refresh_serve" -> IndexRefresh.refreshQlSearchOracle,
     "ivf_index_refresh" -> VectorRefresh.refreshSearchOracle,

@@ -305,24 +305,32 @@ object IndexRefresh {
     committed.sorted.toSeq
   }
 
-  private def tombstones(spark: SparkSession, path: String): DataFrame = {
+  private def tombstones(spark: SparkSession, path: String,
+                         asOf: Option[Int] = None): DataFrame = {
     val d = new java.io.File(s"$path/tombstones")
     val segs = Option(d.list()).getOrElse(Array.empty[String])
-    if (segs.isEmpty)
-      spark.range(0).select(col("id").as("doc_id"),
-        lit(0.0).as("dl"), lit(0).as("asof_seg"))
-    else spark.read.parquet(segs.map(s => s"$path/tombstones/$s").toSeq: _*)
+    val all =
+      if (segs.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"),
+          lit(0.0).as("dl"), lit(0).as("asof_seg"))
+      else spark.read.parquet(segs.map(s => s"$path/tombstones/$s").toSeq: _*)
+    asOf.fold(all)(a => all.filter(col("asof_seg") <= a))
   }
 
   private def readSegFile(spark: SparkSession, path: String, file: String,
                           bucketFilter: Option[Seq[Long]],
-                          belowSeg: Option[Int] = None): DataFrame = {
+                          belowSeg: Option[Int] = None,
+                          asOf: Option[Int] = None): DataFrame = {
     // belowSeg: the exactly-once recut reads only segments below the
     // id being replayed — a failed attempt's partial (possibly
     // unreadable) directory there is skipped at the listing level and
-    // exempted from the completeness check (it IS the in-flight write)
+    // exempted from the completeness check (it IS the in-flight write).
+    // asOf: the time-travel read — only segments committed at or before
+    // the pinned id participate (nothing is exempted: every listed
+    // segment must still be complete).
     val dfs = segmentIds(path, inFlight = belowSeg)
-      .filter(s => belowSeg.forall(s < _)).map { s =>
+      .filter(s => belowSeg.forall(s < _))
+      .filter(s => asOf.forall(s <= _)).map { s =>
       val df = spark.read.parquet(s"$path/seg=$s/$file")
       bucketFilter.fold(df)(bs => df.filter(col("term_bucket").isin(bs: _*)))
         .withColumn("seg", lit(s))
@@ -338,14 +346,15 @@ object IndexRefresh {
   private[graft] def livePostings(spark: SparkSession, path: String,
                                       bucketFilter: Option[Seq[Long]] = None,
                                       extraSeg: Option[(Int, DataFrame)] = None,
-                                      belowSeg: Option[Int] = None): DataFrame = {
-    val stored = readSegFile(spark, path, "postings", bucketFilter, belowSeg)
+                                      belowSeg: Option[Int] = None,
+                                      asOf: Option[Int] = None): DataFrame = {
+    val stored = readSegFile(spark, path, "postings", bucketFilter, belowSeg, asOf)
     val all = extraSeg.fold(stored) { case (s, df) =>
       stored.unionByName(
         bucketFilter.fold(df)(bs => df.filter(col("term_bucket").isin(bs: _*)))
           .withColumn("seg", lit(s)))
     }
-    val kills = tombstones(spark, path).groupBy("doc_id")
+    val kills = tombstones(spark, path, asOf).groupBy("doc_id")
       .agg(max("asof_seg").as("dead_after"))
     all.join(broadcast(kills), Seq("doc_id"), "left")
       .filter(col("dead_after").isNull || col("seg") >= col("dead_after"))
@@ -356,8 +365,9 @@ object IndexRefresh {
     * older segments and then drop from the merged dictionary.
     */
   private[graft] def dictView(spark: SparkSession, path: String,
-                                  bucketFilter: Option[Seq[Long]] = None): DataFrame = {
-    val all = readSegFile(spark, path, "dict", bucketFilter)
+                                  bucketFilter: Option[Seq[Long]] = None,
+                                  asOf: Option[Int] = None): DataFrame = {
+    val all = readSegFile(spark, path, "dict", bucketFilter, asOf = asOf)
     val latest = all.groupBy("term").agg(max("seg").as("seg"))
     all.join(latest, Seq("term", "seg")).filter(col("df") > 0)
       .select("term", "df", "cf")
@@ -370,10 +380,11 @@ object IndexRefresh {
     * definition touched, hence recut in the replacing segment.
     */
   private[graft] def champsView(spark: SparkSession, path: String,
-                                    bucketFilter: Option[Seq[Long]] = None): DataFrame = {
-    val dictAll = readSegFile(spark, path, "dict", bucketFilter)
+                                    bucketFilter: Option[Seq[Long]] = None,
+                                    asOf: Option[Int] = None): DataFrame = {
+    val dictAll = readSegFile(spark, path, "dict", bucketFilter, asOf = asOf)
     val latest = dictAll.groupBy("term").agg(max("seg").as("seg"))
-    readSegFile(spark, path, "champions", bucketFilter)
+    readSegFile(spark, path, "champions", bucketFilter, asOf = asOf)
       .join(latest, Seq("term", "seg"))
       .select("term", "doc_id", "tf", "dl")
   }
@@ -382,12 +393,14 @@ object IndexRefresh {
     * token counts make every sum exact, so the merged average is
     * bitwise the full rebuild's.
     */
-  private[graft] def statsView(spark: SparkSession, path: String): DataFrame = {
+  private[graft] def statsView(spark: SparkSession, path: String,
+                               asOf: Option[Int] = None): DataFrame = {
     val segStats = segmentIds(path)
+      .filter(s => asOf.forall(s <= _))
       .map(s => spark.read.parquet(s"$path/seg=$s/stats"))
       .reduce(_.unionByName(_))
       .agg(sum("n_docs").as("n"), sum("sum_dl").as("sdl"))
-    val tomb = tombstones(spark, path)
+    val tomb = tombstones(spark, path, asOf)
       .agg(count(lit(1)).as("tn"), coalesce(sum("dl"), lit(0.0)).as("tdl"))
     segStats.join(tomb)
       .select((col("n") - col("tn")).as("n_docs"),
@@ -470,8 +483,9 @@ object IndexRefresh {
     * hybrid route.
     */
   private[graft] def requestScored(spark: SparkSession, path: String,
-                                   terms: Seq[String]): DataFrame =
-    requestContribs(spark, path, terms)
+                                   terms: Seq[String],
+                                   asOf: Option[Int] = None): DataFrame =
+    requestContribs(spark, path, terms, asOf)
       .groupBy("doc_id").agg(sum("contrib").as("raw_score"))
 
   /** Per-(term, doc) 6dp-rounded BM25 contributions from the request
@@ -480,11 +494,12 @@ object IndexRefresh {
     * multiplies each term's contribution by its RM3 weight).
     */
   private[graft] def requestContribs(spark: SparkSession, path: String,
-                                     terms: Seq[String]): DataFrame = {
+                                     terms: Seq[String],
+                                     asOf: Option[Int] = None): DataFrame = {
     val buckets = terms.map(termBucket).distinct
-    val champs = champsView(spark, path, Some(buckets))
+    val champs = champsView(spark, path, Some(buckets), asOf)
       .filter(col("term").isin(terms: _*))
-    val dict = dictView(spark, path, Some(buckets))
+    val dict = dictView(spark, path, Some(buckets), asOf)
       .filter(col("term").isin(terms: _*))
     val tfD = col("tf").cast("double")
     val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
@@ -493,7 +508,7 @@ object IndexRefresh {
       (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
     champs
       .join(broadcast(dict), Seq("term"))
-      .join(broadcast(statsView(spark, path)))
+      .join(broadcast(statsView(spark, path, asOf)))
       .select(col("term"), col("doc_id"), contrib.as("contrib"))
   }
 
@@ -507,9 +522,10 @@ object IndexRefresh {
     */
   def search(spark: SparkSession, path: String, docs: DataFrame,
              terms: Seq[String], topK: Int = KeywordSearch.TopK,
-             docFilter: Column = lit(true)): DataFrame = {
+             docFilter: Column = lit(true),
+             asOf: Option[Int] = None): DataFrame = {
     val filtered = docs.filter(docFilter)
-    val topk = requestScored(spark, path, terms)
+    val topk = requestScored(spark, path, terms, asOf)
       .join(filtered.select(col("doc_id")), Seq("doc_id"), "semi")
       .select(col("doc_id"), round(col("raw_score"), 4).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
@@ -760,10 +776,73 @@ object IndexRefresh {
     qlBatchSearch(s, refreshedArtifact(s, dir), CorpusOps.currSnapshot(docs))
   }
 
+  /** Driver query: TIME-TRAVEL read — the same search probing the SAME
+    * standing refreshed artifact pinned AS OF segment 0 (the state
+    * before the refresh landed). The log-structured layout makes every
+    * past commit a readable snapshot for free — segments at or below
+    * the pinned id, tombstone batches at or below it — exactly the
+    * point-in-time read a deployment uses for reproducible serving and
+    * incident replay (Delta/Iceberg time travel; a Lucene commit
+    * point). Oracle: a full rebuild on the PREVIOUS corpus snapshot —
+    * the as-of-0 read must reproduce pre-refresh serving bitwise while
+    * the artifact it reads has already moved on.
+    */
+  def qSearchAsOf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    search(s, refreshedArtifact(s, dir), CorpusOps.prevSnapshot(docs),
+      KeywordSearch.QueryTerms, asOf = Some(0))
+  }
+
+  /** Per-segment index-health report — the monitoring surface a
+    * deployed LSM index exposes (Lucene's segment infos; a compaction
+    * scheduler's inputs): each segment's document and token volume plus
+    * the kill volume its tombstone batch carries. Read-amplification
+    * and dead-fraction policies (when to [[compact]]) are decided from
+    * exactly these rows. Bounded output: |segments| rows, from the
+    * per-segment stats files and a tombstone rollup — never a corpus
+    * scan.
+    */
+  def indexStats(spark: SparkSession, path: String): DataFrame = {
+    val segs = segmentIds(path).map { s =>
+      spark.read.parquet(s"$path/seg=$s/stats").withColumn("seg", lit(s))
+    }.reduce(_.unionByName(_))
+    val tombs = tombstones(spark, path)
+      .groupBy(col("asof_seg").as("seg"))
+      .agg(count(lit(1)).as("t_docs"), sum("dl").as("t_dl"))
+    segs.join(tombs, Seq("seg"), "left")
+      .select(col("seg").cast("int").as("seg"),
+        col("n_docs").cast("long").as("n_docs"),
+        coalesce(col("sum_dl"), lit(0.0)).cast("long").as("sum_dl"),
+        coalesce(col("t_docs"), lit(0L)).cast("long").as("tomb_docs"),
+        coalesce(col("t_dl"), lit(0.0)).cast("long").as("tomb_dl"))
+      .orderBy("seg")
+  }
+
+  /** Driver query: the health report of the standing refreshed
+    * artifact — oracle re-derives every segment's volumes from the
+    * snapshot-diff convention on the documents table (segment 0 = the
+    * previous snapshot, segment 1 = the added∪changed delta, its
+    * tombstone batch = the removed∪changed prior versions).
+    */
+  def qIndexStats(s: SparkSession, dir: String): DataFrame =
+    indexStats(s, refreshedArtifact(s, dir))
+
   // --- oracles --------------------------------------------------------------
 
   private def currCte: String =
     s"curr AS (SELECT * FROM documents WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3)"
+
+  /** The PREVIOUS snapshot as a CTE under the same name — swapping it
+    * into any oracle chain replays that oracle on the pre-refresh
+    * corpus (the [[qSearchAsOf]] gate).
+    */
+  private def prevCte: String =
+    s"""curr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % ${CorpusOps.DiffChangeStride} = 4
+       |      THEN text || ' rev1' ELSE text END AS text,
+       |    source, lang
+       |  FROM documents WHERE doc_id % ${CorpusOps.DiffAddStride} <> 5)""".stripMargin
 
   def refreshDictSql: String =
     s"""WITH $currCte,
@@ -777,9 +856,9 @@ object IndexRefresh {
        |ORDER BY term""".stripMargin
 
   def refreshSearchSql(terms: Seq[String], topK: Int = KeywordSearch.TopK,
-                       m: Int = M): String = {
+                       m: Int = M, prevSnapshot: Boolean = false): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH $currCte,
+    s"""WITH ${if (prevSnapshot) prevCte else currCte},
        |toked AS (
        |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM curr),
        |postings AS (
@@ -945,8 +1024,52 @@ object IndexRefresh {
        |FROM ranked
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Oracle for [[qIndexStats]]: every segment's volumes re-derived in
+    * SQL from the snapshot-diff stride convention — segment 0 is the
+    * previous snapshot, segment 1 the added∪changed delta, its
+    * tombstone batch the removed∪changed prior versions (token lengths
+    * from each version's OWN text).
+    */
+  def indexStatsSql: String = {
+    val toks = TextAnalysis.sqlToks
+    s"""WITH prev AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % ${CorpusOps.DiffChangeStride} = 4
+       |      THEN text || ' rev1' ELSE text END AS text
+       |  FROM documents WHERE doc_id % ${CorpusOps.DiffAddStride} <> 5),
+       |currs AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3),
+       |delta AS (
+       |  SELECT c.doc_id, c.text FROM currs c
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM prev)
+       |     OR c.doc_id % ${CorpusOps.DiffChangeStride} = 4),
+       |removed AS (
+       |  SELECT p.doc_id, p.text FROM prev p
+       |  WHERE p.doc_id NOT IN (SELECT doc_id FROM currs)
+       |     OR p.doc_id % ${CorpusOps.DiffChangeStride} = 4)
+       |SELECT CAST(0 AS INTEGER) AS seg,
+       |  count(*) AS n_docs,
+       |  CAST(coalesce(sum(len($toks)), 0) AS BIGINT) AS sum_dl,
+       |  CAST(0 AS BIGINT) AS tomb_docs, CAST(0 AS BIGINT) AS tomb_dl
+       |FROM prev
+       |UNION ALL
+       |SELECT CAST(1 AS INTEGER),
+       |  (SELECT count(*) FROM delta),
+       |  CAST(coalesce((SELECT sum(len($toks)) FROM delta), 0) AS BIGINT),
+       |  (SELECT count(*) FROM removed),
+       |  CAST(coalesce((SELECT sum(len($toks)) FROM removed), 0) AS BIGINT)
+       |ORDER BY seg""".stripMargin
+  }
+
   val refreshSearchOracle: String = refreshSearchSql(KeywordSearch.QueryTerms)
   val refreshDictOracle: String = refreshDictSql
   val refreshBatchSearchOracle: String = refreshBatchSearchSql()
   val refreshQlSearchOracle: String = refreshQlSearchSql()
+  /** Oracle for [[qSearchAsOf]]: the refresh-search chain replayed on
+    * the PREVIOUS snapshot — pre-refresh serving, from scratch.
+    */
+  val searchAsOfOracle: String =
+    refreshSearchSql(KeywordSearch.QueryTerms, prevSnapshot = true)
+  val indexStatsOracle: String = indexStatsSql
 }

@@ -170,6 +170,51 @@ class IndexRefreshSpec extends SparkSpec {
     assert(views(gap) == views(once))
   }
 
+  test("as-of reads reproduce every past commit from the standing layout") {
+    val p = tmp()
+    IndexRefresh.buildBase(base, p)
+    IndexRefresh.refresh(spark, p,
+      curr.filter(col("doc_id").isin(1L, 5L)),
+      base.filter(col("doc_id").isin(1L, 2L)))
+    // second refresh: doc 6 added, doc 3 removed
+    val delta2 = docsDF(6L -> "spark reads past commits of data")
+    IndexRefresh.refresh(spark, p, delta2,
+      curr.filter(col("doc_id") === 3L))
+    val state2 = curr.filter(col("doc_id") =!= 3L).unionByName(delta2)
+    // every pinned id serves exactly what a from-scratch build on that
+    // commit's corpus snapshot serves — while the layout has moved on
+    def rebuilt(docs: DataFrame): String = {
+      val t = tmp(); IndexRefresh.buildBase(docs, t); t
+    }
+    val terms = Seq("spark", "hash", "join", "data")
+    def page(path: String, docs: DataFrame, asOf: Option[Int] = None) =
+      sortedRows(IndexRefresh.search(spark, path, docs, terms, asOf = asOf))
+    assert(page(p, base, asOf = Some(0)) == page(rebuilt(base), base))
+    assert(page(p, curr, asOf = Some(1)) == page(rebuilt(curr), curr))
+    assert(page(p, state2) == page(rebuilt(state2), state2))
+    // the merged dictionary time-travels too
+    assert(sortedRows(IndexRefresh.dictView(spark, p, asOf = Some(1))) ==
+      sortedRows(IndexRefresh.dictView(spark, rebuilt(curr))))
+    assert(sortedRows(IndexRefresh.statsView(spark, p, asOf = Some(0))) ==
+      sortedRows(IndexRefresh.statsView(spark, rebuilt(base))))
+  }
+
+  test("index health report counts each segment's and tombstone batch's volumes") {
+    import graft.functions.TextFunctions.tokens
+    val refreshed = buildRefreshed()
+    val rows = IndexRefresh.indexStats(spark, refreshed).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1))
+    def dlSum(docs: DataFrame): Long =
+      docs.select(sum(size(tokens(col("text"))).cast("long"))).head().getLong(0)
+    // seg 0 = the 5 base docs, no kills; seg 1 = delta {1,5}, kills {1,2}
+    assert(rows(0).getLong(1) == 5 && rows(0).getLong(2) == dlSum(base))
+    assert(rows(0).getLong(3) == 0 && rows(0).getLong(4) == 0)
+    assert(rows(1).getLong(1) == 2)
+    assert(rows(1).getLong(2) == dlSum(curr.filter(col("doc_id").isin(1L, 5L))))
+    assert(rows(1).getLong(3) == 2)
+    assert(rows(1).getLong(4) == dlSum(base.filter(col("doc_id").isin(1L, 2L))))
+  }
+
   test("epoch-cached serving views: reused within an epoch, rebuilt on refresh") {
     val p = tmp()
     IndexRefresh.buildBase(base, p)
