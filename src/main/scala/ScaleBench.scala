@@ -56,7 +56,11 @@ object ScaleBench {
     "hybrid_search_refreshed_batch", // fusion over both refreshable layouts
     "kw_search_rm3_refreshed", // RM3 with both rounds on the refreshed index
     "hybrid_search_refreshed_compacted", // same fusion after LSM compaction
-    "dedup_lsh_hot_buckets")// hot-bucket cluster report (the guard's log)
+    "dedup_lsh_hot_buckets",// hot-bucket cluster report (the guard's log)
+    "dedup_incremental",    // per-batch band-index probe (guard on touched buckets)
+    "kw_search_asof",       // time-travel read pinned at segment 0
+    "kw_index_stats",       // per-segment health rollup (bounded rows)
+    "vector_search_asof")   // vector-layout time-travel read
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):
     * the batch-fusion rows scale the query set AND the corpus with N, so

@@ -80,6 +80,7 @@ object SparkEntry {
     "stream_kw_refresh_serve" -> (graft.streaming.ServeStream.qStreamKwRefreshServe _),
     "stream_ql_refresh_serve" -> (graft.streaming.ServeStream.qStreamQlRefreshServe _),
     "ivf_index_refresh" -> (VectorRefresh.qRefreshSearch _),
+    "vector_search_asof" -> (VectorRefresh.qSearchAsOf _),
     "kw_search_indexed" -> (KeywordIndex.qSearchIndexed _),
     "vector_search_topk" -> (VectorSearch.search _),
     "vector_search_batch" -> (VectorSearch.batchSearch _),
@@ -305,6 +306,7 @@ object SparkEntry {
     "stream_kw_refresh_serve" -> IndexRefresh.refreshBatchSearchOracle,
     "stream_ql_refresh_serve" -> IndexRefresh.refreshQlSearchOracle,
     "ivf_index_refresh" -> VectorRefresh.refreshSearchOracle,
+    "vector_search_asof" -> VectorRefresh.searchAsOfOracle,
     "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,
     "kw_search_materialized" -> KeywordIndex.searchIndexedOracle,
     "ivf_search_materialized" -> IvfIndex.qSearchMaterializedOracle,

@@ -452,8 +452,13 @@ object IndexRefresh {
   private[graft] def servingCacheDisabled: Boolean =
     sys.props.contains("graft.refresh.nocache")
 
-  private[graft] def cachedLivePostings(spark: SparkSession, path: String): DataFrame =
-    cachedView("kw_live", path)(livePostings(spark, path))
+  // ONLY bounded, index-artifact-sized views are cached — dictionary
+  // (vocab), champions (vocab·M), stats (1 row), shortest closure
+  // (k+1), centroids (nlist·dim): exactly what a warm reader holds in
+  // RAM. Corpus-sized frames (live postings, live vectors) are NEVER
+  // pinned in the JVM — at deployment scale they live on disk and each
+  // probe scans them partition-pruned; pinning one was measured to
+  // poison every later query's memory budget at 100× (r10).
   private[graft] def cachedDictView(spark: SparkSession, path: String): DataFrame =
     cachedView("kw_dict", path)(dictView(spark, path))
   private[graft] def cachedChampsView(spark: SparkSession, path: String): DataFrame =
@@ -581,9 +586,7 @@ object IndexRefresh {
                                     nTerms: Int = KeywordSearch.BatchTerms): DataFrame = {
     val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
     val nocache = servingCacheDisabled
-    val live = if (nocache) livePostings(spark, path)
-               else cachedLivePostings(spark, path)
-    val qtoks = live
+    val qtoks = livePostings(spark, path)
       .join(broadcast(qdocs), col("doc_id") === col("q_id"))
       .select(col("q_id"), col("term"))
     // nocache form only: the query vocabulary's buckets (≤ NumBuckets
@@ -652,9 +655,7 @@ object IndexRefresh {
                                       mu: Double = QueryLikelihood.Mu): DataFrame = {
     val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
     val nocache = servingCacheDisabled
-    val live = if (nocache) livePostings(spark, path)
-               else cachedLivePostings(spark, path)
-    val qtoks = live
+    val qtoks = livePostings(spark, path)
       .join(broadcast(qdocs), col("doc_id") === col("q_id"))
       .select(col("q_id"), col("term"))
     lazy val buckets = qtoks

@@ -163,26 +163,33 @@ object VectorRefresh {
       .select(col("vec_id"), col("b.embedding").as("embedding"),
         col("b.cell").as("label"))
 
-  private def tombstones(spark: SparkSession, path: String): DataFrame = {
+  private def tombstones(spark: SparkSession, path: String,
+                         asOf: Option[Int] = None): DataFrame = {
     val d = new java.io.File(s"$path/tombstones")
     val segs = Option(d.list()).getOrElse(Array.empty[String])
-    if (segs.isEmpty)
-      spark.range(0).select(col("id").as("vec_id"),
-        col("id").cast("int").as("cell"),
-        lit(Array.empty[Float]).as("embedding"),
-        lit(0).as("asof_seg"))
-    else spark.read.parquet(segs.map(s => s"$path/tombstones/$s").toSeq: _*)
+    val all =
+      if (segs.isEmpty)
+        spark.range(0).select(col("id").as("vec_id"),
+          col("id").cast("int").as("cell"),
+          lit(Array.empty[Float]).as("embedding"),
+          lit(0).as("asof_seg"))
+      else spark.read.parquet(segs.map(s => s"$path/tombstones/$s").toSeq: _*)
+    asOf.fold(all)(a => all.filter(col("asof_seg") <= a))
   }
 
   /** Merged serving centroids: per-segment partials summed, killed
     * versions' contributions subtracted, emptied cells dropped.
+    * `asOf` pins the time-travel read (the [[IndexRefresh]] as-of
+    * contract: segments + tombstone batches at or below the id).
     */
-  private[graft] def centroidView(spark: SparkSession, path: String): DataFrame = {
+  private[graft] def centroidView(spark: SparkSession, path: String,
+                                  asOf: Option[Int] = None): DataFrame = {
     val parts = IndexRefresh.segmentIds(path)
+      .filter(s => asOf.forall(s <= _))
       .map(s => spark.read.parquet(s"$path/seg=$s/centparts"))
       .reduce(_.unionByName(_))
       .groupBy("cell", "dim").agg(sum("sum_e").as("s"), sum("n").as("n"))
-    val tombParts = tombstones(spark, path)
+    val tombParts = tombstones(spark, path, asOf)
       .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "e")))
       .groupBy("cell", "dim")
       .agg(sum(col("e").cast("double")).as("ts"), count(lit(1)).as("tn"))
@@ -201,13 +208,15 @@ object VectorRefresh {
     * tombstone rule keyed by vec_id.
     */
   private[graft] def liveVectors(spark: SparkSession, path: String,
-                                 cellFilter: Option[Seq[Int]] = None): DataFrame = {
-    val all = IndexRefresh.segmentIds(path).map { s =>
+                                 cellFilter: Option[Seq[Int]] = None,
+                                 asOf: Option[Int] = None): DataFrame = {
+    val all = IndexRefresh.segmentIds(path)
+      .filter(s => asOf.forall(s <= _)).map { s =>
       val df = spark.read.parquet(s"$path/seg=$s/vectors")
       cellFilter.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
         .withColumn("seg", lit(s))
     }.reduce(_.unionByName(_))
-    val kills = tombstones(spark, path).groupBy("vec_id")
+    val kills = tombstones(spark, path, asOf).groupBy("vec_id")
       .agg(max("asof_seg").as("dead_after"))
     all.join(broadcast(kills), Seq("vec_id"), "left")
       .filter(col("dead_after").isNull || col("seg") >= col("dead_after"))
@@ -221,13 +230,13 @@ object VectorRefresh {
     */
   def search(spark: SparkSession, path: String, qEmb: DataFrame,
              excludeVecId: Long, nprobe: Int = IvfIndex.NProbe,
-             k: Int = IvfIndex.TopK): DataFrame = {
-    val cells = centroidView(spark, path).join(broadcast(qEmb))
+             k: Int = IvfIndex.TopK, asOf: Option[Int] = None): DataFrame = {
+    val cells = centroidView(spark, path, asOf).join(broadcast(qEmb))
       .select(col("cell"),
         round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
       .orderBy(desc("cscore"), asc("cell")).limit(nprobe)
       .collect().map(_.getInt(0)).toSeq
-    liveVectors(spark, path, Some(cells))
+    liveVectors(spark, path, Some(cells), asOf)
       .filter(col("vec_id") =!= excludeVecId)
       .join(broadcast(qEmb))
       .select(col("vec_id"), col("cell"),
@@ -290,17 +299,14 @@ object VectorRefresh {
     * the exact cosine. Same (q_id, doc_id, vscore) shape as
     * [[HybridSearch]]'s ivfVparts.
     */
-  /** Epoch-cached merged views (the [[IndexRefresh.cachedView]] warm-
-    * reader contract): the centroid rollup and the live-vector merge
-    * are paid once per refresh epoch, not per micro-batch. The
-    * single-request path keeps its cell-pruned per-segment reads (the
-    * at-scale form); the batch/stream serving paths, which touch most
-    * cells anyway, probe the cached merge.
+  /** Epoch-cached merged centroids (the [[IndexRefresh.cachedView]]
+    * warm-reader contract, bounded-views-only rule): the nlist·dim
+    * centroid rollup is paid once per refresh epoch, not per
+    * micro-batch. The live-vector merge stays a per-probe scan — it is
+    * corpus-sized and is never pinned in the JVM.
     */
   private[graft] def cachedCentroidView(spark: SparkSession, path: String): DataFrame =
     IndexRefresh.cachedView("vec_centroids", path)(centroidView(spark, path))
-  private[graft] def cachedLiveVectors(spark: SparkSession, path: String): DataFrame =
-    IndexRefresh.cachedView("vec_live", path)(liveVectors(spark, path))
 
   private[graft] def batchVparts(spark: SparkSession, path: String,
                                  queries: DataFrame,
@@ -309,8 +315,7 @@ object VectorRefresh {
     val probed = IvfIndex.batchProbedCellsFrom(
       if (nocache) centroidView(spark, path)
       else cachedCentroidView(spark, path), queries, nprobe)
-    (if (nocache) liveVectors(spark, path)
-     else cachedLiveVectors(spark, path))
+    liveVectors(spark, path)
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(queries), Seq("q_id"))
@@ -351,9 +356,23 @@ object VectorRefresh {
     */
   def refreshSearchSql(queryVecId: Long = VectorSearch.QueryVecId,
                        nprobe: Int = IvfIndex.NProbe,
-                       k: Int = IvfIndex.TopK): String =
-    s"""WITH curr AS (
-       |  SELECT * FROM embeddings WHERE vec_id % $DiffRemoveStride <> 3),
+                       k: Int = IvfIndex.TopK,
+                       prevSnapshot: Boolean = false): String = {
+    // prevSnapshot: the as-of-0 oracle — the pre-refresh corpus state
+    // (added-stride rows absent, changed-stride rows carry the negated
+    // prior vector), replayed through the same cell/probe/score chain
+    val snapCte =
+      if (prevSnapshot)
+        s"""curr AS (
+           |  SELECT vec_id,
+           |    CASE WHEN vec_id % $DiffChangeStride = 4
+           |      THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding,
+           |    label
+           |  FROM embeddings WHERE vec_id % $DiffAddStride <> 5)""".stripMargin
+      else
+        s"""curr AS (
+           |  SELECT * FROM embeddings WHERE vec_id % $DiffRemoveStride <> 3)""".stripMargin
+    s"""WITH $snapCte,
        |q AS (SELECT embedding AS q_emb FROM curr WHERE vec_id = $queryVecId),
        |exploded AS (
        |  SELECT label AS cell, generate_subscripts(embedding, 1) AS dim,
@@ -373,6 +392,24 @@ object VectorRefresh {
        |WHERE vec_id <> $queryVecId
        |ORDER BY score DESC, vec_id
        |LIMIT $k""".stripMargin
+  }
+
+  /** Driver query: the vector layout's TIME-TRAVEL read — the same
+    * search pinned AS OF segment 0 (the [[IndexRefresh]] as-of
+    * contract on the vector family): centroids merged from segment-0
+    * partials only, live set = segment-0 vectors, the seed vector read
+    * from the pinned state itself. Oracle replays the IVF chain on the
+    * PREVIOUS embeddings snapshot while the probed artifact has moved
+    * on.
+    */
+  def qSearchAsOf(s: SparkSession, dir: String): DataFrame = {
+    val path = refreshedArtifact(s, dir)
+    val q = liveVectors(s, path, asOf = Some(0))
+      .filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    search(s, path, q, VectorSearch.QueryVecId, asOf = Some(0))
+  }
 
   val refreshSearchOracle: String = refreshSearchSql()
+  val searchAsOfOracle: String = refreshSearchSql(prevSnapshot = true)
 }

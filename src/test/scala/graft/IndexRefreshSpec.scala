@@ -234,8 +234,6 @@ class IndexRefreshSpec extends SparkSpec {
       sortedRows(IndexRefresh.champsView(spark, p)))
     assert(sortedRows(IndexRefresh.cachedStatsView(spark, p)) ==
       sortedRows(IndexRefresh.statsView(spark, p)))
-    assert(sortedRows(IndexRefresh.cachedLivePostings(spark, p).drop("seg")) ==
-      sortedRows(IndexRefresh.livePostings(spark, p).drop("seg")))
   }
 
   test("cached and uncached refreshed serving produce identical pages") {

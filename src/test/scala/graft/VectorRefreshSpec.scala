@@ -192,6 +192,31 @@ class VectorRefreshSpec extends SparkSpec {
       sortedRows(VectorRefresh.liveVectors(spark, once)))
   }
 
+  test("as-of reads serve the pinned commit's vectors and centroids") {
+    val p = tmp()
+    VectorRefresh.buildBase(prev, p)
+    VectorRefresh.refresh(spark, p,
+      VectorRefresh.deltaEmbs(curr, prev), VectorRefresh.removedEmbs(curr, prev))
+    // as-of 0 == a from-scratch base on the previous snapshot, read
+    // from the standing layout that has already refreshed past it
+    val base0 = tmp()
+    VectorRefresh.buildBase(prev, base0)
+    assert(sortedRows(VectorRefresh.liveVectors(spark, p, asOf = Some(0))) ==
+      sortedRows(VectorRefresh.liveVectors(spark, base0)))
+    assert(sortedRows(VectorRefresh.centroidView(spark, p, asOf = Some(0))) ==
+      sortedRows(VectorRefresh.centroidView(spark, base0)))
+    val q = VectorRefresh.liveVectors(spark, p, asOf = Some(0))
+      .filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    assert(sortedRows(VectorRefresh.search(spark, p, q,
+        VectorSearch.QueryVecId, asOf = Some(0))) ==
+      sortedRows(VectorRefresh.search(spark, base0, q, VectorSearch.QueryVecId)))
+    // the unpinned read still serves the refreshed (current) live set
+    assert(VectorRefresh.liveVectors(spark, p).select("vec_id")
+      .exceptAll(curr.select("vec_id")).isEmpty)
+    assert(VectorRefresh.liveVectors(spark, p).count() == curr.count())
+  }
+
   test("epoch-cached vector views: reused within an epoch, rebuilt on refresh") {
     val p = tmp()
     VectorRefresh.buildBase(prev, p)
@@ -203,8 +228,6 @@ class VectorRefreshSpec extends SparkSpec {
     val c2 = VectorRefresh.cachedCentroidView(spark, p)
     assert(!(c2 eq c1))
     assert(sortedRows(c2) == sortedRows(VectorRefresh.centroidView(spark, p)))
-    assert(sortedRows(VectorRefresh.cachedLiveVectors(spark, p)) ==
-      sortedRows(VectorRefresh.liveVectors(spark, p)))
   }
 
   test("property: random vector edit chains keep the live set and exact centroids") {
