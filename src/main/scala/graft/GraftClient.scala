@@ -236,8 +236,11 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     Catalog.batchIndexData(spark, name, data, errorThreshold, uniqueIdField,
       properties)
 
-  /** `get_doc_count(collection)` */
-  def getDocCount(): Long = docs.count()
+  /** `get_doc_count(collection)` — the collection's LIVE object count:
+    * the mode's corpus universe (in refreshed mode, deleted documents
+    * are not counted — the same state every search serves).
+    */
+  def getDocCount(): Long = modeDocs.count()
 
   /** `show_all_collections()` */
   def showAllCollections(): Seq[String] = Catalog.listCollections(spark)
@@ -259,7 +262,9 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     * the [[operators.Inference]] seam without touching this call site).
     */
   def chatCompletion(request: String): DataFrame =
-    Generation.extractiveAnswer(docs, requestTerms(request))
+    // over the MODE's corpus universe: refreshed-mode generation never
+    // quotes a document the index has deleted
+    Generation.extractiveAnswer(modeDocs, requestTerms(request))
 }
 
 object GraftClient {

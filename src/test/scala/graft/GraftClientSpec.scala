@@ -177,6 +177,11 @@ class GraftClientSpec extends SparkSpec {
     val removedIds = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
       .exceptAll(currD).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(mpDocs.intersect(removedIds).isEmpty)
+    // ... as do the doc count and the generation slot
+    assert(rc.getDocCount() == currD.count())
+    assert(rc.chatCompletion("spark hash join").collect().toSeq ==
+      graft.operators.Generation.extractiveAnswer(currD,
+        Seq("spark", "hash", "join")).collect().toSeq)
     // keyword/vector filters stay on the refreshed path, evaluated
     // during the walk — pages are subsets of the unfiltered pages' docs
     val kwF = rc.keywordSearch(KeywordSearch.QueryTerms.mkString(" "), filter = f)
