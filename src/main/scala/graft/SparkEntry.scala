@@ -77,6 +77,7 @@ object SparkEntry {
     "kw_search_rm3_refreshed" -> (Rm3Expansion.qSearchRefreshed _),
     "kw_search_asof" -> (IndexRefresh.qSearchAsOf _),
     "kw_index_stats" -> (IndexRefresh.qIndexStats _),
+    "kw_compaction_plan" -> (IndexRefresh.qCompactionPlan _),
     "stream_kw_refresh_serve" -> (graft.streaming.ServeStream.qStreamKwRefreshServe _),
     "stream_ql_refresh_serve" -> (graft.streaming.ServeStream.qStreamQlRefreshServe _),
     "ivf_index_refresh" -> (VectorRefresh.qRefreshSearch _),
@@ -303,6 +304,7 @@ object SparkEntry {
     "kw_search_rm3_refreshed" -> Rm3Expansion.searchRefreshedOracle,
     "kw_search_asof" -> IndexRefresh.searchAsOfOracle,
     "kw_index_stats" -> IndexRefresh.indexStatsOracle,
+    "kw_compaction_plan" -> IndexRefresh.compactionPlanOracle,
     "stream_kw_refresh_serve" -> IndexRefresh.refreshBatchSearchOracle,
     "stream_ql_refresh_serve" -> IndexRefresh.refreshQlSearchOracle,
     "ivf_index_refresh" -> VectorRefresh.refreshSearchOracle,

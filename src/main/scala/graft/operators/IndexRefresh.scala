@@ -828,6 +828,45 @@ object IndexRefresh {
   def qIndexStats(s: SparkSession, dir: String): DataFrame =
     indexStats(s, refreshedArtifact(s, dir))
 
+  /** Compaction depth threshold: more live segments than this and the
+    * read-amplification (one union arm + one dict mask per segment, per
+    * probe) is worth folding away.
+    */
+  val MaxSegments = 4
+  /** Dead-fraction threshold: tombstoned doc versions / written doc
+    * versions — past this, probes and the tombstone broadcast carry
+    * more dead weight than a fold costs (Lucene's deletes-pct trigger;
+    * RocksDB's space-amp trigger).
+    */
+  val MaxDeadFrac = 0.2
+
+  /** The compaction DECISION from the health report — the policy half
+    * of [[compact]], derived arithmetic over [[indexStats]] (bounded
+    * rows, never a corpus scan): fold when the layout exceeds
+    * `maxSegments` live segments OR its dead fraction passes
+    * `maxDeadFrac`. One row: segment count, written/tombstoned doc
+    * versions, the fraction, and the decision.
+    */
+  def compactionPlan(spark: SparkSession, path: String,
+                     maxSegments: Int = MaxSegments,
+                     maxDeadFrac: Double = MaxDeadFrac): DataFrame =
+    indexStats(spark, path)
+      .agg(count(lit(1)).cast("int").as("n_segments"),
+        sum("n_docs").as("written_docs"),
+        sum("tomb_docs").as("tomb_docs"))
+      .select(col("n_segments"), col("written_docs"), col("tomb_docs"),
+        round(col("tomb_docs").cast("double") / col("written_docs"), 4)
+          .as("dead_frac"),
+        (col("n_segments") > maxSegments ||
+          col("tomb_docs").cast("double") / col("written_docs") >= maxDeadFrac)
+          .as("compact"))
+
+  /** Driver query: the standing refreshed artifact's compaction
+    * decision — oracle aggregates the [[indexStatsSql]] chain.
+    */
+  def qCompactionPlan(s: SparkSession, dir: String): DataFrame =
+    compactionPlan(s, refreshedArtifact(s, dir))
+
   // --- oracles --------------------------------------------------------------
 
   private def currCte: String =
@@ -1073,4 +1112,19 @@ object IndexRefresh {
   val searchAsOfOracle: String =
     refreshSearchSql(KeywordSearch.QueryTerms, prevSnapshot = true)
   val indexStatsOracle: String = indexStatsSql
+  /** Oracle for [[qCompactionPlan]]: the decision arithmetic over the
+    * [[indexStatsSql]] rows.
+    */
+  def compactionPlanSql(maxSegments: Int = MaxSegments,
+                        maxDeadFrac: Double = MaxDeadFrac): String =
+    s"""WITH stats AS ($indexStatsSql)
+       |SELECT CAST(count(*) AS INTEGER) AS n_segments,
+       |  CAST(sum(n_docs) AS BIGINT) AS written_docs,
+       |  CAST(sum(tomb_docs) AS BIGINT) AS tomb_docs,
+       |  round(CAST(sum(tomb_docs) AS DOUBLE) / sum(n_docs), 4) AS dead_frac,
+       |  (count(*) > $maxSegments
+       |    OR CAST(sum(tomb_docs) AS DOUBLE) / sum(n_docs) >= $maxDeadFrac)
+       |    AS compact
+       |FROM stats""".stripMargin
+  val compactionPlanOracle: String = compactionPlanSql()
 }

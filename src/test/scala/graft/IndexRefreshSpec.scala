@@ -215,6 +215,29 @@ class IndexRefreshSpec extends SparkSpec {
     assert(rows(1).getLong(4) == dlSum(base.filter(col("doc_id").isin(1L, 2L))))
   }
 
+  test("compaction plan trips on dead fraction or depth and resets after a fold") {
+    // dead-fraction trigger: 2 kills / 7 written versions = 0.2857
+    val refreshed = buildRefreshed()
+    val plan = IndexRefresh.compactionPlan(spark, refreshed).head()
+    assert(plan.getInt(0) == 2 && plan.getLong(1) == 7 && plan.getLong(2) == 2)
+    assert(plan.getBoolean(4))
+    // a fold resets both triggers
+    val c = tmp()
+    IndexRefresh.compact(spark, refreshed, c)
+    val after = IndexRefresh.compactionPlan(spark, c).head()
+    assert(after.getInt(0) == 1 && after.getLong(2) == 0 && !after.getBoolean(4))
+    // depth trigger: a pure-append chain never tombstones, but five
+    // live segments exceed MaxSegments
+    val p = tmp()
+    IndexRefresh.buildBase(base, p)
+    (1 to 4).foreach { i =>
+      IndexRefresh.refresh(spark, p,
+        docsDF((100L + i) -> "fresh depth doc"), docsDF())
+    }
+    val deep = IndexRefresh.compactionPlan(spark, p).head()
+    assert(deep.getInt(0) == 5 && deep.getLong(2) == 0 && deep.getBoolean(4))
+  }
+
   test("epoch-cached serving views: reused within an epoch, rebuilt on refresh") {
     val p = tmp()
     IndexRefresh.buildBase(base, p)
@@ -290,6 +313,52 @@ class IndexRefreshSpec extends SparkSpec {
         sortedRows(IndexRefresh.champsView(spark, full)), s"trial=$trial champs")
       assert(sortedRows(IndexRefresh.statsView(spark, path)) ==
         sortedRows(IndexRefresh.statsView(spark, full)), s"trial=$trial stats")
+    }
+  }
+
+  test("property: as-of reads reproduce every intermediate commit in random chains") {
+    // the r9 sweep pattern pointed at TIME: after a random edit chain,
+    // every recorded commit must still be readable as-of its segment id
+    // and equal a from-scratch build on that commit's corpus snapshot
+    // (no compaction interleaving — compaction truncates history by
+    // design; a compacted artifact's history starts at its new base)
+    val rnd = new scala.util.Random(13)
+    val words = Vector("spark", "join", "hash", "scan", "data", "fast",
+      "slow", "agg", "window", "stream")
+    def randText(): String =
+      Seq.fill(1 + rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" ")
+    val terms = Seq("spark", "hash", "data")
+    (1 to 2).foreach { trial =>
+      var corpus: Map[Long, String] =
+        (0L until (3 + rnd.nextInt(4))).map(_ -> randText()).toMap
+      val path = tmp()
+      IndexRefresh.buildBase(docsDF(corpus.toSeq: _*), path)
+      var commits = Vector(0 -> corpus)
+      var nextId = corpus.keys.max + 1
+      (1 to 3).foreach { _ =>
+        val removedIds = corpus.keys.filter(_ => rnd.nextBoolean() && rnd.nextBoolean()).toSeq
+        val changedIds = (corpus.keySet -- removedIds)
+          .filter(_ => rnd.nextBoolean() && rnd.nextBoolean()).toSeq
+        val addedIds = Seq.fill(rnd.nextInt(3)) { val i = nextId; nextId += 1; i }
+        val removedDocs = docsDF((removedIds ++ changedIds).map(i => i -> corpus(i)): _*)
+        corpus = corpus -- removedIds
+        (changedIds ++ addedIds).foreach(i => corpus += i -> randText())
+        val deltaDocs = docsDF((changedIds ++ addedIds).map(i => i -> corpus(i)): _*)
+        IndexRefresh.refresh(spark, path, deltaDocs, removedDocs)
+        commits :+= IndexRefresh.segmentIds(path).max -> corpus
+      }
+      commits.foreach { case (seg, snap) =>
+        val snapDF = docsDF(snap.toSeq: _*)
+        val full = tmp()
+        IndexRefresh.buildBase(snapDF, full)
+        assert(sortedRows(IndexRefresh.search(spark, path, snapDF, terms,
+            asOf = Some(seg))) ==
+          sortedRows(IndexRefresh.search(spark, full, snapDF, terms)),
+          s"trial=$trial seg=$seg search")
+        assert(sortedRows(IndexRefresh.dictView(spark, path, asOf = Some(seg))) ==
+          sortedRows(IndexRefresh.dictView(spark, full)),
+          s"trial=$trial seg=$seg dict")
+      }
     }
   }
 
