@@ -103,6 +103,7 @@ object SparkEntry {
     "hybrid_search_batch_champion" -> (HybridSearch.batchSearchChampion _),
     "hybrid_search_refreshed_batch" -> (HybridSearch.batchSearchRefreshed _),
     "hybrid_search_refreshed_compacted" -> (HybridSearch.batchSearchRefreshedCompacted _),
+    "hybrid_search_asof" -> (HybridSearch.batchSearchRefreshedAsOf _),
     "hybrid_search_filtered" -> (HybridSearch.searchFiltered _),
     "vector_search_filtered" -> (VectorSearch.searchFiltered _),
     "rerank_overlap" -> (Reranker.search _),
@@ -322,6 +323,7 @@ object SparkEntry {
     "hybrid_search_batch_champion" -> HybridSearch.batchSearchChampionOracle,
     "hybrid_search_refreshed_batch" -> HybridSearch.batchSearchRefreshedOracle,
     "hybrid_search_refreshed_compacted" -> HybridSearch.batchSearchRefreshedOracle,
+    "hybrid_search_asof" -> HybridSearch.batchSearchRefreshedAsOfOracle,
     "vector_search_quantized" -> VectorSearch.searchQuantizedOracle,
     // equivalence oracle: the materialized byte-code copy must reproduce
     // the inline int-code quantized search bitwise

@@ -949,12 +949,13 @@ object HybridSearch {
                                               nTerms: Int = KeywordSearch.BatchTerms,
                                               nprobe: Int = IvfIndex.NProbe,
                                               alpha: Double = Alpha,
-                                              k: Int = BatchK): DataFrame = {
+                                              k: Int = BatchK,
+                                              asOf: Option[Int] = None): DataFrame = {
     val queries = currEmbs.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val vparts = VectorRefresh.batchVparts(s, vecPath, queries, nprobe)
+    val vparts = VectorRefresh.batchVparts(s, vecPath, queries, nprobe, asOf)
     val kparts = IndexRefresh.batchScoredSel(s, kwPath, currDocs,
-      _.filter(col("doc_id") % stride === 0), nTerms)
+      _.filter(col("doc_id") % stride === 0), nTerms, asOf)
     fuseTail(vparts, kparts, alpha, k,
       restrictKwToCandidates = true, materializeCandidates = true)
   }
@@ -968,6 +969,21 @@ object HybridSearch {
       VectorRefresh.refreshedArtifact(s, dir),
       CorpusOps.currSnapshot(Tables.documents(s, dir)),
       VectorRefresh.currSnapshot(Tables.embeddings(s, dir)))
+
+  /** Driver query: the hybrid fusion TIME-TRAVELED — both layouts
+    * pinned AS OF segment 0, queries drawn from the pinned corpus
+    * state ([[IndexRefresh.qSearchAsOf]]'s contract completed across
+    * the whole search surface: keyword 13l, vector 20c, hybrid here).
+    * Oracle replays the full two-leg fusion chain on the PREVIOUS
+    * snapshots of both tables.
+    */
+  def batchSearchRefreshedAsOf(s: SparkSession, dir: String): DataFrame =
+    fusedBatchRefreshedPaths(s,
+      IndexRefresh.refreshedArtifact(s, dir),
+      VectorRefresh.refreshedArtifact(s, dir),
+      CorpusOps.prevSnapshot(Tables.documents(s, dir)),
+      VectorRefresh.prevSnapshot(Tables.embeddings(s, dir)),
+      asOf = Some(0))
 
   /** Driver query: [[batchSearchRefreshed]] over COMPACTED artifacts —
     * the LSM read-amplification remedy measured: the multi-segment
@@ -1003,12 +1019,31 @@ object HybridSearch {
                              nTerms: Int = KeywordSearch.BatchTerms,
                              nprobe: Int = IvfIndex.NProbe,
                              m: Int = IndexRefresh.M,
-                             alpha: Double = Alpha, k: Int = BatchK): String = {
+                             alpha: Double = Alpha, k: Int = BatchK,
+                             prevSnapshot: Boolean = false): String = {
     import KeywordSearch.{K1, B}
-    s"""WITH currd AS (
-       |  SELECT * FROM documents WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3),
-       |curre AS (
-       |  SELECT * FROM embeddings WHERE vec_id % ${CorpusOps.DiffRemoveStride} <> 3),
+    // prevSnapshot: the as-of-0 oracle — both tables' PRE-refresh
+    // states (the CorpusOps / VectorRefresh stride conventions)
+    val snapCtes =
+      if (prevSnapshot)
+        s"""currd AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % ${CorpusOps.DiffChangeStride} = 4
+           |      THEN text || ' rev1' ELSE text END AS text,
+           |    source, lang
+           |  FROM documents WHERE doc_id % ${CorpusOps.DiffAddStride} <> 5),
+           |curre AS (
+           |  SELECT vec_id,
+           |    CASE WHEN vec_id % ${CorpusOps.DiffChangeStride} = 4
+           |      THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding,
+           |    label
+           |  FROM embeddings WHERE vec_id % ${CorpusOps.DiffAddStride} <> 5)""".stripMargin
+      else
+        s"""currd AS (
+           |  SELECT * FROM documents WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3),
+           |curre AS (
+           |  SELECT * FROM embeddings WHERE vec_id % ${CorpusOps.DiffRemoveStride} <> 3)""".stripMargin
+    s"""WITH $snapCtes,
        |toked AS (
        |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM currd),
        |postings AS (
@@ -1100,6 +1135,11 @@ object HybridSearch {
   }
 
   val batchSearchRefreshedOracle: String = fusedBatchRefreshedSql()
+  /** Oracle for [[batchSearchRefreshedAsOf]]: the same two-leg fusion
+    * chain on the PREVIOUS snapshots of both tables.
+    */
+  val batchSearchRefreshedAsOfOracle: String =
+    fusedBatchRefreshedSql(prevSnapshot = true)
 
   def search(s: SparkSession, dir: String): DataFrame =
     fused(Tables.documents(s, dir), Tables.embeddings(s, dir),

@@ -557,9 +557,10 @@ object IndexRefresh {
   def batchSearch(spark: SparkSession, path: String, docs: DataFrame,
                   stride: Int = KeywordSearch.BatchStride,
                   nTerms: Int = KeywordSearch.BatchTerms,
-                  k: Int = KeywordSearch.BatchK): DataFrame =
+                  k: Int = KeywordSearch.BatchK,
+                  asOf: Option[Int] = None): DataFrame =
     batchSearchSel(spark, path, docs,
-      _.filter(col("doc_id") % stride === 0), nTerms, k)
+      _.filter(col("doc_id") % stride === 0), nTerms, k, asOf)
 
   /** [[batchSearch]] over an arbitrary query selector — the micro-batch
     * serving entry ([[graft.streaming.ServeStream.refreshServe]] passes
@@ -572,9 +573,10 @@ object IndexRefresh {
                                     docs: DataFrame,
                                     selectQueries: DataFrame => DataFrame,
                                     nTerms: Int = KeywordSearch.BatchTerms,
-                                    k: Int = KeywordSearch.BatchK): DataFrame =
+                                    k: Int = KeywordSearch.BatchK,
+                                    asOf: Option[Int] = None): DataFrame =
     KeywordSearch.rankKwScored(
-      batchScoredSel(spark, path, docs, selectQueries, nTerms), k)
+      batchScoredSel(spark, path, docs, selectQueries, nTerms, asOf), k)
 
   /** The pre-ranking stage of [[batchSearchSel]] — (q_id, doc_id,
     * raw_score = Σ 6dp-rounded contributions); shared with the
@@ -583,10 +585,13 @@ object IndexRefresh {
   private[graft] def batchScoredSel(spark: SparkSession, path: String,
                                     docs: DataFrame,
                                     selectQueries: DataFrame => DataFrame,
-                                    nTerms: Int = KeywordSearch.BatchTerms): DataFrame = {
+                                    nTerms: Int = KeywordSearch.BatchTerms,
+                                    asOf: Option[Int] = None): DataFrame = {
     val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
-    val nocache = servingCacheDisabled
-    val qtoks = livePostings(spark, path)
+    // an as-of read bypasses the epoch cache (which always serves the
+    // LATEST merge) and reads the pinned views directly
+    val nocache = servingCacheDisabled || asOf.nonEmpty
+    val qtoks = livePostings(spark, path, asOf = asOf)
       .join(broadcast(qdocs), col("doc_id") === col("q_id"))
       .select(col("q_id"), col("term"))
     // nocache form only: the query vocabulary's buckets (≤ NumBuckets
@@ -596,11 +601,11 @@ object IndexRefresh {
     lazy val buckets = qtoks
       .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val dictV = if (nocache) dictView(spark, path, Some(buckets))
+    val dictV = if (nocache) dictView(spark, path, Some(buckets), asOf)
                 else cachedDictView(spark, path)
-    val champsV = if (nocache) champsView(spark, path, Some(buckets))
+    val champsV = if (nocache) champsView(spark, path, Some(buckets), asOf)
                   else cachedChampsView(spark, path)
-    val statsV = if (nocache) statsView(spark, path)
+    val statsV = if (nocache) statsView(spark, path, asOf)
                  else cachedStatsView(spark, path)
     val qdict = dictV
       .join(broadcast(qtoks.select("term").distinct()), Seq("term"))

@@ -310,12 +310,14 @@ object VectorRefresh {
 
   private[graft] def batchVparts(spark: SparkSession, path: String,
                                  queries: DataFrame,
-                                 nprobe: Int = IvfIndex.NProbe): DataFrame = {
-    val nocache = IndexRefresh.servingCacheDisabled
+                                 nprobe: Int = IvfIndex.NProbe,
+                                 asOf: Option[Int] = None): DataFrame = {
+    // an as-of read bypasses the epoch cache (latest-merge only)
+    val nocache = IndexRefresh.servingCacheDisabled || asOf.nonEmpty
     val probed = IvfIndex.batchProbedCellsFrom(
-      if (nocache) centroidView(spark, path)
+      if (nocache) centroidView(spark, path, asOf)
       else cachedCentroidView(spark, path), queries, nprobe)
-    liveVectors(spark, path)
+    liveVectors(spark, path, asOf = asOf)
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(queries), Seq("q_id"))

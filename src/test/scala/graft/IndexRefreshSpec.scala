@@ -402,6 +402,14 @@ class IndexRefreshSpec extends SparkSpec {
         spark, kwR, vecR, currD, currE, stride = 10)) ==
       sortedRows(HybridSearch.fusedBatchRefreshedPaths(
         spark, kwF, vecF, currD, currE, stride = 10)))
+    // as-of 0: the SAME moved-on layouts must serve the PRE-refresh
+    // fusion — equal to fresh bases on the previous snapshots
+    val kwP = tmp(); IndexRefresh.buildBase(prevD, kwP)
+    val vecP = tmp(); VectorRefresh.buildBase(prevE, vecP)
+    assert(sortedRows(HybridSearch.fusedBatchRefreshedPaths(
+        spark, kwR, vecR, prevD, prevE, stride = 10, asOf = Some(0))) ==
+      sortedRows(HybridSearch.fusedBatchRefreshedPaths(
+        spark, kwP, vecP, prevD, prevE, stride = 10)))
   }
 
   test("a term vanishing with its last doc is masked, not resurfaced") {
