@@ -76,6 +76,7 @@ object SparkEntry {
     "ql_search_refreshed_batch" -> (IndexRefresh.qRefreshQlSearch _),
     "kw_search_rm3_refreshed" -> (Rm3Expansion.qSearchRefreshed _),
     "kw_search_asof" -> (IndexRefresh.qSearchAsOf _),
+    "ql_search_asof" -> (IndexRefresh.qQlSearchAsOf _),
     "kw_index_stats" -> (IndexRefresh.qIndexStats _),
     "kw_compaction_plan" -> (IndexRefresh.qCompactionPlan _),
     "stream_kw_refresh_serve" -> (graft.streaming.ServeStream.qStreamKwRefreshServe _),
@@ -304,6 +305,7 @@ object SparkEntry {
     "ql_search_refreshed_batch" -> IndexRefresh.refreshQlSearchOracle,
     "kw_search_rm3_refreshed" -> Rm3Expansion.searchRefreshedOracle,
     "kw_search_asof" -> IndexRefresh.searchAsOfOracle,
+    "ql_search_asof" -> IndexRefresh.qlSearchAsOfOracle,
     "kw_index_stats" -> IndexRefresh.indexStatsOracle,
     "kw_compaction_plan" -> IndexRefresh.compactionPlanOracle,
     "stream_kw_refresh_serve" -> IndexRefresh.refreshBatchSearchOracle,

@@ -259,11 +259,12 @@ object IndexRefresh {
   /** Live per-doc lengths across segments (dl = 0 rows included) — the
     * [[livePostings]] tombstone rule on the docstats files.
     */
-  private[graft] def liveDocStats(spark: SparkSession, path: String): DataFrame = {
-    val all = segmentIds(path).map { s =>
+  private[graft] def liveDocStats(spark: SparkSession, path: String,
+                                  asOf: Option[Int] = None): DataFrame = {
+    val all = segmentIds(path).filter(s => asOf.forall(s <= _)).map { s =>
       spark.read.parquet(s"$path/seg=$s/docstats").withColumn("seg", lit(s))
     }.reduce(_.unionByName(_))
-    val kills = tombstones(spark, path).groupBy("doc_id")
+    val kills = tombstones(spark, path, asOf).groupBy("doc_id")
       .agg(max("asof_seg").as("dead_after"))
     all.join(broadcast(kills), Seq("doc_id"), "left")
       .filter(col("dead_after").isNull || col("seg") >= col("dead_after"))
@@ -644,9 +645,10 @@ object IndexRefresh {
                     stride: Int = KeywordSearch.BatchStride,
                     nTerms: Int = KeywordSearch.BatchTerms,
                     k: Int = KeywordSearch.BatchK,
-                    mu: Double = QueryLikelihood.Mu): DataFrame =
+                    mu: Double = QueryLikelihood.Mu,
+                    asOf: Option[Int] = None): DataFrame =
     qlBatchSearchSel(spark, path, docs,
-      _.filter(col("doc_id") % stride === 0), nTerms, k, mu)
+      _.filter(col("doc_id") % stride === 0), nTerms, k, mu, asOf)
 
   /** [[qlBatchSearch]] over an arbitrary query selector (the
     * micro-batch serving entry; all score inputs are global artifacts
@@ -657,20 +659,22 @@ object IndexRefresh {
                                       selectQueries: DataFrame => DataFrame,
                                       nTerms: Int = KeywordSearch.BatchTerms,
                                       k: Int = KeywordSearch.BatchK,
-                                      mu: Double = QueryLikelihood.Mu): DataFrame = {
+                                      mu: Double = QueryLikelihood.Mu,
+                                      asOf: Option[Int] = None): DataFrame = {
     val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
-    val nocache = servingCacheDisabled
-    val qtoks = livePostings(spark, path)
+    // as-of bypasses the epoch cache (latest-merge only)
+    val nocache = servingCacheDisabled || asOf.nonEmpty
+    val qtoks = livePostings(spark, path, asOf = asOf)
       .join(broadcast(qdocs), col("doc_id") === col("q_id"))
       .select(col("q_id"), col("term"))
     lazy val buckets = qtoks
       .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val dictV = if (nocache) dictView(spark, path, Some(buckets))
+    val dictV = if (nocache) dictView(spark, path, Some(buckets), asOf)
                 else cachedDictView(spark, path)
-    val champsV = if (nocache) champsView(spark, path, Some(buckets))
+    val champsV = if (nocache) champsView(spark, path, Some(buckets), asOf)
                   else cachedChampsView(spark, path)
-    val statsV = if (nocache) statsView(spark, path)
+    val statsV = if (nocache) statsView(spark, path, asOf)
                  else cachedStatsView(spark, path)
     val dictQ = dictV
       .join(broadcast(qtoks.select("term").distinct()), Seq("term"))
@@ -702,7 +706,7 @@ object IndexRefresh {
         aggregate(transform(array_sort(col("cs")), x => x.getField("imp")),
           lit(0.0), (a, x) => a + x).as("corr"))
     val shortest =
-      if (nocache) liveDocStats(spark, path)
+      if (nocache) liveDocStats(spark, path, asOf)
         .orderBy(col("dl").asc, col("doc_id").asc).limit(k + 1)
       else cachedShortest(spark, path, k)
     val cand = corr
@@ -797,6 +801,17 @@ object IndexRefresh {
     val docs = Tables.documents(s, dir)
     search(s, refreshedArtifact(s, dir), CorpusOps.prevSnapshot(docs),
       KeywordSearch.QueryTerms, asOf = Some(0))
+  }
+
+  /** Driver query: the QL batch workload TIME-TRAVELED — the LM family
+    * readable at any commit like BM25 (13l) and the fusion (15h);
+    * oracle replays the tf-cut-champion QL chain on the PREVIOUS
+    * snapshot.
+    */
+  def qQlSearchAsOf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    qlBatchSearch(s, refreshedArtifact(s, dir), CorpusOps.prevSnapshot(docs),
+      asOf = Some(0))
   }
 
   /** Per-segment index-health report — the monitoring surface a
@@ -1004,8 +1019,8 @@ object IndexRefresh {
                          nTerms: Int = KeywordSearch.BatchTerms,
                          k: Int = KeywordSearch.BatchK,
                          mu: Double = QueryLikelihood.Mu,
-                         m: Int = M): String =
-    s"""WITH $currCte,
+                         m: Int = M, prevSnapshot: Boolean = false): String =
+    s"""WITH ${if (prevSnapshot) prevCte else currCte},
        |toked AS (
        |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM curr),
        |postings AS (
@@ -1116,6 +1131,7 @@ object IndexRefresh {
     */
   val searchAsOfOracle: String =
     refreshSearchSql(KeywordSearch.QueryTerms, prevSnapshot = true)
+  val qlSearchAsOfOracle: String = refreshQlSearchSql(prevSnapshot = true)
   val indexStatsOracle: String = indexStatsSql
   /** Oracle for [[qCompactionPlan]]: the decision arithmetic over the
     * [[indexStatsSql]] rows.

@@ -197,6 +197,11 @@ class IndexRefreshSpec extends SparkSpec {
       sortedRows(IndexRefresh.dictView(spark, rebuilt(curr))))
     assert(sortedRows(IndexRefresh.statsView(spark, p, asOf = Some(0))) ==
       sortedRows(IndexRefresh.statsView(spark, rebuilt(base))))
+    // ... and the QL batch workload time-travels with the same pin
+    assert(sortedRows(IndexRefresh.qlBatchSearch(spark, p, base,
+        stride = 1, asOf = Some(0))) ==
+      sortedRows(IndexRefresh.qlBatchSearch(spark, rebuilt(base), base,
+        stride = 1)))
   }
 
   test("index health report counts each segment's and tombstone batch's volumes") {
