@@ -301,6 +301,13 @@ class IndexRefreshSpec extends SparkSpec {
         (changedIds ++ addedIds).foreach(i => corpus += i -> randText())
         val deltaDocs = docsDF((changedIds ++ addedIds).map(i => i -> corpus(i)): _*)
         IndexRefresh.refresh(spark, path, deltaDocs, removedDocs)
+        // probe the epoch-cached views after EVERY refresh — the churn
+        // stressor for cache invalidation: any stale merge surfaces as
+        // an inequality right here, mid-chain
+        assert(sortedRows(IndexRefresh.cachedDictView(spark, path)) ==
+          sortedRows(IndexRefresh.dictView(spark, path)), "cached dict mid-chain")
+        assert(sortedRows(IndexRefresh.cachedStatsView(spark, path)) ==
+          sortedRows(IndexRefresh.statsView(spark, path)), "cached stats mid-chain")
         // occasionally compact mid-chain and keep refreshing on the
         // compacted artifact — the background-task interleaving a
         // deployment actually runs
