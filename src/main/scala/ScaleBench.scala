@@ -63,7 +63,8 @@ object ScaleBench {
     "vector_search_asof",   // vector-layout time-travel read
     "kw_compaction_plan",   // fold decision over the health rollup
     "hybrid_search_asof",   // two-leg fusion pinned at segment 0
-    "ql_search_asof")       // QL batch workload pinned at segment 0
+    "ql_search_asof",       // QL batch workload pinned at segment 0
+    "stream_refresh_compact") // refresh->monitor->fold->serve loop
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):
     * the batch-fusion rows scale the query set AND the corpus with N, so

@@ -209,6 +209,7 @@ object SparkEntry {
     "stream_clean_ingest" -> (graft.streaming.CorpusStream.qStreamCleanPack _),
     "stream_index_ingest" -> (graft.streaming.IndexStream.qStreamIndexIngest _),
     "stream_index_refresh" -> (graft.streaming.IndexStream.qStreamIndexRefresh _),
+    "stream_refresh_compact" -> (graft.streaming.IndexStream.qStreamRefreshCompact _),
     "stream_vector_refresh" -> (graft.streaming.IndexStream.qStreamVectorRefresh _),
     // materialized-index searches: oracle-checked — the partition-pruned
     // on-disk path must reproduce the inline search's result exactly
@@ -418,6 +419,7 @@ object SparkEntry {
     "stream_clean_ingest" -> graft.streaming.CorpusStream.cleanPackOracle,
     "stream_index_ingest" -> graft.streaming.IndexStream.indexIngestOracle,
     "stream_index_refresh" -> graft.streaming.IndexStream.streamIndexRefreshOracle,
+    "stream_refresh_compact" -> graft.streaming.IndexStream.streamRefreshCompactOracle,
     "stream_vector_refresh" -> graft.streaming.IndexStream.streamVectorRefreshOracle,
     "stream_hybrid_serve" -> HybridSearch.batchSearchOracle,
     "stream_bm25_serve" -> KeywordSearch.batchSearchOracle,

@@ -148,6 +148,76 @@ object IndexStream {
   val streamIndexRefreshOracle: String =
     graft.operators.IndexRefresh.refreshSearchOracle
 
+  /** Driver query: the FULL operational loop in one gate — per
+    * micro-batch refresh, the compaction POLICY checked after each
+    * batch, and an actual fold (generation roll) whenever it trips,
+    * with serving continuing on whatever generation the loop ends on.
+    * The benchmark delta splits into THREE micro-batches so the chain
+    * is deep enough that the depth trigger (maxSegments = 2 here)
+    * fires at least once — the build REQUIRES it, so the gate always
+    * exercises refresh → monitor → fold → keep refreshing, not just
+    * refresh. Generations are subdirectories (gen0, gen1, …); the fold
+    * commits by directory roll, so a failed fold leaves the prior
+    * generation serving — the background-compaction failure semantics
+    * a deployment wants. Oracle: the SAME full-rebuild replay as
+    * `kw_index_refresh` — refresh timing AND compaction timing must
+    * both be invisible in every served result.
+    */
+  def qStreamRefreshCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusOps, IndexCache, IndexRefresh, KeywordSearch}
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val curr = CorpusOps.currSnapshot(docs)
+    val prev = CorpusOps.prevSnapshot(docs)
+    val root = IndexCache.getOrBuild("kw_refresh_compact_stream", dir) { p =>
+      var cur = s"$p/gen0"
+      var gen = 0
+      IndexRefresh.buildBase(prev, cur)
+      val diff = CorpusOps.snapshotDiff(curr, prev)
+        .filter(col("status") =!= "unchanged")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Long]
+      val q = input.toDF().select(col("value").as("doc_id")).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val ids = batch.select("doc_id").distinct()
+          if (!batch.isEmpty) {
+            val d = diff.join(ids, Seq("doc_id"), "semi")
+            IndexRefresh.refreshAt(spark, cur, 1 + batchId.toInt,
+              curr.join(d.filter(col("status").isin("added", "changed"))
+                .select("doc_id"), Seq("doc_id"), "semi"),
+              prev.join(d.filter(col("status").isin("removed", "changed"))
+                .select("doc_id"), Seq("doc_id"), "semi"))
+            if (IndexRefresh.compactionPlan(spark, cur, maxSegments = 2)
+                .head().getBoolean(4)) {
+              gen += 1
+              val next = s"$p/gen$gen"
+              IndexRefresh.compact(spark, cur, next)
+              cur = next
+            }
+          }
+        }
+        .start()
+      val affected = diff.select("doc_id").as[Long].collect().sorted.toSeq
+      (0 until 3).foreach { b =>
+        input.addData(affected.filter(_ % 3 == b): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      require(gen >= 1, "the compaction policy never tripped — the gate " +
+        "must exercise the fold, not just the refresh chain")
+    }
+    val gens = Option(new java.io.File(root).list())
+      .getOrElse(Array.empty[String])
+      .filter(_.startsWith("gen")).map(_.stripPrefix("gen").toInt)
+    IndexRefresh.search(spark, s"$root/gen${gens.max}", curr,
+      KeywordSearch.QueryTerms)
+  }
+
+  /** Same full-rebuild oracle — compaction timing is invisible. */
+  val streamRefreshCompactOracle: String =
+    graft.operators.IndexRefresh.refreshSearchOracle
+
   /** Driver query: STREAMING incremental IVF refresh — the vector-side
     * twin of [[qStreamIndexRefresh]]: vector-change batches arrive as a
     * stream, each micro-batch applying
