@@ -64,7 +64,9 @@ object ScaleBench {
     "kw_compaction_plan",   // fold decision over the health rollup
     "hybrid_search_asof",   // two-leg fusion pinned at segment 0
     "ql_search_asof",       // QL batch workload pinned at segment 0
-    "stream_refresh_compact") // refresh->monitor->fold->serve loop
+    "stream_refresh_compact", // refresh->monitor->fold->serve loop
+    "kw_search_rm3_asof",   // RM3 with both probe rounds pinned
+    "eval_retrieval_golden_refreshed") // golden eval over live postings
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):
     * the batch-fusion rows scale the query set AND the corpus with N, so

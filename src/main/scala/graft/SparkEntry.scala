@@ -75,6 +75,7 @@ object SparkEntry {
     "kw_search_refreshed_batch" -> (IndexRefresh.qRefreshBatchSearch _),
     "ql_search_refreshed_batch" -> (IndexRefresh.qRefreshQlSearch _),
     "kw_search_rm3_refreshed" -> (Rm3Expansion.qSearchRefreshed _),
+    "kw_search_rm3_asof" -> (Rm3Expansion.qSearchAsOf _),
     "kw_search_asof" -> (IndexRefresh.qSearchAsOf _),
     "ql_search_asof" -> (IndexRefresh.qQlSearchAsOf _),
     "kw_index_stats" -> (IndexRefresh.qIndexStats _),
@@ -175,6 +176,7 @@ object SparkEntry {
     "eval_alpha_sweep_pruned" -> (RetrievalEval.queryAlphaSweepPruned _),
     // file-driven golden-dataset evaluation (external JSON golden set)
     "eval_retrieval_golden" -> (GoldenEval.qGoldenEval _),
+    "eval_retrieval_golden_refreshed" -> (GoldenEval.qGoldenEvalRefreshed _),
     "eval_retrieval_golden_pruned" -> (GoldenEval.qGoldenEvalPruned _),
     "eval_answer_cases" -> (AnswerEval.queryCases _),
     "eval_answer_poll" -> (AnswerEval.queryPoll _),
@@ -305,6 +307,7 @@ object SparkEntry {
     "kw_search_refreshed_batch" -> IndexRefresh.refreshBatchSearchOracle,
     "ql_search_refreshed_batch" -> IndexRefresh.refreshQlSearchOracle,
     "kw_search_rm3_refreshed" -> Rm3Expansion.searchRefreshedOracle,
+    "kw_search_rm3_asof" -> Rm3Expansion.searchAsOfOracle,
     "kw_search_asof" -> IndexRefresh.searchAsOfOracle,
     "ql_search_asof" -> IndexRefresh.qlSearchAsOfOracle,
     "kw_index_stats" -> IndexRefresh.indexStatsOracle,
@@ -401,6 +404,7 @@ object SparkEntry {
     "eval_retrieval_pruned" -> RetrievalEval.prunedOracle,
     "eval_alpha_sweep" -> RetrievalEval.alphaSweepOracle,
     "eval_retrieval_golden" -> GoldenEval.goldenEvalOracle,
+    "eval_retrieval_golden_refreshed" -> GoldenEval.goldenEvalRefreshedOracle,
     "eval_retrieval_golden_pruned" -> GoldenEval.goldenEvalPrunedOracle,
     "eval_answer_cases" -> AnswerEval.casesOracle,
     "eval_answer_poll" -> AnswerEval.pollOracle,

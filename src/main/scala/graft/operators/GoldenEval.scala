@@ -129,6 +129,24 @@ object GoldenEval {
     goldenMetrics(docs, KeywordSearch.rankKwScored(scored, TopK), golden)
   }
 
+  /** The REFRESHED-index golden leg: real users bring their own eval
+    * sets AND refresh their corpus daily — this scores the same
+    * external golden file through the refreshable layout's merged live
+    * postings ([[IndexRefresh.livePostings]], the exact-BM25 semantics
+    * of [[qGoldenEval]] over the current index state) with the metric
+    * universe restricted to the current snapshot. Oracle replays the
+    * exact golden chain on the current snapshot from scratch — a stale
+    * or mis-merged index surfaces as a metric delta.
+    */
+  def qGoldenEvalRefreshed(s: SparkSession, dir: String): DataFrame = {
+    val docs = CorpusOps.currSnapshot(Tables.documents(s, dir))
+    val golden = loadGolden(s)
+    val postings = IndexRefresh
+      .livePostings(s, IndexRefresh.refreshedArtifact(s, dir))
+      .select("doc_id", "dl", "term", "tf")
+    goldenMetrics(docs, goldenRanked(postings, golden), golden)
+  }
+
   /** Oracle for the pruned leg: the champion CTE chain re-derives the
     * impact index from the raw corpus, golden query terms probe it, and
     * the containment metric tail replays verbatim.
@@ -174,16 +192,26 @@ object GoldenEval {
     * shared schema), re-derives postings from the raw corpus, replays
     * the scoring join and the containment metric tail.
     */
-  def goldenEvalSql(k: Int = TopK, path: String = GoldenPath): String = {
+  def goldenEvalSql(k: Int = TopK, path: String = GoldenPath,
+                    currentSnapshot: Boolean = false): String = {
     import KeywordSearch.{K1, B}
     val qToks =
       "list_filter(regexp_split_to_array(lower(query), '[^a-z0-9]+'), t -> t <> '')"
-    s"""WITH golden AS (
+    // currentSnapshot: the refreshed-index leg's universe — the corpus
+    // state the refreshable artifacts serve
+    val rel = if (currentSnapshot) "cdocs" else "documents"
+    val snapCte = if (currentSnapshot)
+      s"""cdocs AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3),
+         |""".stripMargin
+    else ""
+    s"""WITH ${snapCte}golden AS (
        |  SELECT query_id, query, answer
        |  FROM read_json('$path',
        |    columns = {query_id: 'BIGINT', query: 'VARCHAR', answer: 'VARCHAR'})),
        |toked AS (
-       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM documents),
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM $rel),
        |postings AS (
        |  SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM postings GROUP BY 1),
@@ -212,7 +240,7 @@ object GoldenEval {
        |    max(CASE WHEN contains(d.text, g.answer) THEN 1 ELSE 0 END) AS hit,
        |    min(CASE WHEN contains(d.text, g.answer) THEN rn END) AS first_rel
        |  FROM ranked
-       |  JOIN documents d USING (doc_id)
+       |  JOIN $rel d USING (doc_id)
        |  JOIN golden g ON ranked.q_id = g.query_id
        |  GROUP BY q_id)
        |SELECT count(*) AS n_queries,
@@ -222,4 +250,8 @@ object GoldenEval {
   }
 
   val goldenEvalOracle: String = goldenEvalSql()
+  /** Oracle for [[qGoldenEvalRefreshed]]: the exact golden chain
+    * replayed on the current snapshot from scratch.
+    */
+  val goldenEvalRefreshedOracle: String = goldenEvalSql(currentSnapshot = true)
 }

@@ -889,14 +889,14 @@ object IndexRefresh {
 
   // --- oracles --------------------------------------------------------------
 
-  private def currCte: String =
+  private[graft] def currCte: String =
     s"curr AS (SELECT * FROM documents WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3)"
 
   /** The PREVIOUS snapshot as a CTE under the same name — swapping it
     * into any oracle chain replays that oracle on the pre-refresh
     * corpus (the [[qSearchAsOf]] gate).
     */
-  private def prevCte: String =
+  private[graft] def prevCte: String =
     s"""curr AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % ${CorpusOps.DiffChangeStride} = 4

@@ -200,9 +200,10 @@ object Rm3Expansion {
                               docs: DataFrame,
                               terms: Seq[String] = KeywordSearch.QueryTerms,
                               fbK: Int = FeedbackK, e: Int = ExpandE,
-                              lambda: Double = Lambda, k: Int = TopK): DataFrame = {
+                              lambda: Double = Lambda, k: Int = TopK,
+                              asOf: Option[Int] = None): DataFrame = {
     val qset = terms.distinct.sorted
-    val fb = IndexRefresh.requestScored(spark, path, qset)
+    val fb = IndexRefresh.requestScored(spark, path, qset, asOf)
       .select(col("doc_id"), round(col("raw_score"), 4).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(fbK)
@@ -210,7 +211,7 @@ object Rm3Expansion {
     val wpairs = wterms.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     val s = docs.sparkSession
     import s.implicits._
-    IndexRefresh.requestContribs(spark, path, wpairs.map(_._1))
+    IndexRefresh.requestContribs(spark, path, wpairs.map(_._1), asOf)
       .join(broadcast(wpairs.toDF("term", "weight")), Seq("term"))
       .select(col("doc_id"), col("term"), (col("weight") * col("contrib")).as("c"))
       .groupBy("doc_id")
@@ -227,6 +228,16 @@ object Rm3Expansion {
     expandedSearchRefreshed(s, IndexRefresh.refreshedArtifact(s, dir),
       CorpusOps.currSnapshot(Tables.documents(s, dir)))
 
+  /** Driver query: refreshed RM3 TIME-TRAVELED (as-of segment 0) —
+    * both probe rounds pinned, feedback docs mined from the pinned
+    * corpus state; with this every keyword scorer (BM25 13l, QL, RM3)
+    * reads at any commit. Oracle: the refreshed-RM3 chain on the
+    * PREVIOUS snapshot.
+    */
+  def qSearchAsOf(s: SparkSession, dir: String): DataFrame =
+    expandedSearchRefreshed(s, IndexRefresh.refreshedArtifact(s, dir),
+      CorpusOps.prevSnapshot(Tables.documents(s, dir)), asOf = Some(0))
+
   /** Oracle for the refreshed form: full rebuild of the tf-cut champion
     * index over the current snapshot, probe-time-idf round 1, the same
     * expansion mining, weighted probe-time contributions in term order.
@@ -234,13 +245,13 @@ object Rm3Expansion {
   def expandedSearchRefreshedSql(terms: Seq[String] = KeywordSearch.QueryTerms,
                                  fbK: Int = FeedbackK, e: Int = ExpandE,
                                  lambda: Double = Lambda, k: Int = TopK,
-                                 m: Int = IndexRefresh.M): String = {
+                                 m: Int = IndexRefresh.M,
+                                 prevSnapshot: Boolean = false): String = {
     val qset = terms.distinct.sorted
     val qList = qset.map(t => s"'$t'").mkString(", ")
     val origVals = qset.map(t => s"('$t', ${lambda / qset.size})").mkString(", ")
     import KeywordSearch.{B, K1}
-    s"""WITH curr AS (
-       |  SELECT * FROM documents WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3),
+    s"""WITH ${if (prevSnapshot) IndexRefresh.prevCte else IndexRefresh.currCte},
        |toked AS (
        |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM curr),
        |postings AS (
@@ -299,6 +310,7 @@ object Rm3Expansion {
   }
 
   val searchRefreshedOracle: String = expandedSearchRefreshedSql()
+  val searchAsOfOracle: String = expandedSearchRefreshedSql(prevSnapshot = true)
 
   /** Oracle for the pruned form: DuckDB re-derives the champion index
     * from the raw corpus ([[ChampionIndex.championChampsSqlCtes]] — the
