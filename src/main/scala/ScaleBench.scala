@@ -66,7 +66,8 @@ object ScaleBench {
     "ql_search_asof",       // QL batch workload pinned at segment 0
     "stream_refresh_compact", // refresh->monitor->fold->serve loop
     "kw_search_rm3_asof",   // RM3 with both probe rounds pinned
-    "eval_retrieval_golden_refreshed") // golden eval over live postings
+    "eval_retrieval_golden_refreshed", // golden eval over live postings
+    "vector_index_stats")   // vector-layout health rollup (bounded)
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):
     * the batch-fusion rows scale the query set AND the corpus with N, so

@@ -245,6 +245,62 @@ object VectorRefresh {
       .limit(k)
   }
 
+  /** Per-segment health report for the VECTOR layout — the 13m twin,
+    * and like it derived WITHOUT a corpus scan: each segment's vector
+    * count comes from its centroid-partials artifact (`n` at dim 0 is
+    * the cell's vector count — the partials are ≤ nlist·dim rows), the
+    * kill volume from its tombstone batch. The same compaction policy
+    * ([[IndexRefresh.compactionPlan]]'s trigger pair) reads these rows.
+    */
+  def indexStats(spark: SparkSession, path: String): DataFrame = {
+    val segs = IndexRefresh.segmentIds(path).map { s =>
+      spark.read.parquet(s"$path/seg=$s/centparts")
+        .filter(col("dim") === 0)
+        .agg(coalesce(sum("n"), lit(0L)).as("n_vectors"))
+        .withColumn("seg", lit(s))
+    }.reduce(_.unionByName(_))
+    val tombs = tombstones(spark, path)
+      .groupBy(col("asof_seg").as("seg"))
+      .agg(count(lit(1)).as("t"))
+    segs.join(tombs, Seq("seg"), "left")
+      .select(col("seg").cast("int").as("seg"),
+        col("n_vectors").cast("long").as("n_vectors"),
+        coalesce(col("t"), lit(0L)).cast("long").as("tomb_vectors"))
+      .orderBy("seg")
+  }
+
+  /** Driver query: the standing refreshed vector layout's health
+    * report — oracle re-derives each segment's volumes from the
+    * snapshot-diff stride convention on the embeddings table.
+    */
+  def qIndexStats(s: SparkSession, dir: String): DataFrame =
+    indexStats(s, refreshedArtifact(s, dir))
+
+  /** Oracle for [[qIndexStats]]: segment 0 = the previous snapshot,
+    * segment 1 = the added∪changed delta, its tombstone batch = the
+    * removed∪changed prior versions.
+    */
+  val indexStatsOracle: String =
+    s"""WITH prev AS (
+       |  SELECT vec_id FROM embeddings WHERE vec_id % $DiffAddStride <> 5),
+       |currs AS (
+       |  SELECT vec_id FROM embeddings WHERE vec_id % $DiffRemoveStride <> 3),
+       |delta AS (
+       |  SELECT vec_id FROM currs
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM prev)
+       |     OR vec_id % $DiffChangeStride = 4),
+       |removed AS (
+       |  SELECT vec_id FROM prev
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM currs)
+       |     OR vec_id % $DiffChangeStride = 4)
+       |SELECT CAST(0 AS INTEGER) AS seg, count(*) AS n_vectors,
+       |  CAST(0 AS BIGINT) AS tomb_vectors
+       |FROM prev
+       |UNION ALL
+       |SELECT CAST(1 AS INTEGER), (SELECT count(*) FROM delta),
+       |  (SELECT count(*) FROM removed)
+       |ORDER BY seg""".stripMargin
+
   /** added ∪ changed vectors with their CURRENT values — the refresh
     * batch's delta side (shared by the one-shot driver artifact and the
     * streaming twin, which semi-joins it per micro-batch).

@@ -217,6 +217,20 @@ class VectorRefreshSpec extends SparkSpec {
     assert(VectorRefresh.liveVectors(spark, p).count() == curr.count())
   }
 
+  test("vector health report counts each segment from the bounded partials") {
+    val p = tmp()
+    VectorRefresh.buildBase(prev, p)
+    VectorRefresh.refresh(spark, p,
+      VectorRefresh.deltaEmbs(curr, prev), VectorRefresh.removedEmbs(curr, prev))
+    val rows = VectorRefresh.indexStats(spark, p).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1))
+    assert(rows(0).getLong(1) == prev.count() && rows(0).getLong(2) == 0)
+    assert(rows(1).getLong(1) ==
+      VectorRefresh.deltaEmbs(curr, prev).count())
+    assert(rows(1).getLong(2) ==
+      VectorRefresh.removedEmbs(curr, prev).count())
+  }
+
   test("epoch-cached vector views: reused within an epoch, rebuilt on refresh") {
     val p = tmp()
     VectorRefresh.buildBase(prev, p)
