@@ -213,6 +213,7 @@ object SparkEntry {
     "stream_index_ingest" -> (graft.streaming.IndexStream.qStreamIndexIngest _),
     "stream_index_refresh" -> (graft.streaming.IndexStream.qStreamIndexRefresh _),
     "stream_refresh_compact" -> (graft.streaming.IndexStream.qStreamRefreshCompact _),
+    "stream_vector_refresh_compact" -> (graft.streaming.IndexStream.qStreamVectorRefreshCompact _),
     "stream_vector_refresh" -> (graft.streaming.IndexStream.qStreamVectorRefresh _),
     // materialized-index searches: oracle-checked — the partition-pruned
     // on-disk path must reproduce the inline search's result exactly
@@ -426,6 +427,7 @@ object SparkEntry {
     "stream_index_ingest" -> graft.streaming.IndexStream.indexIngestOracle,
     "stream_index_refresh" -> graft.streaming.IndexStream.streamIndexRefreshOracle,
     "stream_refresh_compact" -> graft.streaming.IndexStream.streamRefreshCompactOracle,
+    "stream_vector_refresh_compact" -> graft.streaming.IndexStream.streamVectorRefreshCompactOracle,
     "stream_vector_refresh" -> graft.streaming.IndexStream.streamVectorRefreshOracle,
     "stream_hybrid_serve" -> HybridSearch.batchSearchOracle,
     "stream_bm25_serve" -> KeywordSearch.batchSearchOracle,

@@ -276,6 +276,25 @@ object VectorRefresh {
   def qIndexStats(s: SparkSession, dir: String): DataFrame =
     indexStats(s, refreshedArtifact(s, dir))
 
+  /** The vector layout's compaction DECISION — the
+    * [[IndexRefresh.compactionPlan]] trigger pair over [[indexStats]]:
+    * fold on depth or on dead fraction (tombstoned / written vector
+    * versions).
+    */
+  def compactionPlan(spark: SparkSession, path: String,
+                     maxSegments: Int = IndexRefresh.MaxSegments,
+                     maxDeadFrac: Double = IndexRefresh.MaxDeadFrac): DataFrame =
+    indexStats(spark, path)
+      .agg(count(lit(1)).cast("int").as("n_segments"),
+        sum("n_vectors").as("written_vectors"),
+        sum("tomb_vectors").as("tomb_vectors"))
+      .select(col("n_segments"), col("written_vectors"), col("tomb_vectors"),
+        round(col("tomb_vectors").cast("double") / col("written_vectors"), 4)
+          .as("dead_frac"),
+        (col("n_segments") > maxSegments ||
+          col("tomb_vectors").cast("double") / col("written_vectors") >= maxDeadFrac)
+          .as("compact"))
+
   /** Oracle for [[qIndexStats]]: segment 0 = the previous snapshot,
     * segment 1 = the added∪changed delta, its tombstone batch = the
     * removed∪changed prior versions.

@@ -270,4 +270,69 @@ object IndexStream {
   /** Same oracle as `ivf_index_refresh`. */
   val streamVectorRefreshOracle: String =
     graft.operators.VectorRefresh.refreshSearchOracle
+
+  /** Driver query: the VECTOR side's full operational loop — the
+    * [[qStreamRefreshCompact]] twin: per-micro-batch vector refresh,
+    * the [[graft.operators.VectorRefresh.compactionPlan]] policy
+    * checked after each batch, a generation-roll fold whenever it
+    * trips (REQUIRED at least once — maxSegments = 2 over three
+    * batches guarantees it), refreshing continues on the folded
+    * layout. Oracle: the same full-rebuild IVF replay as
+    * `ivf_index_refresh` — refresh and compaction timing both
+    * invisible in the served page.
+    */
+  def qStreamVectorRefreshCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IndexCache, VectorRefresh, VectorSearch}
+    val embs = graft.sources.Tables.embeddings(spark, dir)
+    val curr = VectorRefresh.currSnapshot(embs)
+    val prev = VectorRefresh.prevSnapshot(embs)
+    val root = IndexCache.getOrBuild("ivf_refresh_compact_stream", dir) { p =>
+      var cur = s"$p/gen0"
+      var gen = 0
+      VectorRefresh.buildBase(prev, cur)
+      val delta = VectorRefresh.deltaEmbs(curr, prev).localCheckpoint()
+      val removed = VectorRefresh.removedEmbs(curr, prev).localCheckpoint()
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Long]
+      val q = input.toDF().select(col("value").as("vec_id")).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val ids = batch.select("vec_id").distinct()
+          if (!batch.isEmpty) {
+            VectorRefresh.refreshAt(spark, cur, 1 + batchId.toInt,
+              delta.join(ids, Seq("vec_id"), "semi"),
+              removed.join(ids, Seq("vec_id"), "semi"))
+            if (VectorRefresh.compactionPlan(spark, cur, maxSegments = 2)
+                .head().getBoolean(4)) {
+              gen += 1
+              val next = s"$p/gen$gen"
+              VectorRefresh.compact(spark, cur, next)
+              cur = next
+            }
+          }
+        }
+        .start()
+      val affected = delta.select("vec_id").unionByName(removed.select("vec_id"))
+        .distinct().as[Long].collect().sorted.toSeq
+      (0 until 3).foreach { b =>
+        input.addData(affected.filter(_ % 3 == b): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      require(gen >= 1, "the vector compaction policy never tripped — the " +
+        "gate must exercise the fold, not just the refresh chain")
+    }
+    val gens = Option(new java.io.File(root).list())
+      .getOrElse(Array.empty[String])
+      .filter(_.startsWith("gen")).map(_.stripPrefix("gen").toInt)
+    val qEmb = curr.filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    VectorRefresh.search(spark, s"$root/gen${gens.max}", qEmb,
+      VectorSearch.QueryVecId)
+  }
+
+  /** Same full-rebuild oracle — compaction timing is invisible. */
+  val streamVectorRefreshCompactOracle: String =
+    graft.operators.VectorRefresh.refreshSearchOracle
 }
