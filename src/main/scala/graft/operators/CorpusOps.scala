@@ -355,7 +355,7 @@ object CorpusOps {
     val scored = joined
       .select(col("doc_id"), col("source"), ratio.as("lr"))
       .groupBy("doc_id", "source")
-      .agg(sum("lr").as("lw"))
+      .agg(KeywordSearch.pinnedSumValues(col("lr")).as("lw"))
       .select(col("doc_id"), col("source"), col("lw"),
         (col("lw") + gumbel).as("sc"))
     scored.orderBy(desc("sc"), asc("doc_id")).limit(k)
@@ -439,11 +439,13 @@ object CorpusOps {
        |tgt AS (SELECT f, count(*) AS ct FROM toks WHERE source = '$target' GROUP BY f),
        |raw AS (SELECT f, count(*) AS cr FROM toks WHERE source <> '$target' GROUP BY f),
        |scored AS (
-       |  SELECT doc_id, source,
-       |    sum(ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / ${tTot + buckets}.0)
-       |      - ln((CAST(coalesce(cr, 0) AS DOUBLE) + 1.0) / ${rTot + buckets}.0)) AS lw
-       |  FROM toks LEFT JOIN tgt USING (f) LEFT JOIN raw USING (f)
-       |  WHERE source <> '$target'
+       |  SELECT doc_id, source, sum(lr ORDER BY lr) AS lw
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / ${tTot + buckets}.0)
+       |        - ln((CAST(coalesce(cr, 0) AS DOUBLE) + 1.0) / ${rTot + buckets}.0) AS lr
+       |    FROM toks LEFT JOIN tgt USING (f) LEFT JOIN raw USING (f)
+       |    WHERE source <> '$target')
        |  GROUP BY doc_id, source),
        |noised AS (
        |  SELECT doc_id, source, lw,

@@ -74,11 +74,12 @@ object GoldenEval {
     val scored = postings.join(broadcast(qterms), Seq("term"))
       .join(broadcast(qdict), Seq("term"))
       .join(broadcast(stats))
-      .select(col("q_id"), col("doc_id"),
+      .select(col("q_id"), col("doc_id"), col("term"),
         (idf * (tfD * (K1 + 1)) /
           (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
           .as("s"))
-      .groupBy("q_id", "doc_id").agg(sum("s").as("raw_score"))
+      .groupBy("q_id", "doc_id")
+      .agg(KeywordSearch.pinnedSum(col("term"), col("s")).as("raw_score"))
     KeywordSearch.rankKwScored(scored, k)
   }
 
@@ -125,7 +126,8 @@ object GoldenEval {
       explode(array_distinct(tokens(col("query")))).as("term"))
     val scored = ChampionIndex.cachedChampions(s, dir)
       .join(broadcast(qterms), Seq("term"))
-      .groupBy("q_id", "doc_id").agg(sum("imp").as("raw_score"))
+      .groupBy("q_id", "doc_id")
+      .agg(KeywordSearch.pinnedSum(col("term"), col("imp")).as("raw_score"))
     goldenMetrics(docs, KeywordSearch.rankKwScored(scored, TopK), golden)
   }
 
@@ -163,7 +165,7 @@ object GoldenEval {
        |  SELECT query_id AS q_id, unnest(list_distinct($qToks)) AS term
        |  FROM golden),
        |scored AS (
-       |  SELECT q_id, doc_id, sum(imp) AS raw_score
+       |  SELECT q_id, doc_id, sum(imp ORDER BY term) AS raw_score
        |  FROM champs
        |  JOIN qterms USING (term)
        |  GROUP BY q_id, doc_id),
@@ -224,7 +226,7 @@ object GoldenEval {
        |  SELECT q_id, doc_id,
        |    sum(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |      * (CAST(tf AS DOUBLE) * ${K1 + 1})
-       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl.dl / avgdl))) AS raw_score
+       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl.dl / avgdl)) ORDER BY term) AS raw_score
        |  FROM postings
        |  JOIN qterms USING (term)
        |  JOIN dict USING (term)

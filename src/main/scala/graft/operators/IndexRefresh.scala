@@ -151,6 +151,13 @@ object IndexRefresh {
   private def writeSegment(segDir: String, postings: DataFrame,
                            docstats: DataFrame, dict: DataFrame,
                            champs: DataFrame): Unit = {
+    // clear-first/commit-last for EVERY writer (not just refreshAt's
+    // replay): a buildBase or compact replayed over an already-committed
+    // segment directory must not keep the old marker through the
+    // overwrites — a crash mid-replay would otherwise leave a
+    // committed-looking segment with mixed old/new files, exactly the
+    // corruption the marker exists to expose
+    uncommitSegment(segDir)
     writePartitionedSafe(postings, "term_bucket", s"$segDir/postings")
     docstats.write.mode("overwrite").parquet(s"$segDir/docstats")
     writePartitionedSafe(dict, "term_bucket", s"$segDir/dict")
@@ -254,6 +261,10 @@ object IndexRefresh {
       .withColumn("term_bucket", pmod(portableHash(col("term")), lit(NumBuckets)))
     writeSegment(s"$outPath/seg=0", live, liveDocStats(spark, path), dict,
       cutChampions(live))
+    // the source generation is retired once the fold commits — release
+    // its cached serving views (they'd otherwise pin checkpoint blocks
+    // for the JVM lifetime)
+    evictViews(path)
   }
 
   /** Live per-doc lengths across segments (dl = 0 rows included) — the
@@ -443,12 +454,34 @@ object IndexRefresh {
   }
 
   private[graft] def cachedView(kind: String, path: String)
-                               (build: => DataFrame): DataFrame =
-    viewCache.compute(s"$kind:$path", (_, cur) => {
-      val ep = epochOf(path)
-      if (cur != null && cur._1 == ep) cur
-      else (ep, build.localCheckpoint())
-    })._2
+                               (build: => DataFrame): DataFrame = {
+    val key = s"$kind:$path"
+    val ep = epochOf(path)
+    val hit = viewCache.get(key)
+    if (hit != null && hit._1 == ep) hit._2
+    else {
+      // build OUTSIDE the map's bucket lock — localCheckpoint runs an
+      // eager Spark job, and compute() would block every concurrent
+      // caller colliding on the bucket for its whole duration. The
+      // check-then-swap below keeps the first finished builder; a
+      // racing loser's checkpoint (and any epoch-rolled predecessor)
+      // is simply dropped — losing the strong reference makes the
+      // blocks GC-reclaimable via the ContextCleaner
+      val fresh = build.localCheckpoint()
+      viewCache.compute(key, (_, cur) =>
+        if (cur != null && cur._1 == ep) cur else (ep, fresh))._2
+    }
+  }
+
+  /** Drop a RETIRED layout's cached views — a fold's old generation
+    * ([[compact]] calls this on its source), a test's tmp artifact.
+    * Without eviction every dead path pins its last merged views'
+    * checkpoint blocks for the JVM lifetime; removing the map entry
+    * releases the only strong reference so the ContextCleaner reclaims
+    * the blocks.
+    */
+  private[graft] def evictViews(path: String): Unit =
+    viewCache.keySet().removeIf(_.endsWith(s":$path"))
 
   private[graft] def servingCacheDisabled: Boolean =
     sys.props.contains("graft.refresh.nocache")
@@ -486,13 +519,18 @@ object IndexRefresh {
     * artifact — (doc_id, raw_score = Σ 6dp-rounded contributions from
     * EXACT current statistics), bucket-pruned reads; the pre-ranking
     * stage of [[search]] and the keyword leg of the facade's refreshed
-    * hybrid route.
+    * hybrid route. The per-doc sum accumulates in term order
+    * ([[KeywordSearch.pinnedSum]]) — 6dp-rounded contributions land a
+    * doc's total ON 4dp half-way boundaries ~1% of the time, where an
+    * unordered parallel sum's reassociation flips the rank round
+    * (r10's `kw_search_asof` red row).
     */
   private[graft] def requestScored(spark: SparkSession, path: String,
                                    terms: Seq[String],
                                    asOf: Option[Int] = None): DataFrame =
     requestContribs(spark, path, terms, asOf)
-      .groupBy("doc_id").agg(sum("contrib").as("raw_score"))
+      .groupBy("doc_id")
+      .agg(KeywordSearch.pinnedSum(col("term"), col("contrib")).as("raw_score"))
 
   /** Per-(term, doc) 6dp-rounded BM25 contributions from the request
     * terms' champion rows — the probe [[requestScored]] sums, exposed
@@ -622,8 +660,9 @@ object IndexRefresh {
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(qdict), Seq("term"))
       .join(broadcast(statsV))
-      .select(col("q_id"), col("doc_id"), contrib.as("s"))
-      .groupBy("q_id", "doc_id").agg(sum("s").as("raw_score"))
+      .select(col("q_id"), col("doc_id"), col("term"), contrib.as("s"))
+      .groupBy("q_id", "doc_id")
+      .agg(KeywordSearch.pinnedSum(col("term"), col("s")).as("raw_score"))
   }
 
   /** BATCH Dirichlet-QL over the refreshed artifact — the LM scoring
@@ -940,7 +979,7 @@ object IndexRefresh {
        |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |        * (CAST(tf AS DOUBLE) * ${K1 + 1})
        |        / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)
-       |    ), 4) AS score
+       |      ORDER BY term), 4) AS score
        |  FROM champs
        |  JOIN dict USING (term), stats
        |  WHERE term IN ($termList)
@@ -995,7 +1034,7 @@ object IndexRefresh {
        |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |        * (CAST(tf AS DOUBLE) * ${K1 + 1})
        |        / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)
-       |    ), 4) AS score
+       |      ORDER BY term), 4) AS score
        |  FROM champs c
        |  JOIN qterms USING (term)
        |  JOIN dict USING (term), stats

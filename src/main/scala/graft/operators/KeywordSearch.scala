@@ -37,6 +37,31 @@ object KeywordSearch {
 
   def tfCol(t: String): Column = size(filter(col("toks"), x => x === t))
 
+  /** Order-pinned float sum for score accumulations: collect the
+    * group's (key, value) pairs, sort by key, left-fold the values —
+    * the same IEEE addition sequence as DuckDB's ordered aggregate
+    * `sum(value ORDER BY key)`. An unordered `sum` is reassociated by
+    * whatever partitioning the plan happens to pick, and when the
+    * inputs are fixed-point-rounded contributions (the 6dp edge) the
+    * total lands ON a 4dp half-way boundary with ~1% probability per
+    * near-tie — r10's `kw_search_asof` flip. Every scorer whose sum
+    * feeds a rounded output or a rank uses this. Keys must be unique
+    * per group (term per (query, doc); a repeated key must carry an
+    * equal value, which keeps the sorted value sequence unique).
+    */
+  private[graft] def pinnedSum(key: Column, value: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(key.as("k"), value.as("v")))),
+        x => x.getField("v")),
+      lit(0.0), (a, x) => a + x)
+
+  /** [[pinnedSum]] keyed by the value itself (multiset-sorted fold,
+    * ≡ DuckDB `sum(x ORDER BY x)`) — for sums with no natural unique
+    * key per group.
+    */
+  private[graft] def pinnedSumValues(value: Column): Column =
+    aggregate(array_sort(collect_list(value)), lit(0.0), (a, x) => a + x)
+
   /** Σ over terms of the Robertson BM25 term score, as a column over the
     * conventional stat columns `tf_i`/`df_i`/`dl`/`avgdl`/`n_docs` — the
     * ONE copy of the scoring formula every scorer (plain, multi-field,
@@ -190,17 +215,19 @@ object KeywordSearch {
   def bm25MultiField(docs: DataFrame, terms: Seq[String] = MultiFieldTerms,
                      fields: Seq[(String, Double)] = MultiFields,
                      topK: Int = TopK): DataFrame = {
-    val perField = fields.map { case (field, weight) =>
+    val perField = fields.zipWithIndex.map { case ((field, weight), fi) =>
       val base = termStats(docs.withColumn("text", col(field)), terms)
       val aggCols = count(lit(1)).as("n_docs") +: avg("dl").as("avgdl") +:
         terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
       val stats = base.agg(aggCols.head, aggCols.tail: _*)
       base.join(broadcast(stats))
         .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
-        .select(col("doc_id"), (bm25ScoreCol(terms) * weight).as("ws"))
+        .select(col("doc_id"), lit(fi).as("fi"),
+          (bm25ScoreCol(terms) * weight).as("ws"))
     }
     val top = perField.reduce(_ unionByName _)
-      .groupBy("doc_id").agg(round(sum("ws"), 4).as("score"))
+      .groupBy("doc_id")
+      .agg(round(pinnedSum(col("fi"), col("ws")), 4).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(topK)
     docs.select(col("doc_id"), col("source"), col("lang"))
@@ -228,7 +255,7 @@ object KeywordSearch {
          |  WHERE len(toks) > 0),
          |stats_$fi AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, $dfs FROM base_$fi),
          |scored_$fi AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, $fi AS fi,
          |    ($scores) * $weight AS ws
          |  FROM base_$fi, stats_$fi
          |  WHERE $anyTf)""".stripMargin
@@ -239,7 +266,7 @@ object KeywordSearch {
        |unioned AS (
        |  $unioned),
        |topk AS (
-       |  SELECT doc_id, round(CAST(sum(ws) AS DOUBLE), 4) AS score
+       |  SELECT doc_id, round(CAST(sum(ws ORDER BY fi) AS DOUBLE), 4) AS score
        |  FROM unioned GROUP BY doc_id
        |  ORDER BY score DESC, doc_id LIMIT $topK)
        |SELECT topk.doc_id, source, lang, score
@@ -476,11 +503,12 @@ object KeywordSearch {
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(qdict), Seq("term"))
       .join(broadcast(stats))
-      .select(col("q_id"), col("doc_id"),
+      .select(col("q_id"), col("doc_id"), col("term"),
         (idf * (tfD * (K1 + 1)) /
           (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
           .as("s"))
-      .groupBy("q_id", "doc_id").agg(sum("s").as("raw_score"))
+      .groupBy("q_id", "doc_id")
+      .agg(pinnedSum(col("term"), col("s")).as("raw_score"))
     scored
   }
 
@@ -510,7 +538,7 @@ object KeywordSearch {
        |  SELECT q_id, doc_id,
        |    sum(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |      * (CAST(tf AS DOUBLE) * ${K1 + 1})
-       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl.dl / avgdl))) AS raw_score
+       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl.dl / avgdl)) ORDER BY term) AS raw_score
        |  FROM postings
        |  JOIN qterms USING (term)
        |  JOIN dict USING (term)

@@ -26,6 +26,31 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object IndexStream {
   val NumCells = 8
 
+  /** Fold retry-safety marker: a generation directory produced by a
+    * compaction fold records the HIGHEST micro-batch id it absorbed.
+    * A streaming retry re-invokes `foreachBatch` with the same batchId;
+    * if the prior attempt refreshed AND folded, the retried delta is
+    * already inside the new generation's compacted base, and re-applying
+    * [[graft.operators.IndexRefresh.refreshAt]] there would double its
+    * postings — so the loop skips any batchId ≤ the generation's
+    * absorbed-through id. (refreshAt alone is idempotent by overwrite;
+    * it's the refresh-then-fold pair that needs this.)
+    */
+  private val AbsorbedMarker = "_graft_absorbed_through"
+
+  private def absorbedThrough(genDir: String): Long = {
+    val f = new java.io.File(genDir, AbsorbedMarker)
+    if (f.exists()) {
+      val src = scala.io.Source.fromFile(f)
+      try src.mkString.trim.toLong finally src.close()
+    } else -1L
+  }
+
+  private def recordAbsorbedThrough(genDir: String, batchId: Long): Unit = {
+    val w = new java.io.PrintWriter(new java.io.File(genDir, AbsorbedMarker))
+    try w.print(batchId) finally w.close()
+  }
+
   /** Parquet file-stream of the documents table. */
   def readDocuments(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
@@ -181,7 +206,8 @@ object IndexStream {
       val q = input.toDF().select(col("value").as("doc_id")).writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val ids = batch.select("doc_id").distinct()
-          if (!batch.isEmpty) {
+          // skip batches already absorbed by a fold (see AbsorbedMarker)
+          if (!batch.isEmpty && batchId > absorbedThrough(cur)) {
             val d = diff.join(ids, Seq("doc_id"), "semi")
             IndexRefresh.refreshAt(spark, cur, 1 + batchId.toInt,
               curr.join(d.filter(col("status").isin("added", "changed"))
@@ -193,6 +219,7 @@ object IndexStream {
               gen += 1
               val next = s"$p/gen$gen"
               IndexRefresh.compact(spark, cur, next)
+              recordAbsorbedThrough(next, batchId)
               cur = next
             }
           }
@@ -299,7 +326,8 @@ object IndexStream {
       val q = input.toDF().select(col("value").as("vec_id")).writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val ids = batch.select("vec_id").distinct()
-          if (!batch.isEmpty) {
+          // skip batches already absorbed by a fold (see AbsorbedMarker)
+          if (!batch.isEmpty && batchId > absorbedThrough(cur)) {
             VectorRefresh.refreshAt(spark, cur, 1 + batchId.toInt,
               delta.join(ids, Seq("vec_id"), "semi"),
               removed.join(ids, Seq("vec_id"), "semi"))
@@ -308,6 +336,7 @@ object IndexStream {
               gen += 1
               val next = s"$p/gen$gen"
               VectorRefresh.compact(spark, cur, next)
+              recordAbsorbedThrough(next, batchId)
               cur = next
             }
           }
