@@ -68,7 +68,8 @@ object ScaleBench {
     "kw_search_rm3_asof",   // RM3 with both probe rounds pinned
     "eval_retrieval_golden_refreshed", // golden eval over live postings
     "vector_index_stats",   // vector-layout health rollup (bounded)
-    "stream_vector_refresh_compact") // vector refresh->fold->serve loop
+    "stream_vector_refresh_compact", // vector refresh->fold->serve loop
+    "vector_search_refreshed_quantized") // ADC probe over refreshed PQ codes
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):
     * the batch-fusion rows scale the query set AND the corpus with N, so

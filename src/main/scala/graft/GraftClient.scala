@@ -63,6 +63,31 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
   private def modeDocs: DataFrame = if (refreshed) currDocs else docs
   private def modeEmbs: DataFrame = if (refreshed) currEmbs else embs
 
+  /** An as-of pin is a REFRESHED-mode read of the layout at a past
+    * commit ([[operators.IndexRefresh]]'s time-travel contract:
+    * segments and tombstone batches at or below the pinned id) — the
+    * reproducible-serving / incident-replay read the r10 operator
+    * surface exposed (13l/20c/15h), now reachable from the facade a
+    * user actually holds. Rejected outside refreshed mode: the exact
+    * and champion paths have no commit log to pin.
+    */
+  private def requireAsOfMode(asOf: Option[Int]): Unit =
+    require(asOf.isEmpty || refreshed,
+      s"asOf pins require indexMode='${GraftClient.IndexRefreshed}' — " +
+        s"mode '$indexMode' has no commit log to pin")
+
+  /** The document universe a pinned read serves: metadata joins must
+    * come from the SAME corpus state the pinned segments index, or a
+    * time-traveled result would carry post-pin properties (or lose
+    * rows). The facade's refreshable artifacts follow the snapshot-diff
+    * build (segment 0 = previous snapshot, segment 1 = the refresh), so
+    * a pin below the refresh maps to the previous snapshot; in a
+    * deployment the caller supplies the table version paired with the
+    * commit (Delta/Iceberg table time travel next to the index pin).
+    */
+  private def asOfDocs(asOf: Option[Int]): DataFrame =
+    if (asOf.exists(_ < 1)) CorpusOps.prevSnapshot(docs) else currDocs
+
   /** The reference tokenizes the request server-side; same split as the
     * corpus tokenizer, duplicates collapsed.
     */
@@ -90,7 +115,12 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     */
   def keywordSearch(request: String, limit: Int = 10,
                     filter: Column = lit(true),
-                    queryProperties: Seq[String] = Seq("text")): DataFrame = {
+                    queryProperties: Seq[String] = Seq("text"),
+                    asOf: Option[Int] = None): DataFrame = {
+    requireAsOfMode(asOf)
+    require(asOf.isEmpty || queryProperties == Seq("text"),
+      "asOf pins serve the refreshed single-property index; multi-property " +
+        "requests take the exact path, which has no commit log")
     val fields = queryProperties.map { p =>
       p.split("\\^") match {
         case Array(f, b) if scala.util.Try(b.toDouble).isSuccess => f -> b.toDouble
@@ -102,7 +132,8 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     if (fields == Seq("text" -> 1.0)) {
       if (refreshed)
         IndexRefresh.search(spark, IndexRefresh.refreshedArtifact(spark, dir),
-          currDocs, requestTerms(request), limit, docFilter = filter)
+          asOfDocs(asOf), requestTerms(request), limit, docFilter = filter,
+          asOf = asOf)
       else if (pruned)
         ChampionIndex.bm25ChampionFiltered(docs,
           ChampionIndex.cachedChampions(spark, dir),
@@ -133,11 +164,13 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     * config).
     */
   def vectorSearch(request: String, limit: Int = 10,
-                   filter: Column = lit(true)): DataFrame =
+                   filter: Column = lit(true),
+                   asOf: Option[Int] = None): DataFrame = {
+    requireAsOfMode(asOf)
     if (refreshed)
       VectorRefresh.requestSearch(spark,
-        VectorRefresh.refreshedArtifact(spark, dir), currDocs,
-        requestVector(request), k = limit, docFilter = filter)
+        VectorRefresh.refreshedArtifact(spark, dir), asOfDocs(asOf),
+        requestVector(request), k = limit, docFilter = filter, asOf = asOf)
     else if (pruned)
       IvfIndex.searchPrunedWithQuery(embs, docs, requestVector(request),
         IvfIndex.cachedCentroids(spark, dir), k = limit, docFilter = filter)
@@ -150,6 +183,7 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
           round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
         .orderBy(desc("score"), asc("doc_id"))
         .limit(limit)
+  }
 
   /** `hybrid_search(request, alpha, limit, filter)` — relative-score
     * fusion of the two signals for one request. Pruned mode routes the
@@ -163,14 +197,19 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     * always-true predicate.
     */
   def hybridSearch(request: String, alpha: Double = HybridSearch.Alpha,
-                   limit: Int = 10, filter: Option[Column] = None): DataFrame =
+                   limit: Int = 10, filter: Option[Column] = None,
+                   asOf: Option[Int] = None): DataFrame = {
+    requireAsOfMode(asOf)
+    require(asOf.isEmpty || filter.isEmpty,
+      "asOf pins serve the refreshed fusion; filtered requests take the " +
+        "exact path, which has no commit log")
     if (refreshed && filter.isEmpty)
       HybridSearch.fusedRefreshedWithQuery(spark,
           IndexRefresh.refreshedArtifact(spark, dir),
           VectorRefresh.refreshedArtifact(spark, dir),
           requestTerms(request), requestVector(request), qId = -1L,
-          alpha = alpha, k = limit)
-        .join(currDocs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          alpha = alpha, k = limit, asOf = asOf)
+        .join(asOfDocs(asOf).select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("score"))
         .orderBy(desc("score"), asc("doc_id"))
     else if (pruned && filter.isEmpty)
@@ -188,6 +227,7 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
       // corpus state the unfiltered refreshed route serves
       HybridSearch.fusedWithQuery(modeDocs, modeEmbs, requestTerms(request),
         requestVector(request), alpha, limit, filter.getOrElse(lit(true)))
+  }
 
   /** v4 `near_object(uuid)` — seed the vector search with an EXISTING
     * object's stored vector instead of embedding a request (the

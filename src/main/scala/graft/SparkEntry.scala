@@ -84,6 +84,7 @@ object SparkEntry {
     "stream_ql_refresh_serve" -> (graft.streaming.ServeStream.qStreamQlRefreshServe _),
     "ivf_index_refresh" -> (VectorRefresh.qRefreshSearch _),
     "vector_search_asof" -> (VectorRefresh.qSearchAsOf _),
+    "vector_search_refreshed_quantized" -> (VectorRefresh.qSearchRefreshedQuantized _),
     "vector_index_stats" -> (VectorRefresh.qIndexStats _),
     "kw_search_indexed" -> (KeywordIndex.qSearchIndexed _),
     "vector_search_topk" -> (VectorSearch.search _),
@@ -318,6 +319,7 @@ object SparkEntry {
     "stream_ql_refresh_serve" -> IndexRefresh.refreshQlSearchOracle,
     "ivf_index_refresh" -> VectorRefresh.refreshSearchOracle,
     "vector_search_asof" -> VectorRefresh.searchAsOfOracle,
+    "vector_search_refreshed_quantized" -> VectorRefresh.searchRefreshedQuantizedOracle,
     "vector_index_stats" -> VectorRefresh.indexStatsOracle,
     "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,
     "kw_search_materialized" -> KeywordIndex.searchIndexedOracle,

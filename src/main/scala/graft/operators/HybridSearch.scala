@@ -369,7 +369,8 @@ object HybridSearch {
     val vparts = ivfVpartsFor(embs, queries, nprobe, centroids)
     val kparts = champs
       .filter(col("term").isin(terms.distinct.sorted: _*))
-      .groupBy("doc_id").agg(sum("imp").as("raw_score"))
+      .groupBy("doc_id")
+      .agg(KeywordSearch.pinnedSum(col("term"), col("imp")).as("raw_score"))
       .withColumn("q_id", lit(qId))
     fuseTail(vparts, kparts, alpha, k,
       restrictKwToCandidates = true, materializeCandidates = true)
@@ -387,10 +388,11 @@ object HybridSearch {
                                              terms: Seq[String], q: DataFrame,
                                              qId: Long,
                                              alpha: Double = Alpha, k: Int = TopK,
-                                             nprobe: Int = IvfIndex.NProbe): DataFrame = {
+                                             nprobe: Int = IvfIndex.NProbe,
+                                             asOf: Option[Int] = None): DataFrame = {
     val queries = q.select(lit(qId).as("q_id"), col("q_emb"))
-    val vparts = VectorRefresh.batchVparts(s, vecPath, queries, nprobe)
-    val kparts = IndexRefresh.requestScored(s, kwPath, terms.distinct.sorted)
+    val vparts = VectorRefresh.batchVparts(s, vecPath, queries, nprobe, asOf)
+    val kparts = IndexRefresh.requestScored(s, kwPath, terms.distinct.sorted, asOf)
       .withColumn("q_id", lit(qId))
     fuseTail(vparts, kparts, alpha, k,
       restrictKwToCandidates = true, materializeCandidates = true)
@@ -424,7 +426,7 @@ object HybridSearch {
     s"""WITH ${ChampionIndex.championChampsSqlCtes(m)},
        |${IvfIndex.batchProbedSqlCtes(s"vec_id = $qId", nprobe)},
        |kscored AS (
-       |  SELECT CAST($qId AS BIGINT) AS q_id, doc_id, sum(imp) AS raw_score
+       |  SELECT CAST($qId AS BIGINT) AS q_id, doc_id, sum(imp ORDER BY term) AS raw_score
        |  FROM champs WHERE term IN ($qList)
        |  GROUP BY doc_id),
        |vparts AS (
@@ -1074,7 +1076,7 @@ object HybridSearch {
        |  SELECT q_id, c.doc_id,
        |    sum(round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |      * (CAST(tf AS DOUBLE) * ${K1 + 1})
-       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)) AS raw_score
+       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6) ORDER BY c.term) AS raw_score
        |  FROM champs c
        |  JOIN qterms USING (term)
        |  JOIN dict USING (term), stats

@@ -252,7 +252,7 @@ object ProductQuantizer {
     * running the queries, so the per-dir cache is populated; Double
     * round-trips exactly through its shortest decimal representation.
     */
-  private def codebookValues(model: Model): String =
+  private[operators] def codebookValues(model: Model): String =
     model.codebooks.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (cent, c) =>
         s"($j, $c, [${cent.mkString(", ")}])"

@@ -63,6 +63,8 @@ object VectorRefresh {
           transform(col("embedding"), x => -x)).otherwise(col("embedding")))
 
   private def writeSegment(path: String, r: Int, embs: DataFrame): Unit = {
+    // clear-first/commit-last for every writer (IndexRefresh contract)
+    IndexRefresh.uncommitSegment(s"$path/seg=$r")
     // the empty-frame-readability contract of IndexRefresh.writeSegment
     IndexRefresh.writePartitionedSafe(
       embs.select(col("vec_id"), col("embedding"), col("label").as("cell")),
@@ -72,6 +74,15 @@ object VectorRefresh {
       .groupBy("cell", "dim")
       .agg(sum(col("e").cast("double")).as("sum_e"), count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/seg=$r/centparts")
+    // QUANTIZED layout mode: a layout carrying a codebook artifact also
+    // lands the segment's m-byte PQ codes, encoded against the STANDING
+    // codebook — refresh batches never retrain (FAISS IVFPQ add()
+    // encodes with the trained PQ; retrain is [[compactRetrain]]'s job)
+    if (hasCodebook(path))
+      IndexRefresh.writePartitionedSafe(
+        ProductQuantizer.encode(embs, readCodebook(embs.sparkSession, path))
+          .select(col("vec_id"), col("codes"), col("label").as("cell")),
+        "cell", s"$path/seg=$r/codes")
     // marker LAST — the IndexRefresh.segmentIds completeness contract
     IndexRefresh.commitSegment(s"$path/seg=$r")
   }
@@ -120,7 +131,12 @@ object VectorRefresh {
     val live = liveVectors(spark, path)
       .select(col("vec_id"), col("embedding"), col("cell").as("label"))
       .localCheckpoint()
+    // a quantized layout keeps its STANDING codebook across a plain
+    // fold (same codebook → identical codes for identical vectors)
+    if (hasCodebook(path)) writeCodebook(spark, outPath, readCodebook(spark, path))
     writeSegment(outPath, 0, live)
+    // release the retired generation's cached serving views
+    IndexRefresh.evictViews(path)
   }
 
   /** Compaction WITH quantizer retrain — the documented compaction-time
@@ -143,7 +159,17 @@ object VectorRefresh {
     val assigned = IvfIndex.assignKmeansCells(live, nlist, seed)
       .select(col("vec_id"), col("embedding"), col("cell").as("label"))
       .localCheckpoint()
+    // compaction-time PQ retrain — the quantized tier's codebook refits
+    // the CURRENT live distribution (stride sample, the training-reads-
+    // a-sliver convention) and the fold re-encodes every live vector
+    // against it; until the next fold, refresh batches keep encoding
+    // with this codebook
+    if (hasCodebook(path))
+      writeCodebook(spark, outPath, ProductQuantizer.train(
+        assigned.filter(col("vec_id") % QuantSampleStride === 0)))
     writeSegment(outPath, 0, assigned)
+    // release the retired generation's cached serving views
+    IndexRefresh.evictViews(path)
   }
 
   /** Assign vectors to their nearest merged centroid — how a refresh
@@ -350,13 +376,14 @@ object VectorRefresh {
                                    nprobe: Int = IvfIndex.NProbe,
                                    k: Int = IvfIndex.TopK,
                                    docFilter: org.apache.spark.sql.Column =
-                                     org.apache.spark.sql.functions.lit(true)): DataFrame = {
-    val cells = centroidView(spark, path).join(broadcast(q))
+                                     org.apache.spark.sql.functions.lit(true),
+                                   asOf: Option[Int] = None): DataFrame = {
+    val cells = centroidView(spark, path, asOf).join(broadcast(q))
       .select(col("cell"),
         round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
       .orderBy(desc("cscore"), asc("cell")).limit(nprobe)
       .collect().map(_.getInt(0)).toSeq
-    liveVectors(spark, path, Some(cells))
+    liveVectors(spark, path, Some(cells), asOf)
       .join(docs.filter(docFilter).select(col("doc_id"), col("source"), col("lang")),
         col("vec_id") === col("doc_id"))
       .join(broadcast(q))
@@ -471,6 +498,142 @@ object VectorRefresh {
        |LIMIT $k""".stripMargin
   }
 
+  // --- quantized serving tier (PQ codes as a LAYOUT MODE) --------------------
+
+  /** Stride of the PQ training sample ([[ProductQuantizer.modelFor]]'s
+    * 10% convention — training reads a sliver, encoding streams).
+    */
+  val QuantSampleStride = 10
+
+  private[graft] def codebookDir(path: String): String = s"$path/codebook"
+
+  private[graft] def hasCodebook(path: String): Boolean =
+    new java.io.File(codebookDir(path)).exists()
+
+  /** The codebook artifact: (j, c, cent double[]) — m·k rows, one tiny
+    * file; the layout's self-describing switch into quantized mode
+    * (every subsequent segment write also lands codes).
+    */
+  private[graft] def writeCodebook(spark: SparkSession, path: String,
+                                   model: ProductQuantizer.Model): Unit = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) => (j, c, cent) }
+    }.toDF("j", "c", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(codebookDir(path))
+  }
+
+  /** Read-back with a lastModified-keyed memo: the artifact is m·k rows
+    * (bounded — the cache rule's index-artifact class), re-read only
+    * when a retrain rewrites it.
+    */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ProductQuantizer.Model]()
+
+  private[graft] def readCodebook(spark: SparkSession,
+                                  path: String): ProductQuantizer.Model =
+    codebookCache.computeIfAbsent(
+      s"$path@${new java.io.File(codebookDir(path)).lastModified()}", _ => {
+        val rows = spark.read.parquet(codebookDir(path))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        val m = rows.map(_._1).max + 1
+        ProductQuantizer.Model(m, ProductQuantizer.Dim,
+          (0 until m).map(j =>
+            rows.filter(_._1 == j).sortBy(_._2).map(_._3.toSeq).toSeq))
+      })
+
+  /** Base build in QUANTIZED mode: train the codebook on a stride
+    * sample of the base snapshot, then land segment 0 — codes included
+    * (the [[writeSegment]] layout-mode hook).
+    */
+  def buildBaseQuantized(embs: DataFrame, path: String): Unit = {
+    writeCodebook(embs.sparkSession, path,
+      ProductQuantizer.train(embs.filter(col("vec_id") % QuantSampleStride === 0)))
+    buildBase(embs, path)
+  }
+
+  /** Live PQ codes across segments — the [[liveVectors]] tombstone rule
+    * on the m-byte code files: the quantized probe's scan never touches
+    * a full-precision vector.
+    */
+  private[graft] def liveCodes(spark: SparkSession, path: String,
+                               cellFilter: Option[Seq[Int]] = None,
+                               asOf: Option[Int] = None): DataFrame = {
+    val all = IndexRefresh.segmentIds(path)
+      .filter(s => asOf.forall(s <= _)).map { s =>
+      val df = spark.read.parquet(s"$path/seg=$s/codes")
+      cellFilter.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
+        .withColumn("seg", lit(s))
+    }.reduce(_.unionByName(_))
+    val kills = tombstones(spark, path, asOf).groupBy("vec_id")
+      .agg(max("asof_seg").as("dead_after"))
+    all.join(broadcast(kills), Seq("vec_id"), "left")
+      .filter(col("dead_after").isNull || col("seg") >= col("dead_after"))
+      .drop("dead_after", "seg")
+  }
+
+  /** ADC search over the refreshed QUANTIZED layout — at 100 TB this IS
+    * the vector serving path: IVF prunes WHICH cells are scanned
+    * (merged serving centroids, exact maintenance, nprobe knob), PQ
+    * shrinks WHAT each scanned row costs (m table lookups over m-byte
+    * codes — the probe reads `codes` files only, 1/16th the bytes of
+    * the full-precision scan at m=8/d=64·4B), and the refresh path
+    * keeps both current per batch. Scoring is [[ProductQuantizer]]'s
+    * ADC contract exactly: driver-built distance table from the
+    * STANDING codebook, j-ordered lookup sum, 6dp round, vec_id
+    * tiebreak — so the literal-codebook oracle replays it bitwise.
+    */
+  def searchQuantized(spark: SparkSession, path: String, qEmb: DataFrame,
+                      excludeVecId: Long, nprobe: Int = IvfIndex.NProbe,
+                      k: Int = IvfIndex.TopK,
+                      asOf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.graftshim.{PqAdcScore, Shims}
+    val model = readCodebook(spark, path)
+    val cells = centroidView(spark, path, asOf).join(broadcast(qEmb))
+      .select(col("cell"),
+        round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
+      .orderBy(desc("cscore"), asc("cell")).limit(nprobe)
+      .collect().map(_.getInt(0)).toSeq
+    val q = qEmb.head().getSeq[Float](0).map(_.toDouble)
+    val table = ProductQuantizer.adcTable(model, q)
+    liveCodes(spark, path, Some(cells), asOf)
+      .filter(col("vec_id") =!= excludeVecId)
+      .select(col("vec_id"), col("cell"),
+        round(Shims.column(PqAdcScore(Shims.expression(col("codes")), table)), 6)
+          .as("adc"))
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** The quantized refreshed layout for a source dir: quantized base on
+    * the previous snapshot (codebook trained there — the standing-model
+    * convention), one refresh encoding the delta against it.
+    */
+  private[graft] def quantizedArtifact(s: SparkSession, dir: String): String =
+    IndexCache.getOrBuild("ivf_pq_refresh", dir) { p =>
+      val embs = Tables.embeddings(s, dir)
+      val curr = currSnapshot(embs)
+      val prev = prevSnapshot(embs)
+      buildBaseQuantized(prev, p)
+      refresh(s, p, deltaEmbs(curr, prev), removedEmbs(curr, prev))
+    }
+
+  @volatile private var lastQuantModel: Option[ProductQuantizer.Model] = None
+
+  /** Driver query: ADC search over the refreshed quantized layout —
+    * the oracle replays encode + ADC on the current snapshot with the
+    * ENGINE's codebook as literals, so base+delta codes ∪ tombstones ≡
+    * a full re-encode is checked at the search-result level.
+    */
+  def qSearchRefreshedQuantized(s: SparkSession, dir: String): DataFrame = {
+    val path = quantizedArtifact(s, dir)
+    lastQuantModel = Some(readCodebook(s, path))
+    val q = liveVectors(s, path)
+      .filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    searchQuantized(s, path, q, VectorSearch.QueryVecId)
+  }
+
   /** Driver query: the vector layout's TIME-TRAVEL read — the same
     * search pinned AS OF segment 0 (the [[IndexRefresh]] as-of
     * contract on the vector family): centroids merged from segment-0
@@ -489,4 +652,73 @@ object VectorRefresh {
 
   val refreshSearchOracle: String = refreshSearchSql()
   val searchAsOfOracle: String = refreshSearchSql(prevSnapshot = true)
+
+  /** Oracle for [[qSearchRefreshedQuantized]]: the ENGINE's codebook as
+    * a literal VALUES table (the [[ProductQuantizer]] oracle
+    * convention — training isn't SQL-expressible; given the codebook,
+    * encode + ADC are pure arithmetic), the IVF probe re-derived from
+    * the current snapshot's exact centroids, candidates re-encoded and
+    * ADC-scored with the same j-ordered sums and 6dp round. A `def` —
+    * [[graft.Verify]] dumps oracles after the queries run, so the
+    * model captured by the driver query is present.
+    */
+  def searchRefreshedQuantizedOracle: String = lastQuantModel.fold(
+    // loud failure instead of a plausible empty compare (PQ convention)
+    "SELECT pq_refresh_model_not_captured FROM embeddings") { model =>
+    val sub = model.dim / model.m
+    val qid = VectorSearch.QueryVecId
+    val nprobe = IvfIndex.NProbe
+    s"""WITH curr AS (
+       |  SELECT * FROM embeddings WHERE vec_id % $DiffRemoveStride <> 3),
+       |cb AS (SELECT * FROM (VALUES
+       |    ${ProductQuantizer.codebookValues(model)}) AS t(j, c, cent)),
+       |q AS (SELECT embedding AS q_emb FROM curr WHERE vec_id = $qid),
+       |exploded AS (
+       |  SELECT label AS cell, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS e
+       |  FROM curr),
+       |cent_long AS (
+       |  SELECT cell, dim, avg(e) AS cv FROM exploded GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cell, list(cv ORDER BY dim) AS centroid FROM cent_long GROUP BY cell),
+       |probed AS (
+       |  SELECT cell FROM cent, q
+       |  ORDER BY round(${VectorSearch.cosineSql("centroid", "q_emb")}, 6) DESC, cell
+       |  LIMIT $nprobe),
+       |norm AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS e
+       |  FROM curr),
+       |qn AS (SELECT e AS qe FROM norm WHERE vec_id = $qid),
+       |cands AS (
+       |  SELECT n.vec_id, n.label, n.e
+       |  FROM norm n JOIN probed p ON n.label = p.cell
+       |  WHERE n.vec_id <> $qid),
+       |dists AS (
+       |  SELECT vec_id, label, j, c,
+       |    list_sum(list_transform(range(1, ${sub + 1}), t ->
+       |      (e[j * $sub + t] - cent[t]) * (e[j * $sub + t] - cent[t]))) AS d2
+       |  FROM cands, cb),
+       |enc AS (
+       |  SELECT vec_id, label, j, c,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn
+       |  FROM dists),
+       |tbl AS (
+       |  SELECT j, c,
+       |    list_sum(list_transform(range(1, ${sub + 1}), t ->
+       |      (qe[j * $sub + t] - cent[t]) * (qe[j * $sub + t] - cent[t]))) AS d2
+       |  FROM qn, cb),
+       |adcs AS (
+       |  SELECT enc.vec_id, enc.label AS cell,
+       |    round(list_sum(list(tbl.d2 ORDER BY enc.j)), 6) AS adc
+       |  FROM enc JOIN tbl ON enc.j = tbl.j AND enc.c = tbl.c
+       |  WHERE rn = 1
+       |  GROUP BY 1, 2)
+       |SELECT vec_id, cell, adc
+       |FROM adcs
+       |ORDER BY adc ASC, vec_id
+       |LIMIT ${IvfIndex.TopK}""".stripMargin
+  }
 }

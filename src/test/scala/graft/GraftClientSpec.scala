@@ -191,6 +191,51 @@ class GraftClientSpec extends SparkSpec {
         topK = Int.MaxValue).collect().map(_.getLong(0)).toSet))
   }
 
+  test("asOf pins route every refreshed search to the time-traveled read") {
+    import graft.operators.{CorpusOps, HybridSearch, IndexRefresh, VectorRefresh}
+    val rc = new GraftClient(TestSpark.spark, TestSpark.Sf0001,
+      indexMode = GraftClient.IndexRefreshed)
+    val prevD = CorpusOps.prevSnapshot(
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001))
+    val kwPath = IndexRefresh.refreshedArtifact(spark, TestSpark.Sf0001)
+    val vecPath = VectorRefresh.refreshedArtifact(spark, TestSpark.Sf0001)
+    val pin = Some(0)
+    // keyword: the facade pin ≡ the oracle-gated as-of operator
+    // (kw_search_asof — same terms, same k, same pinned universe)
+    val viaKw = rc.keywordSearch(KeywordSearch.QueryTerms.mkString(" "),
+      asOf = pin).collect().toSeq
+    val directKw = IndexRefresh.search(spark, kwPath, prevD,
+      KeywordSearch.QueryTerms, asOf = pin).collect().toSeq
+    assert(viaKw == directKw && viaKw.nonEmpty)
+    // the pin must CHANGE the result (the artifact has moved on)
+    assert(viaKw != rc.keywordSearch(
+      KeywordSearch.QueryTerms.mkString(" ")).collect().toSeq)
+    // vector: pinned cell walk with the same embedded request
+    val req = "spark hash join fast"
+    val q = spark.range(1).select(
+      graft.operators.Embedder.embed(lit(req), 64).cast("array<float>").as("q_emb"))
+    val viaVec = rc.vectorSearch(req, limit = 7, asOf = pin).collect().toSeq
+    val directVec = VectorRefresh.requestSearch(spark, vecPath, prevD, q, k = 7,
+      asOf = pin).collect().toSeq
+    assert(viaVec == directVec && viaVec.nonEmpty)
+    // hybrid: pinned two-leg fusion, metadata from the pinned universe
+    val viaHy = rc.hybridSearch(req, limit = 5, asOf = pin).collect().toSeq
+    val directHy = HybridSearch.fusedRefreshedWithQuery(spark, kwPath, vecPath,
+        req.split(" ").toSeq, q, qId = -1L, k = 5, asOf = pin)
+      .join(prevD.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .collect().toSeq
+    assert(viaHy == directHy && viaHy.nonEmpty)
+    // pins are refused outside refreshed mode (no commit log to pin)
+    intercept[IllegalArgumentException] {
+      client.keywordSearch("spark", asOf = pin)
+    }
+    intercept[IllegalArgumentException] {
+      rc.keywordSearch("spark", asOf = pin, queryProperties = Seq("text", "source^2"))
+    }
+  }
+
   test("nearObject honors the collection's index mode") {
     import graft.operators.{IvfIndex, VectorRefresh, VectorSearch}
     val embs = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
