@@ -144,6 +144,10 @@ object ScaleBench {
     def liveSession(): org.apache.spark.sql.SparkSession = {
       if (spark.sparkContext.isStopped) {
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        // cached serving views hold localCheckpoint frames bound to the
+        // dead context — serving them from the new session throws
+        // "Cannot call methods on a stopped SparkContext"
+        graft.operators.IndexRefresh.clearViewCache()
         spark = graft.GraftSession.local(32)
         spark.sparkContext.setLogLevel("ERROR")
       }

@@ -216,6 +216,7 @@ object SparkEntry {
     "stream_refresh_compact" -> (graft.streaming.IndexStream.qStreamRefreshCompact _),
     "stream_vector_refresh_compact" -> (graft.streaming.IndexStream.qStreamVectorRefreshCompact _),
     "stream_vector_refresh" -> (graft.streaming.IndexStream.qStreamVectorRefresh _),
+    "stream_quantized_refresh_serve" -> (graft.streaming.IndexStream.qStreamQuantizedRefresh _),
     // materialized-index searches: oracle-checked — the partition-pruned
     // on-disk path must reproduce the inline search's result exactly
     "ivf_search_materialized" -> (IvfIndex.qSearchMaterialized _),
@@ -431,6 +432,7 @@ object SparkEntry {
     "stream_refresh_compact" -> graft.streaming.IndexStream.streamRefreshCompactOracle,
     "stream_vector_refresh_compact" -> graft.streaming.IndexStream.streamVectorRefreshCompactOracle,
     "stream_vector_refresh" -> graft.streaming.IndexStream.streamVectorRefreshOracle,
+    "stream_quantized_refresh_serve" -> VectorRefresh.searchRefreshedQuantizedOracle,
     "stream_hybrid_serve" -> HybridSearch.batchSearchOracle,
     "stream_bm25_serve" -> KeywordSearch.batchSearchOracle,
     "stream_kw_champion_serve" -> ChampionIndex.batchPrunedOracle,

@@ -111,7 +111,7 @@ object ChampionIndex {
     champs.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy("q_id", "doc_id")
-      .agg(KeywordSearch.pinnedSum(col("term"), col("imp")).as("raw_score"))
+      .agg(KeywordSearch.fixedPointSum6(col("imp")).as("raw_score"))
   }
 
   /** Champion-pruned batch ranking over an arbitrary query selector —
@@ -196,7 +196,8 @@ object ChampionIndex {
        |    FROM qtoks JOIN dict USING (term)
        |    GROUP BY q_id)),
        |scored AS (
-       |  SELECT q_id, doc_id, sum(imp ORDER BY term) AS raw_score
+       |  SELECT q_id, doc_id,
+       |    ${KeywordSearch.fixedPointSum6Sql("imp")} AS raw_score
        |  FROM champs
        |  JOIN qterms USING (term)
        |  WHERE doc_id <> q_id
@@ -214,7 +215,7 @@ object ChampionIndex {
                                   topK: Int = KeywordSearch.TopK): DataFrame = {
     val topk = champs.filter(col("term").isin(terms: _*))
       .groupBy("doc_id")
-      .agg(round(KeywordSearch.pinnedSum(col("term"), col("imp")), 4).as("score"))
+      .agg(round(KeywordSearch.fixedPointSum6(col("imp")), 4).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(topK)
     topk.join(docs.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
@@ -252,7 +253,7 @@ object ChampionIndex {
       .join(docs.filter(docFilter)
         .select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
       .groupBy("doc_id", "source", "lang")
-      .agg(round(KeywordSearch.pinnedSum(col("term"), col("imp")), 4).as("score"))
+      .agg(round(KeywordSearch.fixedPointSum6(col("imp")), 4).as("score"))
       .select(col("doc_id"), col("source"), col("lang"), col("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(topK)
@@ -262,7 +263,7 @@ object ChampionIndex {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     s"""WITH ${championChampsSqlCtes(m)},
        |topk AS (
-       |  SELECT doc_id, round(sum(imp ORDER BY term), 4) AS score
+       |  SELECT doc_id, round(${KeywordSearch.fixedPointSum6Sql("imp")}, 4) AS score
        |  FROM champs WHERE term IN ($termList)
        |  GROUP BY doc_id
        |  ORDER BY score DESC, doc_id

@@ -127,7 +127,7 @@ object GoldenEval {
     val scored = ChampionIndex.cachedChampions(s, dir)
       .join(broadcast(qterms), Seq("term"))
       .groupBy("q_id", "doc_id")
-      .agg(KeywordSearch.pinnedSum(col("term"), col("imp")).as("raw_score"))
+      .agg(KeywordSearch.fixedPointSum6(col("imp")).as("raw_score"))
     goldenMetrics(docs, KeywordSearch.rankKwScored(scored, TopK), golden)
   }
 
@@ -165,7 +165,8 @@ object GoldenEval {
        |  SELECT query_id AS q_id, unnest(list_distinct($qToks)) AS term
        |  FROM golden),
        |scored AS (
-       |  SELECT q_id, doc_id, sum(imp ORDER BY term) AS raw_score
+       |  SELECT q_id, doc_id,
+       |    ${KeywordSearch.fixedPointSum6Sql("imp")} AS raw_score
        |  FROM champs
        |  JOIN qterms USING (term)
        |  GROUP BY q_id, doc_id),

@@ -370,7 +370,7 @@ object HybridSearch {
     val kparts = champs
       .filter(col("term").isin(terms.distinct.sorted: _*))
       .groupBy("doc_id")
-      .agg(KeywordSearch.pinnedSum(col("term"), col("imp")).as("raw_score"))
+      .agg(KeywordSearch.fixedPointSum6(col("imp")).as("raw_score"))
       .withColumn("q_id", lit(qId))
     fuseTail(vparts, kparts, alpha, k,
       restrictKwToCandidates = true, materializeCandidates = true)
@@ -426,7 +426,8 @@ object HybridSearch {
     s"""WITH ${ChampionIndex.championChampsSqlCtes(m)},
        |${IvfIndex.batchProbedSqlCtes(s"vec_id = $qId", nprobe)},
        |kscored AS (
-       |  SELECT CAST($qId AS BIGINT) AS q_id, doc_id, sum(imp ORDER BY term) AS raw_score
+       |  SELECT CAST($qId AS BIGINT) AS q_id, doc_id,
+       |    ${KeywordSearch.fixedPointSum6Sql("imp")} AS raw_score
        |  FROM champs WHERE term IN ($qList)
        |  GROUP BY doc_id),
        |vparts AS (
@@ -1074,9 +1075,11 @@ object HybridSearch {
        |    GROUP BY q_id)),
        |scored AS (
        |  SELECT q_id, c.doc_id,
-       |    sum(round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
+       |    CAST(sum(CAST(round(
+       |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |      * (CAST(tf AS DOUBLE) * ${K1 + 1})
-       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6) ORDER BY c.term) AS raw_score
+       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)
+       |      * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS raw_score
        |  FROM champs c
        |  JOIN qterms USING (term)
        |  JOIN dict USING (term), stats

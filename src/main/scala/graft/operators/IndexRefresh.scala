@@ -483,6 +483,12 @@ object IndexRefresh {
   private[graft] def evictViews(path: String): Unit =
     viewCache.keySet().removeIf(_.endsWith(s":$path"))
 
+  /** Drop EVERY cached view — the session-recreation path: a harness
+    * that replaces a dead SparkContext (ScaleBench's OOM-recovery loop)
+    * must not serve checkpoint frames bound to the old one.
+    */
+  def clearViewCache(): Unit = viewCache.clear()
+
   private[graft] def servingCacheDisabled: Boolean =
     sys.props.contains("graft.refresh.nocache")
 
@@ -519,18 +525,20 @@ object IndexRefresh {
     * artifact — (doc_id, raw_score = Σ 6dp-rounded contributions from
     * EXACT current statistics), bucket-pruned reads; the pre-ranking
     * stage of [[search]] and the keyword leg of the facade's refreshed
-    * hybrid route. The per-doc sum accumulates in term order
-    * ([[KeywordSearch.pinnedSum]]) — 6dp-rounded contributions land a
-    * doc's total ON 4dp half-way boundaries ~1% of the time, where an
-    * unordered parallel sum's reassociation flips the rank round
-    * (r10's `kw_search_asof` red row).
+    * hybrid route. The per-doc sum is the EXACT fixed-point form
+    * ([[KeywordSearch.fixedPointSum6]]) — 6dp-rounded contributions
+    * land a doc's total ON 4dp half-way boundaries ~1% of the time,
+    * where an unordered parallel float sum's reassociation flips the
+    * rank round (r10's `kw_search_asof` red row); summing the integer
+    * numerators is associative, so the total is order-free
+    * deterministic AND keeps map-side partial aggregation.
     */
   private[graft] def requestScored(spark: SparkSession, path: String,
                                    terms: Seq[String],
                                    asOf: Option[Int] = None): DataFrame =
     requestContribs(spark, path, terms, asOf)
       .groupBy("doc_id")
-      .agg(KeywordSearch.pinnedSum(col("term"), col("contrib")).as("raw_score"))
+      .agg(KeywordSearch.fixedPointSum6(col("contrib")).as("raw_score"))
 
   /** Per-(term, doc) 6dp-rounded BM25 contributions from the request
     * terms' champion rows — the probe [[requestScored]] sums, exposed
@@ -660,9 +668,9 @@ object IndexRefresh {
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(qdict), Seq("term"))
       .join(broadcast(statsV))
-      .select(col("q_id"), col("doc_id"), col("term"), contrib.as("s"))
+      .select(col("q_id"), col("doc_id"), contrib.as("s"))
       .groupBy("q_id", "doc_id")
-      .agg(KeywordSearch.pinnedSum(col("term"), col("s")).as("raw_score"))
+      .agg(KeywordSearch.fixedPointSum6(col("s")).as("raw_score"))
   }
 
   /** BATCH Dirichlet-QL over the refreshed artifact — the LM scoring
@@ -975,11 +983,11 @@ object IndexRefresh {
        |    FROM postings p JOIN docstats d USING (doc_id))
        |  WHERE crn <= $m),
        |topk AS (
-       |  SELECT doc_id, round(sum(
+       |  SELECT doc_id, round(CAST(sum(CAST(round(
        |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |        * (CAST(tf AS DOUBLE) * ${K1 + 1})
        |        / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)
-       |      ORDER BY term), 4) AS score
+       |      * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS score
        |  FROM champs
        |  JOIN dict USING (term), stats
        |  WHERE term IN ($termList)
@@ -1030,11 +1038,11 @@ object IndexRefresh {
        |    GROUP BY q_id)),
        |scored AS (
        |  SELECT q_id, c.doc_id,
-       |    round(sum(
+       |    round(CAST(sum(CAST(round(
        |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |        * (CAST(tf AS DOUBLE) * ${K1 + 1})
        |        / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)
-       |      ORDER BY term), 4) AS score
+       |      * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS score
        |  FROM champs c
        |  JOIN qterms USING (term)
        |  JOIN dict USING (term), stats

@@ -62,6 +62,26 @@ object KeywordSearch {
   private[graft] def pinnedSumValues(value: Column): Column =
     aggregate(array_sort(collect_list(value)), lit(0.0), (a, x) => a + x)
 
+  /** EXACT fixed-point sum of 6dp-rounded contributions — the HOT-path
+    * determinism form: each input is (the nearest double to) k/1e6, so
+    * summing the integer k's is associative and exact — order-free
+    * determinism that KEEPS map-side partial aggregation and codegen,
+    * where [[pinnedSum]]'s collect_list fold pays an ObjectHashAggregate
+    * with a per-group array buffer (measured: the 100x refreshed-fusion
+    * kw leg OOM'd a 48g heap on the fold that a plain sum served in
+    * 52s). Long sums cannot overflow here (|contrib| < 64, so
+    * |k| < 6.4e7, and group cardinality is the query's term count).
+    * Oracle twin:
+    * `CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0`.
+    * Use ONLY on 6dp-rounded inputs — on raw doubles it would quantize.
+    */
+  private[graft] def fixedPointSum6(value: Column): Column =
+    sum(round(value * lit(1000000.0)).cast("long")).cast("double") / 1000000.0
+
+  /** The oracle-side rendering of [[fixedPointSum6]]. */
+  private[graft] def fixedPointSum6Sql(expr: String): String =
+    s"CAST(sum(CAST(round(($expr) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0"
+
   /** Σ over terms of the Robertson BM25 term score, as a column over the
     * conventional stat columns `tf_i`/`df_i`/`dl`/`avgdl`/`n_docs` — the
     * ONE copy of the scoring formula every scorer (plain, multi-field,

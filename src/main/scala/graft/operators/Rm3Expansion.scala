@@ -162,7 +162,7 @@ object Rm3Expansion {
     val qset = terms.distinct.sorted
     val fb = champs.filter(col("term").isin(qset: _*))
       .groupBy("doc_id")
-      .agg(round(KeywordSearch.pinnedSum(col("term"), col("imp")), 4).as("score"))
+      .agg(round(KeywordSearch.fixedPointSum6(col("imp")), 4).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(fbK)
     val wterms = expansionWeightsFrom(docs, fb, qset, e, lambda)
@@ -276,7 +276,7 @@ object Rm3Expansion {
        |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6) AS contrib
        |  FROM champs c JOIN dict USING (term), stats),
        |fb AS (
-       |  SELECT doc_id, round(sum(contrib ORDER BY term), 4) AS score
+       |  SELECT doc_id, round(${KeywordSearch.fixedPointSum6Sql("contrib")}, 4) AS score
        |  FROM contribs WHERE term IN ($qList)
        |  GROUP BY doc_id
        |  ORDER BY score DESC, doc_id
@@ -328,7 +328,7 @@ object Rm3Expansion {
     val origVals = qset.map(t => s"('$t', ${lambda / qset.size})").mkString(", ")
     s"""WITH ${ChampionIndex.championChampsSqlCtes(m)},
        |fb AS (
-       |  SELECT doc_id, round(sum(imp ORDER BY term), 4) AS score
+       |  SELECT doc_id, round(${KeywordSearch.fixedPointSum6Sql("imp")}, 4) AS score
        |  FROM champs WHERE term IN ($qList)
        |  GROUP BY doc_id
        |  ORDER BY score DESC, doc_id

@@ -620,6 +620,16 @@ object VectorRefresh {
 
   @volatile private var lastQuantModel: Option[ProductQuantizer.Model] = None
 
+  /** Record the codebook a quantized driver query served with, for the
+    * literal-codebook oracle dump (the [[ProductQuantizer.modelFor]]
+    * capture convention — Verify is one dir per process; the batch and
+    * streaming artifacts train on the SAME prev-snapshot sample, so
+    * their codebooks are identical by [[ProductQuantizer.train]]'s
+    * determinism).
+    */
+  private[graft] def captureQuantModel(s: SparkSession, path: String): Unit =
+    lastQuantModel = Some(readCodebook(s, path))
+
   /** Driver query: ADC search over the refreshed quantized layout —
     * the oracle replays encode + ADC on the current snapshot with the
     * ENGINE's codebook as literals, so base+delta codes ∪ tombstones ≡
@@ -627,7 +637,7 @@ object VectorRefresh {
     */
   def qSearchRefreshedQuantized(s: SparkSession, dir: String): DataFrame = {
     val path = quantizedArtifact(s, dir)
-    lastQuantModel = Some(readCodebook(s, path))
+    captureQuantModel(s, path)
     val q = liveVectors(s, path)
       .filter(col("vec_id") === VectorSearch.QueryVecId)
       .select(col("embedding").as("q_emb"))

@@ -298,6 +298,55 @@ object IndexStream {
   val streamVectorRefreshOracle: String =
     graft.operators.VectorRefresh.refreshSearchOracle
 
+  /** Driver query: STREAMING refresh of the QUANTIZED vector layout —
+    * the 20e tier's continuous-ingest gate: vector-change batches
+    * arrive as a stream, each micro-batch refreshing a layout whose
+    * codebook artifact makes every segment write ALSO land PQ codes
+    * (encoded against the standing codebook — the streaming path and
+    * the batch path share one writer), and serving is the ADC probe
+    * over the live code files. Oracle = the same literal-codebook
+    * encode+ADC replay as `vector_search_refreshed_quantized`: arrival
+    * pattern must be invisible in the served quantized page.
+    */
+  def qStreamQuantizedRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IndexCache, VectorRefresh, VectorSearch}
+    val embs = graft.sources.Tables.embeddings(spark, dir)
+    val curr = VectorRefresh.currSnapshot(embs)
+    val prev = VectorRefresh.prevSnapshot(embs)
+    val path = IndexCache.getOrBuild("ivf_pq_refresh_stream", dir) { p =>
+      VectorRefresh.buildBaseQuantized(prev, p)
+      val delta = VectorRefresh.deltaEmbs(curr, prev).localCheckpoint()
+      val removed = VectorRefresh.removedEmbs(curr, prev).localCheckpoint()
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Long]
+      val q = input.toDF().select(col("value").as("vec_id")).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val ids = batch.select("vec_id").distinct()
+          if (!batch.isEmpty) {
+            // batchId-derived segment id (exactly-once by overwrite);
+            // the codes file rides writeSegment's layout-mode hook
+            VectorRefresh.refreshAt(spark, p, 1 + batchId.toInt,
+              delta.join(ids, Seq("vec_id"), "semi"),
+              removed.join(ids, Seq("vec_id"), "semi"))
+          }
+        }
+        .start()
+      val affected = delta.select("vec_id").unionByName(removed.select("vec_id"))
+        .distinct().as[Long].collect().sorted.toSeq
+      val (b1, b2) = affected.partition(_ % 2 == 0)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+    }
+    VectorRefresh.captureQuantModel(spark, path)
+    val qEmb = VectorRefresh.liveVectors(spark, path)
+      .filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    VectorRefresh.searchQuantized(spark, path, qEmb, VectorSearch.QueryVecId)
+  }
+
   /** Driver query: the VECTOR side's full operational loop — the
     * [[qStreamRefreshCompact]] twin: per-micro-batch vector refresh,
     * the [[graft.operators.VectorRefresh.compactionPlan]] policy

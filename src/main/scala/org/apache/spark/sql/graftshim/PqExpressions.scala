@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -69,9 +69,15 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   * The table is built once per query on the driver (m·k doubles) and
   * ships inside the expression — per row the scan does m array reads and
   * adds, no arithmetic on the original vectors at all.
+  *
+  * Codegen'd (unlike the build-path [[PqEncode]]): this sits on the
+  * quantized SERVING scan — every probed row pays it, so it must stay
+  * inside whole-stage codegen; the table ships as a reference object
+  * and the j-loop accumulates in fixed index order (the determinism
+  * contract the oracle's `ORDER BY enc.j` sum replays).
   */
 case class PqAdcScore(child: Expression, table: Seq[Seq[Double]])
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
   override def dataType: DataType = DoubleType
@@ -86,6 +92,19 @@ case class PqAdcScore(child: Expression, table: Seq[Seq[Double]])
     while (j < m) { sum += t(j)(codes.getInt(j)); j += 1 }
     sum
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, codes => {
+      val tRef = ctx.addReferenceObj("adcTable", t, "double[][]")
+      val j = ctx.freshName("j"); val sum = ctx.freshName("adcSum")
+      s"""
+         |double $sum = 0.0;
+         |for (int $j = 0; $j < ${t.length}; $j++) {
+         |  $sum += $tRef[$j][$codes.getInt($j)];
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
