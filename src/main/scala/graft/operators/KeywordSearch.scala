@@ -523,12 +523,18 @@ object KeywordSearch {
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(qdict), Seq("term"))
       .join(broadcast(stats))
-      .select(col("q_id"), col("doc_id"), col("term"),
-        (idf * (tfD * (K1 + 1)) /
-          (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      // contributions rounded at 6dp — the champion family's index-edge
+      // contract adopted by the exact form too, so the per-doc sum is
+      // the associative fixed-point form (order-free determinism WITH
+      // map-side combine; the r11 key-sorted fold doubled this chain's
+      // 10x wall time) and exact-vs-pruned comparisons share one
+      // contribution definition
+      .select(col("q_id"), col("doc_id"),
+        round(idf * (tfD * (K1 + 1)) /
+          (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
           .as("s"))
       .groupBy("q_id", "doc_id")
-      .agg(pinnedSum(col("term"), col("s")).as("raw_score"))
+      .agg(fixedPointSum6(col("s")).as("raw_score"))
     scored
   }
 
@@ -556,9 +562,11 @@ object KeywordSearch {
        |    GROUP BY q_id)),
        |scored AS (
        |  SELECT q_id, doc_id,
-       |    sum(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
+       |    CAST(sum(CAST(round(
+       |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |      * (CAST(tf AS DOUBLE) * ${K1 + 1})
-       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl.dl / avgdl)) ORDER BY term) AS raw_score
+       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl.dl / avgdl)), 6)
+       |      * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS raw_score
        |  FROM postings
        |  JOIN qterms USING (term)
        |  JOIN dict USING (term)
