@@ -959,8 +959,15 @@ object HybridSearch {
     val vparts = VectorRefresh.batchVparts(s, vecPath, queries, nprobe, asOf)
     val kparts = IndexRefresh.batchScoredSel(s, kwPath, currDocs,
       _.filter(col("doc_id") % stride === 0), nTerms, asOf)
+    // NOT materialized: the BATCH fan-out over the refreshed cells is
+    // queries × corpus × nprobe/nlist rows — a constant FRACTION of
+    // corpus × queries, i.e. the class a serving system never persists
+    // (the fusePrep brute-force rule; the r11 48g OOM at 100× was this
+    // frame's localCheckpoint). The declarative shared exchange
+    // (ReusedExchange) carries the three consumers instead; the bounded
+    // SINGLE-request pruned forms keep the eager materialization.
     fuseTail(vparts, kparts, alpha, k,
-      restrictKwToCandidates = true, materializeCandidates = true)
+      restrictKwToCandidates = true, materializeCandidates = false)
   }
 
   /** Driver query: the refreshed hybrid fusion over the standing
