@@ -74,11 +74,11 @@ object GoldenEval {
     val scored = postings.join(broadcast(qterms), Seq("term"))
       .join(broadcast(qdict), Seq("term"))
       .join(broadcast(stats))
-      // 6dp contribution edge + fixed-point sum — the exact-batch-BM25
+      // 1e-6-quantized fixed-point sum — the exact-batch-BM25
       // determinism contract (see KeywordSearch.batchKwRawSel)
       .select(col("q_id"), col("doc_id"),
-        round(idf * (tfD * (K1 + 1)) /
-          (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
+        (idf * (tfD * (K1 + 1)) /
+          (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
           .as("s"))
       .groupBy("q_id", "doc_id")
       .agg(KeywordSearch.fixedPointSum6(col("s")).as("raw_score"))
@@ -227,11 +227,11 @@ object GoldenEval {
        |  FROM golden),
        |scored AS (
        |  SELECT q_id, doc_id,
-       |    CAST(sum(CAST(round(
-       |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
+       |    CAST(sum(CAST(floor(
+       |      ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |      * (CAST(tf AS DOUBLE) * ${K1 + 1})
-       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl.dl / avgdl)), 6)
-       |      * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS raw_score
+       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl.dl / avgdl))
+       |      * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS raw_score
        |  FROM postings
        |  JOIN qterms USING (term)
        |  JOIN dict USING (term)

@@ -1082,11 +1082,11 @@ object HybridSearch {
        |    GROUP BY q_id)),
        |scored AS (
        |  SELECT q_id, c.doc_id,
-       |    CAST(sum(CAST(round(
+       |    CAST(sum(CAST(floor(
        |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |      * (CAST(tf AS DOUBLE) * ${K1 + 1})
        |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)
-       |      * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS raw_score
+       |      * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS raw_score
        |  FROM champs c
        |  JOIN qterms USING (term)
        |  JOIN dict USING (term), stats

@@ -983,11 +983,11 @@ object IndexRefresh {
        |    FROM postings p JOIN docstats d USING (doc_id))
        |  WHERE crn <= $m),
        |topk AS (
-       |  SELECT doc_id, round(CAST(sum(CAST(round(
+       |  SELECT doc_id, round(CAST(sum(CAST(floor(
        |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |        * (CAST(tf AS DOUBLE) * ${K1 + 1})
        |        / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)
-       |      * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS score
+       |      * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS score
        |  FROM champs
        |  JOIN dict USING (term), stats
        |  WHERE term IN ($termList)
@@ -1038,11 +1038,11 @@ object IndexRefresh {
        |    GROUP BY q_id)),
        |scored AS (
        |  SELECT q_id, c.doc_id,
-       |    round(CAST(sum(CAST(round(
+       |    round(CAST(sum(CAST(floor(
        |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |        * (CAST(tf AS DOUBLE) * ${K1 + 1})
        |        / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)
-       |      * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS score
+       |      * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS score
        |  FROM champs c
        |  JOIN qterms USING (term)
        |  JOIN dict USING (term), stats

@@ -71,16 +71,21 @@ object KeywordSearch {
     * kw leg OOM'd a 48g heap on the fold that a plain sum served in
     * 52s). Long sums cannot overflow here (|contrib| < 64, so
     * |k| < 6.4e7, and group cardinality is the query's term count).
-    * Oracle twin:
-    * `CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0`.
-    * Use ONLY on 6dp-rounded inputs — on raw doubles it would quantize.
+    * The numerator is `floor(x·1e6 + 0.5)` — round-half-up for the
+    * POSITIVE score domain as pure double arithmetic (Spark's Round on
+    * doubles allocates a BigDecimal per row; on the exact batch chain's
+    * matched-posting volume that cost +30% wall at 10×). An input
+    * already rounded at 6dp (= the nearest double to k/1e6) recovers k
+    * exactly; a raw input is quantized at 1e-6, which IS the chain's
+    * contribution contract. Oracle twin:
+    * `CAST(sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0`.
     */
   private[graft] def fixedPointSum6(value: Column): Column =
-    sum(round(value * lit(1000000.0)).cast("long")).cast("double") / 1000000.0
+    sum(floor(value * lit(1000000.0) + lit(0.5))).cast("double") / 1000000.0
 
   /** The oracle-side rendering of [[fixedPointSum6]]. */
   private[graft] def fixedPointSum6Sql(expr: String): String =
-    s"CAST(sum(CAST(round(($expr) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0"
+    s"CAST(sum(CAST(floor(($expr) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0"
 
   /** Σ over terms of the Robertson BM25 term score, as a column over the
     * conventional stat columns `tf_i`/`df_i`/`dl`/`avgdl`/`n_docs` — the
@@ -523,15 +528,15 @@ object KeywordSearch {
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(qdict), Seq("term"))
       .join(broadcast(stats))
-      // contributions rounded at 6dp — the champion family's index-edge
-      // contract adopted by the exact form too, so the per-doc sum is
-      // the associative fixed-point form (order-free determinism WITH
-      // map-side combine; the r11 key-sorted fold doubled this chain's
-      // 10x wall time) and exact-vs-pruned comparisons share one
-      // contribution definition
+      // contributions quantized at 1e-6 inside the fixed-point sum (the
+      // champion family's 6dp contribution contract adopted by the
+      // exact form, at zero per-row rounding cost) — the per-doc sum is
+      // associative: order-free determinism WITH map-side combine (the
+      // r11 key-sorted fold doubled this chain's 10x wall time) and
+      // exact-vs-pruned comparisons share one contribution definition
       .select(col("q_id"), col("doc_id"),
-        round(idf * (tfD * (K1 + 1)) /
-          (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
+        (idf * (tfD * (K1 + 1)) /
+          (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
           .as("s"))
       .groupBy("q_id", "doc_id")
       .agg(fixedPointSum6(col("s")).as("raw_score"))
@@ -562,11 +567,11 @@ object KeywordSearch {
        |    GROUP BY q_id)),
        |scored AS (
        |  SELECT q_id, doc_id,
-       |    CAST(sum(CAST(round(
-       |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
+       |    CAST(sum(CAST(floor(
+       |      ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
        |      * (CAST(tf AS DOUBLE) * ${K1 + 1})
-       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl.dl / avgdl)), 6)
-       |      * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS raw_score
+       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl.dl / avgdl))
+       |      * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS raw_score
        |  FROM postings
        |  JOIN qterms USING (term)
        |  JOIN dict USING (term)
