@@ -180,6 +180,7 @@ object SparkEntry {
     "eval_retrieval_golden" -> (GoldenEval.qGoldenEval _),
     "eval_retrieval_golden_refreshed" -> (GoldenEval.qGoldenEvalRefreshed _),
     "eval_retrieval_golden_pruned" -> (GoldenEval.qGoldenEvalPruned _),
+    "eval_retrieval_golden_asof" -> (GoldenEval.qGoldenEvalAsOf _),
     "eval_answer_cases" -> (AnswerEval.queryCases _),
     "eval_answer_poll" -> (AnswerEval.queryPoll _),
     "finetune_triplets" -> (FinetuneData.query _),
@@ -412,6 +413,7 @@ object SparkEntry {
     "eval_retrieval_golden" -> GoldenEval.goldenEvalOracle,
     "eval_retrieval_golden_refreshed" -> GoldenEval.goldenEvalRefreshedOracle,
     "eval_retrieval_golden_pruned" -> GoldenEval.goldenEvalPrunedOracle,
+    "eval_retrieval_golden_asof" -> GoldenEval.goldenEvalAsOfOracle,
     "eval_answer_cases" -> AnswerEval.casesOracle,
     "eval_answer_poll" -> AnswerEval.pollOracle,
     "finetune_triplets" -> FinetuneData.oracle,

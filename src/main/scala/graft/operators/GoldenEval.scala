@@ -151,6 +151,29 @@ object GoldenEval {
     goldenMetrics(docs, goldenRanked(postings, golden), golden)
   }
 
+  /** The TIME-TRAVELED golden leg — retrieval-metric regression between
+    * index commits as ONE pinned read: the same external golden file
+    * scored through the refreshable layout pinned AS OF segment 0 (the
+    * pre-refresh commit), with the metric universe restricted to the
+    * matching previous corpus snapshot. The reference's
+    * `execute_evaluation` loop (retrieval_evaluation.py:320-392) runs
+    * against a LIVE index, so "did yesterday's refresh regress
+    * hit-rate?" needs a restore there; here it is
+    * [[qGoldenEvalRefreshed]] minus one `asOf` pin — bisecting an index
+    * regression is a walk over pinned segment ids. Oracle replays the
+    * full golden chain (tokenize → postings → BM25 → containment
+    * metric) on the previous snapshot from scratch; as-of-0 ≡ the
+    * pre-refresh metric by construction.
+    */
+  def qGoldenEvalAsOf(s: SparkSession, dir: String): DataFrame = {
+    val docs = CorpusOps.prevSnapshot(Tables.documents(s, dir))
+    val golden = loadGolden(s)
+    val postings = IndexRefresh
+      .livePostings(s, IndexRefresh.refreshedArtifact(s, dir), asOf = Some(0))
+      .select("doc_id", "dl", "term", "tf")
+    goldenMetrics(docs, goldenRanked(postings, golden), golden)
+  }
+
   /** Oracle for the pruned leg: the champion CTE chain re-derives the
     * impact index from the raw corpus, golden query terms probe it, and
     * the containment metric tail replays verbatim.
@@ -198,18 +221,23 @@ object GoldenEval {
     * the scoring join and the containment metric tail.
     */
   def goldenEvalSql(k: Int = TopK, path: String = GoldenPath,
-                    currentSnapshot: Boolean = false): String = {
+                    currentSnapshot: Boolean = false,
+                    prevSnapshot: Boolean = false): String = {
     import KeywordSearch.{K1, B}
     val qToks =
       "list_filter(regexp_split_to_array(lower(query), '[^a-z0-9]+'), t -> t <> '')"
     // currentSnapshot: the refreshed-index leg's universe — the corpus
-    // state the refreshable artifacts serve
-    val rel = if (currentSnapshot) "cdocs" else "documents"
+    // state the refreshable artifacts serve. prevSnapshot: the as-of
+    // leg's universe — the pre-refresh corpus state (the [[IndexRefresh
+    // .prevCte]] definition every as-of oracle shares).
+    val rel =
+      if (currentSnapshot) "cdocs" else if (prevSnapshot) "curr" else "documents"
     val snapCte = if (currentSnapshot)
       s"""cdocs AS (
          |  SELECT * FROM documents
          |  WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3),
          |""".stripMargin
+    else if (prevSnapshot) IndexRefresh.prevCte + ",\n"
     else ""
     s"""WITH ${snapCte}golden AS (
        |  SELECT query_id, query, answer
@@ -261,4 +289,9 @@ object GoldenEval {
     * replayed on the current snapshot from scratch.
     */
   val goldenEvalRefreshedOracle: String = goldenEvalSql(currentSnapshot = true)
+
+  /** Oracle for [[qGoldenEvalAsOf]]: the exact golden chain replayed on
+    * the PREVIOUS snapshot from scratch.
+    */
+  val goldenEvalAsOfOracle: String = goldenEvalSql(prevSnapshot = true)
 }

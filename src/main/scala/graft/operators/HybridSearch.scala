@@ -181,6 +181,15 @@ object HybridSearch {
 
   val BatchK = 5
 
+  /** The per-(query, leg) candidate bound for capped fusion paths (see
+    * [[fusePrep]]'s `topC`): C = 4·k keeps every plausible fused winner
+    * (a doc outside BOTH legs' top-4k cannot reach the fused top-k at
+    * any alpha unless ≥3k stronger candidates tie it out of both lists)
+    * while making the normalize+fuse tail O(C·|Q|) instead of
+    * O(nprobe·|cell|·|Q|) — the number that grows with the corpus.
+    */
+  def topCFor(k: Int): Int = 4 * k
+
   /** Multi-query hybrid search in one composition — completes the batch
     * triad (vector [[VectorSearch.batchTopK]], keyword
     * [[KeywordSearch.bm25Batch]], hybrid here). Per golden query (every
@@ -505,12 +514,14 @@ object HybridSearch {
                                            nprobe: Int = IvfIndex.NProbe,
                                            alpha: Double = Alpha,
                                            k: Int = BatchK,
-                                           centroids: Option[DataFrame] = None): DataFrame = {
+                                           centroids: Option[DataFrame] = None,
+                                           topC: Option[Int] = Some(topCFor(BatchK))): DataFrame = {
     val vparts = ivfVparts(embs, selectVecQueries, nprobe, centroids)
     val kparts = ChampionIndex.championScored(docs, postings, champs,
       selectDocQueries, nTerms)
     fuseTail(vparts, kparts, alpha, k,
-      restrictKwToCandidates = true, materializeCandidates = true)
+      restrictKwToCandidates = true, materializeCandidates = true,
+      topC = topC)
   }
 
   /** [[fusedBatchChampionSel]] swept over MULTIPLE alphas in ONE plan —
@@ -531,17 +542,19 @@ object HybridSearch {
                                                 nTerms: Int = KeywordSearch.BatchTerms,
                                                 nprobe: Int = IvfIndex.NProbe,
                                                 k: Int = BatchK,
-                                                centroids: Option[DataFrame] = None): DataFrame = {
+                                                centroids: Option[DataFrame] = None,
+                                                topC: Option[Int] = Some(topCFor(BatchK))): DataFrame = {
     val vparts = ivfVparts(embs, selectVecQueries, nprobe, centroids)
     val kparts = ChampionIndex.championScored(docs, postings, champs,
       selectDocQueries, nTerms)
     fuseTailSweep(vparts, kparts, alphas, k,
-      restrictKwToCandidates = true, materializeCandidates = true)
+      restrictKwToCandidates = true, materializeCandidates = true,
+      topC = topC)
   }
 
   /** SQL replay of [[fusedBatchChampionSweepSel]]: the champion-fusion
-    * CTE skeleton with the alpha list cross-joined into the fuse
-    * expression, ranking per (alpha, q_id).
+    * CTE skeleton (including the per-leg top-C cut) with the alpha list
+    * cross-joined into the fuse expression, ranking per (alpha, q_id).
     */
   def fusedBatchChampionSweepSql(alphas: Seq[Double],
                                  stride: Int = KeywordSearch.BatchStride,
@@ -558,11 +571,7 @@ object HybridSearch {
        |  JOIN probed p ON e.label = p.cell
        |  JOIN queries q ON q.q_id = p.q_id
        |  WHERE e.vec_id <> p.q_id),
-       |joined AS (
-       |  SELECT vparts.q_id, vparts.doc_id, vscore,
-       |    coalesce(raw_score, 0.0) AS kscore
-       |  FROM vparts LEFT JOIN scored
-       |    ON vparts.q_id = scored.q_id AND vparts.doc_id = scored.doc_id),
+       |${cappedJoinedSqlCtes(topCFor(k))},
        |qstats AS (
        |  SELECT q_id, min(vscore) AS vmin, max(vscore) AS vmax,
        |    min(kscore) AS kmin, max(kscore) AS kmax
@@ -606,9 +615,11 @@ object HybridSearch {
   private def fuseTail(vparts0: DataFrame, kparts0: DataFrame,
                        alpha: Double, k: Int,
                        restrictKwToCandidates: Boolean = false,
-                       materializeCandidates: Boolean = false): DataFrame = {
+                       materializeCandidates: Boolean = false,
+                       topC: Option[Int] = None): DataFrame = {
     val (joined, qstats) =
-      fusePrep(vparts0, kparts0, restrictKwToCandidates, materializeCandidates)
+      fusePrep(vparts0, kparts0, restrictKwToCandidates, materializeCandidates,
+        topC)
     val fscore = round(
       lit(alpha) * (col("vscore") - col("vmin")) /
         when(col("vmax") === col("vmin"), 1.0).otherwise(col("vmax") - col("vmin")) +
@@ -642,9 +653,10 @@ object HybridSearch {
   private def fuseTailSweep(vparts0: DataFrame, kparts0: DataFrame,
                             alphas: Seq[Double], k: Int,
                             restrictKwToCandidates: Boolean = false,
-                            materializeCandidates: Boolean = false): DataFrame = {
+                            materializeCandidates: Boolean = false,
+                            topC: Option[Int] = None): DataFrame = {
     val (joined, qstats) = fusePrep(vparts0, kparts0,
-      restrictKwToCandidates, materializeCandidates)
+      restrictKwToCandidates, materializeCandidates, topC)
     def fscoreFor(a: Double) = round(
       lit(a) * (col("vscore") - col("vmin")) /
         when(col("vmax") === col("vmin"), 1.0).otherwise(col("vmax") - col("vmin")) +
@@ -671,10 +683,28 @@ object HybridSearch {
     * candidate frame behind its one exchange, sparse keyword
     * restriction, per-query stats with the implicit-zero clamp, and the
     * LEFT-joined (q_id, doc_id, vscore, kscore) frame.
+    *
+    * `topC` — the per-(query, leg) candidate bound, the serving
+    * discipline Weaviate applies per shard (each leg contributes its
+    * top-L list and fusion runs over the union —
+    * weaviate_interface_v4.py:308): when set, the vector leg keeps only
+    * its top-C candidates by (vscore desc, doc_id) and the keyword leg
+    * its top-C by (raw_score desc, doc_id), both via the bounded
+    * map-side [[topKByScore]] heap, and everything downstream — the
+    * normalization stats, the fusion join, the final heap — runs over
+    * the ≤2C-per-query union instead of the nprobe·|cell| probe frame
+    * that grows with the corpus. With C ≥ the per-query candidate count
+    * the cut is a no-op and the capped form is bitwise the uncapped one
+    * (spec-pinned), exactly as full-probe IVF ≡ brute force. Requires
+    * kparts ⊆ the candidate domain (i.e. `restrictKwToCandidates` on
+    * every capped path), so the keyword top-C is a subset of the final
+    * union and the sparse-stats clamp formulation carries over
+    * unchanged.
     */
   private def fusePrep(vparts0: DataFrame, kparts0: DataFrame,
                        restrictKwToCandidates: Boolean,
-                       materializeCandidates: Boolean): (DataFrame, DataFrame) = {
+                       materializeCandidates: Boolean,
+                       topC: Option[Int] = None): (DataFrame, DataFrame) = {
     // (q_id, doc_id) — NOT q_id alone: the fan-out holds ~|corpus| rows
     // per query, so single-key partitioning would put a whole corpus
     // copy on one task. The explicit not-null filters keep every
@@ -706,9 +736,38 @@ object HybridSearch {
         kparts0.join(vparts.select(col("q_id"), col("doc_id")),
           Seq("q_id", "doc_id"), "semi")
       else kparts0
-    val kparts =
+    val kparts2 =
       if (materializeCandidates) kparts1.localCheckpoint() else kparts1
-    val vstats = vparts.groupBy("q_id")
+    // the per-leg top-C cut (see Scaladoc): both heaps are bounded
+    // map-side aggregates over the already-shared candidate exchange;
+    // the union frame they produce is ≤2C rows per query, so the stats
+    // aggregate and fusion join below stop scaling with the corpus
+    val (vcand, kparts) = topC match {
+      case Some(c) =>
+        require(restrictKwToCandidates,
+          "topC requires kparts restricted to the candidate domain")
+        val vcut = vparts.groupBy("q_id")
+          .agg(topKByScore(col("vscore"), col("doc_id"), c).as("top"))
+          .select(col("q_id"), explode(col("top")).as("t"))
+          .select(col("q_id"), col("t.id").as("doc_id"),
+            col("t.score").as("vscore"))
+        val kcut = kparts2.groupBy("q_id")
+          .agg(topKByScore(col("raw_score"), col("doc_id"), c).as("top"))
+          .select(col("q_id"), explode(col("top")).as("t"))
+          .select(col("q_id"), col("t.id").as("doc_id"),
+            col("t.score").as("raw_score"))
+        // keyword-leg winners the vector cut dropped still fuse with
+        // their true vscore: recover it from the candidate frame via a
+        // broadcast of the ≤C·|Q| missing keys (third ReusedExchange /
+        // checkpoint consumer — no fan-out recompute)
+        val extraKeys = kcut.join(vcut, Seq("q_id", "doc_id"), "anti")
+          .select(col("q_id"), col("doc_id"))
+        val extra = vparts.join(broadcast(extraKeys), Seq("q_id", "doc_id"))
+          .select(col("q_id"), col("doc_id"), col("vscore"))
+        (vcut.unionByName(extra), kcut)
+      case None => (vparts, kparts2)
+    }
+    val vstats = vcand.groupBy("q_id")
       .agg(min("vscore").as("vmin"), max("vscore").as("vmax"),
         count(col("doc_id")).as("n_cand"))
     val kagg = kparts.groupBy("q_id")
@@ -722,7 +781,7 @@ object HybridSearch {
         when(col("n_matched").isNull, lit(0.0))
           .when(col("n_matched") < col("n_cand"), greatest(col("krmax"), lit(0.0)))
           .otherwise(col("krmax")).as("kmax"))
-    val joined = vparts.join(kparts, Seq("q_id", "doc_id"), "left")
+    val joined = vcand.join(kparts, Seq("q_id", "doc_id"), "left")
       .withColumn("kscore", coalesce(col("raw_score"), lit(0.0)))
     (joined, qstats)
   }
@@ -885,10 +944,48 @@ object HybridSearch {
       _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
       centroids = Some(IvfIndex.cachedCentroids(s, dir)))
 
+  /** SQL twin of [[fusePrep]]'s top-C cut: given a `vparts(q_id,
+    * doc_id, vscore)` CTE and a keyword CTE `$kw(q_id, doc_id,
+    * raw_score)`, emits the chain from the per-leg rank cuts through
+    * the capped `joined` frame — the vector leg's top-C by (vscore
+    * desc, doc_id), the keyword leg's top-C by (raw_score desc, doc_id)
+    * over the candidate-restricted matches, their union as the fusion
+    * domain. Uncapped oracles keep the plain LEFT-join `joined`.
+    */
+  private def cappedJoinedSqlCtes(topC: Int, kw: String = "scored"): String =
+    s"""vtop AS (
+       |  SELECT q_id, doc_id, vscore FROM (
+       |    SELECT q_id, doc_id, vscore,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY vscore DESC, doc_id) AS vrn
+       |    FROM vparts) vr
+       |  WHERE vrn <= $topC),
+       |ktop AS (
+       |  SELECT q_id, doc_id, raw_score FROM (
+       |    SELECT s.q_id, s.doc_id, s.raw_score,
+       |      row_number() OVER (PARTITION BY s.q_id ORDER BY s.raw_score DESC, s.doc_id) AS krn
+       |    FROM $kw s
+       |    WHERE EXISTS (SELECT 1 FROM vparts v
+       |                  WHERE v.q_id = s.q_id AND v.doc_id = s.doc_id)) kr
+       |  WHERE krn <= $topC),
+       |cand AS (
+       |  SELECT q_id, doc_id, vscore FROM vtop
+       |  UNION ALL
+       |  SELECT v.q_id, v.doc_id, v.vscore
+       |  FROM vparts v JOIN ktop t ON v.q_id = t.q_id AND v.doc_id = t.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM vtop w
+       |                    WHERE w.q_id = v.q_id AND w.doc_id = v.doc_id)),
+       |joined AS (
+       |  SELECT cand.q_id, cand.doc_id, vscore,
+       |    coalesce(t.raw_score, 0.0) AS kscore
+       |  FROM cand LEFT JOIN ktop t
+       |    ON cand.q_id = t.q_id AND cand.doc_id = t.doc_id)""".stripMargin
+
   /** Oracle for the doubly-pruned fusion: the champion keyword CTE
     * chain replaces the exact one inside the [[fusedBatchIvfSql]]
-    * skeleton — same probed-cell candidate domain, same coalesced
-    * joined-frame normalization.
+    * skeleton — same probed-cell candidate domain, with the per-leg
+    * top-C cut ([[cappedJoinedSqlCtes]]) ahead of the coalesced
+    * joined-frame normalization, replaying the engine's capped
+    * [[fusePrep]].
     */
   def fusedBatchChampionSql(stride: Int = KeywordSearch.BatchStride,
                             nTerms: Int = KeywordSearch.BatchTerms,
@@ -904,11 +1001,7 @@ object HybridSearch {
        |  JOIN probed p ON e.label = p.cell
        |  JOIN queries q ON q.q_id = p.q_id
        |  WHERE e.vec_id <> p.q_id),
-       |joined AS (
-       |  SELECT vparts.q_id, vparts.doc_id, vscore,
-       |    coalesce(raw_score, 0.0) AS kscore
-       |  FROM vparts LEFT JOIN scored
-       |    ON vparts.q_id = scored.q_id AND vparts.doc_id = scored.doc_id),
+       |${cappedJoinedSqlCtes(topCFor(k))},
        |qstats AS (
        |  SELECT q_id, min(vscore) AS vmin, max(vscore) AS vmax,
        |    min(kscore) AS kmin, max(kscore) AS kmax

@@ -46,6 +46,20 @@ class GoldenEvalSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("golden as-of-0 equals a fresh golden eval on the previous snapshot") {
+    val dir = TestSpark.Sf0001
+    val prevDocs = CorpusOps.prevSnapshot(graft.sources.Tables.documents(spark, dir))
+    val p0 = KeywordIndex.postings(prevDocs)
+    val postings = p0
+      .join(KeywordIndex.docStats(p0).select("doc_id", "dl"), Seq("doc_id"))
+      .select("doc_id", "dl", "term", "tf")
+    val golden = GoldenEval.loadGolden(spark)
+    val expect = GoldenEval.goldenMetrics(prevDocs,
+      GoldenEval.goldenRanked(postings, golden), golden).collect().toSeq
+    val got = GoldenEval.qGoldenEvalAsOf(spark, dir).collect().toSeq
+    assert(got.nonEmpty && got == expect)
+  }
+
   test("goldenMetrics: containment relevance on a hand-built corpus") {
     val docs = Seq(
       (0L, "alpha beta gamma"),

@@ -234,6 +234,31 @@ class SearchSpec extends SparkSpec {
     assert(sweep.nonEmpty && sweep == single)
   }
 
+  test("fusion top-C cut at full depth is bitwise the uncapped fusion") {
+    // the capped-fusion contract (fusePrep topC): C >= the per-query
+    // candidate count makes both per-leg cuts no-ops — capped == uncapped
+    // exactly, the full-probe == brute-force analogy for the fusion tail
+    val docs = Tables.documents(spark, TestSpark.Sf001)
+    val embs = Tables.embeddings(spark, TestSpark.Sf001)
+    val postings = KeywordSearch.cachedBatchPostings(spark, TestSpark.Sf001)
+    val champs = ChampionIndex.cachedChampions(spark, TestSpark.Sf001)
+    val selV: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.filter(col("vec_id") % KeywordSearch.BatchStride === 0)
+    val selD: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.filter(col("doc_id") % KeywordSearch.BatchStride === 0)
+    val fullC = HybridSearch.fusedBatchChampionSel(docs, embs, postings,
+      champs, selV, selD, topC = Some(1 << 24)).collect().toSeq
+    val uncapped = HybridSearch.fusedBatchChampionSel(docs, embs, postings,
+      champs, selV, selD, topC = None).collect().toSeq
+    assert(fullC.nonEmpty && fullC == uncapped)
+    // and the DEFAULT cap (4k) changes the frame the tail sees (the
+    // sf0.01 probe sets are hundreds of rows), yet stays oracle-green
+    // (CORRECTNESS gate) — assert it at least returns the same shape
+    val capped = HybridSearch.fusedBatchChampionSel(docs, embs, postings,
+      champs, selV, selD).collect().toSeq
+    assert(capped.size == uncapped.size)
+  }
+
   test("rm3 pruned at full champion depth reproduces the exact rm3 ranking") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val postings = KeywordSearch.cachedBatchPostings(spark, TestSpark.Sf0001)
