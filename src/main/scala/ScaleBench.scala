@@ -69,7 +69,12 @@ object ScaleBench {
     "eval_retrieval_golden_refreshed", // golden eval over live postings
     "vector_index_stats",   // vector-layout health rollup (bounded)
     "stream_vector_refresh_compact", // vector refresh->fold->serve loop
-    "vector_search_refreshed_quantized") // ADC probe over refreshed PQ codes
+    "vector_search_refreshed_quantized", // ADC probe over refreshed PQ codes
+    "vector_search_batch_ivf_pq", // batch IVF-PQ: the quantized batch headline
+    "vector_search_refreshed_quantized_batch", // batch ADC over standing codes
+    "eval_retrieval_quantized", // quantized-tier recall beside its speed rows
+    "stream_quantized_refresh_serve", // streaming quantized refresh ∝ delta
+    "eval_retrieval_golden_asof") // golden eval through the pinned commit
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):
     * the batch-fusion rows scale the query set AND the corpus with N, so

@@ -85,8 +85,24 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     * deployment the caller supplies the table version paired with the
     * commit (Delta/Iceberg table time travel next to the index pin).
     */
-  private def asOfDocs(asOf: Option[Int]): DataFrame =
+  private def asOfDocs(asOf: Option[Int]): DataFrame = {
+    // the <1 split is correct ONLY for the facade's fixed two-segment
+    // artifact (seg 0 = previous snapshot, seg 1 = the one refresh); on
+    // a layout with more refresh segments an INTERMEDIATE pin would
+    // time-travel the index legs correctly while this joined the wrong
+    // (current) document universe — refuse loudly instead of serving a
+    // silently-mixed read (a deployment pairs each intermediate commit
+    // with its own table version; the facade has only the two)
+    asOf.foreach { a =>
+      val maxSeg = IndexRefresh
+        .segmentIds(IndexRefresh.refreshedArtifact(spark, dir)).max
+      require(a <= 0 || a >= maxSeg,
+        s"asOf=$a pins between the facade's two corpus snapshots " +
+          s"(segments 0..$maxSeg) — only a <= 0 (previous snapshot) or " +
+          s">= $maxSeg (current) pin has a matching document universe")
+    }
     if (asOf.exists(_ < 1)) CorpusOps.prevSnapshot(docs) else currDocs
+  }
 
   /** The reference tokenizes the request server-side; same split as the
     * corpus tokenizer, duplicates collapsed.
@@ -118,9 +134,6 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
                     queryProperties: Seq[String] = Seq("text"),
                     asOf: Option[Int] = None): DataFrame = {
     requireAsOfMode(asOf)
-    require(asOf.isEmpty || queryProperties == Seq("text"),
-      "asOf pins serve the refreshed single-property index; multi-property " +
-        "requests take the exact path, which has no commit log")
     val fields = queryProperties.map { p =>
       p.split("\\^") match {
         case Array(f, b) if scala.util.Try(b.toDouble).isSuccess => f -> b.toDouble
@@ -143,8 +156,14 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
       // the champion artifact indexes the content field only; boosted
       // multi-property requests take the exact BM25F path in every mode
       // — over the MODE's corpus universe, so the refreshed fallback
-      // never surfaces rows the refreshed index has deleted
-      KeywordSearch.bm25MultiField(modeDocs.filter(filter),
+      // never surfaces rows the refreshed index has deleted. A PINNED
+      // request is servable here too: BM25F is a corpus scan, not an
+      // index-artifact read, so "as of commit r" is exactly the scan
+      // over the pin's document universe (asOfDocs guards the pin
+      // against the intermediate-segment universe mismatch) — the
+      // multi-property twin of the filtered pinned hybrid walk.
+      KeywordSearch.bm25MultiField(
+        (if (asOf.nonEmpty) asOfDocs(asOf) else modeDocs).filter(filter),
         requestTerms(request), fields, limit)
   }
 
@@ -188,27 +207,36 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
   /** `hybrid_search(request, alpha, limit, filter)` — relative-score
     * fusion of the two signals for one request. Pruned mode routes the
     * unfiltered request through the doubly-pruned IVF×champion fusion
-    * (per-request cost independent of corpus size); a metadata filter
-    * keeps the exact path in every mode (the pruned artifacts are
-    * filter-agnostic index structures — the documented Weaviate-config
-    * trade, same as [[keywordSearch]]'s multi-property fallback).
-    * "No filter" is the explicit `None`, not a sentinel expression —
-    * routing must never depend on how a caller happened to spell an
-    * always-true predicate.
+    * (per-request cost independent of corpus size); an UNPINNED
+    * metadata filter keeps the exact path in every mode (the pruned
+    * artifacts are filter-agnostic index structures — the documented
+    * Weaviate-config trade, same as [[keywordSearch]]'s multi-property
+    * fallback), while a PINNED filter (refreshed mode) applies during
+    * the pinned walk — see the routing comment below. "No filter" is
+    * the explicit `None`, not a sentinel expression — routing must
+    * never depend on how a caller happened to spell an always-true
+    * predicate.
     */
   def hybridSearch(request: String, alpha: Double = HybridSearch.Alpha,
                    limit: Int = 10, filter: Option[Column] = None,
                    asOf: Option[Int] = None): DataFrame = {
     requireAsOfMode(asOf)
-    require(asOf.isEmpty || filter.isEmpty,
-      "asOf pins serve the refreshed fusion; filtered requests take the " +
-        "exact path, which has no commit log")
-    if (refreshed && filter.isEmpty)
+    if (refreshed && (filter.isEmpty || asOf.nonEmpty))
+      // a PINNED request routes through the refreshed walk even when
+      // filtered: the filter applies DURING the pinned walk (the
+      // IvfIndex filtered-search pattern over pinned views) against the
+      // pin's own document universe — the incident-replay read "what
+      // would this filtered page have been at commit r". An UNPINNED
+      // filtered request keeps the exact path below (the documented
+      // Weaviate-config trade: the pruned/champion artifacts are
+      // filter-agnostic, and with no pin there is no universe mismatch
+      // to protect).
       HybridSearch.fusedRefreshedWithQuery(spark,
           IndexRefresh.refreshedArtifact(spark, dir),
           VectorRefresh.refreshedArtifact(spark, dir),
           requestTerms(request), requestVector(request), qId = -1L,
-          alpha = alpha, k = limit, asOf = asOf)
+          alpha = alpha, k = limit, asOf = asOf,
+          allowedDocs = filter.map(f => asOfDocs(asOf).filter(f)))
         .join(asOfDocs(asOf).select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("score"))
         .orderBy(desc("score"), asc("doc_id"))

@@ -85,6 +85,7 @@ object SparkEntry {
     "ivf_index_refresh" -> (VectorRefresh.qRefreshSearch _),
     "vector_search_asof" -> (VectorRefresh.qSearchAsOf _),
     "vector_search_refreshed_quantized" -> (VectorRefresh.qSearchRefreshedQuantized _),
+    "vector_search_refreshed_quantized_batch" -> (VectorRefresh.qBatchSearchRefreshedQuantized _),
     "vector_index_stats" -> (VectorRefresh.qIndexStats _),
     "kw_search_indexed" -> (KeywordIndex.qSearchIndexed _),
     "vector_search_topk" -> (VectorSearch.search _),
@@ -172,6 +173,7 @@ object SparkEntry {
     "eval_retrieval_kw" -> (RetrievalEval.queryKw _),
     "eval_retrieval_hybrid" -> (RetrievalEval.queryHybrid _),
     "eval_retrieval_pruned" -> (RetrievalEval.queryPruned _),
+    "eval_retrieval_quantized" -> (RetrievalEval.queryQuantized _),
     "eval_alpha_sweep" -> (RetrievalEval.queryAlphaSweep _),
     // the sweep a practitioner can afford at scale: same alpha grid and
     // metric tail over the doubly-pruned champion+IVF fusion
@@ -322,6 +324,7 @@ object SparkEntry {
     "ivf_index_refresh" -> VectorRefresh.refreshSearchOracle,
     "vector_search_asof" -> VectorRefresh.searchAsOfOracle,
     "vector_search_refreshed_quantized" -> VectorRefresh.searchRefreshedQuantizedOracle,
+    "vector_search_refreshed_quantized_batch" -> VectorRefresh.batchSearchRefreshedQuantizedOracle,
     "vector_index_stats" -> VectorRefresh.indexStatsOracle,
     "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,
     "kw_search_materialized" -> KeywordIndex.searchIndexedOracle,
@@ -409,6 +412,7 @@ object SparkEntry {
     "eval_retrieval_kw" -> RetrievalEval.kwOracle,
     "eval_retrieval_hybrid" -> RetrievalEval.hybridOracle,
     "eval_retrieval_pruned" -> RetrievalEval.prunedOracle,
+    "eval_retrieval_quantized" -> RetrievalEval.quantizedOracle,
     "eval_alpha_sweep" -> RetrievalEval.alphaSweepOracle,
     "eval_retrieval_golden" -> GoldenEval.goldenEvalOracle,
     "eval_retrieval_golden_refreshed" -> GoldenEval.goldenEvalRefreshedOracle,

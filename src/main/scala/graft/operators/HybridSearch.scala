@@ -398,9 +398,20 @@ object HybridSearch {
                                              qId: Long,
                                              alpha: Double = Alpha, k: Int = TopK,
                                              nprobe: Int = IvfIndex.NProbe,
-                                             asOf: Option[Int] = None): DataFrame = {
+                                             asOf: Option[Int] = None,
+                                             allowedDocs: Option[DataFrame] = None): DataFrame = {
     val queries = q.select(lit(qId).as("q_id"), col("q_emb"))
-    val vparts = VectorRefresh.batchVparts(s, vecPath, queries, nprobe, asOf)
+    val vparts0 = VectorRefresh.batchVparts(s, vecPath, queries, nprobe, asOf)
+    // filter-during-pinned-walk (the IvfIndex filtered-search pattern
+    // over refreshed views): the metadata predicate restricts the
+    // candidate domain BEFORE the normalization stats — and because the
+    // keyword leg is candidate-restricted below, one semi-join filters
+    // both legs. `allowedDocs` carries doc_ids from the SAME corpus
+    // state the pin serves (the caller's as-of universe).
+    // no broadcast hint: a selective filter broadcasts via AQE, a weak
+    // one must not be forced driver-side at corpus scale
+    val vparts = allowedDocs.fold(vparts0)(a =>
+      vparts0.join(a.select(col("doc_id")), Seq("doc_id"), "semi"))
     val kparts = IndexRefresh.requestScored(s, kwPath, terms.distinct.sorted, asOf)
       .withColumn("q_id", lit(qId))
     fuseTail(vparts, kparts, alpha, k,

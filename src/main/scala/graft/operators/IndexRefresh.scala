@@ -469,7 +469,14 @@ object IndexRefresh {
       // blocks GC-reclaimable via the ContextCleaner
       val fresh = build.localCheckpoint()
       viewCache.compute(key, (_, cur) =>
-        if (cur != null && cur._1 == ep) cur else (ep, fresh))._2
+        if (cur != null && cur._1 == ep) cur
+        else if (cur != null && cur._1 == epochOf(path)) cur
+        // ^ a builder that read the epoch BEFORE a concurrent refresh
+        // rolled it must not overwrite the newer entry a post-roll
+        // builder installed — re-check cur against the LIVE epoch (two
+        // dir listings under the bucket lock) and keep it when current;
+        // install (ep, fresh) only when neither entry matches
+        else (ep, fresh))._2
     }
   }
 

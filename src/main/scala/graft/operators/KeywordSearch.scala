@@ -77,15 +77,21 @@ object KeywordSearch {
     * matched-posting volume that cost +30% wall at 10×). An input
     * already rounded at 6dp (= the nearest double to k/1e6) recovers k
     * exactly; a raw input is quantized at 1e-6, which IS the chain's
-    * contribution contract. Oracle twin:
-    * `CAST(sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0`.
+    * contribution contract. The numerator is SIGN-AWARE
+    * (`sign(x)·floor(|x|·1e6 + 0.5)` — round-half-AWAY-FROM-ZERO, i.e.
+    * HALF_UP for both signs): on the nonnegative BM25/champion/fusion
+    * chains it is bit-identical to the plain `floor(x·1e6 + 0.5)` form,
+    * and a future signed chain (e.g. QL log scores) inherits a correct
+    * helper instead of a silent half-toward-+∞ divergence on negative
+    * halves. Oracle twin: [[fixedPointSum6Sql]].
     */
   private[graft] def fixedPointSum6(value: Column): Column =
-    sum(floor(value * lit(1000000.0) + lit(0.5))).cast("double") / 1000000.0
+    sum(signum(value) * floor(abs(value) * lit(1000000.0) + lit(0.5)))
+      .cast("double") / 1000000.0
 
   /** The oracle-side rendering of [[fixedPointSum6]]. */
   private[graft] def fixedPointSum6Sql(expr: String): String =
-    s"CAST(sum(CAST(floor(($expr) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0"
+    s"CAST(sum(CAST(sign($expr) * floor(abs($expr) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0"
 
   /** Σ over terms of the Robertson BM25 term score, as a column over the
     * conventional stat columns `tf_i`/`df_i`/`dl`/`avgdl`/`n_docs` — the

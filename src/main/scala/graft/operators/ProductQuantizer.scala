@@ -29,7 +29,7 @@ object ProductQuantizer {
 
   case class Model(m: Int, dim: Int, codebooks: Seq[Seq[Seq[Double]]])
 
-  private def normalized(c: Column): Column = {
+  private[operators] def normalized(c: Column): Column = {
     val d = transform(c, x => x.cast("double"))
     // Generate-barrier-free: norm referenced once inside the lambda is
     // loop-invariant but cheap (d adds) relative to the one-off encode.

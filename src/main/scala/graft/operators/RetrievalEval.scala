@@ -329,6 +329,35 @@ object RetrievalEval {
   val prunedOracle: String = metricsSqlOver(
     s"SELECT q_id, rn, doc_id FROM (\n${HybridSearch.fusedBatchChampionSql()}\n) h")
 
+  /** The QUANTIZED-tier leg of the per-search-type evaluation: the same
+    * golden labels and metric tail over the refreshed quantized
+    * layout's batch ADC ranking
+    * ([[VectorRefresh.batchSearchQuantized]]) — the
+    * approximation-QUALITY counterpart to the quantized tier's speed
+    * rows, exactly as [[queryPruned]] grades the champion+IVF fusion:
+    * what hit-rate/MRR the ADC serving path trades for reading m-byte
+    * codes instead of full-precision vectors. Scale shape = the batch
+    * probe's + a k×|queries| metric tail.
+    */
+  def queryQuantized(s: SparkSession, dir: String): DataFrame = {
+    val path = VectorRefresh.quantizedArtifact(s, dir)
+    VectorRefresh.captureQuantModel(s, path)
+    metricsOverRanked(
+      VectorRefresh.batchSearchQuantized(s, path,
+        _.filter(col("vec_id") % VectorSearch.BatchStride === 0))
+        .withColumnRenamed("vec_id", "doc_id"),
+      Tables.embeddings(s, dir))
+  }
+
+  /** Oracle for [[queryQuantized]] — a def (the literal-codebook
+    * capture convention): the batch quantized ranked list replayed from
+    * scratch, then ONE copy of the metric tail.
+    */
+  def quantizedOracle: String = VectorRefresh.capturedQuantModel.fold(
+    "SELECT pq_refresh_model_not_captured FROM embeddings")(m =>
+    metricsSqlOver(
+      s"SELECT q_id, rn, vec_id AS doc_id FROM (\n${VectorRefresh.batchQuantizedRankedSql(m)}\n) h"))
+
   /** The swept alpha grid — endpoints (pure BM25, pure vector) plus the
     * quartile interior, the grid the reference's docstring describes
     * (weaviate_interface_v4.py:330-335) and a tuning notebook walks.

@@ -523,9 +523,14 @@ object VectorRefresh {
       .coalesce(1).write.mode("overwrite").parquet(codebookDir(path))
   }
 
-  /** Read-back with a lastModified-keyed memo: the artifact is m·k rows
-    * (bounded — the cache rule's index-artifact class), re-read only
-    * when a retrain rewrites it.
+  /** Read-back with a content-fingerprint memo: the artifact is m·k
+    * rows (bounded — the cache rule's index-artifact class), re-read
+    * only when a retrain rewrites it. The memo key is the sorted file
+    * LISTING (the [[IndexRefresh.epochOf]] convention), not
+    * lastModified: every parquet overwrite lands fresh
+    * `part-<task>-<uuid>` names, so an in-place [[writeCodebook]]
+    * within one second-granularity mtime tick still rolls the key —
+    * an mtime memo would serve the stale model there.
     */
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, ProductQuantizer.Model]()
@@ -533,7 +538,8 @@ object VectorRefresh {
   private[graft] def readCodebook(spark: SparkSession,
                                   path: String): ProductQuantizer.Model =
     codebookCache.computeIfAbsent(
-      s"$path@${new java.io.File(codebookDir(path)).lastModified()}", _ => {
+      s"$path@${Option(new java.io.File(codebookDir(path)).list())
+        .getOrElse(Array.empty[String]).sorted.mkString(",")}", _ => {
         val rows = spark.read.parquet(codebookDir(path))
           .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
         val m = rows.map(_._1).max + 1
@@ -605,6 +611,76 @@ object VectorRefresh {
       .limit(k)
   }
 
+  /** BATCH ADC search over the refreshed QUANTIZED layout — the
+    * headline batch serving form at 100 TB: the query BATCH amortizes
+    * one pass ([[ProductQuantizer.batchSearchIvfAdc]]'s composition),
+    * IVF prunes WHICH cells each query scans (merged serving centroids
+    * via [[IvfIndex.batchProbedCellsFrom]]), and PQ shrinks WHAT each
+    * candidate costs — and unlike the inline batch IVF-PQ form, the
+    * codes are STANDING artifacts: the probe never encodes a vector,
+    * it reads the probed cells' m-byte code files and pays only the m
+    * table lookups per candidate. Per-query ADC tables are a tiny
+    * (|queries|·m·k)-row frame built declaratively from the standing
+    * codebook and broadcast into the code scan; the j-ordered
+    * table-lookup sum and 6dp round keep the arithmetic bitwise the
+    * single-query [[searchQuantized]] contract so the literal-codebook
+    * oracle replays it. Refresh keeps codes current per batch; `asOf`
+    * pins the read (segments + tombstones + codebook are all
+    * time-travel-consistent because refresh never retrains).
+    */
+  def batchSearchQuantized(spark: SparkSession, path: String,
+                           selectQueries: DataFrame => DataFrame,
+                           nprobe: Int = IvfIndex.NProbe,
+                           k: Int = IvfIndex.TopK,
+                           asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val model = readCodebook(spark, path)
+    val sub = model.dim / model.m
+    val queries = selectQueries(liveVectors(spark, path, asOf = asOf))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = IvfIndex.batchProbedCellsFrom(
+      centroidView(spark, path, asOf), queries, nprobe)
+    // per-query ADC tables (the batchSearchIvfAdc convention): the
+    // standing codebook is m·k rows, queries are the stride sample —
+    // the cross product stays broadcast-sized at any corpus scale
+    val cb = model.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) => (j, c, cent) }
+    }.toDF("j", "c", "cent")
+    val tables = queries
+      .select(col("q_id"), ProductQuantizer.normalized(col("q_emb")).as("qn"))
+      .join(broadcast(cb))
+      .select(col("q_id"), col("j"), col("c"),
+        aggregate(
+          zip_with(slice(col("qn"), col("j") * sub + 1, lit(sub)), col("cent"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, v) => acc + v).as("d2"))
+    // candidate (q_id, vec_id, codes): the probed (q_id, cell) pairs
+    // broadcast into the standing code scan — cell is the partition
+    // column of every seg=r/codes write, so the isin-free join still
+    // reads only probed cells' files at scale via DPP; no full-precision
+    // vector is touched past the query rows themselves
+    val cands = liveCodes(spark, path, None, asOf)
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val adcs = cands
+      .select(col("q_id"), col("vec_id"), posexplode(col("codes")).as(Seq("j", "c")))
+      .join(broadcast(tables), Seq("q_id", "j", "c"))
+      .groupBy("q_id", "vec_id")
+      // bounded-group fold (m rows per group): j-ordered sum == PqAdcScore
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("j"), col("d2")))),
+          x => x.getField("d2")),
+        lit(0.0d), (acc, v) => acc + v), 6).as("adc"))
+    adcs
+      .groupBy("q_id")
+      .agg(graft.functions.VectorFunctions
+        .topKByScore(-col("adc"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("vec_id"),
+        (-col("t.score")).as("adc"))
+      .orderBy("q_id", "rn")
+  }
+
   /** The quantized refreshed layout for a source dir: quantized base on
     * the previous snapshot (codebook trained there — the standing-model
     * convention), one refresh encoding the delta against it.
@@ -642,6 +718,19 @@ object VectorRefresh {
       .filter(col("vec_id") === VectorSearch.QueryVecId)
       .select(col("embedding").as("q_emb"))
     searchQuantized(s, path, q, VectorSearch.QueryVecId)
+  }
+
+  /** Driver query: BATCH ADC serving over the refreshed quantized
+    * layout — the batch twin of [[qSearchRefreshedQuantized]], the
+    * stride query set probing standing codes. Oracle replays probe +
+    * encode + ADC per query on the current snapshot with the ENGINE's
+    * codebook as literals.
+    */
+  def qBatchSearchRefreshedQuantized(s: SparkSession, dir: String): DataFrame = {
+    val path = quantizedArtifact(s, dir)
+    captureQuantModel(s, path)
+    batchSearchQuantized(s, path,
+      _.filter(col("vec_id") % VectorSearch.BatchStride === 0))
   }
 
   /** Driver query: the vector layout's TIME-TRAVEL read — the same
@@ -731,4 +820,100 @@ object VectorRefresh {
        |ORDER BY adc ASC, vec_id
        |LIMIT ${IvfIndex.TopK}""".stripMargin
   }
+
+  /** The BATCH quantized ranked list as one SQL statement (nested-WITH
+    * convention) — shared by [[batchSearchRefreshedQuantizedOracle]]
+    * and the quantized eval leg's metric-tail oracle: per-query probe
+    * over the current snapshot's exact centroids, candidates re-encoded
+    * against the literal codebook, per-query ADC tables, j-ordered
+    * sums, 6dp round, (adc asc, vec_id) ranking cut at k.
+    */
+  private[graft] def batchQuantizedRankedSql(
+      model: ProductQuantizer.Model,
+      stride: Int = VectorSearch.BatchStride,
+      nprobe: Int = IvfIndex.NProbe,
+      k: Int = IvfIndex.TopK): String = {
+    val sub = model.dim / model.m
+    s"""WITH curr AS (
+       |  SELECT * FROM embeddings WHERE vec_id % $DiffRemoveStride <> 3),
+       |cb AS (SELECT * FROM (VALUES
+       |    ${ProductQuantizer.codebookValues(model)}) AS t(j, c, cent)),
+       |queries AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM curr WHERE vec_id % $stride = 0),
+       |cexp AS (
+       |  SELECT label AS cell, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS ev
+       |  FROM curr),
+       |cent AS (
+       |  SELECT cell, list(cv ORDER BY dim) AS centroid
+       |  FROM (SELECT cell, dim, avg(ev) AS cv FROM cexp GROUP BY 1, 2) t
+       |  GROUP BY cell),
+       |cscored AS (
+       |  SELECT q_id, cell,
+       |    round(${VectorSearch.cosineSql("centroid", "q_emb")}, 6) AS cscore
+       |  FROM cent, queries),
+       |probed AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cscore DESC, cell) AS crn
+       |    FROM cscored) t
+       |  WHERE crn <= $nprobe),
+       |norm AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS e
+       |  FROM curr),
+       |qn AS (
+       |  SELECT q.q_id, n.e AS qnv FROM queries q JOIN norm n ON n.vec_id = q.q_id),
+       |tbls AS (
+       |  SELECT q_id, j, c,
+       |    list_sum(list_transform(range(1, ${sub + 1}), t ->
+       |      (qnv[j * $sub + t] - cent[t]) * (qnv[j * $sub + t] - cent[t]))) AS d2
+       |  FROM qn, cb),
+       |cands AS (
+       |  SELECT p.q_id, n.vec_id
+       |  FROM norm n JOIN probed p ON n.label = p.cell
+       |  WHERE n.vec_id <> p.q_id),
+       |dists AS (
+       |  SELECT vec_id, j, c,
+       |    list_sum(list_transform(range(1, ${sub + 1}), t ->
+       |      (e[j * $sub + t] - cent[t]) * (e[j * $sub + t] - cent[t]))) AS d2e
+       |  FROM norm, cb
+       |  WHERE vec_id IN (SELECT vec_id FROM cands)),
+       |enc AS (
+       |  SELECT vec_id, j, c,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2e ASC, c ASC) AS ern
+       |  FROM dists),
+       |adcs AS (
+       |  SELECT cands.q_id, cands.vec_id,
+       |    round(list_sum(list(tbls.d2 ORDER BY enc.j)), 6) AS adc
+       |  FROM cands
+       |  JOIN enc ON enc.vec_id = cands.vec_id AND enc.ern = 1
+       |  JOIN tbls ON tbls.q_id = cands.q_id AND tbls.j = enc.j AND tbls.c = enc.c
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rn
+       |  FROM adcs
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, vec_id, adc
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** Oracle for [[qBatchSearchRefreshedQuantized]] (the
+    * [[searchRefreshedQuantizedOracle]] capture convention — a def,
+    * dumped after the queries run).
+    */
+  def batchSearchRefreshedQuantizedOracle: String = lastQuantModel.fold(
+    "SELECT pq_refresh_model_not_captured FROM embeddings")(
+    batchQuantizedRankedSql(_))
+
+  /** The captured model for oracles composed OUTSIDE this object (the
+    * quantized eval leg) — None until a quantized driver query ran.
+    */
+  private[graft] def capturedQuantModel: Option[ProductQuantizer.Model] =
+    lastQuantModel
 }

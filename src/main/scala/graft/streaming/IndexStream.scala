@@ -216,11 +216,17 @@ object IndexStream {
                 .select("doc_id"), Seq("doc_id"), "semi"))
             if (IndexRefresh.compactionPlan(spark, cur, maxSegments = 2)
                 .head().getBoolean(4)) {
-              gen += 1
-              val next = s"$p/gen$gen"
+              // advance the driver-local counter ONLY after the fold
+              // fully committed: a foreachBatch retry around a failed
+              // compact/marker write replays with gen unchanged and
+              // re-lands the SAME generation path (deterministic
+              // overwrite), instead of skipping a number and orphaning
+              // the half-written directory
+              val next = s"$p/gen${gen + 1}"
               IndexRefresh.compact(spark, cur, next)
               recordAbsorbedThrough(next, batchId)
               cur = next
+              gen += 1
             }
           }
         }
@@ -382,11 +388,13 @@ object IndexStream {
               removed.join(ids, Seq("vec_id"), "semi"))
             if (VectorRefresh.compactionPlan(spark, cur, maxSegments = 2)
                 .head().getBoolean(4)) {
-              gen += 1
-              val next = s"$p/gen$gen"
+              // counter advances only after the committed fold (see the
+              // keyword loop's retry note)
+              val next = s"$p/gen${gen + 1}"
               VectorRefresh.compact(spark, cur, next)
               recordAbsorbedThrough(next, batchId)
               cur = next
+              gen += 1
             }
           }
         }

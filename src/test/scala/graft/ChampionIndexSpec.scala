@@ -118,7 +118,12 @@ class ChampionIndexSpec extends SparkSpec {
     val champion = HybridSearch.fusedBatchChampionSel(docs, embs,
       postings, fullChamps,
       _.filter(col("vec_id") % KeywordSearch.BatchStride === 0),
-      _.filter(col("doc_id") % KeywordSearch.BatchStride === 0))
+      _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
+      // this pin isolates champion-list COVERAGE (full depth ==
+      // every posting is a champion), so the per-leg top-C serving
+      // cut is off — capped == uncapped has its own bitwise pin in
+      // SearchSpec, and the IVF twin below runs uncapped
+      topC = None)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     val ivf = HybridSearch.fusedBatchIvf(docs, embs)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

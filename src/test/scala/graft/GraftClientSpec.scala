@@ -231,9 +231,69 @@ class GraftClientSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       client.keywordSearch("spark", asOf = pin)
     }
-    intercept[IllegalArgumentException] {
-      rc.keywordSearch("spark", asOf = pin, queryProperties = Seq("text", "source^2"))
-    }
+  }
+
+  test("filtered asOf hybrid applies the filter during the pinned walk") {
+    import graft.operators.{CorpusOps, HybridSearch, IndexRefresh, VectorRefresh}
+    val rc = new GraftClient(TestSpark.spark, TestSpark.Sf0001,
+      indexMode = GraftClient.IndexRefreshed)
+    val prevD = CorpusOps.prevSnapshot(
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001))
+    val kwPath = IndexRefresh.refreshedArtifact(spark, TestSpark.Sf0001)
+    val vecPath = VectorRefresh.refreshedArtifact(spark, TestSpark.Sf0001)
+    val pin = Some(0)
+    val req = "spark hash join fast"
+    val q = spark.range(1).select(
+      graft.operators.Embedder.embed(lit(req), 64).cast("array<float>").as("q_emb"))
+    val keep = (0 until 10).map(i => s"src$i")
+    val pred = col("source").isin(keep: _*)
+    // facade routing pin: filtered + pinned ≡ the operator-level pinned
+    // walk with the filter's doc_ids (from the PIN's universe) cutting
+    // the candidate domain before the fusion stats
+    val via = rc.hybridSearch(req, limit = 5, filter = Some(pred),
+      asOf = pin).collect().toSeq
+    val direct = HybridSearch.fusedRefreshedWithQuery(spark, kwPath, vecPath,
+        req.split(" ").toSeq, q, qId = -1L, k = 5, asOf = pin,
+        allowedDocs = Some(prevD.filter(pred)))
+      .join(prevD.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .collect().toSeq
+    assert(via == direct && via.nonEmpty)
+    // every served row satisfies the predicate, and the filter CHANGED
+    // the page (the pinned corpus has non-web sources in the top-5)
+    assert(via.forall(r => keep.contains(r.getString(1))))
+    val unfiltered = rc.hybridSearch(req, limit = 5, asOf = pin).collect().toSeq
+    assert(via != unfiltered)
+    // an UNPINNED filtered request still takes the exact path over the
+    // mode's universe (the documented filter-agnostic-artifact trade)
+    val unpinned = rc.hybridSearch(req, limit = 5, filter = Some(pred))
+      .collect().toSeq
+    assert(unpinned.nonEmpty && unpinned.forall(r => keep.contains(r.getString(1))))
+  }
+
+  test("multi-property asOf keyword serves BM25F over the pinned universe") {
+    import graft.operators.{CorpusOps, KeywordSearch}
+    val rc = new GraftClient(TestSpark.spark, TestSpark.Sf0001,
+      indexMode = GraftClient.IndexRefreshed)
+    val prevD = CorpusOps.prevSnapshot(
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001))
+    val req = "spark hash src3"
+    // pinned multi-property == the exact BM25F scan over the PIN's
+    // document universe (BM25F is a corpus scan — "as of commit r" is
+    // the scan over that commit's snapshot, the doc twin of the
+    // filtered pinned hybrid walk)
+    val via = rc.keywordSearch(req, limit = 5,
+      queryProperties = Seq("text", "source^2"), asOf = Some(0))
+      .collect().toSeq
+    val direct = KeywordSearch.bm25MultiField(prevD,
+      req.split(" ").toSeq, Seq("text" -> 1.0, "source" -> 2.0), 5)
+      .collect().toSeq
+    assert(via == direct && via.nonEmpty)
+    // and the pin CHANGED the page vs the unpinned multi-property read
+    val unpinned = rc.keywordSearch(req, limit = 5,
+      queryProperties = Seq("text", "source^2")).collect().toSeq
+    assert(via != unpinned)
   }
 
   test("nearObject honors the collection's index mode") {

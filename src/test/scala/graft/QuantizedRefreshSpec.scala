@@ -121,6 +121,36 @@ class QuantizedRefreshSpec extends SparkSpec {
     assert(new java.io.File(s"$out/seg=1/codes").exists())
   }
 
+  test("batch quantized serving matches the single-query ADC contract per query") {
+    val dir = TestSpark.Sf0001
+    val path = VectorRefresh.quantizedArtifact(spark, dir)
+    val qid = VectorSearch.QueryVecId
+    // the batch form restricted to ONE query is bitwise the single form
+    // (same probe, same codes, same j-ordered ADC arithmetic)
+    val single = VectorRefresh.searchQuantized(spark, path, qOf(path, qid), qid)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val batch = VectorRefresh.batchSearchQuantized(spark, path,
+        _.filter(col("vec_id") === qid))
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(batch == single && batch.nonEmpty)
+    // the stride batch serves a dense rank page per query, and as-of
+    // composes: pinned batch == batch over a rebuild of the pinned state
+    val stride = VectorRefresh.batchSearchQuantized(spark, path,
+      _.filter(col("vec_id") % VectorSearch.BatchStride === 0))
+    val perQ = stride.groupBy("q_id").count().collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == graft.operators.IvfIndex.TopK))
+    val prev = VectorRefresh.prevSnapshot(embs)
+    val reb = tmp("pq_batch_asof_reb")
+    VectorRefresh.writeCodebook(spark, reb, VectorRefresh.readCodebook(spark, path))
+    VectorRefresh.buildBase(prev, reb)
+    val pinned = VectorRefresh.batchSearchQuantized(spark, path,
+      _.filter(col("vec_id") % VectorSearch.BatchStride === 0),
+      asOf = Some(0)).collect().toSeq
+    val replay = VectorRefresh.batchSearchQuantized(spark, reb,
+      _.filter(col("vec_id") % VectorSearch.BatchStride === 0)).collect().toSeq
+    assert(pinned == replay && pinned.nonEmpty)
+  }
+
   test("the ADC page tracks the exact refreshed search (recall sanity)") {
     val dir = TestSpark.Sf0001
     val path = VectorRefresh.quantizedArtifact(spark, dir)
