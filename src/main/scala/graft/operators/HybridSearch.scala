@@ -182,7 +182,7 @@ object HybridSearch {
   val BatchK = 5
 
   /** The per-(query, leg) candidate bound for capped fusion paths (see
-    * [[fusePrep]]'s `topC`): C = 4·k keeps every plausible fused winner
+    * [[cappedChampionParts]]): C = 4·k keeps every plausible fused winner
     * (a doc outside BOTH legs' top-4k cannot reach the fused top-k at
     * any alpha unless ≥3k stronger candidates tie it out of both lists)
     * while making the normalize+fuse tail O(C·|Q|) instead of
@@ -527,12 +527,84 @@ object HybridSearch {
                                            k: Int = BatchK,
                                            centroids: Option[DataFrame] = None,
                                            topC: Option[Int] = Some(topCFor(BatchK))): DataFrame = {
-    val vparts = ivfVparts(embs, selectVecQueries, nprobe, centroids)
     val kparts = ChampionIndex.championScored(docs, postings, champs,
       selectDocQueries, nTerms)
-    fuseTail(vparts, kparts, alpha, k,
-      restrictKwToCandidates = true, materializeCandidates = true,
-      topC = topC)
+    topC match {
+      case Some(c) =>
+        val (vcand, kcut) = cappedChampionParts(embs, selectVecQueries,
+          kparts, nprobe, centroids, c)
+        fuseTail(vcand, kcut, alpha, k)
+      case None =>
+        fuseTail(ivfVparts(embs, selectVecQueries, nprobe, centroids),
+          kparts, alpha, k,
+          restrictKwToCandidates = true, materializeCandidates = true)
+    }
+  }
+
+  /** The capped champion-fusion candidate prep — the 100 TB shape of
+    * the per-(q_id, leg) top-C serving cut: the probed-cell cosine
+    * fan-out is consumed by EXACTLY ONE streaming pass into bounded
+    * map-side heaps (partial [[graft.functions.VectorFunctions
+    * .topKByScore]] per q_id ahead of the q_id exchange, so the
+    * shuffle carries ≤C rows per query per task), and it is NEVER
+    * materialized, exchanged whole, or probed a second time — the r11
+    * capped form checkpointed and semi-join-probed the full frame,
+    * which re-introduced the corpus-fraction-checkpoint failure mode
+    * the refreshed path had already shed (executor OOM at 100×). The
+    * two other uses of the frame come from bounded artifacts instead:
+    *   - the keyword leg's candidate-domain restriction is CELL
+    *     membership — the corpus' (vec_id, label) projection joined to
+    *     the broadcast (q_id, cell) probe pairs — a featherweight
+    *     column-pruned pass, not a semi-join against the fan-out;
+    *   - keyword winners the vector cut dropped recover their true
+    *     vscore by recomputing the SAME cosine expression for the
+    *     ≤C·|Q| missing (q_id, doc_id) pairs directly from the
+    *     embeddings (bitwise identical — same expression, same rows).
+    * Output feeds [[fuseTail]] uncapped: vcand is the ≤2C-per-query
+    * union, kcut ⊆ vcand's keys, so stats/clamp/join semantics are
+    * unchanged and the committed SQL oracle (vtop/ktop/cand CTEs)
+    * replays it row-for-row.
+    */
+  private def cappedChampionParts(embs: DataFrame,
+                                  selectVecQueries: DataFrame => DataFrame,
+                                  kparts: DataFrame,
+                                  nprobe: Int, centroids: Option[DataFrame],
+                                  c: Int): (DataFrame, DataFrame) = {
+    val queries = selectVecQueries(embs)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = centroids
+      .map(cs => IvfIndex.batchProbedCellsFrom(cs, queries, nprobe))
+      .getOrElse(IvfIndex.batchProbedCells(embs, queries, nprobe))
+    val vparts = Tables.parallel(embs)
+      .join(broadcast(probed), col("label") === col("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        cosineSim(col("embedding"), col("q_emb")).as("vscore"))
+    val vcut = vparts.groupBy("q_id")
+      .agg(topKByScore(col("vscore"), col("doc_id"), c).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("doc_id"),
+        col("t.score").as("vscore"))
+    val kdom = kparts
+      .join(embs.select(col("vec_id").as("doc_id"), col("label").as("cell")),
+        Seq("doc_id"))
+      .join(broadcast(probed), Seq("q_id", "cell"), "semi")
+      .filter(col("doc_id") =!= col("q_id"))
+      .drop("cell")
+    val kcut = kdom.groupBy("q_id")
+      .agg(topKByScore(col("raw_score"), col("doc_id"), c).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("doc_id"),
+        col("t.score").as("raw_score"))
+    val extraKeys = kcut.join(vcut, Seq("q_id", "doc_id"), "anti")
+      .select(col("q_id"), col("doc_id"))
+    val extra = embs.select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(broadcast(extraKeys), Seq("doc_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        cosineSim(col("embedding"), col("q_emb")).as("vscore"))
+    (vcut.unionByName(extra), kcut)
   }
 
   /** [[fusedBatchChampionSel]] swept over MULTIPLE alphas in ONE plan —
@@ -555,12 +627,18 @@ object HybridSearch {
                                                 k: Int = BatchK,
                                                 centroids: Option[DataFrame] = None,
                                                 topC: Option[Int] = Some(topCFor(BatchK))): DataFrame = {
-    val vparts = ivfVparts(embs, selectVecQueries, nprobe, centroids)
     val kparts = ChampionIndex.championScored(docs, postings, champs,
       selectDocQueries, nTerms)
-    fuseTailSweep(vparts, kparts, alphas, k,
-      restrictKwToCandidates = true, materializeCandidates = true,
-      topC = topC)
+    topC match {
+      case Some(c) =>
+        val (vcand, kcut) = cappedChampionParts(embs, selectVecQueries,
+          kparts, nprobe, centroids, c)
+        fuseTailSweep(vcand, kcut, alphas, k)
+      case None =>
+        fuseTailSweep(ivfVparts(embs, selectVecQueries, nprobe, centroids),
+          kparts, alphas, k,
+          restrictKwToCandidates = true, materializeCandidates = true)
+    }
   }
 
   /** SQL replay of [[fusedBatchChampionSweepSel]]: the champion-fusion
@@ -626,11 +704,9 @@ object HybridSearch {
   private def fuseTail(vparts0: DataFrame, kparts0: DataFrame,
                        alpha: Double, k: Int,
                        restrictKwToCandidates: Boolean = false,
-                       materializeCandidates: Boolean = false,
-                       topC: Option[Int] = None): DataFrame = {
+                       materializeCandidates: Boolean = false): DataFrame = {
     val (joined, qstats) =
-      fusePrep(vparts0, kparts0, restrictKwToCandidates, materializeCandidates,
-        topC)
+      fusePrep(vparts0, kparts0, restrictKwToCandidates, materializeCandidates)
     val fscore = round(
       lit(alpha) * (col("vscore") - col("vmin")) /
         when(col("vmax") === col("vmin"), 1.0).otherwise(col("vmax") - col("vmin")) +
@@ -664,10 +740,9 @@ object HybridSearch {
   private def fuseTailSweep(vparts0: DataFrame, kparts0: DataFrame,
                             alphas: Seq[Double], k: Int,
                             restrictKwToCandidates: Boolean = false,
-                            materializeCandidates: Boolean = false,
-                            topC: Option[Int] = None): DataFrame = {
+                            materializeCandidates: Boolean = false): DataFrame = {
     val (joined, qstats) = fusePrep(vparts0, kparts0,
-      restrictKwToCandidates, materializeCandidates, topC)
+      restrictKwToCandidates, materializeCandidates)
     def fscoreFor(a: Double) = round(
       lit(a) * (col("vscore") - col("vmin")) /
         when(col("vmax") === col("vmin"), 1.0).otherwise(col("vmax") - col("vmin")) +
@@ -693,29 +768,15 @@ object HybridSearch {
   /** The shared normalize-and-join prefix of both fusion tails:
     * candidate frame behind its one exchange, sparse keyword
     * restriction, per-query stats with the implicit-zero clamp, and the
-    * LEFT-joined (q_id, doc_id, vscore, kscore) frame.
-    *
-    * `topC` — the per-(query, leg) candidate bound, the serving
-    * discipline Weaviate applies per shard (each leg contributes its
-    * top-L list and fusion runs over the union —
-    * weaviate_interface_v4.py:308): when set, the vector leg keeps only
-    * its top-C candidates by (vscore desc, doc_id) and the keyword leg
-    * its top-C by (raw_score desc, doc_id), both via the bounded
-    * map-side [[topKByScore]] heap, and everything downstream — the
-    * normalization stats, the fusion join, the final heap — runs over
-    * the ≤2C-per-query union instead of the nprobe·|cell| probe frame
-    * that grows with the corpus. With C ≥ the per-query candidate count
-    * the cut is a no-op and the capped form is bitwise the uncapped one
-    * (spec-pinned), exactly as full-probe IVF ≡ brute force. Requires
-    * kparts ⊆ the candidate domain (i.e. `restrictKwToCandidates` on
-    * every capped path), so the keyword top-C is a subset of the final
-    * union and the sparse-stats clamp formulation carries over
-    * unchanged.
+    * LEFT-joined (q_id, doc_id, vscore, kscore) frame. Capped fusion
+    * paths pre-cut each leg in [[cappedChampionParts]] and arrive here
+    * with the ≤2C-per-query union as `vparts0` — the stats/clamp/join
+    * semantics are identical either way because the keyword frame is a
+    * subset of the candidate keys in both shapes.
     */
   private def fusePrep(vparts0: DataFrame, kparts0: DataFrame,
                        restrictKwToCandidates: Boolean,
-                       materializeCandidates: Boolean,
-                       topC: Option[Int] = None): (DataFrame, DataFrame) = {
+                       materializeCandidates: Boolean): (DataFrame, DataFrame) = {
     // (q_id, doc_id) — NOT q_id alone: the fan-out holds ~|corpus| rows
     // per query, so single-key partitioning would put a whole corpus
     // copy on one task. The explicit not-null filters keep every
@@ -749,35 +810,12 @@ object HybridSearch {
       else kparts0
     val kparts2 =
       if (materializeCandidates) kparts1.localCheckpoint() else kparts1
-    // the per-leg top-C cut (see Scaladoc): both heaps are bounded
-    // map-side aggregates over the already-shared candidate exchange;
-    // the union frame they produce is ≤2C rows per query, so the stats
-    // aggregate and fusion join below stop scaling with the corpus
-    val (vcand, kparts) = topC match {
-      case Some(c) =>
-        require(restrictKwToCandidates,
-          "topC requires kparts restricted to the candidate domain")
-        val vcut = vparts.groupBy("q_id")
-          .agg(topKByScore(col("vscore"), col("doc_id"), c).as("top"))
-          .select(col("q_id"), explode(col("top")).as("t"))
-          .select(col("q_id"), col("t.id").as("doc_id"),
-            col("t.score").as("vscore"))
-        val kcut = kparts2.groupBy("q_id")
-          .agg(topKByScore(col("raw_score"), col("doc_id"), c).as("top"))
-          .select(col("q_id"), explode(col("top")).as("t"))
-          .select(col("q_id"), col("t.id").as("doc_id"),
-            col("t.score").as("raw_score"))
-        // keyword-leg winners the vector cut dropped still fuse with
-        // their true vscore: recover it from the candidate frame via a
-        // broadcast of the ≤C·|Q| missing keys (third ReusedExchange /
-        // checkpoint consumer — no fan-out recompute)
-        val extraKeys = kcut.join(vcut, Seq("q_id", "doc_id"), "anti")
-          .select(col("q_id"), col("doc_id"))
-        val extra = vparts.join(broadcast(extraKeys), Seq("q_id", "doc_id"))
-          .select(col("q_id"), col("doc_id"), col("vscore"))
-        (vcut.unionByName(extra), kcut)
-      case None => (vparts, kparts2)
-    }
+    // the per-leg top-C serving cut does NOT live here: it must consume
+    // the fan-out in ONE streaming map-side pass BEFORE any exchange or
+    // checkpoint of the full frame (see [[cappedChampionParts]]) — an
+    // in-prep cut over the materialized frame re-created the
+    // corpus-fraction-checkpoint OOM at 100×
+    val (vcand, kparts) = (vparts, kparts2)
     val vstats = vcand.groupBy("q_id")
       .agg(min("vscore").as("vmin"), max("vscore").as("vmax"),
         count(col("doc_id")).as("n_cand"))

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftshim.{PqAdcScore, PqEncode, Shims}
+import org.apache.spark.sql.graftshim.{PqAdcScore, PqAdcScoreDyn, PqEncode, Shims}
 
 /** Product quantization + ADC search — the memory-bound ANN scale path
   * beyond SQ8 ([[VectorSearch.quantize]]): m codebook indices per vector
@@ -205,29 +205,37 @@ object ProductQuantizer {
             (a, b) => (a - b) * (a - b)),
           lit(0.0d), (acc, v) => acc + v).as("d2"))
     // each DISTINCT vector in the probed-cell union encodes exactly ONCE
-    // (the encode is the expensive leg — per-pair encoding would pay it
-    // |queries| times over shared cells); candidate (q_id, vec_id) pairs
-    // then join the m-byte codes and pay only table lookups. ADC = the
-    // j-ORDERED sum of the m lookups (cf. PqAdcScore).
+    // on the scan (the encode is the expensive leg — per-pair encoding
+    // would pay it |queries| times over shared cells), and the per-query
+    // fan-out happens AFTER the encode via the broadcast probe pairs —
+    // the candidate frame is never shuffled or joined row-at-scale. The
+    // (q_id, j, c, d2) table rows reshape into one m×k ARRAY per query
+    // (bounded group folds, c- then j-sorted) and ride the same
+    // broadcast, so each candidate row pays exactly m in-register,
+    // j-ORDERED lookups inside whole-stage codegen ([[graftshim
+    // .PqAdcScoreDyn]] — bitwise [[PqAdcScore]]'s sum; the r11 explode-
+    // to-m-rows + collect_list re-aggregate was a billions-of-rows
+    // sort-spilling aggregate at 100×).
     val cells = probed.select(col("cell")).distinct()
-    val encVecs = embs
+    val enc = embs
       .join(broadcast(cells), col("label") === col("cell"))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("label"),
         Shims.column(PqEncode(
           Shims.expression(normalized(col("embedding"))), model.codebooks)).as("codes"))
-    val candPairs = embs.select(col("vec_id"), col("label"))
-      .join(broadcast(probed), col("label") === col("cell"))
+    val perJ = tables.groupBy("q_id", "j")
+      .agg(transform(array_sort(collect_list(struct(col("c"), col("d2")))),
+        x => x.getField("d2")).as("row"))
+    val tbls = perJ.groupBy("q_id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("row")))),
+        x => x.getField("row")).as("tbl"))
+    val probeTbl = probed.join(tbls, Seq("q_id"))
+    val adcs = enc
+      .join(broadcast(probeTbl), col("label") === col("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"))
-    val adcs = candPairs
-      .join(encVecs, Seq("vec_id"))
-      .select(col("q_id"), col("vec_id"), posexplode(col("codes")).as(Seq("j", "c")))
-      .join(broadcast(tables), Seq("q_id", "j", "c"))
-      .groupBy("q_id", "vec_id")
-      .agg(round(aggregate(
-        transform(array_sort(collect_list(struct(col("j"), col("d2")))),
-          x => x.getField("d2")),
-        lit(0.0d), (acc, v) => acc + v), 6).as("adc"))
+      .select(col("q_id"), col("vec_id"),
+        round(Shims.column(PqAdcScoreDyn(
+          Shims.expression(col("codes")),
+          Shims.expression(col("tbl")))), 6).as("adc"))
     adcs
       .groupBy("q_id")
       .agg(graft.functions.VectorFunctions

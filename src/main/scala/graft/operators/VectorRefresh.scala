@@ -654,23 +654,33 @@ object VectorRefresh {
           zip_with(slice(col("qn"), col("j") * sub + 1, lit(sub)), col("cent"),
             (a, b) => (a - b) * (a - b)),
           lit(0.0d), (acc, v) => acc + v).as("d2"))
-    // candidate (q_id, vec_id, codes): the probed (q_id, cell) pairs
-    // broadcast into the standing code scan — cell is the partition
-    // column of every seg=r/codes write, so the isin-free join still
-    // reads only probed cells' files at scale via DPP; no full-precision
-    // vector is touched past the query rows themselves
-    val cands = liveCodes(spark, path, None, asOf)
-      .join(broadcast(probed), Seq("cell"))
+    // candidate (q_id, vec_id, codes): the probed (q_id, cell) pairs —
+    // each carrying its query's m×k table reshaped into ONE array
+    // (bounded folds, c- then j-sorted) — broadcast into the standing
+    // code scan; cell is the partition column of every seg=r/codes
+    // write, so the isin-free join still reads only probed cells' files
+    // at scale via DPP, no full-precision vector is touched past the
+    // query rows themselves, and each candidate row pays exactly m
+    // in-register j-ordered lookups inside whole-stage codegen
+    // ([[org.apache.spark.sql.graftshim.PqAdcScoreDyn]] — bitwise the
+    // single-query PqAdcScore sum; an explode-to-m-rows + collect_list
+    // re-aggregate here would sort-spill at 100×)
+    val perJ = tables.groupBy("q_id", "j")
+      .agg(transform(array_sort(collect_list(struct(col("c"), col("d2")))),
+        x => x.getField("d2")).as("row"))
+    val tbls = perJ.groupBy("q_id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("row")))),
+        x => x.getField("row")).as("tbl"))
+    val probeTbl = probed.join(tbls, Seq("q_id"))
+    val adcs = liveCodes(spark, path, None, asOf)
+      .join(broadcast(probeTbl), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-    val adcs = cands
-      .select(col("q_id"), col("vec_id"), posexplode(col("codes")).as(Seq("j", "c")))
-      .join(broadcast(tables), Seq("q_id", "j", "c"))
-      .groupBy("q_id", "vec_id")
-      // bounded-group fold (m rows per group): j-ordered sum == PqAdcScore
-      .agg(round(aggregate(
-        transform(array_sort(collect_list(struct(col("j"), col("d2")))),
-          x => x.getField("d2")),
-        lit(0.0d), (acc, v) => acc + v), 6).as("adc"))
+      .select(col("q_id"), col("vec_id"),
+        round(org.apache.spark.sql.graftshim.Shims.column(
+          org.apache.spark.sql.graftshim.PqAdcScoreDyn(
+            org.apache.spark.sql.graftshim.Shims.expression(col("codes")),
+            org.apache.spark.sql.graftshim.Shims.expression(col("tbl")))),
+          6).as("adc"))
     adcs
       .groupBy("q_id")
       .agg(graft.functions.VectorFunctions

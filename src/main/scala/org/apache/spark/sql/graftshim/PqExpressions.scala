@@ -109,3 +109,49 @@ case class PqAdcScore(child: Expression, table: Seq[Seq[Double]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** [[PqAdcScore]] with the distance table as a COLUMN instead of a
+  * literal — the BATCH serving form: a multi-query ADC probe carries
+  * one m·k table PER QUERY (built declaratively from the codebook,
+  * m·k doubles each — broadcast-joined onto the candidate rows), so
+  * the table cannot ship as a reference object. Same j-ordered
+  * accumulation as [[PqAdcScore]] — bitwise-identical scores, and the
+  * reason the scan stays ONE ROW PER (query, candidate): the explode-
+  * to-m-rows + re-aggregate formulation turned the batch probe into a
+  * billions-of-rows sort-spilling aggregate at 100×, where this is m
+  * in-register lookups inside whole-stage codegen.
+  */
+case class PqAdcScoreDyn(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(IntegerType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score_dyn"
+
+  override protected def nullSafeEval(codesAny: Any, tblAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val tbl = tblAny.asInstanceOf[ArrayData]
+    var sum = 0.0; var j = 0
+    val m = tbl.numElements()
+    while (j < m) { sum += tbl.getArray(j).getDouble(codes.getInt(j)); j += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, tbl) => {
+      val j = ctx.freshName("j"); val sum = ctx.freshName("adcSum")
+      s"""
+         |double $sum = 0.0;
+         |for (int $j = 0; $j < $tbl.numElements(); $j++) {
+         |  $sum += $tbl.getArray($j).getDouble($codes.getInt($j));
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
