@@ -669,8 +669,10 @@ object VectorRefresh {
       .agg(transform(array_sort(collect_list(struct(col("c"), col("d2")))),
         x => x.getField("d2")).as("row"))
     val tbls = perJ.groupBy("q_id")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("row")))),
-        x => x.getField("row")).as("tbl"))
+      // j-major flatten: tbl(j·k + c) — the flat layout PqAdcScoreDyn
+      // indexes with primitive reads (no per-row nested-array views)
+      .agg(flatten(transform(array_sort(collect_list(struct(col("j"), col("row")))),
+        x => x.getField("row"))).as("tbl"))
     val probeTbl = probed.join(tbls, Seq("q_id"))
     val adcs = liveCodes(spark, path, None, asOf)
       .join(broadcast(probeTbl), Seq("cell"))

@@ -114,10 +114,15 @@ case class PqAdcScore(child: Expression, table: Seq[Seq[Double]])
   * literal — the BATCH serving form: a multi-query ADC probe carries
   * one m·k table PER QUERY (built declaratively from the codebook,
   * m·k doubles each — broadcast-joined onto the candidate rows), so
-  * the table cannot ship as a reference object. Same j-ordered
-  * accumulation as [[PqAdcScore]] — bitwise-identical scores, and the
-  * reason the scan stays ONE ROW PER (query, candidate): the explode-
-  * to-m-rows + re-aggregate formulation turned the batch probe into a
+  * the table cannot ship as a reference object. The table arrives
+  * FLATTENED j-major (`flat(j·k + c)`, k derived as |flat| / |codes|):
+  * a nested array<array<double>> costs an ArrayData view allocation
+  * per subspace per row — ~m·|candidates| short-lived objects, which
+  * GC-bound the 100× probe — where the flat form is m primitive reads
+  * straight off the UnsafeArrayData. Same j-ordered accumulation as
+  * [[PqAdcScore]] — bitwise-identical scores, and the reason the scan
+  * stays ONE ROW PER (query, candidate): the explode-to-m-rows +
+  * re-aggregate formulation turned the batch probe into a
   * billions-of-rows sort-spilling aggregate at 100×, where this is m
   * in-register lookups inside whole-stage codegen.
   */
@@ -126,26 +131,30 @@ case class PqAdcScoreDyn(left: Expression, right: Expression)
     with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(
-    ArrayType(IntegerType), ArrayType(ArrayType(DoubleType)))
+    ArrayType(IntegerType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_score_dyn"
 
   override protected def nullSafeEval(codesAny: Any, tblAny: Any): Any = {
     val codes = codesAny.asInstanceOf[ArrayData]
-    val tbl = tblAny.asInstanceOf[ArrayData]
+    val flat = tblAny.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val k = flat.numElements() / m
     var sum = 0.0; var j = 0
-    val m = tbl.numElements()
-    while (j < m) { sum += tbl.getArray(j).getDouble(codes.getInt(j)); j += 1 }
+    while (j < m) { sum += flat.getDouble(j * k + codes.getInt(j)); j += 1 }
     sum
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (codes, tbl) => {
+    nullSafeCodeGen(ctx, ev, (codes, flat) => {
       val j = ctx.freshName("j"); val sum = ctx.freshName("adcSum")
+      val m = ctx.freshName("m"); val k = ctx.freshName("k")
       s"""
          |double $sum = 0.0;
-         |for (int $j = 0; $j < $tbl.numElements(); $j++) {
-         |  $sum += $tbl.getArray($j).getDouble($codes.getInt($j));
+         |int $m = $codes.numElements();
+         |int $k = $flat.numElements() / $m;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $sum += $flat.getDouble($j * $k + $codes.getInt($j));
          |}
          |${ev.value} = $sum;
        """.stripMargin
