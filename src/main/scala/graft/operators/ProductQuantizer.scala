@@ -46,10 +46,26 @@ object ProductQuantizer {
     * ANY scale. Deterministic: stride-seeded init, fixed iteration
     * count, no RNG.
     */
+  /** Training-sample cap: k-means needs a bounded sample, not the
+    * corpus (faiss guidance is ~256 training points per centroid —
+    * 16 centroids × 8 subspaces needs thousands, this allows 16×
+    * that), so training cost is O(1) in corpus size. Below the cap
+    * the whole stride sample trains (both driver-gate SFs are below
+    * it — the captured-literal oracles see the identical model);
+    * above it the lexicographically-least vectors train via the
+    * bounded TakeOrdered heap instead of a corpus-wide global sort +
+    * collect (at 100× that sort ran interpreted on one task and
+    * dominated the query). Deterministic under ties: tied rows carry
+    * identical values (the embedding IS the sort key), so the kept
+    * multiset is partition-invariant.
+    */
+  val MaxTrainSample = 16384
+
   def train(embs: DataFrame, m: Int = M, k: Int = K, seed: Long = 42L): Model = {
     val sub = Dim / m
     val sample = embs.select(normalized(col("embedding")).as("e"))
       .orderBy(col("e")) // stable order → stable init regardless of partitioning
+      .limit(MaxTrainSample)
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "PQ training sample is empty")
     val codebooks = (0 until m).map { j =>
