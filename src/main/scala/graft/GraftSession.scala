@@ -39,6 +39,18 @@ object GraftSession {
     // CPU-heavy shuffles parallel; at real scale partitions are far above
     // either floor and behavior is unchanged.
     .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    // Every batch-serving ranking ends in a TypedImperativeAggregate
+    // heap (TopKByScore) planned as ObjectHashAggregate. Its DEFAULT
+    // sort-based fallback threshold is 128 in-memory groups — a batch
+    // workload has |queries| groups per task (thousands), so every
+    // serving tail silently abandoned hashing, SORTED the full
+    // candidate fan-out and spilled it (measured: the batch IVF-PQ
+    // probe spent ~58µs/candidate in UnsafeExternalSorter.spill at
+    // 100×). The buffers are bounded k-entry heaps (~a few hundred
+    // bytes each), so 128k of them is ≤ tens of MB per task — hashing
+    // must win at any realistic query-batch size.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 17).toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
