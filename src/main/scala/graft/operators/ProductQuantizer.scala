@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.{PqAdcScore, PqAdcScoreDyn, PqEncode, Shims}
@@ -108,11 +109,16 @@ object ProductQuantizer {
     cents
   }
 
-  /** Encode the corpus: one `array<int>` of m codes per vector. */
+  /** Encode the corpus: one `array<int>` of m codes per vector.
+    * Normalization happens INSIDE [[PqEncode]] (same IEEE ops — see
+    * the expression's note): the declarative [[normalized]] wrapper
+    * re-evaluated the norm aggregate per element interpreted.
+    */
   def encode(embs: DataFrame, model: Model): DataFrame =
     embs.select(col("vec_id"), col("label"),
       Shims.column(PqEncode(
-        Shims.expression(normalized(col("embedding"))), model.codebooks)).as("codes"))
+        Shims.expression(col("embedding")), model.codebooks,
+        normalize = true)).as("codes"))
 
   /** Per-query ADC table: table(j)(c) = ||q_sub_j − codebook(j)(c)||². */
   def adcTable(model: Model, query: Seq[Double]): Seq[Seq[Double]] = {
@@ -233,11 +239,16 @@ object ProductQuantizer {
     // to-m-rows + collect_list re-aggregate was a billions-of-rows
     // sort-spilling aggregate at 100×).
     val cells = probed.select(col("cell")).distinct()
-    val enc = embs
+    // Tables.parallel: the fan-out stage's parallelism is the SCAN's
+    // partition count (broadcast joins add no exchange) — a corpus
+    // written as a few files would drive the whole 120M-row probe on
+    // as many tasks (measured: 3 of 32 cores busy at 100×)
+    val enc = Tables.parallel(embs)
       .join(broadcast(cells), col("label") === col("cell"))
       .select(col("vec_id"), col("label"),
         Shims.column(PqEncode(
-          Shims.expression(normalized(col("embedding"))), model.codebooks)).as("codes"))
+          Shims.expression(col("embedding")), model.codebooks,
+          normalize = true)).as("codes"))
     val perJ = tables.groupBy("q_id", "j")
       .agg(transform(array_sort(collect_list(struct(col("c"), col("d2")))),
         x => x.getField("d2")).as("row"))

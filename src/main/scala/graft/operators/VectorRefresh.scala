@@ -674,7 +674,10 @@ object VectorRefresh {
       .agg(flatten(transform(array_sort(collect_list(struct(col("j"), col("row")))),
         x => x.getField("row"))).as("tbl"))
     val probeTbl = probed.join(tbls, Seq("q_id"))
-    val adcs = liveCodes(spark, path, None, asOf)
+    // Tables.parallel: the probe stage's parallelism is the code scan's
+    // file count (broadcast joins add no exchange); the rows are m-byte
+    // codes, so the spreading exchange is trivial next to the fan-out
+    val adcs = Tables.parallel(liveCodes(spark, path, None, asOf))
       .join(broadcast(probeTbl), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
