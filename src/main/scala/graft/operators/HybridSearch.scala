@@ -581,17 +581,35 @@ object HybridSearch {
       .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("vec_id").as("doc_id"),
         cosineSim(col("embedding"), col("q_emb")).as("vscore"))
-    val vcut = vparts.groupBy("q_id")
-      .agg(topKByScore(col("vscore"), col("doc_id"), c).as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
-      .select(col("q_id"), col("t.id").as("doc_id"),
-        col("t.score").as("vscore"))
     val kdom = kparts
       .join(embs.select(col("vec_id").as("doc_id"), col("label").as("cell")),
         Seq("doc_id"))
       .join(broadcast(probed), Seq("q_id", "cell"), "semi")
       .filter(col("doc_id") =!= col("q_id"))
       .drop("cell")
+    cappedCut(vparts, kdom, extraKeys =>
+      embs.select(col("vec_id").as("doc_id"), col("embedding"))
+        .join(broadcast(extraKeys), Seq("doc_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("doc_id"),
+          cosineSim(col("embedding"), col("q_emb")).as("vscore")), c)
+  }
+
+  /** The shared tail of every capped fusion prep: one streaming heap
+    * pass per leg, the anti-join for keyword winners the vector cut
+    * dropped, and the ≤2C-per-query union — `vscoreOf` recomputes the
+    * true vscore for those ≤C·|Q| missing (q_id, doc_id) pairs from
+    * the caller's corpus (bitwise the fan-out's cosine: same
+    * expression, same rows).
+    */
+  private def cappedCut(vparts: DataFrame, kdom: DataFrame,
+                        vscoreOf: DataFrame => DataFrame,
+                        c: Int): (DataFrame, DataFrame) = {
+    val vcut = vparts.groupBy("q_id")
+      .agg(topKByScore(col("vscore"), col("doc_id"), c).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("doc_id"),
+        col("t.score").as("vscore"))
     val kcut = kdom.groupBy("q_id")
       .agg(topKByScore(col("raw_score"), col("doc_id"), c).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
@@ -599,12 +617,46 @@ object HybridSearch {
         col("t.score").as("raw_score"))
     val extraKeys = kcut.join(vcut, Seq("q_id", "doc_id"), "anti")
       .select(col("q_id"), col("doc_id"))
-    val extra = embs.select(col("vec_id").as("doc_id"), col("embedding"))
-      .join(broadcast(extraKeys), Seq("doc_id"))
+    (vcut.unionByName(vscoreOf(extraKeys)), kcut)
+  }
+
+  /** [[cappedChampionParts]] for the REFRESHED layouts — the same
+    * one-streaming-pass discipline over [[VectorRefresh.liveVectors]]'
+    * merged live cells: the fan-out (live vectors of each query's
+    * nprobe probed cells off the merged serving centroids) feeds the
+    * per-leg heaps directly, the refreshed keyword scores restrict to
+    * the candidate domain via live cell membership against the
+    * broadcast probe pairs, and dropped keyword winners recover their
+    * vscore from the live corpus. `asOf` pins centroids, live
+    * vectors, and the keyword views consistently (the caller passes
+    * kparts already pinned).
+    */
+  private def cappedRefreshedParts(s: SparkSession, vecPath: String,
+                                   queries: DataFrame, kparts: DataFrame,
+                                   nprobe: Int, asOf: Option[Int],
+                                   c: Int): (DataFrame, DataFrame) = {
+    val nocache = IndexRefresh.servingCacheDisabled || asOf.nonEmpty
+    val probed = IvfIndex.batchProbedCellsFrom(
+      if (nocache) VectorRefresh.centroidView(s, vecPath, asOf)
+      else VectorRefresh.cachedCentroidView(s, vecPath), queries, nprobe)
+    val live = VectorRefresh.liveVectors(s, vecPath, asOf = asOf)
+    val vparts = live
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(queries), Seq("q_id"))
-      .select(col("q_id"), col("doc_id"),
+      .select(col("q_id"), col("vec_id").as("doc_id"),
         cosineSim(col("embedding"), col("q_emb")).as("vscore"))
-    (vcut.unionByName(extra), kcut)
+    val kdom = kparts
+      .join(live.select(col("vec_id").as("doc_id"), col("cell")), Seq("doc_id"))
+      .join(broadcast(probed), Seq("q_id", "cell"), "semi")
+      .filter(col("doc_id") =!= col("q_id"))
+      .drop("cell")
+    cappedCut(vparts, kdom, extraKeys =>
+      live.select(col("vec_id").as("doc_id"), col("embedding"))
+        .join(broadcast(extraKeys), Seq("doc_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("doc_id"),
+          cosineSim(col("embedding"), col("q_emb")).as("vscore")), c)
   }
 
   /** [[fusedBatchChampionSel]] swept over MULTIPLE alphas in ONE plan —
@@ -1095,21 +1147,32 @@ object HybridSearch {
                                               nprobe: Int = IvfIndex.NProbe,
                                               alpha: Double = Alpha,
                                               k: Int = BatchK,
-                                              asOf: Option[Int] = None): DataFrame = {
+                                              asOf: Option[Int] = None,
+                                              topC: Option[Int] = Some(topCFor(BatchK))): DataFrame = {
     val queries = currEmbs.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val vparts = VectorRefresh.batchVparts(s, vecPath, queries, nprobe, asOf)
     val kparts = IndexRefresh.batchScoredSel(s, kwPath, currDocs,
       _.filter(col("doc_id") % stride === 0), nTerms, asOf)
-    // NOT materialized: the BATCH fan-out over the refreshed cells is
-    // queries × corpus × nprobe/nlist rows — a constant FRACTION of
-    // corpus × queries, i.e. the class a serving system never persists
-    // (the fusePrep brute-force rule; the r11 48g OOM at 100× was this
-    // frame's localCheckpoint). The declarative shared exchange
-    // (ReusedExchange) carries the three consumers instead; the bounded
-    // SINGLE-request pruned forms keep the eager materialization.
-    fuseTail(vparts, kparts, alpha, k,
-      restrictKwToCandidates = true, materializeCandidates = false)
+    topC match {
+      case Some(c) =>
+        // r12: the same per-leg top-C serving cut as the champion
+        // fusion — the live-cell fan-out feeds bounded map-side heaps
+        // in ONE streaming pass and the normalize+fuse tail runs over
+        // the ≤2C-per-query union instead of a corpus-fraction frame
+        val (vcand, kcut) = cappedRefreshedParts(s, vecPath, queries,
+          kparts, nprobe, asOf, c)
+        fuseTail(vcand, kcut, alpha, k)
+      case None =>
+        // NOT materialized: the BATCH fan-out over the refreshed cells
+        // is queries × corpus × nprobe/nlist rows — a constant FRACTION
+        // of corpus × queries, i.e. the class a serving system never
+        // persists (the fusePrep brute-force rule; the r11 48g OOM at
+        // 100× was this frame's localCheckpoint). The declarative
+        // shared exchange (ReusedExchange) carries the consumers.
+        fuseTail(VectorRefresh.batchVparts(s, vecPath, queries, nprobe, asOf),
+          kparts, alpha, k,
+          restrictKwToCandidates = true, materializeCandidates = false)
+    }
   }
 
   /** Driver query: the refreshed hybrid fusion over the standing
@@ -1262,11 +1325,7 @@ object HybridSearch {
        |  JOIN probed p ON e.label = p.cell
        |  JOIN queries q ON q.q_id = p.q_id
        |  WHERE e.vec_id <> p.q_id),
-       |joined AS (
-       |  SELECT vparts.q_id, vparts.doc_id, vscore,
-       |    coalesce(raw_score, 0.0) AS kscore
-       |  FROM vparts LEFT JOIN scored
-       |    ON vparts.q_id = scored.q_id AND vparts.doc_id = scored.doc_id),
+       |${cappedJoinedSqlCtes(topCFor(k))},
        |qstats AS (
        |  SELECT q_id, min(vscore) AS vmin, max(vscore) AS vmax,
        |    min(kscore) AS kmin, max(kscore) AS kmax

@@ -259,6 +259,33 @@ class SearchSpec extends SparkSpec {
     assert(capped.size == uncapped.size)
   }
 
+  test("refreshed fusion top-C cut at full depth is bitwise the uncapped fusion") {
+    // the REFRESHED-layout twin of the champion pin: C >= the
+    // per-query live-cell candidate count makes both per-leg cuts
+    // no-ops, so the capped prep (one streaming heap pass + cell-
+    // membership keyword restriction + recomputed extra vscores) must
+    // reproduce the uncapped ReusedExchange form bitwise — including
+    // through an asOf pin (pinned centroids/live-cells/keyword views)
+    import graft.operators.{CorpusOps, IndexRefresh, VectorRefresh}
+    val dir = TestSpark.Sf0001
+    val kwPath = IndexRefresh.refreshedArtifact(spark, dir)
+    val vecPath = VectorRefresh.refreshedArtifact(spark, dir)
+    val currD = CorpusOps.currSnapshot(Tables.documents(spark, dir))
+    val currE = VectorRefresh.currSnapshot(Tables.embeddings(spark, dir))
+    val fullC = HybridSearch.fusedBatchRefreshedPaths(spark, kwPath, vecPath,
+      currD, currE, topC = Some(1 << 24)).collect().toSeq
+    val uncapped = HybridSearch.fusedBatchRefreshedPaths(spark, kwPath, vecPath,
+      currD, currE, topC = None).collect().toSeq
+    assert(fullC.nonEmpty && fullC == uncapped)
+    val prevD = CorpusOps.prevSnapshot(Tables.documents(spark, dir))
+    val prevE = VectorRefresh.prevSnapshot(Tables.embeddings(spark, dir))
+    val fullCAsOf = HybridSearch.fusedBatchRefreshedPaths(spark, kwPath, vecPath,
+      prevD, prevE, asOf = Some(0), topC = Some(1 << 24)).collect().toSeq
+    val uncappedAsOf = HybridSearch.fusedBatchRefreshedPaths(spark, kwPath, vecPath,
+      prevD, prevE, asOf = Some(0), topC = None).collect().toSeq
+    assert(fullCAsOf.nonEmpty && fullCAsOf == uncappedAsOf)
+  }
+
   test("rm3 pruned at full champion depth reproduces the exact rm3 ranking") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val postings = KeywordSearch.cachedBatchPostings(spark, TestSpark.Sf0001)
