@@ -76,6 +76,32 @@ object Bench {
             e.toString.replaceAll("""[\s"\\]+""", " ").trim.take(200))
         }
       }
+    // Load sentinel (r12 verdict): BENCH_r12 recorded five queries at
+    // 10-50x their committed values because the gate box was under load —
+    // and nothing in the artifact said so. Re-time the FIRST benched query
+    // after the whole suite has run: its plan, codegen, and shuffle files
+    // are hot, so on a quiet box the re-time reproduces the recorded
+    // median closely. A large delta in EITHER direction means the machine
+    // condition changed while the suite ran, and the artifact marks
+    // itself "contaminated": a dirty run can never again silently become
+    // the round's official number. Threshold 2x (the r12 contaminated
+    // rows were 10-50x off; honest cache/GC jitter on a sub-second
+    // sentinel stays well under 2x of a median-of-3).
+    val sentinel: Option[(String, Double, Double)] =
+      results.collectFirst { case (k, Right((med, _))) => (k, med) }.map {
+        case (name, med) =>
+          val fn = SparkEntry.queries(name)
+          val re = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            force(fn(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }.sorted.apply(1)
+          (name, med, re)
+      }
+    val contaminated = sentinel.exists { case (_, med, re) =>
+      val hi = math.max(med, re); val lo = math.max(math.min(med, re), 1e-3)
+      hi / lo > 2.0
+    }
     // 3-decimal values keep the per-query map compact (the driver
     // artifact stores a bounded stdout tail)
     def f3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -103,7 +129,12 @@ object Bench {
       .mkString("[", ",", "]")
     val nStream = results.count(_._1.startsWith("stream_"))
     val spin = f3(streamSpinup)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"n_errors":$nErrors,"total_excludes":$totalExcludes,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,"errors":$errs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+    val sentinelJson = sentinel match {
+      case Some((name, med, re)) =>
+        s""""sentinel_query":"$name","sentinel_recorded_sec":${f3(med)},"sentinel_retime_sec":${f3(re)},"contaminated":$contaminated"""
+      case None => s""""sentinel_query":null,"contaminated":false"""
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"n_errors":$nErrors,"total_excludes":$totalExcludes,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,$sentinelJson,"errors":$errs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     // Full artifact to a file (the driver's stdout capture truncates to a
     // tail, which loses the head of the per-query map — BENCH_full.json
     // is the complete, parseable copy, committed per round). Written to
@@ -118,7 +149,7 @@ object Bench {
     println(line)
     // Short trailer that survives tail-truncation intact: the totals
     // parse even when the full line above is cut mid-map.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"sf":"$sfDir","n_queries":${results.size},"n_errors":$nErrors,"total_excludes":$totalExcludes,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,"detail":"BENCH_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"sf":"$sfDir","n_queries":${results.size},"n_errors":$nErrors,"total_excludes":$totalExcludes,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,$sentinelJson,"detail":"BENCH_full.json"}""")
     spark.stop()
   }
 }

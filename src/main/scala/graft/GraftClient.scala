@@ -85,17 +85,20 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     * deployment the caller supplies the table version paired with the
     * commit (Delta/Iceberg table time travel next to the index pin).
     */
-  private def asOfDocs(asOf: Option[Int]): DataFrame = {
+  private def asOfDocs(asOf: Option[Int], artifact: => String): DataFrame = {
     // the <1 split is correct ONLY for the facade's fixed two-segment
     // artifact (seg 0 = previous snapshot, seg 1 = the one refresh); on
     // a layout with more refresh segments an INTERMEDIATE pin would
     // time-travel the index legs correctly while this joined the wrong
     // (current) document universe — refuse loudly instead of serving a
     // silently-mixed read (a deployment pairs each intermediate commit
-    // with its own table version; the facade has only the two)
+    // with its own table version; the facade has only the two).
+    // `artifact` is the layout the request actually READS (by-name: an
+    // unpinned call never lists it) — an earlier form validated every
+    // pin against the keyword artifact, so a vector-only pinned read
+    // paid a keyword refreshed-artifact build just to check the pin.
     asOf.foreach { a =>
-      val maxSeg = IndexRefresh
-        .segmentIds(IndexRefresh.refreshedArtifact(spark, dir)).max
+      val maxSeg = maxSegOf(artifact)
       require(a <= 0 || a >= maxSeg,
         s"asOf=$a pins between the facade's two corpus snapshots " +
           s"(segments 0..$maxSeg) — only a <= 0 (previous snapshot) or " +
@@ -103,6 +106,23 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     }
     if (asOf.exists(_ < 1)) CorpusOps.prevSnapshot(docs) else currDocs
   }
+
+  /** Highest committed segment id per artifact path, memoized for the
+    * client's lifetime (the facade's artifacts are built once per dir —
+    * repeated pinned calls must not re-list segment dirs per request).
+    * An empty layout is refused with a clear message instead of the
+    * opaque `UnsupportedOperationException` a bare `.max` throws.
+    */
+  private val maxSegMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def maxSegOf(path: String): Int =
+    maxSegMemo.computeIfAbsent(path, p => {
+      val segs = IndexRefresh.segmentIds(p)
+      require(segs.nonEmpty,
+        s"asOf pin rejected: refreshed layout at '$p' has no committed " +
+          "segments to pin")
+      Integer.valueOf(segs.max)
+    }).intValue
 
   /** The reference tokenizes the request server-side; same split as the
     * corpus tokenizer, duplicates collapsed.
@@ -143,10 +163,12 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
       }
     }
     if (fields == Seq("text" -> 1.0)) {
-      if (refreshed)
-        IndexRefresh.search(spark, IndexRefresh.refreshedArtifact(spark, dir),
-          asOfDocs(asOf), requestTerms(request), limit, docFilter = filter,
-          asOf = asOf)
+      if (refreshed) {
+        val path = IndexRefresh.refreshedArtifact(spark, dir)
+        IndexRefresh.search(spark, path,
+          asOfDocs(asOf, path), requestTerms(request), limit,
+          docFilter = filter, asOf = asOf)
+      }
       else if (pruned)
         ChampionIndex.bm25ChampionFiltered(docs,
           ChampionIndex.cachedChampions(spark, dir),
@@ -163,7 +185,11 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
       // against the intermediate-segment universe mismatch) — the
       // multi-property twin of the filtered pinned hybrid walk.
       KeywordSearch.bm25MultiField(
-        (if (asOf.nonEmpty) asOfDocs(asOf) else modeDocs).filter(filter),
+        (if (asOf.nonEmpty)
+          // the corpus-scan path has no artifact read of its own; the
+          // pin validates against the facade's keyword commit log
+          asOfDocs(asOf, IndexRefresh.refreshedArtifact(spark, dir))
+        else modeDocs).filter(filter),
         requestTerms(request), fields, limit)
   }
 
@@ -186,10 +212,11 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
                    filter: Column = lit(true),
                    asOf: Option[Int] = None): DataFrame = {
     requireAsOfMode(asOf)
-    if (refreshed)
-      VectorRefresh.requestSearch(spark,
-        VectorRefresh.refreshedArtifact(spark, dir), asOfDocs(asOf),
+    if (refreshed) {
+      val path = VectorRefresh.refreshedArtifact(spark, dir)
+      VectorRefresh.requestSearch(spark, path, asOfDocs(asOf, path),
         requestVector(request), k = limit, docFilter = filter, asOf = asOf)
+    }
     else if (pruned)
       IvfIndex.searchPrunedWithQuery(embs, docs, requestVector(request),
         IvfIndex.cachedCentroids(spark, dir), k = limit, docFilter = filter)
@@ -221,7 +248,7 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
                    limit: Int = 10, filter: Option[Column] = None,
                    asOf: Option[Int] = None): DataFrame = {
     requireAsOfMode(asOf)
-    if (refreshed && (filter.isEmpty || asOf.nonEmpty))
+    if (refreshed && (filter.isEmpty || asOf.nonEmpty)) {
       // a PINNED request routes through the refreshed walk even when
       // filtered: the filter applies DURING the pinned walk (the
       // IvfIndex filtered-search pattern over pinned views) against the
@@ -231,16 +258,21 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
       // Weaviate-config trade: the pruned/champion artifacts are
       // filter-agnostic, and with no pin there is no universe mismatch
       // to protect).
-      HybridSearch.fusedRefreshedWithQuery(spark,
-          IndexRefresh.refreshedArtifact(spark, dir),
+      val kwPath = IndexRefresh.refreshedArtifact(spark, dir)
+      // ONE universe resolution for both the walk filter and the
+      // metadata join (the pin validates once, against the keyword
+      // artifact — the vector artifact shares the facade's two-segment
+      // commit convention by construction)
+      val universe = asOfDocs(asOf, kwPath)
+      HybridSearch.fusedRefreshedWithQuery(spark, kwPath,
           VectorRefresh.refreshedArtifact(spark, dir),
           requestTerms(request), requestVector(request), qId = -1L,
           alpha = alpha, k = limit, asOf = asOf,
-          allowedDocs = filter.map(f => asOfDocs(asOf).filter(f)))
-        .join(asOfDocs(asOf).select(col("doc_id"), col("source")), Seq("doc_id"))
+          allowedDocs = filter.map(f => universe.filter(f)))
+        .join(universe.select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("score"))
         .orderBy(desc("score"), asc("doc_id"))
-    else if (pruned && filter.isEmpty)
+    } else if (pruned && filter.isEmpty)
       HybridSearch.fusedPrunedWithQuery(embs,
           ChampionIndex.cachedChampions(spark, dir),
           requestTerms(request), requestVector(request), qId = -1L,

@@ -86,6 +86,7 @@ object SparkEntry {
     "vector_search_asof" -> (VectorRefresh.qSearchAsOf _),
     "vector_search_refreshed_quantized" -> (VectorRefresh.qSearchRefreshedQuantized _),
     "vector_search_refreshed_quantized_batch" -> (VectorRefresh.qBatchSearchRefreshedQuantized _),
+    "vector_search_refreshed_quantized_filtered" -> (VectorRefresh.qSearchRefreshedQuantizedFiltered _),
     "vector_index_stats" -> (VectorRefresh.qIndexStats _),
     "kw_search_indexed" -> (KeywordIndex.qSearchIndexed _),
     "vector_search_topk" -> (VectorSearch.search _),
@@ -183,6 +184,7 @@ object SparkEntry {
     "eval_retrieval_golden_refreshed" -> (GoldenEval.qGoldenEvalRefreshed _),
     "eval_retrieval_golden_pruned" -> (GoldenEval.qGoldenEvalPruned _),
     "eval_retrieval_golden_asof" -> (GoldenEval.qGoldenEvalAsOf _),
+    "eval_retrieval_golden_asof_pruned" -> (GoldenEval.qGoldenEvalAsOfPruned _),
     "eval_answer_cases" -> (AnswerEval.queryCases _),
     "eval_answer_poll" -> (AnswerEval.queryPoll _),
     "finetune_triplets" -> (FinetuneData.query _),
@@ -325,6 +327,7 @@ object SparkEntry {
     "vector_search_asof" -> VectorRefresh.searchAsOfOracle,
     "vector_search_refreshed_quantized" -> VectorRefresh.searchRefreshedQuantizedOracle,
     "vector_search_refreshed_quantized_batch" -> VectorRefresh.batchSearchRefreshedQuantizedOracle,
+    "vector_search_refreshed_quantized_filtered" -> VectorRefresh.searchRefreshedQuantizedFilteredOracle,
     "vector_index_stats" -> VectorRefresh.indexStatsOracle,
     "kw_search_indexed" -> KeywordIndex.searchIndexedOracle,
     "kw_search_materialized" -> KeywordIndex.searchIndexedOracle,
@@ -418,6 +421,7 @@ object SparkEntry {
     "eval_retrieval_golden_refreshed" -> GoldenEval.goldenEvalRefreshedOracle,
     "eval_retrieval_golden_pruned" -> GoldenEval.goldenEvalPrunedOracle,
     "eval_retrieval_golden_asof" -> GoldenEval.goldenEvalAsOfOracle,
+    "eval_retrieval_golden_asof_pruned" -> GoldenEval.goldenEvalAsOfPrunedOracle,
     "eval_answer_cases" -> AnswerEval.casesOracle,
     "eval_answer_poll" -> AnswerEval.pollOracle,
     "finetune_triplets" -> FinetuneData.oracle,

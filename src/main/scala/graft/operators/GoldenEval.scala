@@ -174,6 +174,123 @@ object GoldenEval {
     goldenMetrics(docs, goldenRanked(postings, golden), golden)
   }
 
+  /** The PINNED-CHAMPION golden leg — the at-scale twin of
+    * [[qGoldenEvalAsOf]]: bisecting an index regression at 100 TB means
+    * replaying the golden metric at MANY pinned commits, and the exact
+    * leg rescans the pinned corpus per replay (SCALE r100 = 15.7);
+    * this leg scores the same external golden file from the PINNED
+    * champion serving views instead ([[IndexRefresh.champsView]] with
+    * the as-of segment filter — the time-travel read 13l serves BM25
+    * from), so a pinned metric read costs |golden vocab|·M champion
+    * rows at any corpus size, the same |terms|·M contract as the
+    * unpinned pruned leg (r100 = 2.2). Bucket-pruned reads: the golden
+    * vocabulary's term buckets (≤ [[IndexRefresh.NumBuckets]] values,
+    * bounded collect) partition-prune every pinned dict/champion
+    * segment file. Scoring = [[IndexRefresh.requestContribs]]'s
+    * contract: 6dp-rounded BM25 contributions from the pinned exact
+    * statistics, fixed-point sum, rounded-rank top-k; metric universe =
+    * the matching previous corpus snapshot. Oracle replays the tf-cut
+    * champion chain on the pinned snapshot from scratch — a full
+    * rebuild, so pinned-artifact ≡ rebuild is checked at the METRIC
+    * level (the refresh family's exactness gate extended to eval).
+    */
+  def qGoldenEvalAsOfPruned(s: SparkSession, dir: String): DataFrame = {
+    import KeywordSearch.{K1, B}
+    val docs = CorpusOps.prevSnapshot(Tables.documents(s, dir))
+    val golden = loadGolden(s)
+    val path = IndexRefresh.refreshedArtifact(s, dir)
+    val asOf = Some(0)
+    val qterms = golden.select(col("query_id").as("q_id"),
+      explode(array_distinct(tokens(col("query")))).as("term"))
+    val buckets = qterms
+      .select(pmod(portableHash(col("term")), lit(IndexRefresh.NumBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq // ≤ NumBuckets values
+    val qdict = IndexRefresh.dictView(s, path, Some(buckets), asOf)
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .select(col("term"), col("df"))
+    val tfD = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    val contrib = round(idf * (tfD * (K1 + 1)) /
+      (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
+    val scored = IndexRefresh.champsView(s, path, Some(buckets), asOf)
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(qdict), Seq("term"))
+      .join(broadcast(IndexRefresh.statsView(s, path, asOf)))
+      .select(col("q_id"), col("doc_id"), contrib.as("s"))
+      .groupBy("q_id", "doc_id")
+      .agg(KeywordSearch.fixedPointSum6(col("s")).as("raw_score"))
+    goldenMetrics(docs, KeywordSearch.rankKwScored(scored, TopK), golden)
+  }
+
+  /** Oracle for [[qGoldenEvalAsOfPruned]]: full rebuild of the tf-cut
+    * champion index ([[IndexRefresh]]'s stats-free cut, NOT
+    * [[ChampionIndex]]'s impact cut) on the PREVIOUS snapshot, golden
+    * query terms probe it with the 6dp contribution round, containment
+    * metric over the previous snapshot's texts.
+    */
+  def goldenEvalAsOfPrunedSql(k: Int = TopK, m: Int = IndexRefresh.M,
+                              path: String = GoldenPath): String = {
+    import KeywordSearch.{K1, B}
+    val qToks =
+      "list_filter(regexp_split_to_array(lower(query), '[^a-z0-9]+'), t -> t <> '')"
+    s"""WITH ${IndexRefresh.prevCte},
+       |golden AS (
+       |  SELECT query_id, query, answer
+       |  FROM read_json('$path',
+       |    columns = {query_id: 'BIGINT', query: 'VARCHAR', answer: 'VARCHAR'})),
+       |toked AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM curr),
+       |postings AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM toked GROUP BY 1, 2),
+       |docstats AS (
+       |  SELECT doc_id, CAST(len(${TextAnalysis.sqlToks}) AS DOUBLE) AS dl
+       |  FROM curr),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docstats),
+       |dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+       |champs AS (
+       |  SELECT term, doc_id, tf, dl FROM (
+       |    SELECT p.term, p.doc_id, p.tf, d.dl,
+       |      row_number() OVER (PARTITION BY p.term
+       |        ORDER BY p.tf DESC, d.dl ASC, p.doc_id ASC) AS crn
+       |    FROM postings p JOIN docstats d USING (doc_id))
+       |  WHERE crn <= $m),
+       |qterms AS (
+       |  SELECT query_id AS q_id, unnest(list_distinct($qToks)) AS term
+       |  FROM golden),
+       |scored AS (
+       |  SELECT q_id, c.doc_id,
+       |    CAST(sum(CAST(floor(
+       |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
+       |        * (CAST(tf AS DOUBLE) * ${K1 + 1})
+       |        / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)
+       |      * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS raw_score
+       |  FROM champs c
+       |  JOIN qterms USING (term)
+       |  JOIN dict USING (term), stats
+       |  GROUP BY q_id, c.doc_id),
+       |ranked AS (
+       |  SELECT q_id, doc_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY round(raw_score, 4) DESC, doc_id) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $k),
+       |per_query AS (
+       |  SELECT q_id,
+       |    max(CASE WHEN contains(d.text, g.answer) THEN 1 ELSE 0 END) AS hit,
+       |    min(CASE WHEN contains(d.text, g.answer) THEN rn END) AS first_rel
+       |  FROM ranked
+       |  JOIN curr d USING (doc_id)
+       |  JOIN golden g ON ranked.q_id = g.query_id
+       |  GROUP BY q_id)
+       |SELECT count(*) AS n_queries,
+       |  round(avg(CAST(hit AS DOUBLE)), 4) AS hit_rate,
+       |  round(avg(coalesce(CAST(1.0 AS DOUBLE) / first_rel, CAST(0.0 AS DOUBLE))), 4) AS mrr
+       |FROM per_query""".stripMargin
+  }
+
+  val goldenEvalAsOfPrunedOracle: String = goldenEvalAsOfPrunedSql()
+
   /** Oracle for the pruned leg: the champion CTE chain re-derives the
     * impact index from the raw corpus, golden query terms probe it, and
     * the containment metric tail replays verbatim.

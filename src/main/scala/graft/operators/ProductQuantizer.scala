@@ -53,21 +53,49 @@ object ProductQuantizer {
     * that), so training cost is O(1) in corpus size. Below the cap
     * the whole stride sample trains (both driver-gate SFs are below
     * it — the captured-literal oracles see the identical model);
-    * above it the lexicographically-least vectors train via the
-    * bounded TakeOrdered heap instead of a corpus-wide global sort +
-    * collect (at 100× that sort ran interpreted on one task and
-    * dominated the query). Deterministic under ties: tied rows carry
-    * identical values (the embedding IS the sort key), so the kept
-    * multiset is partition-invariant.
+    * above it the sample is the [[MaxTrainSample]] vectors least by
+    * `xxhash64(vec_id)` via the bounded TakeOrdered heap — a
+    * DEBIASED deterministic subsample (the hash is uniform over ids,
+    * so the kept set is distribution-representative at any corpus
+    * size), instead of a corpus-wide global sort + collect. An
+    * earlier form ordered by the embedding itself, which above the
+    * cap trains every subspace's centroids on one corner of the
+    * sphere (the most-negative first components — faiss's
+    * ~256-points-per-centroid guidance assumes random sampling);
+    * hash order keeps partition-invariance (vec_id is unique, the
+    * hash order is a fixed permutation) without the bias. WHICH
+    * vectors are kept is the hash order's job; the INIT order of the
+    * collected sample is then re-pinned by a driver-side
+    * lexicographic sort — so below the cap (kept set = the whole
+    * input) the trained model is bit-identical to the pre-hash-order
+    * form, and above it only the selection debiases.
     */
   val MaxTrainSample = 16384
 
+  /** Elementwise lexicographic order on equal-length vectors — the
+    * driver-side init-order pin (matches Spark's array ordering, the
+    * pre-r13 `orderBy(e)` sequence).
+    */
+  private val lexVec: java.util.Comparator[Array[Double]] =
+    (a: Array[Double], b: Array[Double]) => {
+      var i = 0
+      var r = 0
+      while (r == 0 && i < a.length && i < b.length) {
+        r = java.lang.Double.compare(a(i), b(i))
+        i += 1
+      }
+      if (r != 0) r else Integer.compare(a.length, b.length)
+    }
+
   def train(embs: DataFrame, m: Int = M, k: Int = K, seed: Long = 42L): Model = {
     val sub = Dim / m
-    val sample = embs.select(normalized(col("embedding")).as("e"))
-      .orderBy(col("e")) // stable order → stable init regardless of partitioning
+    val sample = embs
+      .select(normalized(col("embedding")).as("e"), col("vec_id"))
+      // stable DEBIASED selection → partition-invariant kept set
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(MaxTrainSample)
       .collect().map(_.getSeq[Double](0).toArray)
+    java.util.Arrays.sort(sample, lexVec)
     require(sample.nonEmpty, "PQ training sample is empty")
     val codebooks = (0 until m).map { j =>
       val vecs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))

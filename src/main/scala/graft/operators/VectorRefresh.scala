@@ -532,21 +532,28 @@ object VectorRefresh {
     * within one second-granularity mtime tick still rolls the key —
     * an mtime memo would serve the stale model there.
     */
-  private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[String, ProductQuantizer.Model]()
+  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, ProductQuantizer.Model)]()
 
   private[graft] def readCodebook(spark: SparkSession,
-                                  path: String): ProductQuantizer.Model =
-    codebookCache.computeIfAbsent(
-      s"$path@${Option(new java.io.File(codebookDir(path)).list())
-        .getOrElse(Array.empty[String]).sorted.mkString(",")}", _ => {
+                                  path: String): ProductQuantizer.Model = {
+    // ONE entry per path, replaced when the fingerprint rolls (the
+    // viewCache compute pattern) — a composite path@listing key would
+    // pin every retired generation's Model (and any entry keyed off a
+    // mid-write partial listing) for the JVM lifetime
+    val fp = Option(new java.io.File(codebookDir(path)).list())
+      .getOrElse(Array.empty[String]).sorted.mkString(",")
+    codebookCache.compute(path, (_, old) =>
+      if (old != null && old._1 == fp) old
+      else {
         val rows = spark.read.parquet(codebookDir(path))
           .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
         val m = rows.map(_._1).max + 1
-        ProductQuantizer.Model(m, ProductQuantizer.Dim,
+        (fp, ProductQuantizer.Model(m, ProductQuantizer.Dim,
           (0 until m).map(j =>
-            rows.filter(_._1 == j).sortBy(_._2).map(_._3.toSeq).toSeq))
-      })
+            rows.filter(_._1 == j).sortBy(_._2).map(_._3.toSeq).toSeq)))
+      })._2
+  }
 
   /** Base build in QUANTIZED mode: train the codebook on a stride
     * sample of the base snapshot, then land segment 0 — codes included
@@ -605,6 +612,51 @@ object VectorRefresh {
     liveCodes(spark, path, Some(cells), asOf)
       .filter(col("vec_id") =!= excludeVecId)
       .select(col("vec_id"), col("cell"),
+        round(Shims.column(PqAdcScore(Shims.expression(col("codes")), table)), 6)
+          .as("adc"))
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** FILTERED ADC search over the refreshed QUANTIZED layout — the
+    * quantized tier of the filtered walk ([[IvfIndex.searchFiltered]]'s
+    * filter-during-the-walk convention carried onto PQ codes): at
+    * 100 TB a filtered vector page must neither lose the PQ bandwidth
+    * win (fall back to full-precision vectors) nor post-hoc-filter a
+    * served page (k shrinks unpredictably). Here the metadata filter's
+    * survivors join the probed cells' m-byte code scan BEFORE the ADC
+    * table-lookup sum — only surviving candidates pay the m lookups,
+    * the scan still reads codes files only, and the served page is k
+    * survivors. Same recall caveat as the full-precision filtered walk
+    * (20a): a selective filter empties probed cells; nprobe is the
+    * knob. Scoring is bitwise the [[searchQuantized]] ADC contract, so
+    * the literal-codebook oracle replays it; the spec pins full-probe ≡
+    * brute-force filtered ADC.
+    */
+  def searchQuantizedFiltered(spark: SparkSession, path: String,
+                              docs: DataFrame, qEmb: DataFrame,
+                              excludeVecId: Long, lang: String = "en",
+                              nprobe: Int = IvfIndex.NProbe,
+                              k: Int = IvfIndex.TopK,
+                              asOf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.graftshim.{PqAdcScore, Shims}
+    val model = readCodebook(spark, path)
+    val cells = centroidView(spark, path, asOf).join(broadcast(qEmb))
+      .select(col("cell"),
+        round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
+      .orderBy(desc("cscore"), asc("cell")).limit(nprobe)
+      .collect().map(_.getInt(0)).toSeq
+    val q = qEmb.head().getSeq[Float](0).map(_.toDouble)
+    val table = ProductQuantizer.adcTable(model, q)
+    liveCodes(spark, path, Some(cells), asOf)
+      .filter(col("vec_id") =!= excludeVecId)
+      // filter survivors BEFORE the table-lookup sum: the keyed
+      // metadata join prunes the candidate set, then only survivors
+      // pay the m lookups
+      .join(docs.filter(col("lang") === lang)
+        .select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("lang"),
         round(Shims.column(PqAdcScore(Shims.expression(col("codes")), table)), 6)
           .as("adc"))
       .orderBy(asc("adc"), asc("vec_id"))
@@ -748,6 +800,21 @@ object VectorRefresh {
       _.filter(col("vec_id") % VectorSearch.BatchStride === 0))
   }
 
+  /** Driver query: FILTERED ADC search over the refreshed quantized
+    * layout — the filtered twin of [[qSearchRefreshedQuantized]]; the
+    * oracle replays encode + ADC over the filter's survivors with the
+    * ENGINE's codebook as literals.
+    */
+  def qSearchRefreshedQuantizedFiltered(s: SparkSession, dir: String): DataFrame = {
+    val path = quantizedArtifact(s, dir)
+    captureQuantModel(s, path)
+    val q = liveVectors(s, path)
+      .filter(col("vec_id") === VectorSearch.QueryVecId)
+      .select(col("embedding").as("q_emb"))
+    searchQuantizedFiltered(s, path, Tables.documents(s, dir), q,
+      VectorSearch.QueryVecId)
+  }
+
   /** Driver query: the vector layout's TIME-TRAVEL read — the same
     * search pinned AS OF segment 0 (the [[IndexRefresh]] as-of
     * contract on the vector family): centroids merged from segment-0
@@ -778,10 +845,35 @@ object VectorRefresh {
     */
   def searchRefreshedQuantizedOracle: String = lastQuantModel.fold(
     // loud failure instead of a plausible empty compare (PQ convention)
-    "SELECT pq_refresh_model_not_captured FROM embeddings") { model =>
+    "SELECT pq_refresh_model_not_captured FROM embeddings")(
+    singleQuantizedRankedSql(_, langFilter = None))
+
+  /** Oracle for [[qSearchRefreshedQuantizedFiltered]]: the same
+    * literal-codebook replay with the candidate set cut to the
+    * metadata filter's survivors before the ADC sum.
+    */
+  def searchRefreshedQuantizedFilteredOracle: String = lastQuantModel.fold(
+    "SELECT pq_refresh_model_not_captured FROM embeddings")(
+    singleQuantizedRankedSql(_, langFilter = Some("en")))
+
+  /** The single-query quantized ranked list (shared by the plain and
+    * filtered oracles): IVF probe over the current snapshot's exact
+    * centroids, candidates re-encoded against the literal codebook,
+    * j-ordered ADC sums, 6dp round, (adc asc, vec_id) cut at k. With
+    * `langFilter`, candidates join the documents metadata and only
+    * survivors are scored — the filter-during-the-walk twin.
+    */
+  private def singleQuantizedRankedSql(model: ProductQuantizer.Model,
+                                       langFilter: Option[String]): String = {
     val sub = model.dim / model.m
     val qid = VectorSearch.QueryVecId
     val nprobe = IvfIndex.NProbe
+    val candJoin = langFilter.fold("")(l =>
+      s"JOIN documents d ON n.vec_id = d.doc_id AND d.lang = '$l' ")
+    // `meta` rides the candidate rows: the probed cell in the plain
+    // form, the filter's lang in the filtered form
+    val candMeta = langFilter.fold("n.label")(_ => "d.lang")
+    val outCol = langFilter.fold("cell")(_ => "lang")
     s"""WITH curr AS (
        |  SELECT * FROM embeddings WHERE vec_id % $DiffRemoveStride <> 3),
        |cb AS (SELECT * FROM (VALUES
@@ -807,16 +899,17 @@ object VectorRefresh {
        |  FROM curr),
        |qn AS (SELECT e AS qe FROM norm WHERE vec_id = $qid),
        |cands AS (
-       |  SELECT n.vec_id, n.label, n.e
+       |  SELECT n.vec_id, $candMeta AS meta, n.e
        |  FROM norm n JOIN probed p ON n.label = p.cell
+       |  $candJoin
        |  WHERE n.vec_id <> $qid),
        |dists AS (
-       |  SELECT vec_id, label, j, c,
+       |  SELECT vec_id, meta, j, c,
        |    list_sum(list_transform(range(1, ${sub + 1}), t ->
        |      (e[j * $sub + t] - cent[t]) * (e[j * $sub + t] - cent[t]))) AS d2
        |  FROM cands, cb),
        |enc AS (
-       |  SELECT vec_id, label, j, c,
+       |  SELECT vec_id, meta, j, c,
        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn
        |  FROM dists),
        |tbl AS (
@@ -825,12 +918,12 @@ object VectorRefresh {
        |      (qe[j * $sub + t] - cent[t]) * (qe[j * $sub + t] - cent[t]))) AS d2
        |  FROM qn, cb),
        |adcs AS (
-       |  SELECT enc.vec_id, enc.label AS cell,
+       |  SELECT enc.vec_id, enc.meta AS $outCol,
        |    round(list_sum(list(tbl.d2 ORDER BY enc.j)), 6) AS adc
        |  FROM enc JOIN tbl ON enc.j = tbl.j AND enc.c = tbl.c
        |  WHERE rn = 1
        |  GROUP BY 1, 2)
-       |SELECT vec_id, cell, adc
+       |SELECT vec_id, $outCol, adc
        |FROM adcs
        |ORDER BY adc ASC, vec_id
        |LIMIT ${IvfIndex.TopK}""".stripMargin

@@ -151,6 +151,43 @@ class QuantizedRefreshSpec extends SparkSpec {
     assert(pinned == replay && pinned.nonEmpty)
   }
 
+  test("filtered quantized walk: full probe == brute-force filtered ADC") {
+    val dir = TestSpark.Sf0001
+    val path = VectorRefresh.quantizedArtifact(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val qid = VectorSearch.QueryVecId
+    // every cell probed → the filter-during-the-walk page IS the
+    // brute-force ADC ranking over the filter's survivors (the 20a
+    // full-probe pin carried onto the quantized tier)
+    val nCells = VectorRefresh.liveCodes(spark, path)
+      .select("cell").distinct().count().toInt
+    val full = VectorRefresh.searchQuantizedFiltered(spark, path, docs,
+        qOf(path, qid), qid, nprobe = nCells)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val model = VectorRefresh.readCodebook(spark, path)
+    val q = qOf(path, qid).head().getSeq[Float](0).map(_.toDouble)
+    val table = ProductQuantizer.adcTable(model, q)
+    import org.apache.spark.sql.graftshim.{PqAdcScore, Shims}
+    val brute = VectorRefresh.liveCodes(spark, path)
+      .filter(col("vec_id") =!= qid)
+      .join(docs.filter(col("lang") === "en").select(col("doc_id")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"),
+        round(Shims.column(PqAdcScore(Shims.expression(col("codes")), table)), 6)
+          .as("adc"))
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(graft.operators.IvfIndex.TopK)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute && full.nonEmpty)
+    // every served row satisfies the filter
+    val langs = docs.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val page = VectorRefresh.searchQuantizedFiltered(spark, path, docs,
+      qOf(path, qid), qid).collect()
+    assert(page.forall(r => langs.contains(r.getLong(0))))
+    assert(page.forall(_.getString(1) == "en"))
+  }
+
   test("the ADC page tracks the exact refreshed search (recall sanity)") {
     val dir = TestSpark.Sf0001
     val path = VectorRefresh.quantizedArtifact(spark, dir)
