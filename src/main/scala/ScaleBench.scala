@@ -74,7 +74,13 @@ object ScaleBench {
     "vector_search_refreshed_quantized_batch", // batch ADC over standing codes
     "eval_retrieval_quantized", // quantized-tier recall beside its speed rows
     "stream_quantized_refresh_serve", // streaming quantized refresh ∝ delta
-    "eval_retrieval_golden_asof") // golden eval through the pinned commit
+    "eval_retrieval_golden_asof", // golden eval through the pinned commit
+    "eval_retrieval_golden_asof_pruned", // pinned golden eval at champion cost
+    "vector_search_refreshed_quantized_filtered", // filter-during-ADC-walk
+    "kw_index_recut",       // touched-terms champion recut in isolation (13h)
+    "hybrid_search_quantized_batch", // ADC vector leg x champion kw leg fusion
+    "hybrid_search_quantized_asof", // the quantized fusion pinned at segment 0
+    "stream_quantized_fused_serve") // micro-batch quantized-fusion serving
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):
     * the batch-fusion rows scale the query set AND the corpus with N, so
@@ -201,7 +207,20 @@ object ScaleBench {
     sb.append("eval_alpha_sweep_pruned, plus kw_search_dirichlet_pruned and\n")
     sb.append("rerank_maxsim_batch_pruned) run the full 100x. Single-query rows (rm3,\n")
     sb.append("dirichlet, filtered IVF, hybrid_search_pruned) are\n")
-    sb.append("corpus-linear or artifact-probing and run uncapped.\n\n")
+    sb.append("corpus-linear or artifact-probing and run uncapped.\n")
+    sb.append("SERVING vs BASELINE (r13): the named batch vector-serving\n")
+    sb.append("paths are vector_search_batch_ivf_pq and\n")
+    sb.append("vector_search_refreshed_quantized_batch — IVF prunes which\n")
+    sb.append("cells are read, PQ shrinks each candidate to m byte-code\n")
+    sb.append("table lookups, refresh keeps both current per batch.\n")
+    sb.append("vector_search_batch_ivf is the EXACTNESS BASELINE, kept so\n")
+    sb.append("eval_retrieval_quantized grades the quantized tiers against\n")
+    sb.append("an exact-at-same-probe reference: its 100x cell prices\n")
+    sb.append("full-precision cosine arithmetic by construction and is not\n")
+    sb.append("a serving row. The capped-fusion rows (15d family) engage\n")
+    sb.append("their per-leg top-C cut at every replica scale (corpus >=\n")
+    sb.append("HybridSearch.CutMinDocs); the 1x column runs uncapped by the\n")
+    sb.append("same rule, matching local serving behavior.\n\n")
     sb.append("| query | 1x sec | 10x sec | 100x sec | r10 | r100 |\n")
     sb.append("|---|---|---|---|---|---|\n")
     // ERR cells record their cause (never silently −1): the errors list

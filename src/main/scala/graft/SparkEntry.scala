@@ -108,6 +108,9 @@ object SparkEntry {
     "hybrid_search_batch_ivf" -> (HybridSearch.batchSearchIvf _),
     "hybrid_search_batch_champion" -> (HybridSearch.batchSearchChampion _),
     "hybrid_search_refreshed_batch" -> (HybridSearch.batchSearchRefreshed _),
+    "hybrid_search_quantized_batch" -> (HybridSearch.batchSearchQuantizedFused _),
+    "hybrid_search_quantized_asof" -> (HybridSearch.batchSearchQuantizedFusedAsOf _),
+    "stream_quantized_fused_serve" -> (graft.streaming.ServeStream.qStreamQuantizedFusedServe _),
     "hybrid_search_refreshed_compacted" -> (HybridSearch.batchSearchRefreshedCompacted _),
     "hybrid_search_asof" -> (HybridSearch.batchSearchRefreshedAsOf _),
     "hybrid_search_filtered" -> (HybridSearch.searchFiltered _),
@@ -185,6 +188,7 @@ object SparkEntry {
     "eval_retrieval_golden_pruned" -> (GoldenEval.qGoldenEvalPruned _),
     "eval_retrieval_golden_asof" -> (GoldenEval.qGoldenEvalAsOf _),
     "eval_retrieval_golden_asof_pruned" -> (GoldenEval.qGoldenEvalAsOfPruned _),
+    "kw_index_recut" -> (IndexRefresh.qIndexRecut _),
     "eval_answer_cases" -> (AnswerEval.queryCases _),
     "eval_answer_poll" -> (AnswerEval.queryPoll _),
     "finetune_triplets" -> (FinetuneData.query _),
@@ -341,6 +345,9 @@ object SparkEntry {
     "hybrid_search_batch_ivf" -> HybridSearch.batchSearchIvfOracle,
     "hybrid_search_batch_champion" -> HybridSearch.batchSearchChampionOracle,
     "hybrid_search_refreshed_batch" -> HybridSearch.batchSearchRefreshedOracle,
+    "hybrid_search_quantized_batch" -> HybridSearch.batchSearchQuantizedFusedOracle,
+    "hybrid_search_quantized_asof" -> HybridSearch.batchSearchQuantizedFusedAsOfOracle,
+    "stream_quantized_fused_serve" -> HybridSearch.batchSearchQuantizedFusedOracle,
     "hybrid_search_refreshed_compacted" -> HybridSearch.batchSearchRefreshedOracle,
     "hybrid_search_asof" -> HybridSearch.batchSearchRefreshedAsOfOracle,
     "vector_search_quantized" -> VectorSearch.searchQuantizedOracle,
@@ -422,6 +429,7 @@ object SparkEntry {
     "eval_retrieval_golden_pruned" -> GoldenEval.goldenEvalPrunedOracle,
     "eval_retrieval_golden_asof" -> GoldenEval.goldenEvalAsOfOracle,
     "eval_retrieval_golden_asof_pruned" -> GoldenEval.goldenEvalAsOfPrunedOracle,
+    "kw_index_recut" -> IndexRefresh.indexRecutOracle,
     "eval_answer_cases" -> AnswerEval.casesOracle,
     "eval_answer_poll" -> AnswerEval.pollOracle,
     "finetune_triplets" -> FinetuneData.oracle,

@@ -190,6 +190,44 @@ object HybridSearch {
     */
   def topCFor(k: Int): Int = 4 * k
 
+  /** Corpus-size floor for the per-leg top-C serving cut: below this
+    * many documents the cut is SKIPPED — it is a serving discipline
+    * that bounds corpus-scale fan-outs (the r12 100× wins), and at toy
+    * scale its per-leg heap stages and the dropped-winner recompute
+    * cost more than the frame they bound (~1 s of the r12 local drift
+    * on `eval_alpha_sweep_pruned` / `hybrid_search_refreshed_batch`).
+    * The switch is safe because full-C ≡ uncapped is spec-pinned
+    * (SearchSpec) AND the decision is replayed by every capped SQL
+    * oracle from the same datum — the source `documents` table's row
+    * count — so both regimes stay oracle-gated. 20k sits between the
+    * local gate corpora (≤5k docs at sf0.1) and the smallest replica
+    * scale (50k at 10×), keeping every SCALE row on the capped path.
+    */
+  val CutMinDocs = 20000L
+
+  private val docCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The serving cut for a source dir: `Some(topCFor(k))` at corpus
+    * scale, `None` below [[CutMinDocs]] (memoized count per dir — one
+    * cheap metadata-ish count per JVM, never per query).
+    */
+  private[graft] def servingTopC(s: SparkSession, dir: String,
+                                 k: Int = BatchK): Option[Int] = {
+    val n = docCountMemo.computeIfAbsent(dir,
+      d => java.lang.Long.valueOf(Tables.documents(s, d).count()))
+    if (n >= CutMinDocs) Some(topCFor(k)) else None
+  }
+
+  /** The SQL rendering of the [[servingTopC]] decision — the effective
+    * per-leg cut depth: the committed oracles replay the same
+    * corpus-size rule, so the engine's regime switch can never drift
+    * from the gate.
+    */
+  private def effectiveTopCSql(topC: Int): String =
+    s"CASE WHEN (SELECT count(*) FROM documents) >= $CutMinDocs " +
+      s"THEN $topC ELSE 2147483647 END"
+
   /** Multi-query hybrid search in one composition — completes the batch
     * triad (vector [[VectorSearch.batchTopK]], keyword
     * [[KeywordSearch.bm25Batch]], hybrid here). Per golden query (every
@@ -1043,7 +1081,8 @@ object HybridSearch {
       ChampionIndex.cachedChampions(s, dir),
       _.filter(col("vec_id") % KeywordSearch.BatchStride === 0),
       _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
-      centroids = Some(IvfIndex.cachedCentroids(s, dir)))
+      centroids = Some(IvfIndex.cachedCentroids(s, dir)),
+      topC = servingTopC(s, dir))
 
   /** SQL twin of [[fusePrep]]'s top-C cut: given a `vparts(q_id,
     * doc_id, vscore)` CTE and a keyword CTE `$kw(q_id, doc_id,
@@ -1059,7 +1098,7 @@ object HybridSearch {
        |    SELECT q_id, doc_id, vscore,
        |      row_number() OVER (PARTITION BY q_id ORDER BY vscore DESC, doc_id) AS vrn
        |    FROM vparts) vr
-       |  WHERE vrn <= $topC),
+       |  WHERE vrn <= ${effectiveTopCSql(topC)}),
        |ktop AS (
        |  SELECT q_id, doc_id, raw_score FROM (
        |    SELECT s.q_id, s.doc_id, s.raw_score,
@@ -1067,7 +1106,7 @@ object HybridSearch {
        |    FROM $kw s
        |    WHERE EXISTS (SELECT 1 FROM vparts v
        |                  WHERE v.q_id = s.q_id AND v.doc_id = s.doc_id)) kr
-       |  WHERE krn <= $topC),
+       |  WHERE krn <= ${effectiveTopCSql(topC)}),
        |cand AS (
        |  SELECT q_id, doc_id, vscore FROM vtop
        |  UNION ALL
@@ -1183,7 +1222,123 @@ object HybridSearch {
       IndexRefresh.refreshedArtifact(s, dir),
       VectorRefresh.refreshedArtifact(s, dir),
       CorpusOps.currSnapshot(Tables.documents(s, dir)),
-      VectorRefresh.currSnapshot(Tables.embeddings(s, dir)))
+      VectorRefresh.currSnapshot(Tables.embeddings(s, dir)),
+      topC = servingTopC(s, dir))
+
+  /** DOUBLY-COMPRESSED batch fusion — the 100 TB serving form of the
+    * hybrid family's VECTOR LEG completed: every prior fusion scores
+    * its vector leg with full-precision cosine over the probed cells
+    * (the exactness price `vector_search_batch_ivf` documents), while
+    * the quantized serving tier (20e/20f) already serves pure-vector
+    * pages from m-byte PQ codes. This form fuses the two compressed
+    * artifacts directly: the vector leg is the batch ADC fan-out over
+    * the refreshed quantized layout's STANDING code files
+    * ([[VectorRefresh.batchAdcParts]] — IVF-probed cells via DPP, per-
+    * query distance tables broadcast, no full-precision vector touched
+    * past the query rows), the keyword leg is the refreshed champion
+    * probe ([[IndexRefresh.batchScoredSel]]), and the fusion tail is
+    * the house min-max normalize + alpha blend with vscore = −adc
+    * (distance negated into a similarity; min-max normalization is the
+    * same affine family either way, and the oracle replays the
+    * negation literally). The per-leg top-C cut applies exactly as in
+    * the champion fusion — heaps consume the ADC fan-out in one
+    * streaming pass, dropped keyword winners recover their TRUE adc by
+    * an ≤C·|Q| keyed re-lookup against the codes
+    * ([[VectorRefresh.adcForKeys]]) — and is corpus-size-gated like
+    * every capped path. Oracle: literal-codebook encode + ADC chain
+    * composed with the full-rebuild champion chain and the capped
+    * fusion tail, one statement.
+    */
+  private[graft] def fusedBatchQuantizedPaths(s: SparkSession,
+                                              kwPath: String, vecPath: String,
+                                              currDocs: DataFrame,
+                                              stride: Int = KeywordSearch.BatchStride,
+                                              nTerms: Int = KeywordSearch.BatchTerms,
+                                              nprobe: Int = IvfIndex.NProbe,
+                                              alpha: Double = Alpha,
+                                              k: Int = BatchK,
+                                              asOf: Option[Int] = None,
+                                              topC: Option[Int] = Some(topCFor(BatchK))): DataFrame =
+    fusedBatchQuantizedSel(s, kwPath, vecPath, currDocs,
+      _.filter(col("vec_id") % stride === 0),
+      _.filter(col("doc_id") % stride === 0),
+      nTerms, nprobe, alpha, k, asOf, topC)
+
+  /** [[fusedBatchQuantizedPaths]] over arbitrary query selectors — the
+    * micro-batch serving entry: every score input is a standing
+    * artifact (codes, codebook, merged centroids, champion views,
+    * merged stats), so a query's fused page is identical whichever
+    * micro-batch it arrives in (batch-split invariance).
+    */
+  private[graft] def fusedBatchQuantizedSel(s: SparkSession,
+                                            kwPath: String, vecPath: String,
+                                            currDocs: DataFrame,
+                                            selectVecQueries: DataFrame => DataFrame,
+                                            selectDocQueries: DataFrame => DataFrame,
+                                            nTerms: Int = KeywordSearch.BatchTerms,
+                                            nprobe: Int = IvfIndex.NProbe,
+                                            alpha: Double = Alpha,
+                                            k: Int = BatchK,
+                                            asOf: Option[Int] = None,
+                                            topC: Option[Int] = Some(topCFor(BatchK))): DataFrame = {
+    val queries = selectVecQueries(VectorRefresh.liveVectors(s, vecPath, asOf = asOf))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val kparts = IndexRefresh.batchScoredSel(s, kwPath, currDocs,
+      selectDocQueries, nTerms, asOf)
+    val (adcs, probed, tbls) =
+      VectorRefresh.batchAdcParts(s, vecPath, queries, nprobe, asOf)
+    val vparts = adcs.select(col("q_id"), col("vec_id").as("doc_id"),
+      (-col("adc")).as("vscore"))
+    topC match {
+      case Some(c) =>
+        val kdom = kparts
+          .join(VectorRefresh.liveCodes(s, vecPath, None, asOf)
+            .select(col("vec_id").as("doc_id"), col("cell")), Seq("doc_id"))
+          .join(broadcast(probed), Seq("q_id", "cell"), "semi")
+          .filter(col("doc_id") =!= col("q_id"))
+          .drop("cell")
+        val (vcand, kcut) = cappedCut(vparts, kdom, extraKeys =>
+          VectorRefresh.adcForKeys(s, vecPath, extraKeys, tbls, asOf)
+            .select(col("q_id"), col("doc_id"), (-col("adc")).as("vscore")), c)
+        fuseTail(vcand, kcut, alpha, k)
+      case None =>
+        fuseTail(vparts, kparts, alpha, k,
+          restrictKwToCandidates = true, materializeCandidates = false)
+    }
+  }
+
+  /** Driver query: the doubly-compressed fusion over the standing
+    * refreshed artifacts (quantized vector layout + keyword views) of
+    * a source dir.
+    */
+  def batchSearchQuantizedFused(s: SparkSession, dir: String): DataFrame = {
+    val vecPath = VectorRefresh.quantizedArtifact(s, dir)
+    VectorRefresh.captureQuantModel(s, vecPath)
+    fusedBatchQuantizedPaths(s,
+      IndexRefresh.refreshedArtifact(s, dir), vecPath,
+      CorpusOps.currSnapshot(Tables.documents(s, dir)),
+      topC = servingTopC(s, dir))
+  }
+
+  /** Driver query: the doubly-compressed fusion TIME-TRAVELED — both
+    * compressed layouts pinned AS OF segment 0 (pinned merged
+    * centroids, pinned live codes, pinned champion views and stats;
+    * the codebook is the standing artifact in every pinned state
+    * because refresh never retrains, so ADC arithmetic time-travels
+    * for free). Completes the as-of grid for the quantized fusion the
+    * way 15h did for the full-precision one. Oracle replays the
+    * literal-codebook ADC chain + champion chain + capped tail on the
+    * PREVIOUS snapshots of both tables.
+    */
+  def batchSearchQuantizedFusedAsOf(s: SparkSession, dir: String): DataFrame = {
+    val vecPath = VectorRefresh.quantizedArtifact(s, dir)
+    VectorRefresh.captureQuantModel(s, vecPath)
+    fusedBatchQuantizedPaths(s,
+      IndexRefresh.refreshedArtifact(s, dir), vecPath,
+      CorpusOps.prevSnapshot(Tables.documents(s, dir)),
+      asOf = Some(0),
+      topC = servingTopC(s, dir))
+  }
 
   /** Driver query: the hybrid fusion TIME-TRAVELED — both layouts
     * pinned AS OF segment 0, queries drawn from the pinned corpus
@@ -1198,7 +1353,8 @@ object HybridSearch {
       VectorRefresh.refreshedArtifact(s, dir),
       CorpusOps.prevSnapshot(Tables.documents(s, dir)),
       VectorRefresh.prevSnapshot(Tables.embeddings(s, dir)),
-      asOf = Some(0))
+      asOf = Some(0),
+      topC = servingTopC(s, dir))
 
   /** Driver query: [[batchSearchRefreshed]] over COMPACTED artifacts —
     * the LSM read-amplification remedy measured: the multi-segment
@@ -1221,7 +1377,8 @@ object HybridSearch {
       VectorRefresh.compact(s, vecR, _))
     fusedBatchRefreshedPaths(s, kwC, vecC,
       CorpusOps.currSnapshot(Tables.documents(s, dir)),
-      VectorRefresh.currSnapshot(Tables.embeddings(s, dir)))
+      VectorRefresh.currSnapshot(Tables.embeddings(s, dir)),
+      topC = servingTopC(s, dir))
   }
 
   /** Oracle for the refreshed fusion: full rebuild of BOTH layouts over
@@ -1348,6 +1505,119 @@ object HybridSearch {
   }
 
   val batchSearchRefreshedOracle: String = fusedBatchRefreshedSql()
+
+  /** Oracle for [[batchSearchQuantizedFused]]: the literal-codebook
+    * encode + ADC chain ([[VectorRefresh.batchQuantizedAdcCtes]] over
+    * the current embeddings snapshot), the full-rebuild tf-cut
+    * champion keyword chain over the current documents snapshot,
+    * vscore = −adc, and the capped fusion tail — ONE statement. A
+    * `def` under the capture convention (the engine's codebook is
+    * dumped after the queries run).
+    */
+  def batchSearchQuantizedFusedOracle: String =
+    VectorRefresh.capturedQuantModel.fold(
+      "SELECT pq_refresh_model_not_captured FROM embeddings")(
+      fusedBatchQuantizedSql(_))
+
+  /** Oracle for [[batchSearchQuantizedFusedAsOf]] (capture convention). */
+  def batchSearchQuantizedFusedAsOfOracle: String =
+    VectorRefresh.capturedQuantModel.fold(
+      "SELECT pq_refresh_model_not_captured FROM embeddings")(
+      fusedBatchQuantizedSql(_, prevSnapshot = true))
+
+  private[graft] def fusedBatchQuantizedSql(
+      model: ProductQuantizer.Model,
+      stride: Int = KeywordSearch.BatchStride,
+      nTerms: Int = KeywordSearch.BatchTerms,
+      nprobe: Int = IvfIndex.NProbe,
+      m: Int = IndexRefresh.M,
+      alpha: Double = Alpha, k: Int = BatchK,
+      prevSnapshot: Boolean = false): String = {
+    import KeywordSearch.{K1, B}
+    // prevSnapshot: the as-of-0 oracle — both tables' PRE-refresh
+    // states (the fusedBatchRefreshedSql snapshot convention)
+    val snapCtes =
+      if (prevSnapshot)
+        s"""currd AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % ${CorpusOps.DiffChangeStride} = 4
+           |      THEN text || ' rev1' ELSE text END AS text,
+           |    source, lang
+           |  FROM documents WHERE doc_id % ${CorpusOps.DiffAddStride} <> 5),
+           |curre AS (
+           |  SELECT vec_id,
+           |    CASE WHEN vec_id % ${CorpusOps.DiffChangeStride} = 4
+           |      THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding,
+           |    label
+           |  FROM embeddings WHERE vec_id % ${CorpusOps.DiffAddStride} <> 5)""".stripMargin
+      else
+        s"""currd AS (
+           |  SELECT * FROM documents WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3),
+           |curre AS (
+           |  SELECT * FROM embeddings WHERE vec_id % ${CorpusOps.DiffRemoveStride} <> 3)""".stripMargin
+    s"""WITH $snapCtes,
+       |toked AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.sqlToks}) AS term FROM currd),
+       |postings AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM toked GROUP BY 1, 2),
+       |docstats AS (
+       |  SELECT doc_id, CAST(len(${TextAnalysis.sqlToks}) AS DOUBLE) AS dl
+       |  FROM currd),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docstats),
+       |dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+       |champs AS (
+       |  SELECT term, doc_id, tf, dl FROM (
+       |    SELECT p.term, p.doc_id, p.tf, d.dl,
+       |      row_number() OVER (PARTITION BY p.term
+       |        ORDER BY p.tf DESC, d.dl ASC, p.doc_id ASC) AS crn
+       |    FROM postings p JOIN docstats d USING (doc_id))
+       |  WHERE crn <= $m),
+       |qtoks AS (
+       |  SELECT doc_id AS q_id, unnest(list_distinct(${TextAnalysis.sqlToks})) AS term
+       |  FROM currd WHERE doc_id % $stride = 0),
+       |qterms AS (
+       |  SELECT q_id, substring(p, 12, 1000) AS term
+       |  FROM (
+       |    SELECT q_id, unnest(
+       |      (list_sort(list(lpad(CAST(df AS VARCHAR), 10, '0') || '#' || term)))[1:$nTerms]) AS p
+       |    FROM qtoks JOIN dict USING (term)
+       |    GROUP BY q_id)),
+       |scored AS (
+       |  SELECT q_id, c.doc_id,
+       |    CAST(sum(CAST(floor(
+       |      round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(dict.df AS DOUBLE) + 0.5) / (CAST(dict.df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * ${K1 + 1})
+       |      / (CAST(tf AS DOUBLE) + $K1 * (1 - $B + $B * dl / avgdl)), 6)
+       |      * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS raw_score
+       |  FROM champs c
+       |  JOIN qterms USING (term)
+       |  JOIN dict USING (term), stats
+       |  WHERE c.doc_id <> q_id
+       |  GROUP BY q_id, c.doc_id),
+       |${VectorRefresh.batchQuantizedAdcCtes(model, stride, nprobe, "curre")},
+       |vparts AS (
+       |  SELECT q_id, vec_id AS doc_id, -adc AS vscore FROM adcs),
+       |${cappedJoinedSqlCtes(topCFor(k))},
+       |qstats AS (
+       |  SELECT q_id, min(vscore) AS vmin, max(vscore) AS vmax,
+       |    min(kscore) AS kmin, max(kscore) AS kmax
+       |  FROM joined GROUP BY 1),
+       |fusedt AS (
+       |  SELECT q_id, doc_id,
+       |    round($alpha * (vscore - vmin) /
+       |            (CASE WHEN vmax = vmin THEN 1.0 ELSE vmax - vmin END)
+       |        + ${1 - alpha} * (kscore - kmin) /
+       |            (CASE WHEN kmax = kmin THEN 1.0 ELSE kmax - kmin END), 4) AS score
+       |  FROM joined JOIN qstats USING (q_id)),
+       |ranked AS (
+       |  SELECT q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+       |  FROM fusedt
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, doc_id, score
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+  }
   /** Oracle for [[batchSearchRefreshedAsOf]]: the same two-leg fusion
     * chain on the PREVIOUS snapshots of both tables.
     */

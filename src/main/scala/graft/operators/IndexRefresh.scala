@@ -868,6 +868,46 @@ object IndexRefresh {
       asOf = Some(0))
   }
 
+  /** Driver query: the TOUCHED-TERMS-ONLY champion recut in isolation —
+    * 13h's core cost claim as its own measurable row. A refresh batch
+    * recuts champion lists for exactly the terms the batch's new or
+    * replaced versions use ([[refreshAt]]'s `liveTouched` stage); its
+    * cost is the touched terms' live-postings volume (bucket-pruned
+    * scan) plus the bounded per-term heap — never the corpus. This
+    * query re-derives the batch's touched vocabulary from the standing
+    * snapshot diff and performs that recut against the standing
+    * refreshed artifact's live postings, returning the recut champion
+    * rows. By the refresh-exactness invariant (the champion cut is
+    * stats-free and term-local) the recut rows equal a full-rebuild
+    * tf-cut on the current snapshot restricted to the touched terms —
+    * which is exactly what the oracle replays, so the isolation row is
+    * also a correctness gate on the invariant itself.
+    */
+  def qIndexRecut(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val path = refreshedArtifact(s, dir)
+    val curr = CorpusOps.currSnapshot(docs)
+    val prev = CorpusOps.prevSnapshot(docs)
+    val diff = CorpusOps.snapshotDiff(curr, prev)
+    val deltaDocs = curr.join(
+      diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+      Seq("doc_id"), "semi")
+    val removedDocs = prev.join(
+      diff.filter(col("status").isin("removed", "changed")).select("doc_id"),
+      Seq("doc_id"), "semi")
+    val touched = segPostings(deltaDocs).select("term")
+      .union(segPostings(removedDocs).select("term"))
+      .distinct().localCheckpoint()
+    val touchedBuckets = touched
+      .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq // ≤ NumBuckets values
+    val liveTouched = livePostings(s, path,
+        bucketFilter = Some(touchedBuckets))
+      .join(broadcast(touched), Seq("term"))
+    cutChampions(liveTouched)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+  }
+
   /** Per-segment index-health report — the monitoring surface a
     * deployed LSM index exposes (Lucene's segment infos; a compaction
     * scheduler's inputs): each segment's document and token volume plus
@@ -1137,6 +1177,52 @@ object IndexRefresh {
        |SELECT q_id, rn, doc_id, round(raw_score, 4) AS score
        |FROM ranked
        |ORDER BY q_id, rn""".stripMargin
+
+  /** Oracle for [[qIndexRecut]]: the touched vocabulary re-derived from
+    * the snapshot-diff stride convention (each version's OWN text —
+    * removed versions carry the pre-refresh text), then a full-rebuild
+    * tf-cut on the current snapshot restricted to those terms.
+    */
+  def indexRecutSql(m: Int = M): String = {
+    val toks = TextAnalysis.sqlToks
+    s"""WITH curr AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3),
+       |prev AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % ${CorpusOps.DiffChangeStride} = 4
+       |      THEN text || ' rev1' ELSE text END AS text
+       |  FROM documents WHERE doc_id % ${CorpusOps.DiffAddStride} <> 5),
+       |delta AS (
+       |  SELECT c.doc_id, c.text FROM curr c
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM prev)
+       |     OR c.doc_id % ${CorpusOps.DiffChangeStride} = 4),
+       |removed AS (
+       |  SELECT p.doc_id, p.text FROM prev p
+       |  WHERE p.doc_id NOT IN (SELECT doc_id FROM curr)
+       |     OR p.doc_id % ${CorpusOps.DiffChangeStride} = 4),
+       |touched AS (
+       |  SELECT DISTINCT term FROM (
+       |    SELECT unnest($toks) AS term FROM delta
+       |    UNION ALL
+       |    SELECT unnest($toks) AS term FROM removed)),
+       |toked AS (
+       |  SELECT doc_id, unnest($toks) AS term FROM curr),
+       |postings AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM toked GROUP BY 1, 2),
+       |docstats AS (
+       |  SELECT doc_id, CAST(len($toks) AS DOUBLE) AS dl FROM curr)
+       |SELECT term, doc_id, tf, dl FROM (
+       |  SELECT p.term, p.doc_id, p.tf, d.dl,
+       |    row_number() OVER (PARTITION BY p.term
+       |      ORDER BY p.tf DESC, d.dl ASC, p.doc_id ASC) AS crn
+       |  FROM postings p
+       |  JOIN docstats d USING (doc_id)
+       |  JOIN touched t USING (term))
+       |WHERE crn <= $m""".stripMargin
+  }
+
+  val indexRecutOracle: String = indexRecutSql()
 
   /** Oracle for [[qIndexStats]]: every segment's volumes re-derived in
     * SQL from the snapshot-diff stride convention — segment 0 is the

@@ -413,7 +413,8 @@ object RetrievalEval {
         _.filter(col("vec_id") % KeywordSearch.BatchStride === 0),
         _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
         SweepAlphas, k = KeywordSearch.BatchK,
-        centroids = Some(IvfIndex.cachedCentroids(s, dir))),
+        centroids = Some(IvfIndex.cachedCentroids(s, dir)),
+        topC = HybridSearch.servingTopC(s, dir)),
       embs, "alpha")
   }
 

@@ -685,11 +685,36 @@ object VectorRefresh {
                            nprobe: Int = IvfIndex.NProbe,
                            k: Int = IvfIndex.TopK,
                            asOf: Option[Int] = None): DataFrame = {
+    val queries = selectQueries(liveVectors(spark, path, asOf = asOf))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val (adcs, _, _) = batchAdcParts(spark, path, queries, nprobe, asOf)
+    adcs
+      .groupBy("q_id")
+      .agg(graft.functions.VectorFunctions
+        .topKByScore(-col("adc"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("vec_id"),
+        (-col("t.score")).as("adc"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** The pre-ranking stage of [[batchSearchQuantized]] — the batch ADC
+    * fan-out plus the bounded probe artifacts it was built from,
+    * exposed for composition (the quantized-leg hybrid fusion consumes
+    * the fan-out, restricts its keyword leg by the probed (q_id, cell)
+    * pairs, and recomputes dropped winners' ADC from the per-query
+    * tables): returns (adcs(q_id, vec_id, adc), probed(q_id, cell),
+    * tbls(q_id, tbl) — the j-major flattened per-query distance
+    * tables, broadcast-sized).
+    */
+  private[graft] def batchAdcParts(spark: SparkSession, path: String,
+                                   queries: DataFrame,
+                                   nprobe: Int = IvfIndex.NProbe,
+                                   asOf: Option[Int] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val model = readCodebook(spark, path)
     val sub = model.dim / model.m
-    val queries = selectQueries(liveVectors(spark, path, asOf = asOf))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probed = IvfIndex.batchProbedCellsFrom(
       centroidView(spark, path, asOf), queries, nprobe)
     // per-query ADC tables (the batchSearchIvfAdc convention): the
@@ -738,15 +763,28 @@ object VectorRefresh {
             org.apache.spark.sql.graftshim.Shims.expression(col("codes")),
             org.apache.spark.sql.graftshim.Shims.expression(col("tbl")))),
           6).as("adc"))
-    adcs
-      .groupBy("q_id")
-      .agg(graft.functions.VectorFunctions
-        .topKByScore(-col("adc"), col("vec_id"), k).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
-      .select(col("q_id"), (col("i") + 1).as("rn"), col("t.id").as("vec_id"),
-        (-col("t.score")).as("adc"))
-      .orderBy("q_id", "rn")
+    (adcs, probed, tbls)
   }
+
+  /** ADC for an explicit (q_id, doc_id) key set against the standing
+    * codes — the quantized fusion's dropped-winner recovery: keyword
+    * winners the vector cut dropped recompute their TRUE ADC (bitwise
+    * the fan-out's: same codes, same per-query table, same j-ordered
+    * sum) via a keyed join of ≤C·|Q| pairs, never a second fan-out.
+    */
+  private[graft] def adcForKeys(spark: SparkSession, path: String,
+                                keys: DataFrame, tbls: DataFrame,
+                                asOf: Option[Int] = None): DataFrame =
+    liveCodes(spark, path, None, asOf)
+      .select(col("vec_id").as("doc_id"), col("codes"))
+      .join(broadcast(keys), Seq("doc_id"))
+      .join(broadcast(tbls), Seq("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        round(org.apache.spark.sql.graftshim.Shims.column(
+          org.apache.spark.sql.graftshim.PqAdcScoreDyn(
+            org.apache.spark.sql.graftshim.Shims.expression(col("codes")),
+            org.apache.spark.sql.graftshim.Shims.expression(col("tbl")))),
+          6).as("adc"))
 
   /** The quantized refreshed layout for a source dir: quantized base on
     * the previous snapshot (codebook trained there — the standing-model
@@ -940,19 +978,39 @@ object VectorRefresh {
       model: ProductQuantizer.Model,
       stride: Int = VectorSearch.BatchStride,
       nprobe: Int = IvfIndex.NProbe,
-      k: Int = IvfIndex.TopK): String = {
-    val sub = model.dim / model.m
+      k: Int = IvfIndex.TopK): String =
     s"""WITH curr AS (
        |  SELECT * FROM embeddings WHERE vec_id % $DiffRemoveStride <> 3),
-       |cb AS (SELECT * FROM (VALUES
+       |${batchQuantizedAdcCtes(model, stride, nprobe)},
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rn
+       |  FROM adcs
+       |  QUALIFY rn <= $k)
+       |SELECT q_id, rn, vec_id, adc
+       |FROM ranked
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** The batch ADC pre-ranking CTE chain (cb → adcs) over an arbitrary
+    * embeddings relation `$embRel` — shared by the batch quantized
+    * oracle and the quantized fusion oracle (which composes it beside
+    * the keyword chain under a different corpus CTE name).
+    */
+  private[graft] def batchQuantizedAdcCtes(
+      model: ProductQuantizer.Model,
+      stride: Int = VectorSearch.BatchStride,
+      nprobe: Int = IvfIndex.NProbe,
+      embRel: String = "curr"): String = {
+    val sub = model.dim / model.m
+    s"""cb AS (SELECT * FROM (VALUES
        |    ${ProductQuantizer.codebookValues(model)}) AS t(j, c, cent)),
        |queries AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb
-       |  FROM curr WHERE vec_id % $stride = 0),
+       |  FROM $embRel WHERE vec_id % $stride = 0),
        |cexp AS (
        |  SELECT label AS cell, generate_subscripts(embedding, 1) AS dim,
        |    CAST(unnest(embedding) AS DOUBLE) AS ev
-       |  FROM curr),
+       |  FROM $embRel),
        |cent AS (
        |  SELECT cell, list(cv ORDER BY dim) AS centroid
        |  FROM (SELECT cell, dim, avg(ev) AS cv FROM cexp GROUP BY 1, 2) t
@@ -972,7 +1030,7 @@ object VectorRefresh {
        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
        |      sqrt(list_sum(list_transform(embedding,
        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS e
-       |  FROM curr),
+       |  FROM $embRel),
        |qn AS (
        |  SELECT q.q_id, n.e AS qnv FROM queries q JOIN norm n ON n.vec_id = q.q_id),
        |tbls AS (
@@ -1000,15 +1058,7 @@ object VectorRefresh {
        |  FROM cands
        |  JOIN enc ON enc.vec_id = cands.vec_id AND enc.ern = 1
        |  JOIN tbls ON tbls.q_id = cands.q_id AND tbls.j = enc.j AND tbls.c = enc.c
-       |  GROUP BY 1, 2),
-       |ranked AS (
-       |  SELECT q_id, vec_id, adc,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rn
-       |  FROM adcs
-       |  QUALIFY rn <= $k)
-       |SELECT q_id, rn, vec_id, adc
-       |FROM ranked
-       |ORDER BY q_id, rn""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   /** Oracle for [[qBatchSearchRefreshedQuantized]] (the

@@ -38,7 +38,7 @@ object IndexStream {
     */
   private val AbsorbedMarker = "_graft_absorbed_through"
 
-  private def absorbedThrough(genDir: String): Long = {
+  private[graft] def absorbedThrough(genDir: String): Long = {
     val f = new java.io.File(genDir, AbsorbedMarker)
     if (f.exists()) {
       val src = scala.io.Source.fromFile(f)
@@ -46,7 +46,7 @@ object IndexStream {
     } else -1L
   }
 
-  private def recordAbsorbedThrough(genDir: String, batchId: Long): Unit = {
+  private[graft] def recordAbsorbedThrough(genDir: String, batchId: Long): Unit = {
     val w = new java.io.PrintWriter(new java.io.File(genDir, AbsorbedMarker))
     try w.print(batchId) finally w.close()
   }

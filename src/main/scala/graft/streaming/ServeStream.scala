@@ -236,6 +236,59 @@ object ServeStream {
     * construction — the serving plan itself keeps the id set distributed
     * via the broadcast semi-join.
     */
+  /** Driver query: one micro-batch of DOUBLY-COMPRESSED hybrid serving
+    * ([[quantizedFusedServe]]) — the quantized fusion 15i as a serving
+    * stream: the batch's queries fuse the ADC fan-out over the
+    * standing PQ codes with the refreshed champion keyword probe; a
+    * single batch holding the current-snapshot stride queries must
+    * hash-match the literal-codebook fusion oracle
+    * ([[graft.operators.HybridSearch.batchSearchQuantizedFusedOracle]]).
+    */
+  def qStreamQuantizedFusedServe(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame = {
+    import graft.operators.{CorpusOps, HybridSearch, IndexRefresh, VectorRefresh}
+    val curr = CorpusOps.currSnapshot(graft.sources.Tables.documents(s, dir))
+    val kwPath = IndexRefresh.refreshedArtifact(s, dir)
+    val vecPath = VectorRefresh.quantizedArtifact(s, dir)
+    VectorRefresh.captureQuantModel(s, vecPath)
+    val ids = {
+      import s.implicits._
+      VectorRefresh.currSnapshot(graft.sources.Tables.embeddings(s, dir))
+        .filter(col("vec_id") % graft.operators.KeywordSearch.BatchStride === 0)
+        .select(col("vec_id")).as[Long].collect().toSeq
+    }
+    collectServed(s, ids) { (queryIds, sink) =>
+      quantizedFusedServe(queryIds, s, kwPath, vecPath, curr,
+        HybridSearch.servingTopC(s, dir))(sink)
+    }
+  }
+
+  /** Micro-batch doubly-compressed hybrid serving — the quantized
+    * fusion via [[graft.operators.HybridSearch.fusedBatchQuantizedSel]]:
+    * every score input is a standing artifact (codes, codebook, merged
+    * centroids, champion views, merged stats) ⇒ batch-split invariant
+    * by construction.
+    */
+  def quantizedFusedServe(queryIds: DataFrame,
+                          spark: org.apache.spark.sql.SparkSession,
+                          kwPath: String, vecPath: String, docs: DataFrame,
+                          topC: Option[Int])
+                         (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryIds.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ids = batch.select(col("q_id")).na.drop().distinct()
+        if (!batch.isEmpty) {
+          val ranked = graft.operators.HybridSearch.fusedBatchQuantizedSel(
+            spark, kwPath, vecPath, docs,
+            _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
+            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
+            topC = topC)
+          sink(ranked, batchId)
+        }
+      }
+      .start()
+
   private def strideIds(s: org.apache.spark.sql.SparkSession, dir: String,
                         stride: Int = graft.operators.KeywordSearch.BatchStride): Seq[Long] = {
     import s.implicits._

@@ -259,6 +259,43 @@ class SearchSpec extends SparkSpec {
     assert(capped.size == uncapped.size)
   }
 
+  test("the serving cut engages by corpus size, oracle-replayably") {
+    // the r13 regime switch: below CutMinDocs the per-leg top-C cut is
+    // skipped (its heap stages cost more than the frame they bound at
+    // toy scale), at or above it the cut engages — and the SQL oracles
+    // replay the SAME decision from the same datum (the documents
+    // table's row count), so both regimes stay oracle-gated
+    assert(HybridSearch.servingTopC(spark, TestSpark.Sf0001).isEmpty)
+    assert(HybridSearch.servingTopC(spark, TestSpark.Sf001).isEmpty)
+    // a synthetic dir at exactly the threshold engages the cut
+    val d = java.nio.file.Files.createTempDirectory("cut_thresh").toFile
+    d.deleteOnExit()
+    spark.range(HybridSearch.CutMinDocs)
+      .selectExpr("id AS doc_id", "'t' AS text", "'s' AS source",
+        "'en' AS lang")
+      .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/documents.parquet")
+    assert(HybridSearch.servingTopC(spark, d.getAbsolutePath)
+      .contains(HybridSearch.topCFor(HybridSearch.BatchK)))
+  }
+
+  test("quantized fusion top-C cut at full depth is bitwise the uncapped fusion") {
+    // the QUANTIZED-leg twin of the champion/refreshed pins: the ADC
+    // fan-out's per-leg heaps at C >= candidate count are no-ops, the
+    // keyword cell-membership restriction equals the uncapped
+    // candidate semi-join, and dropped-winner ADC recovery recomputes
+    // the same table lookups — capped == uncapped bitwise
+    import graft.operators.{CorpusOps, IndexRefresh, VectorRefresh}
+    val dir = TestSpark.Sf0001
+    val kwPath = IndexRefresh.refreshedArtifact(spark, dir)
+    val vecPath = VectorRefresh.quantizedArtifact(spark, dir)
+    val currD = CorpusOps.currSnapshot(Tables.documents(spark, dir))
+    val fullC = HybridSearch.fusedBatchQuantizedPaths(spark, kwPath, vecPath,
+      currD, topC = Some(1 << 24)).collect().toSeq
+    val uncapped = HybridSearch.fusedBatchQuantizedPaths(spark, kwPath, vecPath,
+      currD, topC = None).collect().toSeq
+    assert(fullC.nonEmpty && fullC == uncapped)
+  }
+
   test("refreshed fusion top-C cut at full depth is bitwise the uncapped fusion") {
     // the REFRESHED-layout twin of the champion pin: C >= the
     // per-query live-cell candidate count makes both per-leg cuts
