@@ -51,6 +51,15 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
   private def embs: DataFrame = Tables.embeddings(spark, dir)
   private def pruned: Boolean = indexMode == GraftClient.IndexPruned
   private def refreshed: Boolean = indexMode == GraftClient.IndexRefreshed
+  private def quantized: Boolean = indexMode == GraftClient.IndexQuantized
+  /** Quantized mode IS a refreshed-layout mode for everything but the
+    * vector read: the quantized artifact is the refreshable LSM layout
+    * with a codebook at its root, and the keyword side has no
+    * byte-code analog — so the keyword routes, the serving universe,
+    * and the as-of pin semantics are the refreshed family's, while
+    * vector/hybrid reads serve from PQ codes.
+    */
+  private def refreshedFamily: Boolean = refreshed || quantized
   /** The refreshed mode's serving universe: the refreshable artifacts'
     * corpus state (the diff convention's current snapshot). EVERY
     * refreshed-mode path — including the exact fallbacks a filter or a
@@ -60,8 +69,8 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
   private def currDocs: DataFrame = CorpusOps.currSnapshot(docs)
   private def currEmbs: DataFrame = VectorRefresh.currSnapshot(embs)
   /** The corpus universe of the collection's index mode. */
-  private def modeDocs: DataFrame = if (refreshed) currDocs else docs
-  private def modeEmbs: DataFrame = if (refreshed) currEmbs else embs
+  private def modeDocs: DataFrame = if (refreshedFamily) currDocs else docs
+  private def modeEmbs: DataFrame = if (refreshedFamily) currEmbs else embs
 
   /** An as-of pin is a REFRESHED-mode read of the layout at a past
     * commit ([[operators.IndexRefresh]]'s time-travel contract:
@@ -72,7 +81,7 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     * and champion paths have no commit log to pin.
     */
   private def requireAsOfMode(asOf: Option[Int]): Unit =
-    require(asOf.isEmpty || refreshed,
+    require(asOf.isEmpty || refreshedFamily,
       s"asOf pins require indexMode='${GraftClient.IndexRefreshed}' — " +
         s"mode '$indexMode' has no commit log to pin")
 
@@ -163,7 +172,9 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
       }
     }
     if (fields == Seq("text" -> 1.0)) {
-      if (refreshed) {
+      // quantized mode serves keyword requests from the SAME refreshed
+      // keyword artifact (PQ is a vector-tier setting)
+      if (refreshedFamily) {
         val path = IndexRefresh.refreshedArtifact(spark, dir)
         IndexRefresh.search(spark, path,
           asOfDocs(asOf, path), requestTerms(request), limit,
@@ -212,7 +223,16 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
                    filter: Column = lit(true),
                    asOf: Option[Int] = None): DataFrame = {
     requireAsOfMode(asOf)
-    if (refreshed) {
+    if (quantized) {
+      // the byte-code read: nprobe cells of the quantized layout's
+      // merged centroids, m-byte code scan, filter survivors join
+      // BEFORE the ADC table-lookup sum (20g's discipline, any
+      // predicate); page presents as similarity = -adc
+      val path = VectorRefresh.quantizedArtifact(spark, dir)
+      VectorRefresh.requestSearchQuantized(spark, path, asOfDocs(asOf, path),
+        requestVector(request), k = limit, docFilter = filter, asOf = asOf)
+    }
+    else if (refreshed) {
       val path = VectorRefresh.refreshedArtifact(spark, dir)
       VectorRefresh.requestSearch(spark, path, asOfDocs(asOf, path),
         requestVector(request), k = limit, docFilter = filter, asOf = asOf)
@@ -248,7 +268,21 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
                    limit: Int = 10, filter: Option[Column] = None,
                    asOf: Option[Int] = None): DataFrame = {
     requireAsOfMode(asOf)
-    if (refreshed && (filter.isEmpty || asOf.nonEmpty)) {
+    if (quantized && (filter.isEmpty || asOf.nonEmpty)) {
+      // the quantized route: ADC vector leg over the standing codes +
+      // the refreshed champion keyword leg (15i's single-request form);
+      // filter/pin semantics exactly as the refreshed route below
+      val kwPath = IndexRefresh.refreshedArtifact(spark, dir)
+      val universe = asOfDocs(asOf, kwPath)
+      HybridSearch.fusedQuantizedWithQuery(spark, kwPath,
+          VectorRefresh.quantizedArtifact(spark, dir),
+          requestTerms(request), requestVector(request), qId = -1L,
+          alpha = alpha, k = limit, asOf = asOf,
+          allowedDocs = filter.map(f => universe.filter(f)))
+        .join(universe.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    } else if (refreshed && (filter.isEmpty || asOf.nonEmpty)) {
       // a PINNED request routes through the refreshed walk even when
       // filtered: the filter applies DURING the pinned walk (the
       // IvfIndex filtered-search pattern over pinned views) against the
@@ -298,7 +332,19 @@ class GraftClient(spark: SparkSession, dir: String, embedDim: Int = 64,
     * from the layout itself — the object's CURRENT stored version).
     */
   def nearObject(vecId: Long, limit: Int = 10): DataFrame =
-    if (refreshed) {
+    if (quantized) {
+      // byte-code near-object: the stored seed vector (live layout
+      // state) probes the standing codes; page = searchQuantized's
+      // (−adc DESC ≡ adc ASC), presented in the facade's shape
+      val path = VectorRefresh.quantizedArtifact(spark, dir)
+      val q = VectorRefresh.liveVectors(spark, path)
+        .filter(col("vec_id") === vecId)
+        .select(col("embedding").as("q_emb"))
+      VectorRefresh.searchQuantized(spark, path, q, excludeVecId = vecId,
+          k = limit)
+        .select(col("vec_id"), col("cell").as("label"),
+          (-col("adc")).as("score"))
+    } else if (refreshed) {
       val path = VectorRefresh.refreshedArtifact(spark, dir)
       val q = VectorRefresh.liveVectors(spark, path)
         .filter(col("vec_id") === vecId)
@@ -379,5 +425,13 @@ object GraftClient {
     * staleness).
     */
   val IndexRefreshed = "refreshed"
-  val IndexModes: Set[String] = Set(IndexExact, IndexPruned, IndexRefreshed)
+  /** The quantized-vector-tier mode: keyword requests serve from the
+    * refreshed keyword artifact (PQ is a vector setting), vector and
+    * hybrid requests serve from the quantized layout's m-byte codes
+    * (single-request ADC walk / the 15i fusion) — the facade analog of
+    * flipping a Weaviate collection's vector-index quantizer config.
+    */
+  val IndexQuantized = "quantized"
+  val IndexModes: Set[String] =
+    Set(IndexExact, IndexPruned, IndexRefreshed, IndexQuantized)
 }

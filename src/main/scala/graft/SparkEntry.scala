@@ -178,6 +178,7 @@ object SparkEntry {
     "eval_retrieval_hybrid" -> (RetrievalEval.queryHybrid _),
     "eval_retrieval_pruned" -> (RetrievalEval.queryPruned _),
     "eval_retrieval_quantized" -> (RetrievalEval.queryQuantized _),
+    "eval_retrieval_quantized_fused" -> (RetrievalEval.queryQuantizedFused _),
     "eval_alpha_sweep" -> (RetrievalEval.queryAlphaSweep _),
     // the sweep a practitioner can afford at scale: same alpha grid and
     // metric tail over the doubly-pruned champion+IVF fusion
@@ -423,6 +424,7 @@ object SparkEntry {
     "eval_retrieval_hybrid" -> RetrievalEval.hybridOracle,
     "eval_retrieval_pruned" -> RetrievalEval.prunedOracle,
     "eval_retrieval_quantized" -> RetrievalEval.quantizedOracle,
+    "eval_retrieval_quantized_fused" -> RetrievalEval.quantizedFusedOracle,
     "eval_alpha_sweep" -> RetrievalEval.alphaSweepOracle,
     "eval_retrieval_golden" -> GoldenEval.goldenEvalOracle,
     "eval_retrieval_golden_refreshed" -> GoldenEval.goldenEvalRefreshedOracle,

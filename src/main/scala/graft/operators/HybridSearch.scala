@@ -457,6 +457,37 @@ object HybridSearch {
       .select(col("rn"), col("doc_id"), col("score"))
   }
 
+  /** Single-request QUANTIZED hybrid — the facade's quantized route
+    * ([[graft.GraftClient]] `indexMode = "quantized"`): the vector leg
+    * is the single-query ADC fan-out over the quantized layout's
+    * standing codes (vscore = −adc, the 15i convention), the keyword
+    * leg is the refreshed champion probe ([[IndexRefresh
+    * .requestScored]]), fused by the house tail. `allowedDocs` is the
+    * filter-during-the-walk hook (the [[fusedRefreshedWithQuery]]
+    * pattern — one semi-join restricts both legs); `asOf` pins codes,
+    * centroids, and keyword views consistently.
+    */
+  private[graft] def fusedQuantizedWithQuery(s: SparkSession,
+                                             kwPath: String, vecPath: String,
+                                             terms: Seq[String], q: DataFrame,
+                                             qId: Long,
+                                             alpha: Double = Alpha, k: Int = TopK,
+                                             nprobe: Int = IvfIndex.NProbe,
+                                             asOf: Option[Int] = None,
+                                             allowedDocs: Option[DataFrame] = None): DataFrame = {
+    val queries = q.select(lit(qId).as("q_id"), col("q_emb"))
+    val (adcs, _, _) = VectorRefresh.batchAdcParts(s, vecPath, queries, nprobe, asOf)
+    val vparts0 = adcs.select(col("q_id"), col("vec_id").as("doc_id"),
+      (-col("adc")).as("vscore"))
+    val vparts = allowedDocs.fold(vparts0)(a =>
+      vparts0.join(a.select(col("doc_id")), Seq("doc_id"), "semi"))
+    val kparts = IndexRefresh.requestScored(s, kwPath, terms.distinct.sorted, asOf)
+      .withColumn("q_id", lit(qId))
+    fuseTail(vparts, kparts, alpha, k,
+      restrictKwToCandidates = true, materializeCandidates = true)
+      .select(col("rn"), col("doc_id"), col("score"))
+  }
+
   /** Driver query: the single-query pruned hybrid, seeded like
     * [[search]] by the benchmark object's stored vector, over the
     * standing champion + centroid artifacts.

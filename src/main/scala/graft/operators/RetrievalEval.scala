@@ -358,6 +358,35 @@ object RetrievalEval {
     metricsSqlOver(
       s"SELECT q_id, rn, vec_id AS doc_id FROM (\n${VectorRefresh.batchQuantizedRankedSql(m)}\n) h"))
 
+  /** The QUANTIZED-FUSION leg of the per-search-type evaluation: the
+    * same golden labels and metric tail over the doubly-compressed
+    * fusion's ranking ([[HybridSearch.batchSearchQuantizedFused]],
+    * 15i) — what hit-rate/MRR the ADC vector leg trades INSIDE the
+    * fusion, graded beside the pruned full-precision fusion's leg
+    * ([[queryPruned]]) and the pure-ADC leg ([[queryQuantized]]): the
+    * three rows together separate "quantization loss" from "fusion
+    * gain" for the serving path a 100 TB deployment actually runs.
+    */
+  def queryQuantizedFused(s: SparkSession, dir: String): DataFrame = {
+    val vecPath = VectorRefresh.quantizedArtifact(s, dir)
+    VectorRefresh.captureQuantModel(s, vecPath)
+    metricsOverRanked(
+      HybridSearch.fusedBatchQuantizedPaths(s,
+        IndexRefresh.refreshedArtifact(s, dir), vecPath,
+        CorpusOps.currSnapshot(Tables.documents(s, dir)),
+        topC = HybridSearch.servingTopC(s, dir)),
+      Tables.embeddings(s, dir))
+  }
+
+  /** Oracle for [[queryQuantizedFused]] (literal-codebook capture
+    * convention): the quantized-fusion ranked list replayed from
+    * scratch, then ONE copy of the metric tail.
+    */
+  def quantizedFusedOracle: String = VectorRefresh.capturedQuantModel.fold(
+    "SELECT pq_refresh_model_not_captured FROM embeddings")(m =>
+    metricsSqlOver(
+      s"SELECT q_id, rn, doc_id FROM (\n${HybridSearch.fusedBatchQuantizedSql(m)}\n) h"))
+
   /** The swept alpha grid — endpoints (pure BM25, pure vector) plus the
     * quartile interior, the grid the reference's docstring describes
     * (weaviate_interface_v4.py:330-335) and a tuning notebook walks.

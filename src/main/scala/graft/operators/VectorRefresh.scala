@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** INCREMENTALLY-REFRESHABLE IVF layout — the vector-side twin of
@@ -660,6 +660,43 @@ object VectorRefresh {
         round(Shims.column(PqAdcScore(Shims.expression(col("codes")), table)), 6)
           .as("adc"))
       .orderBy(asc("adc"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Single-request ADC search with facade output shape — the
+    * [[graft.GraftClient]] quantized route's vector read: the
+    * [[searchQuantized]] walk (nprobe cells off the merged serving
+    * centroids, m-byte code scan, driver-built ADC table) with an
+    * arbitrary metadata filter's survivors joined BEFORE the
+    * table-lookup sum (the [[searchQuantizedFiltered]] discipline,
+    * generalized to any predicate) and metadata columns riding the
+    * page. Scores present as similarity = −adc (descending), so the
+    * facade's ordering convention holds across every mode; the page IS
+    * [[searchQuantized]]'s under the identity −adc DESC ≡ adc ASC.
+    */
+  private[graft] def requestSearchQuantized(spark: SparkSession, path: String,
+                                            docs: DataFrame, qEmb: DataFrame,
+                                            k: Int = IvfIndex.TopK,
+                                            nprobe: Int = IvfIndex.NProbe,
+                                            docFilter: Column = lit(true),
+                                            asOf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.graftshim.{PqAdcScore, Shims}
+    val model = readCodebook(spark, path)
+    val cells = centroidView(spark, path, asOf).join(broadcast(qEmb))
+      .select(col("cell"),
+        round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
+      .orderBy(desc("cscore"), asc("cell")).limit(nprobe)
+      .collect().map(_.getInt(0)).toSeq
+    val q = qEmb.head().getSeq[Float](0).map(_.toDouble)
+    val table = ProductQuantizer.adcTable(model, q)
+    liveCodes(spark, path, Some(cells), asOf)
+      .join(docs.filter(docFilter)
+        .select(col("doc_id"), col("source"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        (-round(Shims.column(
+          PqAdcScore(Shims.expression(col("codes")), table)), 6)).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }
 

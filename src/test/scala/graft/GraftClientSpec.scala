@@ -125,6 +125,63 @@ class GraftClientSpec extends SparkSpec {
       client.hybridSearch("spark hash join", filter = Some(f)).collect().toSeq)
   }
 
+  test("quantized index mode routes vector reads to the byte-code artifacts") {
+    import graft.operators.{CorpusOps, HybridSearch, IndexRefresh, VectorRefresh}
+    val qc = new GraftClient(TestSpark.spark, TestSpark.Sf0001,
+      indexMode = GraftClient.IndexQuantized)
+    val rc = new GraftClient(TestSpark.spark, TestSpark.Sf0001,
+      indexMode = GraftClient.IndexRefreshed)
+    val currD = CorpusOps.currSnapshot(
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001))
+    val kwPath = IndexRefresh.refreshedArtifact(spark, TestSpark.Sf0001)
+    val vecPath = VectorRefresh.quantizedArtifact(spark, TestSpark.Sf0001)
+    val req = "spark hash join fast"
+    val q = spark.range(1).select(
+      graft.operators.Embedder.embed(lit(req), 64).cast("array<float>").as("q_emb"))
+    // keyword: PQ is a vector setting — identical to the refreshed route
+    val kwReq = KeywordSearch.QueryTerms.mkString(" ")
+    assert(qc.keywordSearch(kwReq).collect().toSeq ==
+      rc.keywordSearch(kwReq).collect().toSeq)
+    // vector: client routing ≡ the single-request ADC walk (filter
+    // survivors join before the table-lookup sum; similarity = -adc)
+    val viaVec = qc.vectorSearch(req, limit = 7).collect().toSeq
+    val directVec = VectorRefresh.requestSearchQuantized(spark, vecPath,
+      currD, q, k = 7).collect().toSeq
+    assert(viaVec == directVec && viaVec.nonEmpty)
+    // ... and the filtered walk stays on the codes
+    val f = col("lang") === "en"
+    val viaVecF = qc.vectorSearch(req, limit = 7, filter = f).collect().toSeq
+    assert(viaVecF == VectorRefresh.requestSearchQuantized(spark, vecPath,
+      currD, q, k = 7, docFilter = f).collect().toSeq)
+    assert(viaVecF.forall(_.getString(2) == "en"))
+    // hybrid: client routing ≡ the single-request quantized fusion
+    val terms = req.split(" ").toSeq
+    val viaHy = qc.hybridSearch(req, limit = 5).collect().toSeq
+    val directHy = HybridSearch.fusedQuantizedWithQuery(spark, kwPath, vecPath,
+        terms, q, qId = -1L, k = 5)
+      .join(currD.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .collect().toSeq
+    assert(viaHy == directHy && viaHy.nonEmpty)
+    // near_object: the stored-seed ADC page under the -adc identity
+    val viaNear = qc.nearObject(7L, limit = 5).collect()
+      .map(r => (r.getLong(0), -r.getDouble(2))).toSeq
+    val directNear = VectorRefresh.searchQuantized(spark, vecPath,
+        VectorRefresh.liveVectors(spark, vecPath)
+          .filter(col("vec_id") === 7L).select(col("embedding").as("q_emb")),
+        excludeVecId = 7L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(viaNear == directNear && viaNear.nonEmpty)
+    // as-of pins are accepted (the quantized layout IS a commit log):
+    // the pinned vector page equals the pinned direct walk
+    val prevD = CorpusOps.prevSnapshot(
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001))
+    val viaPinned = qc.vectorSearch(req, limit = 5, asOf = Some(0)).collect().toSeq
+    assert(viaPinned == VectorRefresh.requestSearchQuantized(spark, vecPath,
+      prevD, q, k = 5, asOf = Some(0)).collect().toSeq)
+  }
+
   test("refreshed index mode routes every search to the refreshable LSM artifacts") {
     import graft.operators.{CorpusOps, HybridSearch, IndexRefresh, VectorRefresh}
     val rc = new GraftClient(TestSpark.spark, TestSpark.Sf0001,
