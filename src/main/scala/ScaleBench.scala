@@ -81,7 +81,8 @@ object ScaleBench {
     "hybrid_search_quantized_batch", // ADC vector leg x champion kw leg fusion
     "hybrid_search_quantized_asof", // the quantized fusion pinned at segment 0
     "stream_quantized_fused_serve", // micro-batch quantized-fusion serving
-    "eval_retrieval_quantized_fused") // recall beside the 15i speed rows
+    "eval_retrieval_quantized_fused", // recall beside the 15i speed rows
+    "corpus_cluster_sample") // map-side argmin + k bounded quota heaps
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):
     * the batch-fusion rows scale the query set AND the corpus with N, so

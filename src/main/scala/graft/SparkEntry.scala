@@ -140,6 +140,7 @@ object SparkEntry {
     "vector_search_grouped" -> (VectorSearch.searchGrouped _),
     "vector_search_autocut" -> (VectorSearch.searchAutocut _),
     "corpus_sample" -> (TextAnalysis.qSample _),
+    "corpus_cluster_sample" -> (CorpusOps.qClusterSample _),
     "dedup_exact" -> (Dedup.qExact _),
     "decontaminate" -> (Dedup.qDecontaminate _),
     "decontaminate_bloom" -> (Dedup.qDecontaminateBloom _),
@@ -391,6 +392,7 @@ object SparkEntry {
     "vector_search_grouped" -> VectorSearch.searchGroupedOracle,
     "vector_search_autocut" -> VectorSearch.searchAutocutOracle,
     "corpus_sample" -> TextAnalysis.sampleOracle(),
+    "corpus_cluster_sample" -> CorpusOps.clusterSampleOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "decontaminate" -> Dedup.decontaminateOracle,
     // equivalence oracle: the bloom-pruned path must reproduce the

@@ -489,4 +489,129 @@ object CorpusOps {
   def qSplit(s: SparkSession, dir: String): DataFrame = split(Tables.documents(s, dir))
   def qQuantiles(s: SparkSession, dir: String): DataFrame =
     quantiles(Tables.documents(s, dir))
+
+  // --- cluster-balanced sampling (k-means diversity quota) -------------------
+
+  /** Number of k-means clusters for the balanced sampler. */
+  val ClusterK = 8
+  /** Per-cluster sample quota. */
+  val ClusterPer = 50
+
+  private val clusterModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  @volatile private var lastClusterModel: Option[Seq[Seq[Double]]] = None
+
+  /** Seeded k-means centroids over the embeddings (memoized per dir —
+    * training is one MLlib job; the ORACLE never re-trains, it gets
+    * the centroids as literals, the [[ProductQuantizer]] capture
+    * convention).
+    */
+  private[graft] def clusterCentroids(s: SparkSession, dir: String,
+                                      k: Int = ClusterK,
+                                      seed: Long = 42L): Seq[Seq[Double]] =
+    clusterModelMemo.computeIfAbsent(dir, _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val feat = Tables.embeddings(s, dir)
+        .select(array_to_vector(col("embedding").cast("array<double>"))
+          .as("features"))
+      new KMeans().setK(k).setSeed(seed).fit(feat)
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+    })
+
+  /** CLUSTER-BALANCED corpus sampling — the diversity-preserving
+    * subsample a training-data pipeline draws when a uniform sample
+    * would be dominated by the corpus' majority modes (the data-mixing
+    * practice behind cluster-balanced curation; SemDeDup's clustering
+    * reused for SELECTION instead of removal): k-means clusters over
+    * the embeddings (seeded MLlib training on a bounded job, centroids
+    * captured for the oracle), every vector assigned to its nearest
+    * centroid by the SAME ordered arithmetic both engines evaluate
+    * (element-ordered squared-distance sum; ties by cluster index),
+    * then an EQUAL QUOTA per cluster drawn in deterministic
+    * hash-lottery order (portable md5, reduced mod 1e12 so the heap's
+    * double-typed score stays exact, ties by vec_id).
+    *
+    * Scale shape: assignment is a map-side k×dim literal expression
+    * (no shuffle, no model broadcast needed — the centroids ARE the
+    * plan); the quota is k bounded heaps ([[graft.functions
+    * .VectorFunctions.topKByScore]]) — ONE aggregate exchange carrying
+    * ≤ k·per·partitions rows, never a per-cluster window sort. At
+    * 100 TB this is a single pass over the embeddings.
+    */
+  def qClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val cents = clusterCentroids(s, dir)
+    lastClusterModel = Some(cents)
+    clusterSample(Tables.embeddings(s, dir), cents)
+  }
+
+  private[graft] def clusterSample(embs: DataFrame, cents: Seq[Seq[Double]],
+                                   per: Int = ClusterPer): DataFrame = {
+    import graft.functions.VectorFunctions.topKByScore
+    val e = col("embedding").cast("array<double>")
+    val dists = array(cents.zipWithIndex.map { case (v, c) =>
+      struct(
+        aggregate(zip_with(e, typedLit(v), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        lit(c).as("c"))
+    }: _*)
+    // array_min over (d2, c) structs = lexicographic argmin — exactly
+    // the oracle's ORDER BY d2 ASC, c ASC tiebreak
+    val assigned = embs.select(col("vec_id"),
+      array_min(dists).getField("c").as("cluster"))
+    val u = pmod(portableHash(concat(lit("cs:"), col("vec_id").cast("string"))),
+      lit(1000000000000L))
+    assigned
+      .select(col("cluster"), col("vec_id"), u.as("u"))
+      .groupBy("cluster")
+      // smallest-u-first ≡ top-k by -u; u < 2^40 so the double cast is
+      // exact and the heap's (score, id) order replays the oracle's
+      // (u, vec_id) exactly
+      .agg(topKByScore(-col("u").cast("double"), col("vec_id"), per).as("top"))
+      .select(col("cluster"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("cluster"), (col("i") + 1).as("rn"), col("t.id").as("vec_id"))
+      .orderBy("cluster", "rn")
+  }
+
+  /** Oracle for [[qClusterSample]]: the captured centroids as a literal
+    * VALUES table (k-means training is not SQL-expressible; given the
+    * centroids, assignment + lottery are pure arithmetic), the
+    * element-ordered distance sums, the argmin tiebreak, the md5
+    * lottery, the per-cluster quota.
+    */
+  def clusterSampleSql(cents: Seq[Seq[Double]], per: Int = ClusterPer): String = {
+    val dim = cents.head.size
+    val vals = cents.zipWithIndex
+      .map { case (v, c) => s"($c, [${v.mkString(", ")}])" }
+      .mkString(",\n    ")
+    s"""WITH cb AS (SELECT * FROM (VALUES
+       |    $vals) AS t(c, cent)),
+       |dists AS (
+       |  SELECT vec_id, c,
+       |    list_sum(list_transform(range(1, ${dim + 1}), i ->
+       |      (CAST(embedding[i] AS DOUBLE) - cent[i]) * (CAST(embedding[i] AS DOUBLE) - cent[i]))) AS d2
+       |  FROM embeddings, cb),
+       |assigned AS (
+       |  SELECT vec_id, c AS cluster FROM (
+       |    SELECT vec_id, c,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS arn
+       |    FROM dists)
+       |  WHERE arn = 1),
+       |keyed AS (
+       |  SELECT cluster, vec_id,
+       |    CAST('0x' || substring(md5('cs:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000000000 AS u
+       |  FROM assigned),
+       |ranked AS (
+       |  SELECT cluster, vec_id,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY u, vec_id) AS rn
+       |  FROM keyed
+       |  QUALIFY rn <= $per)
+       |SELECT cluster, rn, vec_id FROM ranked ORDER BY cluster, rn""".stripMargin
+  }
+
+  /** Oracle under the capture convention — a def, dumped after the
+    * queries run.
+    */
+  def clusterSampleOracle: String = lastClusterModel.fold(
+    "SELECT cluster_model_not_captured FROM embeddings")(clusterSampleSql(_))
 }

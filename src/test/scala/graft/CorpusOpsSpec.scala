@@ -228,4 +228,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.count() + dropped.count() == all.count())
     out.unpersist()
   }
+
+  test("cluster sample: per-cluster quota in hash order, argmin assignment") {
+    val dir = TestSpark.Sf0001
+    val embs = Tables.embeddings(spark, dir)
+    val cents = CorpusOps.clusterCentroids(spark, dir)
+    assert(cents.size == CorpusOps.ClusterK && cents.forall(_.size == 64))
+    val per = 10
+    val out = CorpusOps.clusterSample(embs, cents, per = per).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // quota + dense ranks per cluster
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val rns = rows.map(_._2).sorted.toSeq
+      assert(rns == (1 to rows.size) && rows.size <= per)
+    }
+    // assignment = brute-force argmin over the captured centroids,
+    // lottery order = (hash, vec_id) — replicated independently
+    val byVec = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def argmin(v: Seq[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.min._2
+    def u(id: Long): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cs:$id".getBytes("UTF-8"))
+      BigInt(1, md).toString(16).reverse.padTo(32, '0').reverse.take(15)
+        .foldLeft(BigInt(0))((a, ch) => a * 16 + Integer.parseInt(ch.toString, 16)) % BigInt("1000000000000")
+    }
+    val want = byVec.keys.toSeq
+      .map(id => (argmin(byVec(id)), u(id), id))
+      .groupBy(_._1).flatMap { case (c, rows) =>
+        rows.sortBy(r => (r._2, r._3)).take(per).zipWithIndex
+          .map { case ((_, _, id), i) => (c, i + 1, id) }
+      }.toSet
+    assert(out.toSet == want && out.nonEmpty)
+  }
 }
