@@ -18,6 +18,7 @@ object DevTime {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       println(f"DEVTIME $n median=${ts(1)}%.2f min=${ts(0)}%.2f")
+      graft.operators.Checkpoints.releaseTransients() // query boundary
     }
     spark.stop()
   }

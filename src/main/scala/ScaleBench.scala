@@ -78,11 +78,14 @@ object ScaleBench {
     "eval_retrieval_golden_asof_pruned", // pinned golden eval at champion cost
     "vector_search_refreshed_quantized_filtered", // filter-during-ADC-walk
     "kw_index_recut",       // touched-terms champion recut in isolation (13h)
+    "kw_index_recut_sparse",// the recut in the touched<<vocab regime (r13 #4)
     "hybrid_search_quantized_batch", // ADC vector leg x champion kw leg fusion
     "hybrid_search_quantized_asof", // the quantized fusion pinned at segment 0
     "stream_quantized_fused_serve", // micro-batch quantized-fusion serving
     "eval_retrieval_quantized_fused", // recall beside the 15i speed rows
-    "corpus_cluster_sample") // map-side argmin + k bounded quota heaps
+    "corpus_cluster_sample", // map-side argmin + k bounded quota heaps
+    "vector_search_grouped_pruned", // GroupBy over the IVF candidate stream
+    "vector_search_autocut_pruned") // autocut over the IVF top-C page
 
   /** Queries whose 100x cell is skipped BY POLICY (cell reads `cap`):
     * the batch-fusion rows scale the query set AND the corpus with N, so
@@ -247,7 +250,7 @@ object ScaleBench {
         } catch { case e: Throwable =>
           errors += ((q, n, e.toString.replaceAll("\\s+", " ").take(300)))
           -1.0
-        }
+        } finally graft.operators.Checkpoints.releaseTransients() // cell boundary
       }
       def f(v: Double) = if (v == -2.0) "cap" else if (v < 0) "ERR" else f"$v%.2f"
       def r(i: Int) = if (ts(0) > 0 && ts(i) > 0) f"${ts(i) / ts(0)}%.1f" else "-"

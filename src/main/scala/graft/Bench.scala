@@ -63,7 +63,7 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit = BenchForce.force(df)
     val results: Seq[(String, Either[String, (Double, Double)])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        try {
+        val r = try {
           force(fn(spark, sfDir)) // untimed warm-up
           val times = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
@@ -75,32 +75,57 @@ object Bench {
           name -> Left(
             e.toString.replaceAll("""[\s"\\]+""", " ").trim.take(200))
         }
+        // query boundary: release the 4 runs' consumed transient
+        // checkpoints (candidate frames, inline postings, CC frontiers)
+        // — without this, block-manager residency grows monotonically
+        // over the suite and the alphabetical tail pays disk-eviction
+        // churn for the head's garbage (the r13 tail-inflation finding)
+        graft.operators.Checkpoints.releaseTransients()
+        r
       }
-    // Load sentinel (r12 verdict): BENCH_r12 recorded five queries at
-    // 10-50x their committed values because the gate box was under load —
-    // and nothing in the artifact said so. Re-time the FIRST benched query
-    // after the whole suite has run: its plan, codegen, and shuffle files
-    // are hot, so on a quiet box the re-time reproduces the recorded
-    // median closely. A large delta in EITHER direction means the machine
-    // condition changed while the suite ran, and the artifact marks
-    // itself "contaminated": a dirty run can never again silently become
-    // the round's official number. Threshold 2x (the r12 contaminated
-    // rows were 10-50x off; honest cache/GC jitter on a sub-second
-    // sentinel stays well under 2x of a median-of-3).
-    val sentinel: Option[(String, Double, Double)] =
-      results.collectFirst { case (k, Right((med, _))) => (k, med) }.map {
-        case (name, med) =>
-          val fn = SparkEntry.queries(name)
-          val re = (1 to 3).map { _ =>
-            val t0 = System.nanoTime()
-            force(fn(spark, sfDir))
-            (System.nanoTime() - t0) / 1e9
-          }.sorted.apply(1)
-          (name, med, re)
+    // Load sentinels (r12/r13 verdicts): BENCH_r12 recorded five queries
+    // at 10-50x their committed values because the gate box was under
+    // load, and BENCH_r13's single head-of-suite sentinel missed a
+    // mid-suite load burst (decontaminate_bloom median 64.9 s vs min
+    // 1.76) and the tail-state inflation of the vector family — a single
+    // early sentinel cannot see either. Re-time ONE successful query per
+    // suite QUARTILE after the whole suite has run: plans, codegen and
+    // shuffle files are hot, so on a quiet box each re-time reproduces
+    // its recorded median closely; a >2x delta in EITHER direction on
+    // any quartile marks the artifact "contaminated" (a dirty run can
+    // never silently become the round's official number). Threshold 2x:
+    // the r12 contaminated rows were 10-50x off; honest cache/GC jitter
+    // on a sub-second sentinel stays well under 2x of a median-of-3.
+    val okIdx = results.zipWithIndex.collect {
+      case ((k, Right((med, _))), i) => (k, med, i)
+    }
+    val sentinels: Seq[(String, Double, Double)] =
+      (0 until 4).flatMap { qtr =>
+        val lo = results.size * qtr / 4
+        val hi = results.size * (qtr + 1) / 4
+        okIdx.find { case (_, _, i) => i >= lo && i < hi }
+      }.map { case (name, med, _) =>
+        val fn = SparkEntry.queries(name)
+        val re = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          force(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        graft.operators.Checkpoints.releaseTransients()
+        (name, med, re)
       }
-    val contaminated = sentinel.exists { case (_, med, re) =>
+    val contaminated = sentinels.exists { case (_, med, re) =>
       val hi = math.max(med, re); val lo = math.max(math.min(med, re), 1e-3)
       hi / lo > 2.0
+    }
+    // Per-row contamination flags: the artifact records per-query median
+    // AND min, and on a quiet box they track closely (median-of-3 over a
+    // warm plan); median/min > 2x means the row's own three runs saw
+    // different machine conditions — exactly the two r13 driver outliers
+    // (64.9/1.76 = 37x, 145.1/11.0 = 13x). Self-marking beats a reader
+    // having to diff the two maps.
+    val suspects = results.collect {
+      case (k, Right((med, mn))) if med / math.max(mn, 1e-3) > 2.0 => k
     }
     // 3-decimal values keep the per-query map compact (the driver
     // artifact stores a bounded stdout tail)
@@ -129,10 +154,15 @@ object Bench {
       .mkString("[", ",", "]")
     val nStream = results.count(_._1.startsWith("stream_"))
     val spin = f3(streamSpinup)
-    val sentinelJson = sentinel match {
+    val sentinelJson = sentinels.headOption match {
       case Some((name, med, re)) =>
-        s""""sentinel_query":"$name","sentinel_recorded_sec":${f3(med)},"sentinel_retime_sec":${f3(re)},"contaminated":$contaminated"""
-      case None => s""""sentinel_query":null,"contaminated":false"""
+        val all = sentinels.map { case (n, m, r) =>
+          s"""{"q":"$n","recorded":${f3(m)},"retime":${f3(r)}}"""
+        }.mkString("[", ",", "]")
+        val sus = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""""sentinel_query":"$name","sentinel_recorded_sec":${f3(med)},"sentinel_retime_sec":${f3(re)},"sentinels":$all,"suspect":$sus,"contaminated":$contaminated"""
+      case None =>
+        s""""sentinel_query":null,"sentinels":[],"suspect":[],"contaminated":false"""
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"n_errors":$nErrors,"total_excludes":$totalExcludes,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,$sentinelJson,"errors":$errs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     // Full artifact to a file (the driver's stdout capture truncates to a

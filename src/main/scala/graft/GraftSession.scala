@@ -53,6 +53,16 @@ object GraftSession {
       (1 << 17).toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Backstop for block-manager residency growth in a long-lived JVM:
+    // the ContextCleaner reclaims dropped-reference checkpoint/broadcast
+    // blocks only after a GC enqueues their weak refs, and the default
+    // periodic-GC interval (30min) is longer than an entire benchmark
+    // suite — residency then grows monotonically and later queries pay
+    // LRU disk-eviction writes for earlier queries' garbage (the r13
+    // "latency depends on session history" finding). Engine-owned
+    // frames are released deterministically ([[graft.operators
+    // .Checkpoints]]); this bounds whatever isn't.
+    .config("spark.cleaner.periodicGC.interval", "5min")
     .config("spark.ui.enabled", "false")
 
   /** Text2SQL execution surface (reference notebook 8-Text2SQL_Week3): the

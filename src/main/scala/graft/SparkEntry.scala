@@ -139,6 +139,8 @@ object SparkEntry {
     "text_lm_bigram" -> (TextAnalysis.qLmBigram _),
     "vector_search_grouped" -> (VectorSearch.searchGrouped _),
     "vector_search_autocut" -> (VectorSearch.searchAutocut _),
+    "vector_search_grouped_pruned" -> (IvfIndex.qSearchGroupedPruned _),
+    "vector_search_autocut_pruned" -> (IvfIndex.qSearchAutocutPruned _),
     "corpus_sample" -> (TextAnalysis.qSample _),
     "corpus_cluster_sample" -> (CorpusOps.qClusterSample _),
     "dedup_exact" -> (Dedup.qExact _),
@@ -191,6 +193,7 @@ object SparkEntry {
     "eval_retrieval_golden_asof" -> (GoldenEval.qGoldenEvalAsOf _),
     "eval_retrieval_golden_asof_pruned" -> (GoldenEval.qGoldenEvalAsOfPruned _),
     "kw_index_recut" -> (IndexRefresh.qIndexRecut _),
+    "kw_index_recut_sparse" -> (IndexRefresh.qIndexRecutSparse _),
     "eval_answer_cases" -> (AnswerEval.queryCases _),
     "eval_answer_poll" -> (AnswerEval.queryPoll _),
     "finetune_triplets" -> (FinetuneData.query _),
@@ -391,6 +394,8 @@ object SparkEntry {
     "text_lm_bigram" -> TextAnalysis.lmBigramOracle,
     "vector_search_grouped" -> VectorSearch.searchGroupedOracle,
     "vector_search_autocut" -> VectorSearch.searchAutocutOracle,
+    "vector_search_grouped_pruned" -> IvfIndex.qSearchGroupedPrunedOracle,
+    "vector_search_autocut_pruned" -> IvfIndex.qSearchAutocutPrunedOracle,
     "corpus_sample" -> TextAnalysis.sampleOracle(),
     "corpus_cluster_sample" -> CorpusOps.clusterSampleOracle,
     "dedup_exact" -> Dedup.exactOracle,
@@ -434,6 +439,7 @@ object SparkEntry {
     "eval_retrieval_golden_asof" -> GoldenEval.goldenEvalAsOfOracle,
     "eval_retrieval_golden_asof_pruned" -> GoldenEval.goldenEvalAsOfPrunedOracle,
     "kw_index_recut" -> IndexRefresh.indexRecutOracle,
+    "kw_index_recut_sparse" -> IndexRefresh.indexRecutSparseOracle,
     "eval_answer_cases" -> AnswerEval.casesOracle,
     "eval_answer_poll" -> AnswerEval.pollOracle,
     "finetune_triplets" -> FinetuneData.oracle,

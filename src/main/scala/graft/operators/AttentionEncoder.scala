@@ -278,8 +278,10 @@ object AttentionEncoder {
       Tables.documents(s, dir).select(col("doc_id"), col("text")), w, p)
       .filter(size(col("att_emb")) > 0)
       .select(col("doc_id"), col("att_emb"))
-      .localCheckpoint() // one inference pass feeds both the query row
-                         // and the corpus side
+      .transform(Checkpoints.transient_) // one inference pass feeds both
+                                         // the query row and the corpus
+                                         // side; released at the query
+                                         // boundary
     val q = embedded.filter(col("doc_id") === QueryDocId)
       .select(col("att_emb").as("q_emb"))
     embedded.filter(col("doc_id") =!= QueryDocId)

@@ -476,7 +476,7 @@ object Dedup {
     val docSets = docs.select(col("doc_id"), col("source"),
       array_sort(array_distinct(tokens(col("text")))).as("tset"))
       .withColumn("set_key", md5(array_join(col("tset"), "\u0001")))
-      .localCheckpoint()
+      .transform(Checkpoints.transient_) // query-scoped release
     val members = docSets.select("doc_id", "source", "set_key")
     val sets = docSets.select("source", "set_key", "tset")
       .dropDuplicates("source", "set_key")

@@ -67,6 +67,9 @@ object DedupClusters {
     // round give 4× path compression per shuffle-free broadcast join,
     // trimming the serialized round count further.
     var changed = 1L
+    // the round's raw checkpoint frame (labels itself is a projection
+    // over it after round 1 — release must target the LogicalRDD frame)
+    var labelsCkpt = labels
     while (changed > 0) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("dst_label")), "dst")
@@ -88,8 +91,18 @@ object DedupClusters {
       // partitions only — control flow, not a recompute
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.drop("old_label")
+      // the superseded round's label table is fully consumed once
+      // `next` materialized — release its blocks in-loop instead of
+      // letting every round's frontier accumulate until a GC
+      Checkpoints.release(labelsCkpt)
+      labelsCkpt = next
     }
     edges.unpersist()
+    // the pair checkpoint fed only the (now-materialized, now-released)
+    // edge/label chain; the returned plan reads `labels` + `docs`
+    Checkpoints.release(p)
+    // the FINAL label table backs the returned plan — query-scoped
+    Checkpoints.register(labelsCkpt)
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("label", "pair_label"), Seq("doc_id"), "left")
       .select(col("doc_id"),

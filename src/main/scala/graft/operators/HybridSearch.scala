@@ -920,7 +920,8 @@ object HybridSearch {
     // brute-force path keeps the declarative shared exchange
     // (ReusedExchange), because its fan-out is corpus×Q and a serving
     // system would not persist that.
-    val vparts = if (materializeCandidates) vparts1.localCheckpoint() else vparts1
+    val vparts =
+      if (materializeCandidates) Checkpoints.transient_(vparts1) else vparts1
     // candidate restriction (IVF path) probes the POST-exchange frame so
     // the semi-join is a third ReusedExchange consumer, not a recompute
     // of the pruned fan-out
@@ -930,7 +931,7 @@ object HybridSearch {
           Seq("q_id", "doc_id"), "semi")
       else kparts0
     val kparts2 =
-      if (materializeCandidates) kparts1.localCheckpoint() else kparts1
+      if (materializeCandidates) Checkpoints.transient_(kparts1) else kparts1
     // the per-leg top-C serving cut does NOT live here: it must consume
     // the fan-out in ONE streaming map-side pass BEFORE any exchange or
     // checkpoint of the full frame (see [[cappedChampionParts]]) — an

@@ -174,6 +174,7 @@ object IndexRefresh {
       .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("cf"))
       .withColumn("term_bucket", pmod(portableHash(col("term")), lit(NumBuckets)))
     writeSegment(s"$path/seg=0", p, segDocStats(docs), dict, cutChampions(p))
+    Checkpoints.release(p) // fully consumed by the segment write
   }
 
   // --- refresh --------------------------------------------------------------
@@ -236,6 +237,8 @@ object IndexRefresh {
       .withColumn("term_bucket", pmod(portableHash(col("term")), lit(NumBuckets)))
     writeSegment(s"$path/seg=$r", deltaPost, segDocStats(deltaDocs), dict,
       cutChampions(liveTouched))
+    // both batch-scoped checkpoints are fully consumed by the writes
+    Checkpoints.release(deltaPost); Checkpoints.release(touched)
   }
 
   // --- compaction -----------------------------------------------------------
@@ -261,6 +264,7 @@ object IndexRefresh {
       .withColumn("term_bucket", pmod(portableHash(col("term")), lit(NumBuckets)))
     writeSegment(s"$outPath/seg=0", live, liveDocStats(spark, path), dict,
       cutChampions(live))
+    Checkpoints.release(live) // fully consumed by the fold's writes
     // the source generation is retired once the fold commits — release
     // its cached serving views (they'd otherwise pin checkpoint blocks
     // for the JVM lifetime)
@@ -464,11 +468,15 @@ object IndexRefresh {
       // eager Spark job, and compute() would block every concurrent
       // caller colliding on the bucket for its whole duration. The
       // check-then-swap below keeps the first finished builder; a
-      // racing loser's checkpoint (and any epoch-rolled predecessor)
-      // is simply dropped — losing the strong reference makes the
-      // blocks GC-reclaimable via the ContextCleaner
+      // racing loser's checkpoint and any epoch-rolled predecessor are
+      // released EXPLICITLY ([[Checkpoints.release]]) — dropping the
+      // strong reference alone leaves their blocks pinned until the
+      // ContextCleaner's next GC-driven pass, which in a long-lived
+      // serving JVM is unboundedly far away (the r13 session-state
+      // latency-growth mechanism)
       val fresh = build.localCheckpoint()
-      viewCache.compute(key, (_, cur) =>
+      var rolled: DataFrame = null
+      val out = viewCache.compute(key, (_, cur) =>
         if (cur != null && cur._1 == ep) cur
         else if (cur != null && cur._1 == epochOf(path)) cur
         // ^ a builder that read the epoch BEFORE a concurrent refresh
@@ -476,25 +484,42 @@ object IndexRefresh {
         // builder installed — re-check cur against the LIVE epoch (two
         // dir listings under the bucket lock) and keep it when current;
         // install (ep, fresh) only when neither entry matches
-        else (ep, fresh))._2
+        else { rolled = if (cur != null) cur._2 else null; (ep, fresh) })._2
+      if (out ne fresh) Checkpoints.release(fresh) // losing racer's copy
+      else if (rolled != null) Checkpoints.release(rolled) // retired epoch
+      out
     }
   }
 
   /** Drop a RETIRED layout's cached views — a fold's old generation
     * ([[compact]] calls this on its source), a test's tmp artifact.
-    * Without eviction every dead path pins its last merged views'
-    * checkpoint blocks for the JVM lifetime; removing the map entry
-    * releases the only strong reference so the ContextCleaner reclaims
-    * the blocks.
+    * The checkpoint blocks are unpersisted EXPLICITLY, not left for
+    * the ContextCleaner: a dead path would otherwise pin its last
+    * merged views' blocks until the next full GC (30-minute periodic
+    * default), growing block-manager residency for the JVM lifetime
+    * of a long-lived serving process.
     */
-  private[graft] def evictViews(path: String): Unit =
-    viewCache.keySet().removeIf(_.endsWith(s":$path"))
+  private[graft] def evictViews(path: String): Unit = {
+    val it = viewCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.endsWith(s":$path")) {
+        Checkpoints.release(e.getValue._2)
+        it.remove()
+      }
+    }
+  }
 
   /** Drop EVERY cached view — the session-recreation path: a harness
     * that replaces a dead SparkContext (ScaleBench's OOM-recovery loop)
-    * must not serve checkpoint frames bound to the old one.
+    * must not serve checkpoint frames bound to the old one. Release is
+    * attempted per view ([[Checkpoints.release]] no-ops on a stopped
+    * context).
     */
-  def clearViewCache(): Unit = viewCache.clear()
+  def clearViewCache(): Unit = {
+    viewCache.values().forEach(v => Checkpoints.release(v._2))
+    viewCache.clear()
+  }
 
   private[graft] def servingCacheDisabled: Boolean =
     sys.props.contains("graft.refresh.nocache")
@@ -895,9 +920,10 @@ object IndexRefresh {
     val removedDocs = prev.join(
       diff.filter(col("status").isin("removed", "changed")).select("doc_id"),
       Seq("doc_id"), "semi")
-    val touched = segPostings(deltaDocs).select("term")
-      .union(segPostings(removedDocs).select("term"))
-      .distinct().localCheckpoint()
+    val touched = Checkpoints.transient_(
+      segPostings(deltaDocs).select("term")
+        .union(segPostings(removedDocs).select("term"))
+        .distinct()) // backs the RETURNED plan — query-scoped release
     val touchedBuckets = touched
       .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq // ≤ NumBuckets values
@@ -907,6 +933,161 @@ object IndexRefresh {
     cutChampions(liveTouched)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
   }
+
+  // --- sparse-regime recut (touched-vocab ≪ vocabulary) ----------------------
+
+  /** Docs-per-block target for the vocabulary-widened recut gate: block
+    * count = max(10, n_docs / [[SparseBlockDocs]]), so per-block volume
+    * — which IS the touched postings volume of the one-block refresh
+    * batch — stays ~constant as the corpus scales, and the batch
+    * touches ≤10% of the widened vocabulary at every scale (1/blocks).
+    */
+  val SparseBlockDocs = 500L
+
+  private[graft] def sparseBlocks(docs: DataFrame): Int =
+    math.max(10L, docs.count() / SparseBlockDocs).toInt
+
+  /** Vocabulary widening: suffix every token with its doc's block id
+    * (`tok` → `tokq<doc_id mod blocks>`). The synthetic corpus has a
+    * ~65-term vocabulary, which makes EVERY refresh touch every term —
+    * the worst case for 13h's ∝-touched-vocab claim, and the only case
+    * [[qIndexRecut]] can measure. Widening makes the vocabulary
+    * 65·blocks terms while preserving dl and per-doc tf exactly; a
+    * refresh batch restricted to one block then touches 1/blocks of
+    * the vocabulary — the regime a real corpus's refresh lives in
+    * (touched ≪ vocab).
+    */
+  private[graft] def widenVocab(docs: DataFrame, blocks: Int): DataFrame =
+    docs.withColumn("text",
+      array_join(
+        transform(
+          filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""),
+          t => concat(t, lit("q"),
+            pmod(col("doc_id"), lit(blocks.toLong)).cast("string"))),
+        " "))
+
+  /** The widened-vocabulary refreshed artifact: base = widened previous
+    * snapshot, one refresh applying ONLY block 0's diff (added/changed/
+    * removed docs with `doc_id % blocks = 0`) — the bounded-batch
+    * ingest shape whose recut cost the sparse gate isolates.
+    */
+  private[graft] def sparseArtifact(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val blocks = sparseBlocks(docs)
+    IndexCache.getOrBuild("kw_refresh_sparse", dir) { p =>
+      val curr = widenVocab(CorpusOps.currSnapshot(docs), blocks)
+      val prev = widenVocab(CorpusOps.prevSnapshot(docs), blocks)
+      buildBase(prev, p)
+      val diff = CorpusOps.snapshotDiff(curr, prev)
+        .filter(pmod(col("doc_id"), lit(blocks)) === 0)
+      val deltaDocs = curr.join(
+        diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+        Seq("doc_id"), "semi")
+      val removedDocs = prev.join(
+        diff.filter(col("status").isin("removed", "changed")).select("doc_id"),
+        Seq("doc_id"), "semi")
+      refresh(s, p, deltaDocs, removedDocs)
+    }
+  }
+
+  /** Driver query: [[qIndexRecut]] in the REALISTIC regime — touched
+    * vocabulary ≪ total vocabulary (r13 verdict: the 65-term corpus
+    * makes the plain recut row a whole-vocabulary worst-case bound;
+    * this row isolates the touched ≪ vocab case 13h's ∝-delta claim
+    * actually describes). The corpus is vocabulary-widened per block
+    * (65·blocks terms), the refresh batch is ONE block's diff (≤10% of
+    * the vocabulary by construction), and the recut probes the standing
+    * sparse artifact bucket-pruned to the touched terms — so its cost
+    * tracks the touched postings volume (~one block, constant as the
+    * corpus scales), not the corpus. Oracle: full-rebuild tf-cut on the
+    * artifact's live corpus (prev everywhere except block 0's applied
+    * diff) restricted to the touched terms.
+    */
+  def qIndexRecutSparse(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val blocks = sparseBlocks(docs)
+    val path = sparseArtifact(s, dir)
+    val curr = widenVocab(CorpusOps.currSnapshot(docs), blocks)
+    val prev = widenVocab(CorpusOps.prevSnapshot(docs), blocks)
+    val diff = CorpusOps.snapshotDiff(curr, prev)
+      .filter(pmod(col("doc_id"), lit(blocks)) === 0)
+    val deltaDocs = curr.join(
+      diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+      Seq("doc_id"), "semi")
+    val removedDocs = prev.join(
+      diff.filter(col("status").isin("removed", "changed")).select("doc_id"),
+      Seq("doc_id"), "semi")
+    val touched = Checkpoints.transient_(
+      segPostings(deltaDocs).select("term")
+        .union(segPostings(removedDocs).select("term"))
+        .distinct()) // backs the RETURNED plan — query-scoped release
+    val touchedBuckets = touched
+      .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq // ≤ NumBuckets values
+    val liveTouched = livePostings(s, path,
+        bucketFilter = Some(touchedBuckets))
+      .join(broadcast(touched), Seq("term"))
+    cutChampions(liveTouched)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+  }
+
+  /** Oracle for [[qIndexRecutSparse]]: block count from the same
+    * n_docs policy, per-block token suffixing, block-0-restricted
+    * delta/removed, live corpus = prev with block 0's diff applied,
+    * then the touched-restricted full-rebuild tf-cut.
+    */
+  def indexRecutSparseSql(m: Int = M): String = {
+    val toks = TextAnalysis.sqlToks
+    // widened token list for a (doc_id, text) row, given scalar b
+    def wtoks(rel: String) =
+      s"list_transform($toks, t -> t || 'q' || CAST($rel.doc_id % b AS VARCHAR))"
+    s"""WITH blocks AS (
+       |  SELECT greatest(10, count(*) // $SparseBlockDocs) AS b
+       |  FROM documents),
+       |curr AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % ${CorpusOps.DiffRemoveStride} <> 3),
+       |prev AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % ${CorpusOps.DiffChangeStride} = 4
+       |      THEN text || ' rev1' ELSE text END AS text
+       |  FROM documents WHERE doc_id % ${CorpusOps.DiffAddStride} <> 5),
+       |delta AS (
+       |  SELECT c.doc_id, c.text FROM curr c, blocks
+       |  WHERE c.doc_id % b = 0
+       |    AND (c.doc_id NOT IN (SELECT doc_id FROM prev)
+       |         OR c.doc_id % ${CorpusOps.DiffChangeStride} = 4)),
+       |removed AS (
+       |  SELECT p.doc_id, p.text FROM prev p, blocks
+       |  WHERE p.doc_id % b = 0
+       |    AND (p.doc_id NOT IN (SELECT doc_id FROM curr)
+       |         OR p.doc_id % ${CorpusOps.DiffChangeStride} = 4)),
+       |live AS (
+       |  SELECT c.doc_id, c.text FROM curr c, blocks WHERE c.doc_id % b = 0
+       |  UNION ALL
+       |  SELECT p.doc_id, p.text FROM prev p, blocks WHERE p.doc_id % b <> 0),
+       |touched AS (
+       |  SELECT DISTINCT term FROM (
+       |    SELECT unnest(${wtoks("d")}) AS term FROM delta d, blocks
+       |    UNION ALL
+       |    SELECT unnest(${wtoks("r")}) AS term FROM removed r, blocks)),
+       |toked AS (
+       |  SELECT l.doc_id, unnest(${wtoks("l")}) AS term FROM live l, blocks),
+       |postings AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM toked GROUP BY 1, 2),
+       |docstats AS (
+       |  SELECT doc_id, CAST(len($toks) AS DOUBLE) AS dl FROM live)
+       |SELECT term, doc_id, tf, dl FROM (
+       |  SELECT p.term, p.doc_id, p.tf, d.dl,
+       |    row_number() OVER (PARTITION BY p.term
+       |      ORDER BY p.tf DESC, d.dl ASC, p.doc_id ASC) AS crn
+       |  FROM postings p
+       |  JOIN docstats d USING (doc_id)
+       |  JOIN touched t USING (term))
+       |WHERE crn <= $m""".stripMargin
+  }
+
+  val indexRecutSparseOracle: String = indexRecutSparseSql()
 
   /** Per-segment index-health report — the monitoring surface a
     * deployed LSM index exposes (Lucene's segment infos; a compaction

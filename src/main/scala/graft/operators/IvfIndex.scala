@@ -231,6 +231,21 @@ object IvfIndex {
                                            q: DataFrame, centroids: DataFrame,
                                            nprobe: Int = NProbe, k: Int = TopK,
                                            docFilter: org.apache.spark.sql.Column =
+                                             lit(true)): DataFrame =
+    prunedScoredWithQuery(embs, docs, q, centroids, nprobe, docFilter)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+
+  /** The pre-ranking stage of [[searchPrunedWithQuery]] — the probed
+    * cells' scored-candidate stream `(doc_id, source, lang, score)`,
+    * exposed so grouped/autocut pages consume the IVF walk's candidates
+    * instead of re-scanning the corpus (the r13 "grouped search only on
+    * the brute-force path" gap).
+    */
+  private[graft] def prunedScoredWithQuery(embs: DataFrame, docs: DataFrame,
+                                           q: DataFrame, centroids: DataFrame,
+                                           nprobe: Int = NProbe,
+                                           docFilter: org.apache.spark.sql.Column =
                                              lit(true)): DataFrame = {
     val probed = centroids.join(broadcast(q))
       .select(col("cell"),
@@ -244,9 +259,89 @@ object IvfIndex {
       .join(broadcast(q))
       .select(col("doc_id"), col("source"), col("lang"),
         round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(k)
   }
+
+  // --- grouped search / autocut through the IVF walk (r13 task #5) -----------
+
+  /** GroupBy riding the IVF candidate stream — the index-mode form of
+    * [[VectorSearch.topKGrouped]]: nprobe probed cells' vectors are the
+    * ONLY candidates (the corpus never pays a full scan), the per-group
+    * bounded heap and group ranking run over that stream. At 100 TB
+    * this is how a deployed vector DB serves `GroupBy` — through its
+    * ANN index.
+    */
+  def searchGroupedPruned(embs: DataFrame, docs: DataFrame,
+                          queryVecId: Long = VectorSearch.QueryVecId,
+                          groups: Int = VectorSearch.GroupsLimit,
+                          perGroup: Int = VectorSearch.ObjectsPerGroup,
+                          nprobe: Int = NProbe,
+                          centroids: Option[DataFrame] = None): DataFrame = {
+    val q = embs.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val scored = prunedScoredWithQuery(
+        embs.filter(col("vec_id") =!= queryVecId), docs, q,
+        centroids.getOrElse(centroidArrays(embs)), nprobe)
+      .select(col("source"), col("doc_id").as("vec_id"), col("score"))
+    VectorSearch.groupedFromScored(scored, groups, perGroup)
+  }
+
+  /** Autocut windowing over the IVF walk's top-C page — the index-mode
+    * form of [[VectorSearch.topKAutocut]]: candidates come from the
+    * probed cells only, the gap/jump cut runs over that bounded page.
+    */
+  def searchAutocutPruned(embs: DataFrame,
+                          queryVecId: Long = VectorSearch.QueryVecId,
+                          candidates: Int = VectorSearch.AutocutCandidates,
+                          jumps: Int = VectorSearch.AutocutJumps,
+                          nprobe: Int = NProbe,
+                          centroids: Option[DataFrame] = None): DataFrame =
+    VectorSearch.autocutFromCand(
+      searchFrom(embs, centroids.getOrElse(centroidArrays(embs)),
+        queryVecId, nprobe, candidates),
+      jumps)
+
+  /** Driver query: grouped search through the IVF walk. Oracle replays
+    * the cell probe (label-mean centroids, 6dp cscore, cell tiebreak)
+    * and the group-by over the probed candidate set only.
+    */
+  def qSearchGroupedPruned(s: SparkSession, dir: String): DataFrame =
+    searchGroupedPruned(Tables.embeddings(s, dir), Tables.documents(s, dir))
+
+  val qSearchGroupedPrunedOracle: String = {
+    val qv = VectorSearch.QueryVecId
+    val scoredSql =
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $qv),
+         |exploded AS (
+         |  SELECT label AS cell, generate_subscripts(embedding, 1) AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS e
+         |  FROM embeddings),
+         |cent_long AS (
+         |  SELECT cell, dim, avg(e) AS c FROM exploded GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT cell, list(c ORDER BY dim) AS centroid FROM cent_long GROUP BY cell),
+         |probed AS (
+         |  SELECT cell FROM cent, q
+         |  ORDER BY round(${VectorSearch.cosineSql("centroid", "q_emb")}, 6) DESC, cell
+         |  LIMIT $NProbe)
+         |SELECT source, vec_id,
+         |  round(${VectorSearch.cosineSql("embedding", "q_emb")}, 4) AS score
+         |FROM embeddings JOIN probed ON label = cell
+         |  JOIN documents ON vec_id = doc_id, q
+         |WHERE vec_id <> $qv""".stripMargin
+    VectorSearch.groupedSqlOver(scoredSql,
+      VectorSearch.GroupsLimit, VectorSearch.ObjectsPerGroup)
+  }
+
+  /** Driver query: autocut through the IVF walk. Oracle replays the
+    * probe-limited top-C page, then the gap/jump windowing over it.
+    */
+  def qSearchAutocutPruned(s: SparkSession, dir: String): DataFrame =
+    searchAutocutPruned(Tables.embeddings(s, dir))
+
+  val qSearchAutocutPrunedOracle: String =
+    VectorSearch.autocutSqlOver(
+      searchSql(VectorSearch.QueryVecId, NProbe, VectorSearch.AutocutCandidates),
+      Seq("vec_id", "label", "score"), VectorSearch.AutocutJumps)
 
   /** Learned coarse quantizer: k-means cell assignment (the drop-in
     * replacement for the pre-assigned `label` cells — same search plan,

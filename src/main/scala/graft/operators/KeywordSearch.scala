@@ -539,7 +539,8 @@ object KeywordSearch {
     // total). Left fully declarative instead, every consumer re-derived
     // its own corpus pass and the executed plan became the serialized
     // stage tower the r3 bench flagged.
-    val postings = index.getOrElse(buildBatchPostings(docs).localCheckpoint())
+    val postings = index.getOrElse(
+      Checkpoints.transient_(buildBatchPostings(docs))) // query-scoped
     // serving path: n_docs/avgdl and per-term df are global index
     // constants — probed from the standing artifacts when provided
     // (same values; no per-batch postings aggregation). Callers may

@@ -432,6 +432,7 @@ object TextAnalysis {
         cur = cur.withColumn("s", expr(s"replace(s, ' $a $b ', ' $a$b ')"))
       }
     }
+    Checkpoints.release(vocab) // fully consumed by the training loop
     merges.toSeq
   }
 

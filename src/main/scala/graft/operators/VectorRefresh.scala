@@ -135,6 +135,7 @@ object VectorRefresh {
     // fold (same codebook → identical codes for identical vectors)
     if (hasCodebook(path)) writeCodebook(spark, outPath, readCodebook(spark, path))
     writeSegment(outPath, 0, live)
+    Checkpoints.release(live) // fully consumed by the fold's writes
     // release the retired generation's cached serving views
     IndexRefresh.evictViews(path)
   }
@@ -168,6 +169,7 @@ object VectorRefresh {
       writeCodebook(spark, outPath, ProductQuantizer.train(
         assigned.filter(col("vec_id") % QuantSampleStride === 0)))
     writeSegment(outPath, 0, assigned)
+    Checkpoints.release(assigned) // fully consumed by the fold's writes
     // release the retired generation's cached serving views
     IndexRefresh.evictViews(path)
   }
@@ -377,6 +379,21 @@ object VectorRefresh {
                                    k: Int = IvfIndex.TopK,
                                    docFilter: org.apache.spark.sql.Column =
                                      org.apache.spark.sql.functions.lit(true),
+                                   asOf: Option[Int] = None): DataFrame =
+    requestScored(spark, path, docs, q, nprobe, docFilter, asOf)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+
+  /** The pre-ranking stage of [[requestSearch]] — the refreshed walk's
+    * scored-candidate stream `(doc_id, source, lang, score)`, exposed
+    * so grouped pages consume the probed cells' candidates (the r13
+    * grouped-through-index-modes task).
+    */
+  private[graft] def requestScored(spark: SparkSession, path: String,
+                                   docs: DataFrame, q: DataFrame,
+                                   nprobe: Int = IvfIndex.NProbe,
+                                   docFilter: org.apache.spark.sql.Column =
+                                     org.apache.spark.sql.functions.lit(true),
                                    asOf: Option[Int] = None): DataFrame = {
     val cells = centroidView(spark, path, asOf).join(broadcast(q))
       .select(col("cell"),
@@ -389,8 +406,6 @@ object VectorRefresh {
       .join(broadcast(q))
       .select(col("doc_id"), col("source"), col("lang"),
         round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(k)
   }
 
   /** Batch candidate fan-out over the refreshed layout — the vector leg
@@ -679,6 +694,22 @@ object VectorRefresh {
                                             k: Int = IvfIndex.TopK,
                                             nprobe: Int = IvfIndex.NProbe,
                                             docFilter: Column = lit(true),
+                                            asOf: Option[Int] = None): DataFrame =
+    requestScoredQuantized(spark, path, docs, qEmb, nprobe, docFilter, asOf)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+
+  /** The pre-ranking stage of [[requestSearchQuantized]] — the ADC
+    * walk's scored-candidate stream `(doc_id, source, lang, score)`
+    * (score = −adc), exposed so grouped pages consume the probed
+    * cells' byte-code candidates (the r13 grouped-through-index-modes
+    * task: a grouped page in quantized mode costs the ADC walk, never
+    * a full-precision corpus scan).
+    */
+  private[graft] def requestScoredQuantized(spark: SparkSession, path: String,
+                                            docs: DataFrame, qEmb: DataFrame,
+                                            nprobe: Int = IvfIndex.NProbe,
+                                            docFilter: Column = lit(true),
                                             asOf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.graftshim.{PqAdcScore, Shims}
     val model = readCodebook(spark, path)
@@ -696,8 +727,6 @@ object VectorRefresh {
       .select(col("doc_id"), col("source"), col("lang"),
         (-round(Shims.column(
           PqAdcScore(Shims.expression(col("codes")), table)), 6)).as("score"))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(k)
   }
 
   /** BATCH ADC search over the refreshed QUANTIZED layout — the

@@ -128,8 +128,10 @@ object Word2VecEmbedder {
       Tables.documents(s, dir).select(col("doc_id"), col("text")), w)
       .filter(size(col("w2v_emb")) > 0)
       .select(col("doc_id"), col("w2v_emb"))
-      .localCheckpoint() // one inference pass feeds both the query row
-                         // and the corpus side
+      .transform(Checkpoints.transient_) // one inference pass feeds both
+                                         // the query row and the corpus
+                                         // side; released at the query
+                                         // boundary
     val q = embedded.filter(col("doc_id") === QueryDocId)
       .select(col("w2v_emb").as("q_emb"))
     embedded.filter(col("doc_id") =!= QueryDocId)

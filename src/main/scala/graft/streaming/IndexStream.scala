@@ -294,6 +294,9 @@ object IndexStream {
       input.addData(b1: _*); q.processAllAvailable()
       input.addData(b2: _*); q.processAllAvailable()
       q.stop()
+      // the build lambda's batch-scoped checkpoints are fully consumed
+      graft.operators.Checkpoints.release(delta)
+      graft.operators.Checkpoints.release(removed)
     }
     val qEmb = curr.filter(col("vec_id") === VectorSearch.QueryVecId)
       .select(col("embedding").as("q_emb"))
@@ -345,6 +348,9 @@ object IndexStream {
       input.addData(b1: _*); q.processAllAvailable()
       input.addData(b2: _*); q.processAllAvailable()
       q.stop()
+      // the build lambda's batch-scoped checkpoints are fully consumed
+      graft.operators.Checkpoints.release(delta)
+      graft.operators.Checkpoints.release(removed)
     }
     VectorRefresh.captureQuantModel(spark, path)
     val qEmb = VectorRefresh.liveVectors(spark, path)
@@ -406,6 +412,9 @@ object IndexStream {
         q.processAllAvailable()
       }
       q.stop()
+      // the build lambda's batch-scoped checkpoints are fully consumed
+      graft.operators.Checkpoints.release(delta)
+      graft.operators.Checkpoints.release(removed)
       require(gen >= 1, "the vector compaction policy never tripped — the " +
         "gate must exercise the fold, not just the refresh chain")
     }
