@@ -47,6 +47,25 @@ object QuantServeProfile {
       t(s"fused_analyze_$i")(df.queryExecution.executedPlan)
       t(s"fused_execute_$i")(BenchForce.force(df))
     }
+    // sub-stage decomposition of the fused chain
+    val idDf = { import s.implicits._; ids.toDF("q_id") }
+    (1 to 2).foreach { i =>
+      val kparts = t(s"sub_kparts_construct_$i")(
+        IndexRefresh.batchScoredSel(s, kwPath, curr,
+          _.join(broadcast(idDf), col("doc_id") === col("q_id"), "semi"),
+          graft.operators.KeywordSearch.BatchTerms, None))
+      t(s"sub_kparts_execute_$i")(BenchForce.force(kparts))
+      val queries = t(s"sub_queries_construct_$i")(
+        VectorRefresh.liveVectors(s, vecPath)
+          .join(broadcast(idDf), col("vec_id") === col("q_id"), "semi")
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+      val (adcs, probed, tbls) = t(s"sub_adcparts_construct_$i")(
+        VectorRefresh.batchAdcParts(s, vecPath, queries,
+          graft.operators.IvfIndex.NProbe, None))
+      t(s"sub_adc_execute_$i")(BenchForce.force(adcs))
+      t(s"sub_probed_execute_$i")(BenchForce.force(probed))
+      graft.operators.Checkpoints.releaseTransients()
+    }
     (1 to 3).foreach { i =>
       t(s"serve_full_$i")(BenchForce.force(
         SparkEntry.queries("stream_quantized_fused_serve")(s, dir)))

@@ -670,9 +670,16 @@ object IndexRefresh {
     // an as-of read bypasses the epoch cache (which always serves the
     // LATEST merge) and reads the pinned views directly
     val nocache = servingCacheDisabled || asOf.nonEmpty
-    val qtoks = livePostings(spark, path, asOf = asOf)
-      .join(broadcast(qdocs), col("doc_id") === col("q_id"))
-      .select(col("q_id"), col("term"))
+    // query terms = the query docs' OWN distinct tokens (docs is the
+    // snapshot the layout indexes — pinned callers pass the pinned
+    // snapshot — so this equals the live postings' term set for those
+    // docs exactly). The previous form joined livePostings on doc_id,
+    // which scanned the whole bucket-partitioned postings artifact per
+    // batch (no doc_id pruning exists in that layout): O(corpus) per
+    // micro-batch where tokenizing the ≤|Q| query docs is O(batch) —
+    // measured ~1.7 s of the fused serve's per-batch constant at sf0.1.
+    val qtoks = docs.join(broadcast(qdocs), col("doc_id") === col("q_id"))
+      .select(col("q_id"), explode(array_distinct(tokens(col("text")))).as("term"))
     // nocache form only: the query vocabulary's buckets (≤ NumBuckets
     // values), collected so every dict/champion segment read
     // partition-prunes; the cached form's views are already merged and
@@ -743,9 +750,10 @@ object IndexRefresh {
     val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
     // as-of bypasses the epoch cache (latest-merge only)
     val nocache = servingCacheDisabled || asOf.nonEmpty
-    val qtoks = livePostings(spark, path, asOf = asOf)
-      .join(broadcast(qdocs), col("doc_id") === col("q_id"))
-      .select(col("q_id"), col("term"))
+    // query terms from the query docs' own tokens — the batchScoredSel
+    // O(batch)-not-O(corpus) argument, same snapshot-equivalence proof
+    val qtoks = docs.join(broadcast(qdocs), col("doc_id") === col("q_id"))
+      .select(col("q_id"), explode(array_distinct(tokens(col("text")))).as("term"))
     lazy val buckets = qtoks
       .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq

@@ -778,44 +778,35 @@ object VectorRefresh {
                                    nprobe: Int = IvfIndex.NProbe,
                                    asOf: Option[Int] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    import spark.implicits._
     val model = readCodebook(spark, path)
-    val sub = model.dim / model.m
+    // the query frame is bounded by contract (a stride sample or a
+    // micro-batch's id set), but its SUBTREE is a corpus-wide live-
+    // vector scan — materialize it once (query-scoped release) so the
+    // probe, the ADC tables, and the fan-out don't each re-run the scan
+    val q = Checkpoints.transient_(queries)
     val probed = IvfIndex.batchProbedCellsFrom(
-      centroidView(spark, path, asOf), queries, nprobe)
-    // per-query ADC tables (the batchSearchIvfAdc convention): the
-    // standing codebook is m·k rows, queries are the stride sample —
-    // the cross product stays broadcast-sized at any corpus scale
-    val cb = model.codebooks.zipWithIndex.flatMap { case (book, j) =>
-      book.zipWithIndex.map { case (cent, c) => (j, c, cent) }
-    }.toDF("j", "c", "cent")
-    val tables = queries
-      .select(col("q_id"), ProductQuantizer.normalized(col("q_emb")).as("qn"))
-      .join(broadcast(cb))
-      .select(col("q_id"), col("j"), col("c"),
-        aggregate(
-          zip_with(slice(col("qn"), col("j") * sub + 1, lit(sub)), col("cent"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0.0d), (acc, v) => acc + v).as("d2"))
+      centroidView(spark, path, asOf), q, nprobe)
+    // per-query ADC tables in ONE map-side expression over the standing
+    // codebook as a reference object ([[org.apache.spark.sql.graftshim
+    // .PqAdcTable]] — flat j-major, bitwise the old declarative
+    // cross-join + fold chain): no exchange at any |Q|, and the fused
+    // serve stops paying the two collect_list shuffles per micro-batch.
+    //
     // candidate (q_id, vec_id, codes): the probed (q_id, cell) pairs —
-    // each carrying its query's m×k table reshaped into ONE array
-    // (bounded folds, c- then j-sorted) — broadcast into the standing
-    // code scan; cell is the partition column of every seg=r/codes
-    // write, so the isin-free join still reads only probed cells' files
-    // at scale via DPP, no full-precision vector is touched past the
-    // query rows themselves, and each candidate row pays exactly m
-    // in-register j-ordered lookups inside whole-stage codegen
-    // ([[org.apache.spark.sql.graftshim.PqAdcScoreDyn]] — bitwise the
-    // single-query PqAdcScore sum; an explode-to-m-rows + collect_list
-    // re-aggregate here would sort-spill at 100×)
-    val perJ = tables.groupBy("q_id", "j")
-      .agg(transform(array_sort(collect_list(struct(col("c"), col("d2")))),
-        x => x.getField("d2")).as("row"))
-    val tbls = perJ.groupBy("q_id")
-      // j-major flatten: tbl(j·k + c) — the flat layout PqAdcScoreDyn
-      // indexes with primitive reads (no per-row nested-array views)
-      .agg(flatten(transform(array_sort(collect_list(struct(col("j"), col("row")))),
-        x => x.getField("row"))).as("tbl"))
+    // each carrying its query's flat m×k table — broadcast into the
+    // standing code scan; cell is the partition column of every
+    // seg=r/codes write, so the isin-free join still reads only probed
+    // cells' files at scale via DPP, no full-precision vector is
+    // touched past the query rows themselves, and each candidate row
+    // pays exactly m in-register j-ordered lookups inside whole-stage
+    // codegen ([[org.apache.spark.sql.graftshim.PqAdcScoreDyn]] —
+    // bitwise the single-query PqAdcScore sum; an explode-to-m-rows +
+    // collect_list re-aggregate here would sort-spill at 100×)
+    val tbls = q.select(col("q_id"),
+      org.apache.spark.sql.graftshim.Shims.column(
+        org.apache.spark.sql.graftshim.PqAdcTable(
+          org.apache.spark.sql.graftshim.Shims.expression(col("q_emb")),
+          model.codebooks)).as("tbl"))
     val probeTbl = probed.join(tbls, Seq("q_id"))
     // Tables.parallel: the probe stage's parallelism is the code scan's
     // file count (broadcast joins add no exchange); the rows are m-byte

@@ -334,6 +334,11 @@ object ServeStream {
       (ranked, _) => { val b = ranked.collect(); holder.updateAndGet(prev => prev ++ b); () })
     input.addData(ids: _*)
     q.processAllAvailable(); q.stop()
+    // the serve's per-batch transient checkpoints (the batch's bounded
+    // query frame) are consumed once the stream stops — a long-running
+    // serving loop is exactly where un-released batch frames would
+    // accumulate (the r13 session-state finding)
+    graft.operators.Checkpoints.releaseTransients()
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("q_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("rn", org.apache.spark.sql.types.IntegerType),
