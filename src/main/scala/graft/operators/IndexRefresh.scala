@@ -142,6 +142,23 @@ object IndexRefresh {
     */
   private[graft] val CommitMarker = "_graft_committed"
 
+  /** Cap on collecting a touched-term set for scan pushdown: below it
+    * the set ships as an `In` predicate into the postings scan (pages
+    * prune by term range — see the clustered write in [[writeSegment]]);
+    * above it only bucket pruning + the broadcast semi-join apply. A
+    * refresh batch's vocabulary is bounded by its text volume, so real
+    * batches sit far below this.
+    */
+  private val TermPushdownCap = 4096L
+
+  /** The touched-term list when bounded (one cheap count over the
+    * already-checkpointed frame), else None.
+    */
+  private def collectTermsIfBounded(touched: DataFrame): Option[Seq[String]] =
+    if (touched.count() <= TermPushdownCap)
+      Some(touched.select("term").collect().map(_.getString(0)).toSeq)
+    else None
+
   private[graft] def commitSegment(segDir: String): Unit =
     new java.io.File(segDir, CommitMarker).createNewFile()
 
@@ -158,10 +175,21 @@ object IndexRefresh {
     // committed-looking segment with mixed old/new files, exactly the
     // corruption the marker exists to expose
     uncommitSegment(segDir)
-    writePartitionedSafe(postings, "term_bucket", s"$segDir/postings")
+    // term-keyed files land CLUSTERED BY TERM within each bucket file
+    // (Lucene's sorted term dictionary, as a parquet layout property):
+    // rows sorted by term give every page a tight term min/max, so a
+    // touched-terms read with a pushed term predicate prunes at the
+    // PAGE level inside a bucket — bucket-grain pruning alone cannot
+    // help a touched set whose ~|vocab-per-batch| terms hash across
+    // most of the 64 buckets (the r14 sparse-recut finding: r100 = 18
+    // bucket-pruned only). Leading the sort with term_bucket satisfies
+    // the partitioned writer's required ordering, so no second sort.
+    def clustered(df: DataFrame) =
+      df.sortWithinPartitions(col("term_bucket"), col("term"))
+    writePartitionedSafe(clustered(postings), "term_bucket", s"$segDir/postings")
     docstats.write.mode("overwrite").parquet(s"$segDir/docstats")
-    writePartitionedSafe(dict, "term_bucket", s"$segDir/dict")
-    writePartitionedSafe(champs, "term_bucket", s"$segDir/champions")
+    writePartitionedSafe(clustered(dict), "term_bucket", s"$segDir/dict")
+    writePartitionedSafe(clustered(champs), "term_bucket", s"$segDir/champions")
     docstats.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$segDir/stats")
     commitSegment(segDir)
@@ -221,12 +249,13 @@ object IndexRefresh {
     val touchedBuckets = touched
       .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq // ≤ NumBuckets values
-    // merged live postings of the touched terms: bucket-pruned scan of
+    // merged live postings of the touched terms: bucket-pruned AND
+    // (for a bounded batch vocabulary) term-pushdown-pruned scan of
     // every segment below r (including the delta written below in view
     // form; a failed prior attempt at r stays invisible to its replay)
     val liveTouched = livePostings(spark, path,
         bucketFilter = Some(touchedBuckets), extraSeg = Some((r, deltaPost)),
-        belowSeg = Some(r))
+        belowSeg = Some(r), termFilter = collectTermsIfBounded(touched))
       .join(broadcast(touched), Seq("term"))
     // dict rows for ALL touched terms, df = 0 when the term vanished —
     // the zero row masks older segments in the serving view
@@ -336,7 +365,8 @@ object IndexRefresh {
   private def readSegFile(spark: SparkSession, path: String, file: String,
                           bucketFilter: Option[Seq[Long]],
                           belowSeg: Option[Int] = None,
-                          asOf: Option[Int] = None): DataFrame = {
+                          asOf: Option[Int] = None,
+                          termFilter: Option[Seq[String]] = None): DataFrame = {
     // belowSeg: the exactly-once recut reads only segments below the
     // id being replayed — a failed attempt's partial (possibly
     // unreadable) directory there is skipped at the listing level and
@@ -348,7 +378,12 @@ object IndexRefresh {
       .filter(s => belowSeg.forall(s < _))
       .filter(s => asOf.forall(s <= _)).map { s =>
       val df = spark.read.parquet(s"$path/seg=$s/$file")
-      bucketFilter.fold(df)(bs => df.filter(col("term_bucket").isin(bs: _*)))
+      val bucketed =
+        bucketFilter.fold(df)(bs => df.filter(col("term_bucket").isin(bs: _*)))
+      // a BOUNDED touched-term set pushes to the parquet scan: pages
+      // prune by term min/max (the clustered write above makes ranges
+      // tight); above ~10 values Spark pushes In as a [min,max] range
+      termFilter.fold(bucketed)(ts => bucketed.filter(col("term").isin(ts: _*)))
         .withColumn("seg", lit(s))
     }
     dfs.reduce(_.unionByName(_))
@@ -363,11 +398,15 @@ object IndexRefresh {
                                       bucketFilter: Option[Seq[Long]] = None,
                                       extraSeg: Option[(Int, DataFrame)] = None,
                                       belowSeg: Option[Int] = None,
-                                      asOf: Option[Int] = None): DataFrame = {
-    val stored = readSegFile(spark, path, "postings", bucketFilter, belowSeg, asOf)
+                                      asOf: Option[Int] = None,
+                                      termFilter: Option[Seq[String]] = None): DataFrame = {
+    val stored = readSegFile(spark, path, "postings", bucketFilter, belowSeg,
+      asOf, termFilter)
     val all = extraSeg.fold(stored) { case (s, df) =>
-      stored.unionByName(
+      val bucketed =
         bucketFilter.fold(df)(bs => df.filter(col("term_bucket").isin(bs: _*)))
+      stored.unionByName(
+        termFilter.fold(bucketed)(ts => bucketed.filter(col("term").isin(ts: _*)))
           .withColumn("seg", lit(s)))
     }
     val kills = tombstones(spark, path, asOf).groupBy("doc_id")
@@ -936,7 +975,8 @@ object IndexRefresh {
       .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq // ≤ NumBuckets values
     val liveTouched = livePostings(s, path,
-        bucketFilter = Some(touchedBuckets))
+        bucketFilter = Some(touchedBuckets),
+        termFilter = collectTermsIfBounded(touched))
       .join(broadcast(touched), Seq("term"))
     cutChampions(liveTouched)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
@@ -955,23 +995,28 @@ object IndexRefresh {
   private[graft] def sparseBlocks(docs: DataFrame): Int =
     math.max(10L, docs.count() / SparseBlockDocs).toInt
 
-  /** Vocabulary widening: suffix every token with its doc's block id
-    * (`tok` → `tokq<doc_id mod blocks>`). The synthetic corpus has a
+  /** Vocabulary widening: PREFIX every token with its doc's block id
+    * (`tok` → `q<doc_id mod blocks>q<tok>`). The synthetic corpus has a
     * ~65-term vocabulary, which makes EVERY refresh touch every term —
     * the worst case for 13h's ∝-touched-vocab claim, and the only case
     * [[qIndexRecut]] can measure. Widening makes the vocabulary
     * 65·blocks terms while preserving dl and per-doc tf exactly; a
     * refresh batch restricted to one block then touches 1/blocks of
     * the vocabulary — the regime a real corpus's refresh lives in
-    * (touched ≪ vocab).
+    * (touched ≪ vocab). The block id leads (prefix, not suffix) so one
+    * block's terms are lexicographically CONTIGUOUS: the pushed
+    * touched-term range then prunes the term-clustered postings pages
+    * to ~1/blocks of each bucket file — the locality a real ingest
+    * batch's vocabulary approximates.
     */
   private[graft] def widenVocab(docs: DataFrame, blocks: Int): DataFrame =
     docs.withColumn("text",
       array_join(
         transform(
           filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""),
-          t => concat(t, lit("q"),
-            pmod(col("doc_id"), lit(blocks.toLong)).cast("string"))),
+          t => concat(lit("q"),
+            pmod(col("doc_id"), lit(blocks.toLong)).cast("string"),
+            lit("q"), t)),
         " "))
 
   /** The widened-vocabulary refreshed artifact: base = widened previous
@@ -983,19 +1028,33 @@ object IndexRefresh {
     val docs = Tables.documents(s, dir)
     val blocks = sparseBlocks(docs)
     IndexCache.getOrBuild("kw_refresh_sparse", dir) { p =>
-      val curr = widenVocab(CorpusOps.currSnapshot(docs), blocks)
-      val prev = widenVocab(CorpusOps.prevSnapshot(docs), blocks)
-      buildBase(prev, p)
-      val diff = CorpusOps.snapshotDiff(curr, prev)
-        .filter(pmod(col("doc_id"), lit(blocks)) === 0)
-      val deltaDocs = curr.join(
-        diff.filter(col("status").isin("added", "changed")).select("doc_id"),
-        Seq("doc_id"), "semi")
-      val removedDocs = prev.join(
-        diff.filter(col("status").isin("removed", "changed")).select("doc_id"),
-        Seq("doc_id"), "semi")
+      // full-corpus widening happens ONCE here (the artifact build);
+      // the batch derivation widens only the one block's docs — the
+      // diff of block-0 docs depends only on block-0 rows
+      buildBase(widenVocab(CorpusOps.prevSnapshot(docs), blocks), p)
+      val (deltaDocs, removedDocs) = sparseBatch(docs, blocks)
       refresh(s, p, deltaDocs, removedDocs)
     }
+  }
+
+  /** The one-block refresh batch (widened): snapshots filtered to the
+    * block BEFORE the diff join, so deriving the batch costs one cheap
+    * corpus filter + a 1/blocks-sized diff — never a corpus-wide
+    * widening pass (the first sparse SCALE cells measured exactly that
+    * mistake: 36 s at 100×, all of it tokenizing 2×500k docs per run).
+    */
+  private def sparseBatch(docs: DataFrame, blocks: Int): (DataFrame, DataFrame) = {
+    val c0 = CorpusOps.currSnapshot(docs)
+      .filter(pmod(col("doc_id"), lit(blocks.toLong)) === 0)
+    val p0 = CorpusOps.prevSnapshot(docs)
+      .filter(pmod(col("doc_id"), lit(blocks.toLong)) === 0)
+    val diff = CorpusOps.snapshotDiff(c0, p0)
+    (widenVocab(c0.join(
+        diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+        Seq("doc_id"), "semi"), blocks),
+      widenVocab(p0.join(
+        diff.filter(col("status").isin("removed", "changed")).select("doc_id"),
+        Seq("doc_id"), "semi"), blocks))
   }
 
   /** Driver query: [[qIndexRecut]] in the REALISTIC regime — touched
@@ -1015,16 +1074,7 @@ object IndexRefresh {
     val docs = Tables.documents(s, dir)
     val blocks = sparseBlocks(docs)
     val path = sparseArtifact(s, dir)
-    val curr = widenVocab(CorpusOps.currSnapshot(docs), blocks)
-    val prev = widenVocab(CorpusOps.prevSnapshot(docs), blocks)
-    val diff = CorpusOps.snapshotDiff(curr, prev)
-      .filter(pmod(col("doc_id"), lit(blocks)) === 0)
-    val deltaDocs = curr.join(
-      diff.filter(col("status").isin("added", "changed")).select("doc_id"),
-      Seq("doc_id"), "semi")
-    val removedDocs = prev.join(
-      diff.filter(col("status").isin("removed", "changed")).select("doc_id"),
-      Seq("doc_id"), "semi")
+    val (deltaDocs, removedDocs) = sparseBatch(docs, blocks)
     val touched = Checkpoints.transient_(
       segPostings(deltaDocs).select("term")
         .union(segPostings(removedDocs).select("term"))
@@ -1033,7 +1083,8 @@ object IndexRefresh {
       .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq // ≤ NumBuckets values
     val liveTouched = livePostings(s, path,
-        bucketFilter = Some(touchedBuckets))
+        bucketFilter = Some(touchedBuckets),
+        termFilter = collectTermsIfBounded(touched))
       .join(broadcast(touched), Seq("term"))
     cutChampions(liveTouched)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
@@ -1048,7 +1099,7 @@ object IndexRefresh {
     val toks = TextAnalysis.sqlToks
     // widened token list for a (doc_id, text) row, given scalar b
     def wtoks(rel: String) =
-      s"list_transform($toks, t -> t || 'q' || CAST($rel.doc_id % b AS VARCHAR))"
+      s"list_transform($toks, t -> 'q' || CAST($rel.doc_id % b AS VARCHAR) || 'q' || t)"
     s"""WITH blocks AS (
        |  SELECT greatest(10, count(*) // $SparseBlockDocs) AS b
        |  FROM documents),

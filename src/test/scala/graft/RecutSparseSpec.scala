@@ -69,9 +69,9 @@ class RecutSparseSpec extends SparkSpec {
     // champion bound: <= M rows per term
     val perTerm = rows.groupBy(_.getString(0)).view.mapValues(_.length)
     assert(perTerm.values.forall(_ <= IndexRefresh.M))
-    // every term is a widened token of the one-block batch (suffix 'q0'
-    // ... the block-0 suffix — the batch is doc_id % blocks = 0)
-    assert(rows.forall(_.getString(0).endsWith("q0")),
+    // every term is a widened token of the one-block batch (the 'q0q'
+    // block-0 prefix — the batch is doc_id % blocks = 0)
+    assert(rows.forall(_.getString(0).startsWith("q0q")),
       "a non-block-0 term in the recut means the batch restriction leaked")
   }
 }
