@@ -53,6 +53,31 @@ object Bench {
         }.sorted.apply(1)
       } catch { case _: Throwable => -1.0 }
     }
+    // CALIBRATION probe (the cross-round comparability fix — SCALE.md's
+    // ERA NOTE measured the same box swinging ~1.5× within a day on
+    // unchanged code, making cross-run ABSOLUTES mush): a fixed,
+    // corpus-independent workload — a pure-CPU xorshift reduction plus
+    // one small fixed shuffle (2M longs into 4096 groups across 32
+    // partitions) — timed at suite START / MIDDLE / END and recorded as
+    // "cal_sec":[s,m,e]. A future round divides absolutes by the
+    // calibration medians before comparing across artifacts; the
+    // start/mid/end triple also exposes load ARRIVING mid-suite, which
+    // the post-hoc quartile sentinels can only infer.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0L; var acc = 0L
+      while (i < 100000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+      }
+      if (acc == 42L) System.err.println("cal") // keep the loop live
+      BenchForce.force(
+        spark.range(0L, 2000000L, 1L, 32)
+          .groupBy(pmod(col("id") * 2654435761L, lit(4096)).as("k"))
+          .count())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calStart = calibrate()
     // A query that throws is recorded as an ERROR (value -1 in the maps +
     // its message in "errors"), NEVER as its time-to-throw: a broken query
     // must be impossible to mistake for a fast one in the artifact.
@@ -61,8 +86,11 @@ object Bench {
     // see BenchForce's scaladoc for why df.count() measures a pruned
     // plan.
     def force(df: org.apache.spark.sql.DataFrame): Unit = BenchForce.force(df)
+    val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    var calMid = -1.0
     val results: Seq[(String, Either[String, (Double, Double)])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      allQueries.zipWithIndex.map { case ((name, fn), qi) =>
+        if (qi == allQueries.size / 2) calMid = calibrate()
         val r = try {
           force(fn(spark, sfDir)) // untimed warm-up
           val times = (1 to 3).map { _ =>
@@ -118,6 +146,7 @@ object Bench {
       val hi = math.max(med, re); val lo = math.max(math.min(med, re), 1e-3)
       hi / lo > 2.0
     }
+    val calEnd = calibrate()
     // Per-row contamination flags: the artifact records per-query median
     // AND min, and on a quiet box they track closely (median-of-3 over a
     // warm plan); median/min > 2x means the row's own three runs saw
@@ -164,7 +193,21 @@ object Bench {
       case None =>
         s""""sentinel_query":null,"sentinels":[],"suspect":[],"contaminated":false"""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"n_errors":$nErrors,"total_excludes":$totalExcludes,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,$sentinelJson,"errors":$errs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+    val calJson = s""""cal_sec":[${f3(calStart)},${f3(calMid)},${f3(calEnd)}]"""
+    // the LAST OrderCheck verdict on record (ORDERCHECK.json, written by
+    // `runMain OrderCheck` after a committed bench): the status plus the
+    // total of the artifact it validated, so a reader can tell whether
+    // the stamp covers THIS run's numbers or the committed ones
+    val ordercheckJson = (try {
+      val oc = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("ORDERCHECK.json"))
+      for {
+        st <- """"status":"([A-Z]+)"""".r.findFirstMatchIn(oc).map(_.group(1))
+        tot <- """"validated_total":(-?[0-9.]+)""".r.findFirstMatchIn(oc).map(_.group(1))
+      } yield s""""ordercheck":"$st","ordercheck_total":$tot"""
+    } catch { case _: Throwable => None })
+      .getOrElse(""""ordercheck":"NOT_RUN"""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"n_errors":$nErrors,"total_excludes":$totalExcludes,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,$calJson,$ordercheckJson,$sentinelJson,"errors":$errs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     // Full artifact to a file (the driver's stdout capture truncates to a
     // tail, which loses the head of the per-query map — BENCH_full.json
     // is the complete, parseable copy, committed per round). Written to
@@ -179,7 +222,7 @@ object Bench {
     println(line)
     // Short trailer that survives tail-truncation intact: the totals
     // parse even when the full line above is cut mid-map.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"sf":"$sfDir","n_queries":${results.size},"n_errors":$nErrors,"total_excludes":$totalExcludes,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,$sentinelJson,"detail":"BENCH_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"sf":"$sfDir","n_queries":${results.size},"n_errors":$nErrors,"total_excludes":$totalExcludes,"stream_spinup_sec":$spin,"n_stream_queries":$nStream,$calJson,$ordercheckJson,$sentinelJson,"detail":"BENCH_full.json"}""")
     spark.stop()
   }
 }

@@ -141,6 +141,8 @@ object SparkEntry {
     "vector_search_autocut" -> (VectorSearch.searchAutocut _),
     "vector_search_grouped_pruned" -> (IvfIndex.qSearchGroupedPruned _),
     "vector_search_autocut_pruned" -> (IvfIndex.qSearchAutocutPruned _),
+    "vector_search_grouped_batch" -> (IvfIndex.qBatchSearchGrouped _),
+    "vector_search_autocut_batch" -> (IvfIndex.qBatchSearchAutocut _),
     "corpus_sample" -> (TextAnalysis.qSample _),
     "corpus_cluster_sample" -> (CorpusOps.qClusterSample _),
     "dedup_exact" -> (Dedup.qExact _),
@@ -218,6 +220,8 @@ object SparkEntry {
     "stream_hybrid_ivf_serve" -> (graft.streaming.ServeStream.qStreamHybridIvfServe _),
     "stream_vector_ivf_serve" -> (graft.streaming.ServeStream.qStreamVectorIvfServe _),
     "stream_vector_serve" -> (graft.streaming.ServeStream.qStreamVectorServe _),
+    "stream_vector_grouped_serve" -> (graft.streaming.ServeStream.qStreamGroupedServe _),
+    "stream_vector_autocut_serve" -> (graft.streaming.ServeStream.qStreamAutocutServe _),
     "stream_rag_answer" -> (graft.streaming.GenerateStream.qStreamRagAnswer _),
     "stream_json_chat" -> (graft.streaming.GenerateStream.qStreamJsonChat _),
     "stream_events_dedup" -> (graft.streaming.EventsStream.qStreamDedup _),
@@ -396,6 +400,8 @@ object SparkEntry {
     "vector_search_autocut" -> VectorSearch.searchAutocutOracle,
     "vector_search_grouped_pruned" -> IvfIndex.qSearchGroupedPrunedOracle,
     "vector_search_autocut_pruned" -> IvfIndex.qSearchAutocutPrunedOracle,
+    "vector_search_grouped_batch" -> IvfIndex.qBatchSearchGroupedOracle,
+    "vector_search_autocut_batch" -> IvfIndex.qBatchSearchAutocutOracle,
     "corpus_sample" -> TextAnalysis.sampleOracle(),
     "corpus_cluster_sample" -> CorpusOps.clusterSampleOracle,
     "dedup_exact" -> Dedup.exactOracle,
@@ -468,6 +474,8 @@ object SparkEntry {
     "stream_hybrid_ivf_serve" -> HybridSearch.batchSearchIvfOracle,
     "stream_vector_ivf_serve" -> IvfIndex.qBatchSearchOracle,
     "stream_vector_serve" -> VectorSearch.batchSearchOracle,
+    "stream_vector_grouped_serve" -> IvfIndex.qBatchSearchGroupedOracle,
+    "stream_vector_autocut_serve" -> IvfIndex.qBatchSearchAutocutOracle,
     "stream_rag_answer" -> Generation.oracle,
     "stream_json_chat" -> Generation.jsonOracle,
     // evaluated at dump time, AFTER the queries ran (Verify's order):

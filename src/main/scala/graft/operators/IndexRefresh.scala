@@ -147,9 +147,14 @@ object IndexRefresh {
     * prune by term range — see the clustered write in [[writeSegment]]);
     * above it only bucket pruning + the broadcast semi-join apply. A
     * refresh batch's vocabulary is bounded by its text volume, so real
-    * batches sit far below this.
+    * batches sit far below this. Overridable via
+    * `-Dgraft.refresh.termPushdownCap` so the ABOVE-cap fallback regime
+    * is testable (RecutSparseSpec pins byte-identical recut output with
+    * the cap forced to 0) and measurable (SCALE.md's above-cap cell)
+    * without a synthetic 4096-term vocabulary.
     */
-  private val TermPushdownCap = 4096L
+  private def TermPushdownCap: Long =
+    sys.props.get("graft.refresh.termPushdownCap").map(_.toLong).getOrElse(4096L)
 
   /** The touched-term list when bounded (one cheap count over the
     * already-checkpointed frame), else None.
@@ -487,6 +492,27 @@ object IndexRefresh {
   private val viewCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
+  /** The one RETIRED frame per view key — release of a rolled epoch's
+    * view is DEFERRED by one roll: a concurrent reader that fetched
+    * the old frame from [[viewCache]] just before a refresh committed
+    * may still be executing its plan after the roll, and an eager
+    * unpersist of a localCheckpoint is unrecoverable (lineage was
+    * truncated — the read fails with checkpoint-block-not-found). One
+    * epoch of grace is the serving contract: a fetched view stays
+    * readable until the NEXT refresh/compact commits (readers that
+    * could span two commits must refetch per probe — the
+    * CheckpointsSpec rule). Bounded residency: ≤1 retired frame per
+    * key, all of the bounded warm-reader artifact class.
+    */
+  private val retiredViews =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Park a rolled frame for one epoch; release the one it displaces. */
+  private def retire(key: String, rolled: DataFrame): Unit = {
+    val prev = retiredViews.put(key, rolled)
+    if (prev != null) Checkpoints.release(prev)
+  }
+
   /** The layout's serving epoch: every state change lands a new
     * `seg=`/tombstone directory, so the id lists identify the merge.
     */
@@ -524,8 +550,12 @@ object IndexRefresh {
         // dir listings under the bucket lock) and keep it when current;
         // install (ep, fresh) only when neither entry matches
         else { rolled = if (cur != null) cur._2 else null; (ep, fresh) })._2
-      if (out ne fresh) Checkpoints.release(fresh) // losing racer's copy
-      else if (rolled != null) Checkpoints.release(rolled) // retired epoch
+      // the losing racer's copy was never visible to any reader —
+      // immediate release is safe; a ROLLED epoch's frame may still
+      // back a pre-roll reader's in-flight plan, so it parks in
+      // [[retiredViews]] and is released on the NEXT roll instead
+      if (out ne fresh) Checkpoints.release(fresh)
+      else if (rolled != null) retire(key, rolled)
       out
     }
   }
@@ -547,6 +577,14 @@ object IndexRefresh {
         it.remove()
       }
     }
+    val rit = retiredViews.entrySet().iterator()
+    while (rit.hasNext) {
+      val e = rit.next()
+      if (e.getKey.endsWith(s":$path")) {
+        Checkpoints.release(e.getValue)
+        rit.remove()
+      }
+    }
   }
 
   /** Drop EVERY cached view — the session-recreation path: a harness
@@ -558,6 +596,8 @@ object IndexRefresh {
   def clearViewCache(): Unit = {
     viewCache.values().forEach(v => Checkpoints.release(v._2))
     viewCache.clear()
+    retiredViews.values().forEach(Checkpoints.release)
+    retiredViews.clear()
   }
 
   private[graft] def servingCacheDisabled: Boolean =

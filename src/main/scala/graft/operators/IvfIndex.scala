@@ -343,6 +343,108 @@ object IvfIndex {
       searchSql(VectorSearch.QueryVecId, NProbe, VectorSearch.AutocutCandidates),
       Seq("vec_id", "label", "score"), VectorSearch.AutocutJumps)
 
+  // --- grouped search / autocut BATCH serving forms (r14 task #4) -----------
+
+  /** The batch IVF walk's scored candidate stream carrying the group
+    * property: `(q_id, source, vec_id, score)` over each query's
+    * nprobe probed cells only — the shared first stage of the batch
+    * grouped form and its micro-batch serving twin. Scores are rounded
+    * at the stream edge (the [[VectorSearch.topKGrouped]] convention)
+    * so heap and oracle tie orders agree.
+    */
+  private[graft] def batchScoredWithSource(embs: DataFrame, docs: DataFrame,
+                                           selectQueries: DataFrame => DataFrame,
+                                           nprobe: Int = NProbe,
+                                           centroids: Option[DataFrame] = None): DataFrame = {
+    val queries = selectQueries(embs)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = centroids
+      .map(c => batchProbedCellsFrom(c, queries, nprobe))
+      .getOrElse(batchProbedCells(embs, queries, nprobe))
+    embs.join(broadcast(probed), col("label") === col("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(docs.select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("source"), col("vec_id"),
+        round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
+  }
+
+  /** BATCH grouped search through the IVF walk — 17g's batch twin
+    * (the single → batch → stream closure every other search family
+    * has): each query's probed-cell candidates flow through the
+    * per-(q_id, source) bounded heaps and per-query group ranking of
+    * [[VectorSearch.batchGroupedFromScored]].
+    */
+  def batchSearchGrouped(embs: DataFrame, docs: DataFrame,
+                         selectQueries: DataFrame => DataFrame,
+                         groups: Int = VectorSearch.GroupsLimit,
+                         perGroup: Int = VectorSearch.ObjectsPerGroup,
+                         nprobe: Int = NProbe,
+                         centroids: Option[DataFrame] = None): DataFrame =
+    VectorSearch.batchGroupedFromScored(
+      batchScoredWithSource(embs, docs, selectQueries, nprobe, centroids),
+      groups, perGroup)
+
+  /** BATCH autocut through the IVF walk — per-query gap/jump windowing
+    * over each query's probe-limited top-C page
+    * ([[VectorSearch.batchAutocutFromCand]]).
+    */
+  def batchSearchAutocut(embs: DataFrame,
+                         selectQueries: DataFrame => DataFrame,
+                         candidates: Int = VectorSearch.AutocutCandidates,
+                         jumps: Int = VectorSearch.AutocutJumps,
+                         nprobe: Int = NProbe,
+                         centroids: Option[DataFrame] = None): DataFrame =
+    VectorSearch.batchAutocutFromCand(
+      batchSearchIvf(embs, selectQueries, nprobe, candidates, centroids)
+        .select(col("q_id"), col("vec_id"), col("score")),
+      jumps)
+
+  /** Driver query: batch grouped search over the standing centroid
+    * artifact. Oracle replays the per-query cell probe and the grouped
+    * post-stage over the probed candidate stream.
+    */
+  def qBatchSearchGrouped(s: SparkSession, dir: String): DataFrame =
+    batchSearchGrouped(Tables.embeddings(s, dir), Tables.documents(s, dir),
+      _.filter(col("vec_id") % VectorSearch.BatchStride === 0),
+      centroids = Some(cachedCentroids(s, dir)))
+
+  /** The batch probed-cell scored-candidate SQL (with source) the
+    * grouped oracle and the serving gate's oracle share.
+    */
+  private[graft] def batchScoredWithSourceSql(queriesWhere: String,
+                                              nprobe: Int = NProbe): String =
+    s"""WITH ${batchProbedSqlCtes(queriesWhere, nprobe)}
+       |SELECT p.q_id, d.source, e.vec_id,
+       |  round(${VectorSearch.cosineSql("e.embedding", "q.q_emb")}, 4) AS score
+       |FROM embeddings e
+       |JOIN probed p ON e.label = p.cell
+       |JOIN queries q ON q.q_id = p.q_id
+       |JOIN documents d ON e.vec_id = d.doc_id
+       |WHERE e.vec_id <> p.q_id""".stripMargin
+
+  val qBatchSearchGroupedOracle: String =
+    VectorSearch.batchGroupedSqlOver(
+      batchScoredWithSourceSql(s"vec_id % ${VectorSearch.BatchStride} = 0"),
+      VectorSearch.GroupsLimit, VectorSearch.ObjectsPerGroup)
+
+  /** Driver query: batch autocut over the standing centroid artifact.
+    * Oracle replays each query's probe-limited top-C page, then the
+    * per-query gap/jump windowing.
+    */
+  def qBatchSearchAutocut(s: SparkSession, dir: String): DataFrame =
+    batchSearchAutocut(Tables.embeddings(s, dir),
+      _.filter(col("vec_id") % VectorSearch.BatchStride === 0),
+      centroids = Some(cachedCentroids(s, dir)))
+
+  val qBatchSearchAutocutOracle: String =
+    VectorSearch.batchAutocutSqlOver(
+      s"""SELECT q_id, vec_id, score FROM (
+         |${batchSearchIvfSql(VectorSearch.BatchStride, NProbe, VectorSearch.AutocutCandidates)}
+         |) p""".stripMargin,
+      Seq("vec_id", "score"), VectorSearch.AutocutJumps)
+
   /** Learned coarse quantizer: k-means cell assignment (the drop-in
     * replacement for the pre-assigned `label` cells — same search plan,
     * cells now data-driven). Seeded for reproducibility; training is one

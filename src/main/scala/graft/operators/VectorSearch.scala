@@ -299,6 +299,62 @@ object VectorSearch {
        |FROM grouped JOIN grouprank ON grouped.source = grouprank.source
        |ORDER BY best_score DESC, grouped.source, rn""".stripMargin
 
+  /** [[groupedFromScored]]'s BATCH twin — GroupBy closed over the
+    * batch serving forms (the single → batch → stream ladder every
+    * other search family has): a multi-query scored candidate stream
+    * `(q_id, source, <id>, score)` flows through per-(q_id, source)
+    * bounded heaps (perGroup per key per partition shuffles, never the
+    * fan-out), then groups rank PER QUERY by their best hit. The group
+    * ranking window is q_id-keyed over the rn=1 frame (≤|sources| rows
+    * per query) — bounded at any corpus size. Per-query output is
+    * identical whichever batch the query arrives in (scores and group
+    * membership depend only on the query and standing artifacts) —
+    * batch-split invariance spec-pinned for the serving twin.
+    */
+  private[graft] def batchGroupedFromScored(scored: DataFrame, groups: Int,
+                                            perGroup: Int,
+                                            idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.VectorFunctions.topKByScore
+    import org.apache.spark.sql.expressions.Window
+    val grouped = scored.groupBy("q_id", "source")
+      .agg(topKByScore(col("score"), col(idCol), perGroup).as("top"))
+      .select(col("q_id"), col("source"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), col("source"), (col("i") + 1).as("rn"),
+        col("t.id").as(idCol), col("t.score").as("score"))
+    val w = Window.partitionBy("q_id").orderBy(desc("best_score"), asc("source"))
+    val groupRank = grouped.filter(col("rn") === 1)
+      .select(col("q_id"), col("source"), col("score").as("best_score"))
+      .withColumn("grn", row_number().over(w))
+      .filter(col("grn") <= groups)
+      .select(col("q_id"), col("source"), col("best_score"))
+    grouped.join(broadcast(groupRank), Seq("q_id", "source"))
+      .select(col("q_id"), col("source"), col("best_score"), col("rn"),
+        col(idCol), col("score"))
+      .orderBy(asc("q_id"), desc("best_score"), asc("source"), asc("rn"))
+  }
+
+  /** [[batchGroupedFromScored]]'s oracle twin over a multi-query
+    * scored-candidate SQL `(q_id, source, <id>, score)` — the batch
+    * grouped oracles wrap their candidate-stream SQL with this.
+    */
+  def batchGroupedSqlOver(scoredSql: String, groups: Int, perGroup: Int,
+                          idCol: String = "vec_id"): String =
+    s"""WITH scored AS ($scoredSql),
+       |grouped AS (
+       |  SELECT q_id, source, $idCol, score,
+       |    row_number() OVER (PARTITION BY q_id, source ORDER BY score DESC, $idCol) AS rn
+       |  FROM scored
+       |  QUALIFY rn <= $perGroup),
+       |grouprank AS (
+       |  SELECT q_id, source, best_score FROM (
+       |    SELECT q_id, source, score AS best_score,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, source) AS grn
+       |    FROM grouped WHERE rn = 1) gr
+       |  WHERE grn <= $groups)
+       |SELECT g.q_id, g.source, best_score, rn, g.$idCol, g.score
+       |FROM grouped g JOIN grouprank r ON g.q_id = r.q_id AND g.source = r.source
+       |ORDER BY g.q_id, best_score DESC, g.source, rn""".stripMargin
+
   // --- autocut ---------------------------------------------------------------
 
   val AutocutJumps = 2
@@ -390,6 +446,73 @@ object VectorSearch {
     * their top-C page SQL (the probe-limited IVF page, an ADC page)
     * with this. `cols` = the page's own column list, echoed after rn.
     */
+  /** [[autocutFromCand]]'s BATCH twin — auto_limit closed over the
+    * batch serving forms: per-q_id gap/jump windowing over each
+    * query's bounded top-C page `(q_id, <id>, score)`. All windows are
+    * q_id-keyed (≤ candidates rows per query); the terminal row's
+    * artificial zero gap is excluded per query by its own page length.
+    * A query's cut depends only on its own page ⇒ batch-split
+    * invariant by construction.
+    */
+  private[graft] def batchAutocutFromCand(cand: DataFrame, jumps: Int,
+                                          idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy(desc("score"), asc(idCol))
+    val gapped = cand
+      .withColumn("rn", row_number().over(w))
+      .withColumn("gap", coalesce(col("score") - lead("score", 1).over(w), lit(0.0)))
+    val mx = gapped.groupBy("q_id").agg(max("rn").as("mx"))
+    val stats = gapped.join(broadcast(mx), Seq("q_id"))
+      .filter(col("rn") < col("mx"))
+      .groupBy("q_id").agg(avg("gap").as("mean_gap"))
+    // LEFT join: a 1-row page has no defined mean gap — its rows keep
+    // jumps_before 0 and survive, matching the single-query semantics
+    gapped.join(broadcast(stats), Seq("q_id"), "left")
+      .withColumn("is_jump",
+        (col("gap") > col("mean_gap") * AutocutFactor).cast("int"))
+      .withColumn("jumps_before",
+        coalesce(sum("is_jump").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .filter(col("jumps_before") < jumps)
+      .select((Seq(col("q_id"), col("rn")) ++
+        cand.columns.filterNot(_ == "q_id").map(col).toSeq): _*)
+      .orderBy("q_id", "rn")
+  }
+
+  /** [[batchAutocutFromCand]]'s oracle twin over a multi-query bounded
+    * candidate-page SQL with `q_id` and `score` columns. `cols` = the
+    * page's own column list EXCLUDING q_id, echoed after (q_id, rn).
+    */
+  def batchAutocutSqlOver(candSql: String, cols: Seq[String], jumps: Int,
+                          idCol: String = "vec_id"): String = {
+    val colList = cols.mkString(", ")
+    s"""WITH cand AS (SELECT * FROM (
+       |$candSql) t),
+       |gapped AS (
+       |  SELECT q_id, $colList,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, $idCol) AS rn,
+       |    coalesce(score - lead(score, 1) OVER (PARTITION BY q_id ORDER BY score DESC, $idCol), 0.0) AS gap
+       |  FROM cand),
+       |mx AS (SELECT q_id, max(rn) AS mx FROM gapped GROUP BY q_id),
+       |stats AS (
+       |  SELECT g.q_id, avg(gap) AS mean_gap
+       |  FROM gapped g JOIN mx USING (q_id)
+       |  WHERE rn < mx
+       |  GROUP BY g.q_id),
+       |marked AS (
+       |  SELECT rn, g.q_id, $colList,
+       |    CASE WHEN gap > mean_gap * $AutocutFactor THEN 1 ELSE 0 END AS is_jump
+       |  FROM gapped g LEFT JOIN stats s ON g.q_id = s.q_id),
+       |cut AS (
+       |  SELECT rn, q_id, $colList,
+       |    coalesce(sum(is_jump) OVER (PARTITION BY q_id ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jumps_before
+       |  FROM marked)
+       |SELECT q_id, rn, $colList
+       |FROM cut WHERE jumps_before < $jumps
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
   def autocutSqlOver(candSql: String, cols: Seq[String], jumps: Int,
                      idCol: String = "vec_id"): String = {
     val colList = cols.mkString(", ")

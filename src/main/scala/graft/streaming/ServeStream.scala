@@ -21,6 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object ServeStream {
 
+  /** The shared serving micro-batch skeleton: distinct non-null q_ids
+    * (kept a distributed frame — the rank functions broadcast-semi-join
+    * it, so a burst batch never collects to the driver), rank, sink —
+    * with the WHOLE body inside a request scope
+    * ([[graft.operators.Checkpoints.withRequestScope]]). Every
+    * transient checkpoint a batch's plan construction registers (the
+    * quantized probe's bounded query frame, a fusion's materialized
+    * candidate cut) is fully consumed when its sink returns, so the
+    * scope drains it at the BATCH boundary: a serving stream running
+    * thousands of micro-batches between stops holds a bounded number
+    * of frames at any instant instead of accumulating one per batch
+    * until `q.stop()` (the r13 session-state growth mechanism on the
+    * deployment clock — SoakSpec pins flat residency over ≥50
+    * batches). Scoping (not the global registry) also means a serve
+    * stream interleaved with a batch query in the same JVM can never
+    * release the other's live frames.
+    */
+  private def serveBatches(queryIds: DataFrame)
+      (rank: DataFrame => DataFrame)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryIds.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Checkpoints.withRequestScope {
+          val ids = batch.select(col("q_id")).na.drop().distinct()
+          if (!batch.isEmpty) sink(rank(ids), batchId)
+        }
+      }
+      .start()
+
   /** Driver query: one micro-batch of hybrid serving under the DuckDB
     * oracle gate. The benchmark query-id set arrives as a memory STREAM,
     * [[hybridServe]] runs its foreachBatch fusion, and the sink's frame
@@ -144,17 +174,10 @@ object ServeStream {
                      path: String, docs: DataFrame)
                     (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    queryIds.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ids = batch.select(col("q_id")).na.drop().distinct()
-        if (!batch.isEmpty) {
-          val ranked = graft.operators.IndexRefresh.qlBatchSearchSel(
-            spark, path, docs,
-            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"))
-          sink(ranked, batchId)
-        }
-      }
-      .start()
+    serveBatches(queryIds)(ids =>
+      graft.operators.IndexRefresh.qlBatchSearchSel(
+        spark, path, docs,
+        _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi")))(sink)
 
   /** Micro-batch keyword serving over the REFRESHED index — the LSM
     * layout's serving parity with [[championServe]]: each batch's
@@ -168,17 +191,10 @@ object ServeStream {
                    path: String, docs: DataFrame)
                   (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    queryIds.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ids = batch.select(col("q_id")).na.drop().distinct()
-        if (!batch.isEmpty) {
-          val ranked = graft.operators.IndexRefresh.batchSearchSel(
-            spark, path, docs,
-            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"))
-          sink(ranked, batchId)
-        }
-      }
-      .start()
+    serveBatches(queryIds)(ids =>
+      graft.operators.IndexRefresh.batchSearchSel(
+        spark, path, docs,
+        _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi")))(sink)
 
   /** Driver query: one micro-batch of IVF-PRUNED hybrid serving
     * ([[hybridServeIvf]], 40h) probing the standing centroid + postings
@@ -232,6 +248,80 @@ object ServeStream {
     }
   }
 
+  /** Micro-batch GROUPED vector serving — the streaming leg of 17g's
+    * batch twin ([[graft.operators.IvfIndex.batchSearchGrouped]]): each
+    * micro-batch's queries walk their nprobe IVF cells and the grouped
+    * post-stage (per-(q_id, source) bounded heaps + per-query group
+    * ranking) runs over that candidate stream. Scores, cell assignment
+    * and group membership depend only on (query, standing centroids,
+    * corpus) ⇒ batch-split invariant (spec-pinned).
+    */
+  def groupedServe(queryIds: DataFrame, embs: DataFrame, docs: DataFrame,
+                   groups: Int = graft.operators.VectorSearch.GroupsLimit,
+                   perGroup: Int = graft.operators.VectorSearch.ObjectsPerGroup,
+                   nprobe: Int = graft.operators.IvfIndex.NProbe,
+                   centroids: Option[DataFrame] = None)
+                  (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    serveBatches(queryIds)(ids =>
+      graft.operators.IvfIndex.batchSearchGrouped(
+        embs, docs, _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
+        groups, perGroup, nprobe, centroids))(sink)
+
+  /** Micro-batch AUTOCUT vector serving — each batch's queries get
+    * their probe-limited top-C page and the per-query gap/jump cut
+    * ([[graft.operators.IvfIndex.batchSearchAutocut]]). A query's cut
+    * depends only on its own page ⇒ batch-split invariant.
+    */
+  def autocutServe(queryIds: DataFrame, embs: DataFrame,
+                   candidates: Int = graft.operators.VectorSearch.AutocutCandidates,
+                   jumps: Int = graft.operators.VectorSearch.AutocutJumps,
+                   nprobe: Int = graft.operators.IvfIndex.NProbe,
+                   centroids: Option[DataFrame] = None)
+                  (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    serveBatches(queryIds)(ids =>
+      graft.operators.IvfIndex.batchSearchAutocut(
+        embs, _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
+        candidates, jumps, nprobe, centroids))(sink)
+
+  /** Driver query: one micro-batch of GROUPED vector serving probing
+    * the standing centroid artifact; a single batch holding the stride
+    * queries must hash-match the batch grouped oracle
+    * ([[graft.operators.IvfIndex.qBatchSearchGroupedOracle]]).
+    */
+  def qStreamGroupedServe(s: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    val embs = graft.sources.Tables.embeddings(s, dir)
+    val docs = graft.sources.Tables.documents(s, dir)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("q_id", LongType), StructField("source", StringType),
+      StructField("best_score", DoubleType), StructField("rn", IntegerType),
+      StructField("vec_id", LongType), StructField("score", DoubleType)))
+    collectServed(s, strideIds(s, dir, graft.operators.VectorSearch.BatchStride),
+      schema = schema,
+      orderCols = Seq(asc("q_id"), desc("best_score"), asc("source"), asc("rn"))) {
+      (queryIds, sink) =>
+        groupedServe(queryIds, embs, docs,
+          centroids = Some(graft.operators.IvfIndex.cachedCentroids(s, dir)))(sink)
+    }
+  }
+
+  /** Driver query: one micro-batch of AUTOCUT vector serving probing
+    * the standing centroid artifact; must hash-match the batch autocut
+    * oracle ([[graft.operators.IvfIndex.qBatchSearchAutocutOracle]]).
+    */
+  def qStreamAutocutServe(s: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    val embs = graft.sources.Tables.embeddings(s, dir)
+    collectServed(s, strideIds(s, dir, graft.operators.VectorSearch.BatchStride),
+      idCol = "vec_id") { (queryIds, sink) =>
+      autocutServe(queryIds, embs,
+        centroids = Some(graft.operators.IvfIndex.cachedCentroids(s, dir)))(sink)
+    }
+  }
+
   /** The benchmark query-id set: a bounded driver-side list by
     * construction — the serving plan itself keeps the id set distributed
     * via the broadcast semi-join.
@@ -275,19 +365,12 @@ object ServeStream {
                           topC: Option[Int])
                          (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    queryIds.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ids = batch.select(col("q_id")).na.drop().distinct()
-        if (!batch.isEmpty) {
-          val ranked = graft.operators.HybridSearch.fusedBatchQuantizedSel(
-            spark, kwPath, vecPath, docs,
-            _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
-            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
-            topC = topC)
-          sink(ranked, batchId)
-        }
-      }
-      .start()
+    serveBatches(queryIds)(ids =>
+      graft.operators.HybridSearch.fusedBatchQuantizedSel(
+        spark, kwPath, vecPath, docs,
+        _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
+        _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
+        topC = topC))(sink)
 
   // The benchmark query-id sets are STANDING workload definitions per
   // source dir (the IndexCache convention): collect once per JVM, not
@@ -331,7 +414,9 @@ object ServeStream {
     * (batch-split invariance is the property under test).
     */
   private def collectServed(s: org.apache.spark.sql.SparkSession, ids: Seq[Long],
-                            idCol: String = "doc_id")
+                            idCol: String = "doc_id",
+                            schema: org.apache.spark.sql.types.StructType = null,
+                            orderCols: Seq[org.apache.spark.sql.Column] = null)
       (start: (DataFrame, (DataFrame, Long) => Unit) =>
         org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -343,18 +428,21 @@ object ServeStream {
       (ranked, _) => { val b = ranked.collect(); holder.updateAndGet(prev => prev ++ b); () })
     input.addData(ids: _*)
     q.processAllAvailable(); q.stop()
-    // the serve's per-batch transient checkpoints (the batch's bounded
-    // query frame) are consumed once the stream stops — a long-running
-    // serving loop is exactly where un-released batch frames would
-    // accumulate (the r13 session-state finding)
+    // per-batch transients drain INSIDE [[serveBatches]]' request scope
+    // (the micro-batch boundary — the deployment-shape fix); this
+    // global drain remains as the backstop for anything the HARNESS
+    // thread registered while preparing the run (standing-view builds,
+    // workload-id derivation)
     graft.operators.Checkpoints.releaseTransients()
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("q_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("rn", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
-    s.createDataFrame(java.util.Arrays.asList(holder.get(): _*), schema)
-      .orderBy("q_id", "rn")
+    val outSchema = Option(schema).getOrElse(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rn", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    val ordered = Option(orderCols).getOrElse(Seq(col("q_id"), col("rn")))
+    s.createDataFrame(java.util.Arrays.asList(holder.get(): _*), outSchema)
+      .orderBy(ordered: _*)
   }
 
   /** queries(q_id, q_emb) stream × corpus(vec_id, embedding) static →
@@ -379,16 +467,9 @@ object ServeStream {
   def vectorServe(queryIds: DataFrame, embs: DataFrame, k: Int)
                  (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    queryIds.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ids = batch.select(col("q_id")).na.drop().distinct()
-        if (!batch.isEmpty) {
-          val ranked = graft.operators.VectorSearch.batchTopKSel(
-            embs, _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"), k)
-          sink(ranked, batchId)
-        }
-      }
-      .start()
+    serveBatches(queryIds)(ids =>
+      graft.operators.VectorSearch.batchTopKSel(
+        embs, _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"), k))(sink)
 
   /** INDEX-ACCELERATED micro-batch vector serving — the continuously-
     * running path must not brute-force the corpus per query: each
@@ -402,17 +483,10 @@ object ServeStream {
                      k: Int, centroids: Option[DataFrame] = None)
                     (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    queryIds.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ids = batch.select(col("q_id")).na.drop().distinct()
-        if (!batch.isEmpty) {
-          val ranked = graft.operators.IvfIndex.batchSearchIvf(
-            embs, _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
-            nprobe, k, centroids)
-          sink(ranked, batchId)
-        }
-      }
-      .start()
+    serveBatches(queryIds)(ids =>
+      graft.operators.IvfIndex.batchSearchIvf(
+        embs, _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
+        nprobe, k, centroids))(sink)
 
   /** INDEX-ACCELERATED micro-batch hybrid serving — [[hybridServe]] with
     * the vector leg pruned to each query's nprobe cells and the keyword
@@ -427,21 +501,14 @@ object ServeStream {
                      kwStats: Option[DataFrame] = None)
                     (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    queryIds.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ids = batch.select(col("q_id")).na.drop().distinct()
-        if (!batch.isEmpty) {
-          val ranked = graft.operators.HybridSearch.fusedBatchIvfSel(
-            docs, embs,
-            _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
-            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
-            nprobe = nprobe, k = k,
-            centroids = centroids, kwIndex = kwIndex,
-            kwDict = kwDict, kwStats = kwStats)
-          sink(ranked, batchId)
-        }
-      }
-      .start()
+    serveBatches(queryIds)(ids =>
+      graft.operators.HybridSearch.fusedBatchIvfSel(
+        docs, embs,
+        _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
+        _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
+        nprobe = nprobe, k = k,
+        centroids = centroids, kwIndex = kwIndex,
+        kwDict = kwDict, kwStats = kwStats))(sink)
 
   /** Micro-batch KEYWORD serving — the streaming twin of
     * [[graft.operators.KeywordSearch.bm25Batch]]. BM25 is a multi-stage
@@ -462,20 +529,10 @@ object ServeStream {
                 corpusStats: Option[DataFrame] = None)
                (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    queryIds.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // the id set stays a distributed frame (broadcast semi-join) —
-        // a burst batch never collects to the driver or inflates into a
-        // literal In() predicate
-        val ids = batch.select(col("q_id")).na.drop().distinct()
-        if (!batch.isEmpty) {
-          val ranked = graft.operators.KeywordSearch.bm25BatchSel(
-            docs, _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
-            k = k, index = index, dict = dict, corpusStats = corpusStats)
-          sink(ranked, batchId)
-        }
-      }
-      .start()
+    serveBatches(queryIds)(ids =>
+      graft.operators.KeywordSearch.bm25BatchSel(
+        docs, _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
+        k = k, index = index, dict = dict, corpusStats = corpusStats))(sink)
 
   /** Micro-batch CHAMPION-PRUNED keyword serving — the at-scale twin of
     * [[bm25Serve]]: each batch's queries probe the standing champion
@@ -490,18 +547,11 @@ object ServeStream {
                     dict: Option[DataFrame] = None)
                    (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    queryIds.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ids = batch.select(col("q_id")).na.drop().distinct()
-        if (!batch.isEmpty) {
-          val ranked = graft.operators.ChampionIndex.bm25BatchPrunedSel(
-            docs, postings, champs,
-            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"), k = k,
-            dict = dict)
-          sink(ranked, batchId)
-        }
-      }
-      .start()
+    serveBatches(queryIds)(ids =>
+      graft.operators.ChampionIndex.bm25BatchPrunedSel(
+        docs, postings, champs,
+        _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"), k = k,
+        dict = dict))(sink)
 
   /** Micro-batch CHAMPION-PRUNED query-likelihood serving — the LM
     * scoring family's serving parity with [[championServe]]: each
@@ -519,18 +569,11 @@ object ServeStream {
                       shortest: Option[DataFrame] = None)
                      (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    queryIds.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ids = batch.select(col("q_id")).na.drop().distinct()
-        if (!batch.isEmpty) {
-          val ranked = graft.operators.QueryLikelihood.qlBatchPrunedSel(
-            docs, postings, qchamps,
-            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"), k = k,
-            dict = dict, shortest = shortest)
-          sink(ranked, batchId)
-        }
-      }
-      .start()
+    serveBatches(queryIds)(ids =>
+      graft.operators.QueryLikelihood.qlBatchPrunedSel(
+        docs, postings, qchamps,
+        _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"), k = k,
+        dict = dict, shortest = shortest))(sink)
 
   /** Micro-batch HYBRID serving — the alpha-fused twin of [[bm25Serve]]:
     * both signals fan out over the micro-batch's query set (vector side
@@ -545,17 +588,10 @@ object ServeStream {
                   kwStats: Option[DataFrame] = None)
                  (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    queryIds.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ids = batch.select(col("q_id")).na.drop().distinct()
-        if (!batch.isEmpty) {
-          val ranked = graft.operators.HybridSearch.fusedBatchSel(
-            docs, embs,
-            _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
-            _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
-            k = k, kwIndex = kwIndex, kwDict = kwDict, kwStats = kwStats)
-          sink(ranked, batchId)
-        }
-      }
-      .start()
+    serveBatches(queryIds)(ids =>
+      graft.operators.HybridSearch.fusedBatchSel(
+        docs, embs,
+        _.join(broadcast(ids), col("vec_id") === col("q_id"), "semi"),
+        _.join(broadcast(ids), col("doc_id") === col("q_id"), "semi"),
+        k = k, kwIndex = kwIndex, kwDict = kwDict, kwStats = kwStats))(sink)
 }

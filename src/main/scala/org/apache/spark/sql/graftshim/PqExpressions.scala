@@ -33,7 +33,10 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]],
   @transient private lazy val cb: Array[Array[Array[Double]]] =
     codebooks.map(_.map(_.toArray).toArray).toArray
 
-  private def isFloat: Boolean = child.dataType match {
+  // resolved once per expression instance, not per array element per
+  // row: interpreted (CodegenFallback) hot path — a def here would
+  // pattern-match child.dataType dim times per evaluated row
+  @transient private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
@@ -163,7 +166,10 @@ case class PqAdcTable(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   @transient private lazy val cb: Array[Array[Array[Double]]] =
     codebooks.map(_.map(_.toArray).toArray).toArray
 
-  private def isFloat: Boolean = child.dataType match {
+  // resolved once per expression instance, not per array element per
+  // row: interpreted (CodegenFallback) hot path — a def here would
+  // pattern-match child.dataType dim times per evaluated row
+  @transient private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }

@@ -46,36 +46,85 @@ class CheckpointsSpec extends SparkSpec {
     assert((persistedIds -- before).isEmpty)
   }
 
-  test("cachedView epoch roll releases the superseded view's blocks; eviction releases the rest") {
+  test("cachedView epoch roll defers release of the superseded view by ONE epoch; eviction releases everything") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt_views").toString
     val docs = spark.range(0, 40).select(col("id").as("doc_id"),
       concat(lit("alpha beta gamma doc"), col("id") % 7).as("text"))
     IndexRefresh.buildBase(docs, dir)
     val before = persistedIds
-    // capture the COUNT, not the frame: a rolled epoch releases the old
-    // view's blocks, so holding a retired handle across a refresh is
-    // exactly the misuse the per-probe-refetch convention forbids
-    val d1Count = IndexRefresh.cachedDictView(spark, dir).count()
+    // a concurrent reader may fetch a view just before a refresh
+    // commits and execute after it — so a ROLLED view must survive one
+    // epoch of grace (released on the NEXT roll), never eagerly
+    val d1 = IndexRefresh.cachedDictView(spark, dir)
+    val d1Count = d1.count()
     assert(d1Count > 0)
     val afterFirst = persistedIds -- before
     assert(afterFirst.nonEmpty, "the epoch-cached view is checkpointed")
     // same epoch: the cached frame is served, nothing new is pinned
     IndexRefresh.cachedDictView(spark, dir).count()
     assert((persistedIds -- before) == afterFirst)
-    // roll the epoch (one refresh batch) — the NEXT probe rebuilds and
-    // must release the superseded view's blocks, not accumulate them
+    // roll 1: the superseded view retires but its blocks stay — a
+    // reader holding d1 across the commit still executes safely
     val delta = spark.range(40, 45).select(col("id").as("doc_id"),
       lit("delta epsilon fresh").as("text"))
     IndexRefresh.refresh(spark, dir, delta, delta.limit(0))
-    val d2 = IndexRefresh.cachedDictView(spark, dir)
-    assert(d2.count() > d1Count)
-    val afterRoll = persistedIds -- before
-    assert(afterRoll.intersect(afterFirst).isEmpty,
-      "the superseded epoch's view must be unpersisted on roll")
-    assert(afterRoll.nonEmpty, "the new epoch's view is checkpointed")
-    // retiring the layout releases its remaining views
+    val d2Count = IndexRefresh.cachedDictView(spark, dir).count()
+    assert(d2Count > d1Count)
+    val afterRoll1 = persistedIds -- before
+    assert(afterFirst.subsetOf(afterRoll1),
+      "the rolled view keeps its blocks for one epoch of grace")
+    assert(d1.count() == d1Count,
+      "a pre-roll reader's fetched view stays readable until the next roll")
+    // roll 2: the grace epoch ends — the FIRST view's blocks go now
+    val delta2 = spark.range(45, 50).select(col("id").as("doc_id"),
+      lit("zeta eta theta").as("text"))
+    IndexRefresh.refresh(spark, dir, delta2, delta2.limit(0))
+    IndexRefresh.cachedDictView(spark, dir).count()
+    assert((persistedIds -- before).intersect(afterFirst).isEmpty,
+      "the next roll must release the previously retired view's blocks")
+    // retiring the layout releases its remaining views AND the parked
+    // retired frame
     IndexRefresh.evictViews(dir)
     assert((persistedIds -- before).isEmpty,
-      "evictViews must unpersist every cached view of the retired path")
+      "evictViews must unpersist every cached + retired view of the path")
+  }
+
+  test("request scopes isolate transients: draining scope A leaves scope B's frame readable") {
+    val before = persistedIds
+    val a = Checkpoints.newScope()
+    val b = Checkpoints.newScope()
+    // two interleaved requests register under their own scopes
+    val fa = Checkpoints.withScope(a)(
+      Checkpoints.transient_(spark.range(10).toDF("a")))
+    val fb = Checkpoints.withScope(b)(
+      Checkpoints.transient_(spark.range(20).toDF("b")))
+    assert(fa.count() == 10 && fb.count() == 20)
+    assert((persistedIds -- before).size >= 2)
+    // request A completes and drains — B's frame must be untouched
+    a.drain(blocking = true)
+    assert(fb.count() == 20,
+      "draining one request's scope must not release another's live frame")
+    intercept[Throwable] {
+      // fa's checkpoint blocks are gone and its lineage was truncated
+      fa.count()
+    }
+    b.drain(blocking = true)
+    assert((persistedIds -- before).isEmpty)
+    // the GLOBAL registry saw none of it: a harness drain finds nothing
+    Checkpoints.releaseTransients()
+  }
+
+  test("withRequestScope drains its own registrations at body end, not the global registry") {
+    val before = persistedIds
+    val outer = Checkpoints.transient_(spark.range(7).toDF("g")) // global
+    Checkpoints.withRequestScope {
+      val inner = Checkpoints.transient_(spark.range(5).toDF("r"))
+      assert(inner.count() == 5)
+    }
+    // the request's frame is gone; the global one survives the scope
+    assert(outer.count() == 7,
+      "a request scope must not drain globally-registered transients")
+    Checkpoints.releaseTransients()
+    assert((persistedIds -- before).isEmpty)
   }
 }

@@ -108,6 +108,67 @@ class GroupedIndexModesSpec extends SparkSpec {
     assert(page.toSeq == expected)
   }
 
+  test("grouped + autocut serving twins are batch-split invariant and equal the batch forms") {
+    // the r14 task-#4 closure: single → batch → stream for GroupBy and
+    // auto_limit. Per-query scores, cell assignment, group membership
+    // and the gap cut depend only on (query, standing centroids,
+    // corpus) — so splitting the id set across micro-batches must
+    // reproduce the one-shot batch result row-for-row.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents = Some(IvfIndex.cachedCentroids(spark, dir))
+    val allIds = Seq(0L, 7L, 23L, 42L)
+    // grouped
+    val gbuf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val ginput = MemoryStream[Long]
+    val gq = graft.streaming.ServeStream.groupedServe(
+      ginput.toDS().toDF("q_id"), embs, docs, centroids = cents) { (ranked, _) =>
+      gbuf ++= ranked.collect().map(_.toSeq)
+    }
+    ginput.addData(allIds.take(2): _*); gq.processAllAvailable()
+    ginput.addData(allIds.drop(2): _*); gq.processAllAvailable()
+    gq.stop()
+    val gwant = IvfIndex.batchSearchGrouped(embs, docs,
+      _.filter(col("vec_id").isin(allIds: _*)), centroids = cents)
+      .collect().map(_.toSeq)
+    assert(gbuf.nonEmpty)
+    assert(gbuf.sortBy(_.mkString("|")).toSeq ==
+      gwant.sortBy(_.mkString("|")).toSeq)
+    // autocut
+    val abuf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val ainput = MemoryStream[Long]
+    val aq = graft.streaming.ServeStream.autocutServe(
+      ainput.toDS().toDF("q_id"), embs, centroids = cents) { (ranked, _) =>
+      abuf ++= ranked.collect().map(_.toSeq)
+    }
+    ainput.addData(allIds.take(1): _*); aq.processAllAvailable()
+    ainput.addData(allIds.drop(1): _*); aq.processAllAvailable()
+    aq.stop()
+    val awant = IvfIndex.batchSearchAutocut(embs,
+      _.filter(col("vec_id").isin(allIds: _*)), centroids = cents)
+      .collect().map(_.toSeq)
+    assert(abuf.nonEmpty)
+    assert(abuf.sortBy(_.mkString("|")).toSeq ==
+      awant.sortBy(_.mkString("|")).toSeq)
+  }
+
+  test("batch grouped M=single-query slice matches the single grouped page for the benchmark query") {
+    // the batch form restricted to ONE query must reproduce the
+    // single-query pruned grouped page's content (same candidate
+    // universe, same post-stage)
+    val single = IvfIndex.searchGroupedPruned(embs, docs,
+        centroids = Some(IvfIndex.cachedCentroids(spark, dir)))
+      .select(col("source"), col("best_score"), col("rn"), col("vec_id"), col("score"))
+      .collect().toSeq
+    val batch = IvfIndex.batchSearchGrouped(embs, docs,
+        _.filter(col("vec_id") === VectorSearch.QueryVecId),
+        centroids = Some(IvfIndex.cachedCentroids(spark, dir)))
+      .select(col("source"), col("best_score"), col("rn"), col("vec_id"), col("score"))
+      .collect().toSeq
+    assert(single.nonEmpty && batch == single)
+  }
+
   test("facade autocut windows the mode's own page in every index mode") {
     for (mode <- GraftClient.IndexModes) {
       val c = new GraftClient(TestSpark.spark, dir, indexMode = mode)

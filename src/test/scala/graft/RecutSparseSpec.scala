@@ -74,4 +74,24 @@ class RecutSparseSpec extends SparkSpec {
     assert(rows.forall(_.getString(0).startsWith("q0q")),
       "a non-block-0 term in the recut means the batch restriction leaked")
   }
+
+  test("above-cap recuts (term pushdown disabled) produce byte-identical output") {
+    // the touched-term In-predicate pushdown is capped (TermPushdownCap,
+    // default 4096): a refresh whose touched vocabulary exceeds the cap
+    // falls back to bucket pruning + the broadcast semi-join only. The
+    // fallback is a PERFORMANCE regime, never a semantic one — forcing
+    // the cap to 0 must reproduce the pushed-down recut bit-for-bit
+    // (same rows, same scores), or the cap would silently change
+    // results right when a bulk backfill crosses it.
+    def rowsOf() = IndexRefresh.qIndexRecutSparse(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.get(2), r.get(3)))
+      .sortBy(t => (t._1, t._2))
+    val pushed = rowsOf()
+    sys.props("graft.refresh.termPushdownCap") = "0"
+    try {
+      val fallback = rowsOf()
+      assert(fallback.length == pushed.length && fallback.sameElements(pushed),
+        "bucket-pruning-only recut diverged from the pushed-down recut")
+    } finally sys.props.remove("graft.refresh.termPushdownCap")
+  }
 }
