@@ -188,6 +188,7 @@ object SparkEntry {
     // the sweep a practitioner can afford at scale: same alpha grid and
     // metric tail over the doubly-pruned champion+IVF fusion
     "eval_alpha_sweep_pruned" -> (RetrievalEval.queryAlphaSweepPruned _),
+    "eval_champion_sweep" -> (RetrievalEval.queryChampionSweep _),
     // file-driven golden-dataset evaluation (external JSON golden set)
     "eval_retrieval_golden" -> (GoldenEval.qGoldenEval _),
     "eval_retrieval_golden_refreshed" -> (GoldenEval.qGoldenEvalRefreshed _),
@@ -319,6 +320,7 @@ object SparkEntry {
     // must reproduce the inline filtered IVF search exactly
     "ivf_search_filtered_materialized" -> IvfIndex.qSearchFilteredOracle,
     "eval_alpha_sweep_pruned" -> RetrievalEval.alphaSweepPrunedOracle,
+    "eval_champion_sweep" -> RetrievalEval.championSweepOracle,
     "hybrid_search_batch" -> HybridSearch.batchSearchOracle,
     "filter_search_exact" -> KeywordSearch.searchFilterExactOracle,
     "filter_search_fuzzy" -> KeywordSearch.searchFilterFuzzyOracle,

@@ -114,6 +114,42 @@ object ChampionIndex {
       .agg(KeywordSearch.fixedPointSum6(col("imp")).as("raw_score"))
   }
 
+  /** [[championScored]] swept over MULTIPLE champion depths in ONE
+    * pass — the candidate stage of the M-sensitivity eval
+    * (`eval_champion_sweep`): each champion row's per-term impact RANK
+    * is re-derived from the standing M=[[M]] artifact (the rows are
+    * the top-M by (imp desc, doc_id) per term, so a term-keyed window
+    * over the |vocab|·M artifact reproduces the build heap's order
+    * exactly — artifact-sized, never corpus-sized), and each candidate
+    * row joins the depth grid on `crn <= m` — so a depth-m score sums
+    * exactly the impacts the top-m list would have kept. Candidate
+    * volume is ≤ nTerms·Σm rows per query — bounded per query at any
+    * corpus size. Output: `(m, q_id, doc_id, raw_score)`.
+    */
+  private[operators] def championScoredByDepth(docs: DataFrame, postings: DataFrame,
+                                               champs: DataFrame,
+                                               selectDocQueries: DataFrame => DataFrame,
+                                               ms: Seq[Int],
+                                               nTerms: Int = BatchTerms,
+                                               dict: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qtoks = KeywordSearch.batchQueryTokens(postings, docs, selectDocQueries)
+    val qdict = dict.map(KeywordSearch.batchQueryDictFrom(_, qtoks))
+      .getOrElse(KeywordSearch.batchQueryDict(postings, qtoks))
+    val qterms = KeywordSearch.batchQueryTermsFrom(qtoks, qdict, nTerms)
+    val ranked = champs.withColumn("crn", row_number().over(
+      Window.partitionBy("term").orderBy(desc("imp"), asc("doc_id"))))
+    ranked.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(msFrame(champs.sparkSession, ms)), col("crn") <= col("m"))
+      .groupBy("m", "q_id", "doc_id")
+      .agg(KeywordSearch.fixedPointSum6(col("imp")).as("raw_score"))
+  }
+
+  /** The depth grid as a tiny broadcastable frame `(m)`. */
+  private[operators] def msFrame(s: SparkSession, ms: Seq[Int]): DataFrame =
+    s.createDataFrame(ms.map(Tuple1.apply)).toDF("m")
+
   /** Champion-pruned batch ranking over an arbitrary query selector —
     * the micro-batch serving entry
     * ([[graft.streaming.ServeStream.championServe]] passes the batch's

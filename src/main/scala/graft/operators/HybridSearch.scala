@@ -803,6 +803,157 @@ object HybridSearch {
        |FROM ranked
        |ORDER BY alpha, q_id, rn""".stripMargin
 
+  /** [[fusedBatchChampionSel]] swept over MULTIPLE champion DEPTHS in
+    * ONE plan — the M knob's quality curve (`eval_champion_sweep`),
+    * the tuning run a deployment needs before trusting 13e's pruning
+    * at 100 TB, built the way 23e built alpha's: candidates come from
+    * the standing M=max artifact ONCE
+    * ([[ChampionIndex.championScoredByDepth]] — per-depth membership
+    * by re-derived impact rank), the vector leg's probed-cell fan-out
+    * and its top-C cut compute ONCE (depth-independent), and only the
+    * per-(m, q_id) keyword cuts, stats, fuse and bounded heaps carry
+    * the depth dimension — every per-m frame on the capped path is
+    * ≤2C rows per query, so the ×|ms| factor multiplies bounded
+    * frames, never the corpus fan-out. The m = [[ChampionIndex.M]]
+    * slice is bitwise [[fusedBatchChampionSel]]'s ranking
+    * (spec-pinned): same candidate domain, same cuts, same stats
+    * clamp, same fused arithmetic.
+    *
+    * Uncapped regime (corpora below [[CutMinDocs]] — the local gates):
+    * the candidate fan-out is materialized once and replicated per
+    * depth for the join against the per-m keyword frames; bounded
+    * there by the toy corpus, and never the shape that runs at scale
+    * (the cut is on for every corpus the 100× rows measure).
+    */
+  private[graft] def fusedBatchChampionDepthSweepSel(docs: DataFrame, embs: DataFrame,
+                                                     postings: DataFrame, champs: DataFrame,
+                                                     selectVecQueries: DataFrame => DataFrame,
+                                                     selectDocQueries: DataFrame => DataFrame,
+                                                     ms: Seq[Int],
+                                                     nTerms: Int = KeywordSearch.BatchTerms,
+                                                     nprobe: Int = IvfIndex.NProbe,
+                                                     alpha: Double = Alpha,
+                                                     k: Int = BatchK,
+                                                     centroids: Option[DataFrame] = None,
+                                                     topC: Option[Int] = Some(topCFor(BatchK))): DataFrame = {
+    val kpartsM = ChampionIndex.championScoredByDepth(docs, postings, champs,
+      selectDocQueries, ms, nTerms)
+    val msDf = ChampionIndex.msFrame(docs.sparkSession, ms)
+    topC match {
+      case Some(c) =>
+        val queries = selectVecQueries(embs)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val probed = centroids
+          .map(cs => IvfIndex.batchProbedCellsFrom(cs, queries, nprobe))
+          .getOrElse(IvfIndex.batchProbedCells(embs, queries, nprobe))
+        // the fan-out feeds its ONE streaming heap pass (the
+        // cappedChampionParts discipline) — depth-independent
+        val vparts = Tables.parallel(embs)
+          .join(broadcast(probed), col("label") === col("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .join(broadcast(queries), Seq("q_id"))
+          .select(col("q_id"), col("vec_id").as("doc_id"),
+            cosineSim(col("embedding"), col("q_emb")).as("vscore"))
+        val vcut = vparts.groupBy("q_id")
+          .agg(topKByScore(col("vscore"), col("doc_id"), c).as("top"))
+          .select(col("q_id"), explode(col("top")).as("t"))
+          .select(col("q_id"), col("t.id").as("doc_id"),
+            col("t.score").as("vscore"))
+        val kdomM = kpartsM
+          .join(embs.select(col("vec_id").as("doc_id"), col("label").as("cell")),
+            Seq("doc_id"))
+          .join(broadcast(probed), Seq("q_id", "cell"), "semi")
+          .filter(col("doc_id") =!= col("q_id"))
+          .drop("cell")
+        val kcutM = kdomM.groupBy("m", "q_id")
+          .agg(topKByScore(col("raw_score"), col("doc_id"), c).as("top"))
+          .select(col("m"), col("q_id"), explode(col("top")).as("t"))
+          .select(col("m"), col("q_id"), col("t.id").as("doc_id"),
+            col("t.score").as("raw_score"))
+        val vcutM = vcut.join(broadcast(msDf))
+        // keyword winners the vector cut dropped recover their true
+        // vscore once per DISTINCT (q_id, doc_id) pair, then re-attach
+        // their depths — ≤C·|Q| pairs regardless of |ms|
+        val extraKeysM = kcutM.join(vcutM, Seq("m", "q_id", "doc_id"), "anti")
+          .select(col("m"), col("q_id"), col("doc_id"))
+        val extraV = embs.select(col("vec_id").as("doc_id"), col("embedding"))
+          .join(broadcast(extraKeysM.select("q_id", "doc_id").distinct()),
+            Seq("doc_id"))
+          .join(broadcast(queries), Seq("q_id"))
+          .select(col("q_id"), col("doc_id"),
+            cosineSim(col("embedding"), col("q_emb")).as("vscore"))
+        val vcandM = vcutM.select("m", "q_id", "doc_id", "vscore")
+          .unionByName(broadcast(extraKeysM).join(extraV, Seq("q_id", "doc_id"))
+            .select("m", "q_id", "doc_id", "vscore"))
+        fuseTailDepthSweep(vcandM, kcutM, alpha, k)
+      case None =>
+        val vparts1 = ivfVparts(embs, selectVecQueries, nprobe, centroids)
+          .filter(col("q_id").isNotNull && col("doc_id").isNotNull)
+          .repartition(col("q_id"), col("doc_id"))
+        val vcand = Checkpoints.transient_(vparts1)
+        val kM = Checkpoints.transient_(
+          kpartsM.join(vcand.select(col("q_id"), col("doc_id")),
+            Seq("q_id", "doc_id"), "semi"))
+        val vcandM = vcand.join(broadcast(msDf))
+          .select("m", "q_id", "doc_id", "vscore")
+        fuseTailDepthSweep(vcandM, kM, alpha, k)
+    }
+  }
+
+  /** [[fuseTail]] keyed by (m, q_id) — identical stats clamp, fused
+    * arithmetic and heap ordering, with the depth dimension carried
+    * through every stage. Bitwise [[fuseTail]] per m on equal inputs.
+    */
+  private def fuseTailDepthSweep(vcandM: DataFrame, kM: DataFrame,
+                                 alpha: Double, k: Int): DataFrame = {
+    val vstats = vcandM.groupBy("m", "q_id")
+      .agg(min("vscore").as("vmin"), max("vscore").as("vmax"),
+        count(col("doc_id")).as("n_cand"))
+    val kagg = kM.groupBy("m", "q_id")
+      .agg(min("raw_score").as("krmin"), max("raw_score").as("krmax"),
+        count(col("doc_id")).as("n_matched"))
+    val qstats = vstats.join(kagg, Seq("m", "q_id"), "left")
+      .select(col("m"), col("q_id"), col("vmin"), col("vmax"),
+        when(col("n_matched").isNull, lit(0.0))
+          .when(col("n_matched") < col("n_cand"), least(col("krmin"), lit(0.0)))
+          .otherwise(col("krmin")).as("kmin"),
+        when(col("n_matched").isNull, lit(0.0))
+          .when(col("n_matched") < col("n_cand"), greatest(col("krmax"), lit(0.0)))
+          .otherwise(col("krmax")).as("kmax"))
+    val joined = vcandM.join(kM, Seq("m", "q_id", "doc_id"), "left")
+      .withColumn("kscore", coalesce(col("raw_score"), lit(0.0)))
+    val fscore = round(
+      lit(alpha) * (col("vscore") - col("vmin")) /
+        when(col("vmax") === col("vmin"), 1.0).otherwise(col("vmax") - col("vmin")) +
+        lit(1 - alpha) * (col("kscore") - col("kmin")) /
+          when(col("kmax") === col("kmin"), 1.0).otherwise(col("kmax") - col("kmin")),
+      4)
+    joined.join(broadcast(qstats), Seq("m", "q_id"))
+      .select(col("m"), col("q_id"), col("doc_id"), fscore.as("fs"))
+      .groupBy("m", "q_id")
+      .agg(graft.functions.VectorFunctions.topKByScore(col("fs"), col("doc_id"), k).as("top"))
+      .select(col("m"), col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("m"), col("q_id"), (col("i") + 1).as("rn"),
+        col("t.id").as("doc_id"), col("t.score").as("score"))
+      .orderBy("m", "q_id", "rn")
+  }
+
+  /** Driver form: the champion-depth sweep over the standing artifacts
+    * (postings + champions + IVF centroids), the
+    * [[batchSearchChampion]] convention — so the m = max slice is the
+    * doubly-pruned serving ranking itself.
+    */
+  def batchSearchChampionDepthSweep(s: SparkSession, dir: String,
+                                    ms: Seq[Int]): DataFrame =
+    fusedBatchChampionDepthSweepSel(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      KeywordSearch.cachedBatchPostings(s, dir),
+      ChampionIndex.cachedChampions(s, dir),
+      _.filter(col("vec_id") % KeywordSearch.BatchStride === 0),
+      _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
+      ms,
+      centroids = Some(IvfIndex.cachedCentroids(s, dir)),
+      topC = servingTopC(s, dir))
+
   /** The ONE copy of the per-query normalize + fuse + rank tail, over an
     * arbitrary candidate frame `vparts(q_id, doc_id, vscore)` and sparse
     * keyword frame `kparts(q_id, doc_id, raw_score)` (⊆ vparts domain).

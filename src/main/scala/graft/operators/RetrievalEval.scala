@@ -450,4 +450,40 @@ object RetrievalEval {
   val alphaSweepPrunedOracle: String = metricsSqlOverBy(
     s"SELECT alpha, q_id, rn, doc_id FROM (\n${HybridSearch.fusedBatchChampionSweepSql(SweepAlphas, k = KeywordSearch.BatchK)}\n) h",
     "alpha")
+
+  /** The swept champion depths: the shallow pruning ladder plus the
+    * standing artifact's own depth as the exactness anchor — the
+    * m = [[ChampionIndex.M]] slice is bitwise the doubly-pruned
+    * serving ranking ([[queryPruned]]'s retriever), spec-pinned.
+    */
+  val SweepMs: Seq[Int] = Seq(4, 8, 16, 32, ChampionIndex.M)
+
+  /** CHAMPION-DEPTH sensitivity eval — the M knob's quality curve as
+    * ONE plan (the alpha sweep's 23e pattern applied to 13e's pruning
+    * depth): hit-rate@k + MRR@k of the doubly-pruned champion+IVF
+    * fusion at every depth in [[SweepMs]], candidates drawn once from
+    * the standing M=max champion artifact with per-depth membership by
+    * impact rank ([[HybridSearch.fusedBatchChampionDepthSweepSel]]).
+    * This is the tuning run a deployment needs before trusting the
+    * champion cut at 100 TB: it reads off exactly how much hit-rate/MRR
+    * each halving of M trades for its per-query cost
+    * (nTerms·M candidate rows). One candidate pass, |ms| bounded heap
+    * families, k×|queries|×|ms| metric tail.
+    */
+  def queryChampionSweep(s: SparkSession, dir: String): DataFrame =
+    metricsOverRankedBy(
+      HybridSearch.batchSearchChampionDepthSweep(s, dir, SweepMs),
+      Tables.embeddings(s, dir), "m")
+
+  /** Oracle for [[queryChampionSweep]]: the committed champion-fusion
+    * SQL replayed per depth (each m re-derives the champion CTE chain
+    * cut at that depth — independent of the engine's one-pass
+    * rank-membership formulation), tagged and unioned, then ONE copy
+    * of the grouped metric tail.
+    */
+  val championSweepOracle: String = metricsSqlOverBy(
+    SweepMs.map(m =>
+      s"SELECT $m AS m, q_id, rn, doc_id FROM (\n${HybridSearch.fusedBatchChampionSql(m = m)}\n) h$m")
+      .mkString("\nUNION ALL\n"),
+    "m")
 }

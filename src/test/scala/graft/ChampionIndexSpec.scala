@@ -138,6 +138,30 @@ class ChampionIndexSpec extends SparkSpec {
     }
   }
 
+  test("depth sweep: M=max slice is bitwise the doubly-pruned fusion ranking; shallower depths stay bounded") {
+    import graft.operators.{HybridSearch, RetrievalEval}
+    val dir = TestSpark.Sf0001
+    val sweep = HybridSearch.batchSearchChampionDepthSweep(
+      spark, dir, RetrievalEval.SweepMs).collect()
+    assert(sweep.nonEmpty)
+    // the anchor: at the standing artifact's own depth, membership by
+    // impact rank keeps every champion row, so the sweep's slice must
+    // BE the serving ranking — same rows, same rn, same fused scores
+    val maxSlice = sweep.filter(_.getInt(0) == ChampionIndex.M)
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    val serving = HybridSearch.batchSearchChampion(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(maxSlice.nonEmpty && maxSlice.sameElements(serving),
+      "the M=max sweep slice diverged from the doubly-pruned serving ranking")
+    // every swept depth produces a full result family (per-query pages
+    // exist at each m — the sweep never silently drops a depth)
+    val depths = sweep.map(_.getInt(0)).distinct.sorted
+    assert(depths.toSeq == RetrievalEval.SweepMs.sorted)
+  }
+
   test("driver query serves the standing artifact and matches its oracle shape") {
     val df = ChampionIndex.batchSearchPruned(spark, TestSpark.Sf0001)
     assert(df.columns.toSeq == Seq("q_id", "rn", "doc_id", "score"))
