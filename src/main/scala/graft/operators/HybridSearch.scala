@@ -325,9 +325,11 @@ object HybridSearch {
                                         alphas: Seq[Double],
                                         nTerms: Int = KeywordSearch.BatchTerms,
                                         k: Int = BatchK,
-                                        kwIndex: Option[DataFrame] = None): DataFrame = {
+                                        kwIndex: Option[DataFrame] = None,
+                                        kwDict: Option[DataFrame] = None,
+                                        kwStats: Option[DataFrame] = None): DataFrame = {
     val (vparts, kparts) = batchParts(docs, embs, selectVecQueries,
-      selectDocQueries, nTerms, kwIndex)
+      selectDocQueries, nTerms, kwIndex, kwDict, kwStats)
     fuseTailSweep(vparts, kparts, alphas, k)
   }
 
@@ -385,10 +387,14 @@ object HybridSearch {
     val probed = centroids
       .map(c => IvfIndex.batchProbedCellsFrom(c, queries, nprobe))
       .getOrElse(IvfIndex.batchProbedCells(embs, queries, nprobe))
+    // query embeddings folded into the probe frame (|Q|·nprobe rows)
+    // before the corpus fan-out — ONE broadcast hash probe on the
+    // corpus stream instead of a cell probe plus a q_id probe (guide
+    // §2.3/§3.1); identical rows, identical cosine inputs
     Tables.parallel(embs)
-      .join(broadcast(probed), col("label") === col("cell"))
+      .join(broadcast(probed.join(queries, Seq("q_id"))),
+        col("label") === col("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("vec_id").as("doc_id"),
         cosineSim(col("embedding"), col("q_emb")).as("vscore"))
   }
@@ -644,10 +650,11 @@ object HybridSearch {
     val probed = centroids
       .map(cs => IvfIndex.batchProbedCellsFrom(cs, queries, nprobe))
       .getOrElse(IvfIndex.batchProbedCells(embs, queries, nprobe))
+    // queries folded into the probe frame pre-fan-out (r15, guide §2.3)
     val vparts = Tables.parallel(embs)
-      .join(broadcast(probed), col("label") === col("cell"))
+      .join(broadcast(probed.join(queries, Seq("q_id"))),
+        col("label") === col("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("vec_id").as("doc_id"),
         cosineSim(col("embedding"), col("q_emb")).as("vscore"))
     val kdom = kparts
@@ -658,8 +665,7 @@ object HybridSearch {
       .drop("cell")
     cappedCut(vparts, kdom, extraKeys =>
       embs.select(col("vec_id").as("doc_id"), col("embedding"))
-        .join(broadcast(extraKeys), Seq("doc_id"))
-        .join(broadcast(queries), Seq("q_id"))
+        .join(broadcast(extraKeys.join(queries, Seq("q_id"))), Seq("doc_id"))
         .select(col("q_id"), col("doc_id"),
           cosineSim(col("embedding"), col("q_emb")).as("vscore")), c)
   }
@@ -709,10 +715,10 @@ object HybridSearch {
       if (nocache) VectorRefresh.centroidView(s, vecPath, asOf)
       else VectorRefresh.cachedCentroidView(s, vecPath), queries, nprobe)
     val live = VectorRefresh.liveVectors(s, vecPath, asOf = asOf)
+    // queries folded into the probe frame pre-fan-out (r15, guide §2.3)
     val vparts = live
-      .join(broadcast(probed), Seq("cell"))
+      .join(broadcast(probed.join(queries, Seq("q_id"))), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("vec_id").as("doc_id"),
         cosineSim(col("embedding"), col("q_emb")).as("vscore"))
     val kdom = kparts
@@ -722,8 +728,7 @@ object HybridSearch {
       .drop("cell")
     cappedCut(vparts, kdom, extraKeys =>
       live.select(col("vec_id").as("doc_id"), col("embedding"))
-        .join(broadcast(extraKeys), Seq("doc_id"))
-        .join(broadcast(queries), Seq("q_id"))
+        .join(broadcast(extraKeys.join(queries, Seq("q_id"))), Seq("doc_id"))
         .select(col("q_id"), col("doc_id"),
           cosineSim(col("embedding"), col("q_emb")).as("vscore")), c)
   }
@@ -847,11 +852,12 @@ object HybridSearch {
           .map(cs => IvfIndex.batchProbedCellsFrom(cs, queries, nprobe))
           .getOrElse(IvfIndex.batchProbedCells(embs, queries, nprobe))
         // the fan-out feeds its ONE streaming heap pass (the
-        // cappedChampionParts discipline) — depth-independent
+        // cappedChampionParts discipline) — depth-independent; queries
+        // folded into the probe frame pre-fan-out (r15, guide §2.3)
         val vparts = Tables.parallel(embs)
-          .join(broadcast(probed), col("label") === col("cell"))
+          .join(broadcast(probed.join(queries, Seq("q_id"))),
+            col("label") === col("cell"))
           .filter(col("vec_id") =!= col("q_id"))
-          .join(broadcast(queries), Seq("q_id"))
           .select(col("q_id"), col("vec_id").as("doc_id"),
             cosineSim(col("embedding"), col("q_emb")).as("vscore"))
         val vcut = vparts.groupBy("q_id")
@@ -877,9 +883,8 @@ object HybridSearch {
         val extraKeysM = kcutM.join(vcutM, Seq("m", "q_id", "doc_id"), "anti")
           .select(col("m"), col("q_id"), col("doc_id"))
         val extraV = embs.select(col("vec_id").as("doc_id"), col("embedding"))
-          .join(broadcast(extraKeysM.select("q_id", "doc_id").distinct()),
-            Seq("doc_id"))
-          .join(broadcast(queries), Seq("q_id"))
+          .join(broadcast(extraKeysM.select("q_id", "doc_id").distinct()
+            .join(queries, Seq("q_id"))), Seq("doc_id"))
           .select(col("q_id"), col("doc_id"),
             cosineSim(col("embedding"), col("q_emb")).as("vscore"))
         val vcandM = vcutM.select("m", "q_id", "doc_id", "vscore")
@@ -1196,7 +1201,13 @@ object HybridSearch {
     fusedBatchSel(Tables.documents(s, dir), Tables.embeddings(s, dir),
       _.filter(col("vec_id") % KeywordSearch.BatchStride === 0),
       _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
-      kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir)))
+      kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir)),
+      // r15: df dictionary + corpus stats from the standing artifacts
+      // too (the batchSearchIvf convention — value-identical summaries
+      // of the same postings; guide §2.4: the per-run postings
+      // re-aggregation was two corpus-sized exchanges per execution)
+      kwDict = Some(KeywordSearch.cachedTermDict(s, dir)),
+      kwStats = Some(KeywordSearch.cachedCorpusStats(s, dir)))
 
   val batchSearchOracle: String = fusedBatchSql()
 

@@ -779,13 +779,20 @@ object IndexRefresh {
     val tfD = col("tf").cast("double")
     val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
       (col("df").cast("double") + 0.5))
-    val contrib = round(idf * (tfD * (K1 + 1)) /
+    // idf + avgdl folded into the tiny (q_id, term) frame before the
+    // champion probe — one broadcast hash probe on the candidate stream
+    // instead of two term probes plus a 1-row nested-loop join (guide
+    // §2.3/§3.1; same expressions over the same values, so every
+    // contribution double is bit-identical — the r15 exact-chain fold
+    // applied to the refreshed layout's serving probe)
+    val qpre = qterms.join(broadcast(qdict), Seq("term"))
+      .join(broadcast(statsV))
+      .select(col("q_id"), col("term"), idf.as("idf"), col("avgdl"))
+    val contrib = round(col("idf") * (tfD * (K1 + 1)) /
       (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
     champsV
-      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(qpre), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
-      .join(broadcast(qdict), Seq("term"))
-      .join(broadcast(statsV))
       .select(col("q_id"), col("doc_id"), contrib.as("s"))
       .groupBy("q_id", "doc_id")
       .agg(KeywordSearch.fixedPointSum6(col("s")).as("raw_score"))

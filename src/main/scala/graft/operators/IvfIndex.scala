@@ -361,11 +361,12 @@ object IvfIndex {
     val probed = centroids
       .map(c => batchProbedCellsFrom(c, queries, nprobe))
       .getOrElse(batchProbedCells(embs, queries, nprobe))
-    embs.join(broadcast(probed), col("label") === col("cell"))
+    // queries folded into the probe frame pre-fan-out (r15, guide §2.3)
+    embs.join(broadcast(probed.join(queries, Seq("q_id"))),
+        col("label") === col("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(docs.select(col("doc_id"), col("source")),
         col("vec_id") === col("doc_id"))
-      .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("source"), col("vec_id"),
         round(cosineSim(col("embedding"), col("q_emb")), 4).as("score"))
   }
@@ -547,9 +548,10 @@ object IvfIndex {
     val probed = centroids
       .map(c => batchProbedCellsFrom(c, queries, nprobe))
       .getOrElse(batchProbedCells(embs, queries, nprobe))
-    embs.join(broadcast(probed), col("label") === col("cell"))
+    // queries folded into the probe frame pre-fan-out (r15, guide §2.3)
+    embs.join(broadcast(probed.join(queries, Seq("q_id"))),
+        col("label") === col("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosineSim(col("embedding"), col("q_emb")).as("raw_score"))
       .groupBy("q_id")
@@ -631,10 +633,10 @@ object IvfIndex {
     val queries = selectQueries(embs)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probed = batchProbedCells(embs, queries, nprobe)
+    // queries folded into the probe frame pre-fan-out (r15, guide §2.3)
     spark.read.parquet(path)
-      .join(broadcast(probed), Seq("cell"))
+      .join(broadcast(probed.join(queries, Seq("q_id"))), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosineSim(col("embedding"), col("q_emb")).as("raw_score"))
       .groupBy("q_id")

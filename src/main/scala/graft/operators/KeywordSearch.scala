@@ -554,11 +554,21 @@ object KeywordSearch {
     val qterms = batchQueryTermsFrom(qtoks, qdict, nTerms)
     val idf = log(lit(1.0) + (col("n_docs") - col("df").cast("double") + 0.5) /
       (col("df").cast("double") + 0.5))
-    val tfD = col("tf").cast("double")
-    val scored = postings.join(broadcast(qterms), Seq("term"))
-      .filter(col("doc_id") =!= col("q_id"))
-      .join(broadcast(qdict), Seq("term"))
+    // Fold the per-term idf and the 1-row corpus stats into the tiny
+    // (q_id, term) frame BEFORE the postings probe (guide §2.3 "attach
+    // small dimensions, then move the big rows once" / §3.1): the
+    // matched posting stream then pays ONE broadcast hash probe instead
+    // of two term-keyed probes plus a 1-row nested-loop join — measured
+    // r15: this span was the largest WSCG in every exact batch/fusion
+    // plan. idf/avgdl are the same expressions over the same values
+    // (just evaluated per (q_id, term) instead of per matched posting),
+    // so every contribution double is bit-identical.
+    val qpre = qterms.join(broadcast(qdict), Seq("term"))
       .join(broadcast(stats))
+      .select(col("q_id"), col("term"), idf.as("idf"), col("avgdl"))
+    val tfD = col("tf").cast("double")
+    val scored = postings.join(broadcast(qpre), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
       // contributions quantized at 1e-6 inside the fixed-point sum (the
       // champion family's 6dp contribution contract adopted by the
       // exact form, at zero per-row rounding cost) — the per-doc sum is
@@ -566,7 +576,7 @@ object KeywordSearch {
       // r11 key-sorted fold doubled this chain's 10x wall time) and
       // exact-vs-pruned comparisons share one contribution definition
       .select(col("q_id"), col("doc_id"),
-        (idf * (tfD * (K1 + 1)) /
+        (col("idf") * (tfD * (K1 + 1)) /
           (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
           .as("s"))
       .groupBy("q_id", "doc_id")

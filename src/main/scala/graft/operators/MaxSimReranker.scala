@@ -160,11 +160,16 @@ object MaxSimReranker {
       (if (championCandidates)
         ChampionIndex.bm25BatchPrunedSel(docs, postings,
           ChampionIndex.cachedChampions(s, dir), sel)
-      else KeywordSearch.bm25BatchSel(docs, sel, index = Some(postings)))
+      else KeywordSearch.bm25BatchSel(docs, sel, index = Some(postings),
+        // r15: dictionary + stats from the standing artifacts (the
+        // batchSearchIvf convention — value-identical summaries)
+        dict = Some(KeywordSearch.cachedTermDict(s, dir)),
+        corpusStats = Some(KeywordSearch.cachedCorpusStats(s, dir))))
         .select(col("q_id"), col("doc_id"))
     // the same rarest-token query assembly the first stage scored with
     val qtoks = KeywordSearch.batchQueryTokens(postings, docs, sel)
-    val qdict = KeywordSearch.batchQueryDict(postings, qtoks)
+    val qdict = KeywordSearch.batchQueryDictFrom(
+      KeywordSearch.cachedTermDict(s, dir), qtoks)
     val qterms = KeywordSearch.batchQueryTermsFrom(qtoks, qdict,
       KeywordSearch.BatchTerms)
     val vocab = w.toSeq.sortBy(_._1)

@@ -171,9 +171,13 @@ object RetrievalEval {
   def labelPrecisionKw(docs: DataFrame, embs: DataFrame,
                        stride: Int = KeywordSearch.BatchStride,
                        nTerms: Int = KeywordSearch.BatchTerms,
-                       k: Int = KeywordSearch.BatchK): DataFrame = {
+                       k: Int = KeywordSearch.BatchK,
+                       index: Option[DataFrame] = None): DataFrame = {
     val corpus = docs.join(embs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "semi")
-    metricsOverRanked(KeywordSearch.bm25Batch(corpus, stride, nTerms, k), embs)
+    metricsOverRanked(
+      KeywordSearch.bm25BatchFor(corpus, col("doc_id") % stride === 0,
+        nTerms, k, index = index),
+      embs)
   }
 
   /** The HYBRID leg of the per-search-type evaluation: same golden
@@ -183,12 +187,15 @@ object RetrievalEval {
                            stride: Int = KeywordSearch.BatchStride,
                            nTerms: Int = KeywordSearch.BatchTerms,
                            k: Int = KeywordSearch.BatchK,
-                           kwIndex: Option[DataFrame] = None): DataFrame =
+                           kwIndex: Option[DataFrame] = None,
+                           kwDict: Option[DataFrame] = None,
+                           kwStats: Option[DataFrame] = None): DataFrame =
     metricsOverRanked(
       HybridSearch.fusedBatchSel(docs, embs,
         _.filter(col("vec_id") % stride === 0),
         _.filter(col("doc_id") % stride === 0),
-        nTerms, k = k, kwIndex = kwIndex),
+        nTerms, k = k, kwIndex = kwIndex, kwDict = kwDict,
+        kwStats = kwStats),
       embs)
 
   /** Shared metric tail: hit-rate@k + MRR@k over a ranked list
@@ -296,8 +303,18 @@ object RetrievalEval {
 
   val ndcgOracle: String = ndcgSql()
 
-  def queryKw(s: SparkSession, dir: String): DataFrame =
-    labelPrecisionKw(Tables.documents(s, dir), Tables.embeddings(s, dir))
+  def queryKw(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    // r15: postings for the embedded universe = the standing artifact
+    // restricted by a broadcast semi-join (tokenization is per-doc, so
+    // the restricted rows are exactly what the inline build over the
+    // semi-joined corpus produced — df/stats still derive from the
+    // restricted frame inside the scorer, value-identical); saves the
+    // per-run tokenize + localCheckpoint of the corpus (guide §2.4)
+    labelPrecisionKw(Tables.documents(s, dir), embs,
+      index = Some(KeywordSearch.cachedBatchPostings(s, dir)
+        .join(embs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "semi")))
+  }
 
   val kwOracle: String = labelPrecisionKwSql()
 
@@ -308,7 +325,12 @@ object RetrievalEval {
     */
   def queryHybrid(s: SparkSession, dir: String): DataFrame =
     labelPrecisionHybrid(Tables.documents(s, dir), Tables.embeddings(s, dir),
-      kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir)))
+      kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir)),
+      // r15: dictionary + stats from the standing artifacts too (the
+      // batchSearchIvf convention — value-identical, two fewer
+      // corpus-sized aggregations per run)
+      kwDict = Some(KeywordSearch.cachedTermDict(s, dir)),
+      kwStats = Some(KeywordSearch.cachedCorpusStats(s, dir)))
 
   val hybridOracle: String = labelPrecisionHybridSql()
 
@@ -413,7 +435,11 @@ object RetrievalEval {
         _.filter(col("vec_id") % KeywordSearch.BatchStride === 0),
         _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
         SweepAlphas, k = KeywordSearch.BatchK,
-        kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir))),
+        kwIndex = Some(KeywordSearch.cachedBatchPostings(s, dir)),
+        // r15: dictionary + stats from the standing artifacts (the
+        // batchSearchIvf convention — value-identical)
+        kwDict = Some(KeywordSearch.cachedTermDict(s, dir)),
+        kwStats = Some(KeywordSearch.cachedCorpusStats(s, dir))),
       embs, "alpha")
   }
 

@@ -434,10 +434,10 @@ object VectorRefresh {
     val probed = IvfIndex.batchProbedCellsFrom(
       if (nocache) centroidView(spark, path, asOf)
       else cachedCentroidView(spark, path), queries, nprobe)
+    // queries folded into the probe frame pre-fan-out (r15, guide §2.3)
     liveVectors(spark, path, asOf = asOf)
-      .join(broadcast(probed), Seq("cell"))
+      .join(broadcast(probed.join(queries, Seq("q_id"))), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("vec_id").as("doc_id"),
         cosineSim(col("embedding"), col("q_emb")).as("vscore"))
   }
