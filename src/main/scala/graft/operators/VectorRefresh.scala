@@ -256,14 +256,30 @@ object VectorRefresh {
     * scan partition-prunes, the [[IvfIndex.qSearchMaterialized]]
     * convention), exact cosine over live probed vectors.
     */
-  def search(spark: SparkSession, path: String, qEmb: DataFrame,
-             excludeVecId: Long, nprobe: Int = IvfIndex.NProbe,
-             k: Int = IvfIndex.TopK, asOf: Option[Int] = None): DataFrame = {
-    val cells = centroidView(spark, path, asOf).join(broadcast(qEmb))
+  /** nprobe cells for ONE query off the serving centroids, collected
+    * to the bounded literal the segment scans partition-prune on —
+    * from the EPOCH-CACHED view unless pinned or disabled (r15: every
+    * single-request path re-derived the per-cell centroid aggregation
+    * chain per run; the cached view is bitwise-equal by the cachedView
+    * contract — guide §2.4).
+    */
+  private def probedCellsLiteral(spark: SparkSession, path: String,
+                                 qEmb: DataFrame, nprobe: Int,
+                                 asOf: Option[Int]): Seq[Int] = {
+    val nocache = IndexRefresh.servingCacheDisabled || asOf.nonEmpty
+    val cv = if (nocache) centroidView(spark, path, asOf)
+             else cachedCentroidView(spark, path)
+    cv.join(broadcast(qEmb))
       .select(col("cell"),
         round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
       .orderBy(desc("cscore"), asc("cell")).limit(nprobe)
       .collect().map(_.getInt(0)).toSeq
+  }
+
+  def search(spark: SparkSession, path: String, qEmb: DataFrame,
+             excludeVecId: Long, nprobe: Int = IvfIndex.NProbe,
+             k: Int = IvfIndex.TopK, asOf: Option[Int] = None): DataFrame = {
+    val cells = probedCellsLiteral(spark, path, qEmb, nprobe, asOf)
     liveVectors(spark, path, Some(cells), asOf)
       .filter(col("vec_id") =!= excludeVecId)
       .join(broadcast(qEmb))
@@ -395,11 +411,7 @@ object VectorRefresh {
                                    docFilter: org.apache.spark.sql.Column =
                                      org.apache.spark.sql.functions.lit(true),
                                    asOf: Option[Int] = None): DataFrame = {
-    val cells = centroidView(spark, path, asOf).join(broadcast(q))
-      .select(col("cell"),
-        round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
-      .orderBy(desc("cscore"), asc("cell")).limit(nprobe)
-      .collect().map(_.getInt(0)).toSeq
+    val cells = probedCellsLiteral(spark, path, q, nprobe, asOf)
     liveVectors(spark, path, Some(cells), asOf)
       .join(docs.filter(docFilter).select(col("doc_id"), col("source"), col("lang")),
         col("vec_id") === col("doc_id"))
@@ -617,11 +629,7 @@ object VectorRefresh {
                       asOf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.graftshim.{PqAdcScore, Shims}
     val model = readCodebook(spark, path)
-    val cells = centroidView(spark, path, asOf).join(broadcast(qEmb))
-      .select(col("cell"),
-        round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
-      .orderBy(desc("cscore"), asc("cell")).limit(nprobe)
-      .collect().map(_.getInt(0)).toSeq
+    val cells = probedCellsLiteral(spark, path, qEmb, nprobe, asOf)
     val q = qEmb.head().getSeq[Float](0).map(_.toDouble)
     val table = ProductQuantizer.adcTable(model, q)
     liveCodes(spark, path, Some(cells), asOf)
@@ -656,11 +664,7 @@ object VectorRefresh {
                               asOf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.graftshim.{PqAdcScore, Shims}
     val model = readCodebook(spark, path)
-    val cells = centroidView(spark, path, asOf).join(broadcast(qEmb))
-      .select(col("cell"),
-        round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
-      .orderBy(desc("cscore"), asc("cell")).limit(nprobe)
-      .collect().map(_.getInt(0)).toSeq
+    val cells = probedCellsLiteral(spark, path, qEmb, nprobe, asOf)
     val q = qEmb.head().getSeq[Float](0).map(_.toDouble)
     val table = ProductQuantizer.adcTable(model, q)
     liveCodes(spark, path, Some(cells), asOf)
@@ -713,11 +717,7 @@ object VectorRefresh {
                                             asOf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.graftshim.{PqAdcScore, Shims}
     val model = readCodebook(spark, path)
-    val cells = centroidView(spark, path, asOf).join(broadcast(qEmb))
-      .select(col("cell"),
-        round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
-      .orderBy(desc("cscore"), asc("cell")).limit(nprobe)
-      .collect().map(_.getInt(0)).toSeq
+    val cells = probedCellsLiteral(spark, path, qEmb, nprobe, asOf)
     val q = qEmb.head().getSeq[Float](0).map(_.toDouble)
     val table = ProductQuantizer.adcTable(model, q)
     liveCodes(spark, path, Some(cells), asOf)
@@ -784,8 +784,18 @@ object VectorRefresh {
     // vector scan — materialize it once (query-scoped release) so the
     // probe, the ADC tables, and the fan-out don't each re-run the scan
     val q = Checkpoints.transient_(queries)
-    val probed = IvfIndex.batchProbedCellsFrom(
-      centroidView(spark, path, asOf), q, nprobe)
+    // r15 (measured): the probed frame has 2-3 consumers here (the ADC
+    // table attach, the fan-out, and the caller's keyword-candidate
+    // semi-join), and each re-derived the centroid-view subtree — the
+    // per-cell collect_list build ran 2-3× per execution (4+ exchanges
+    // each). Probe the EPOCH-CACHED serving view (batchVparts'
+    // convention; bitwise-equal by the cachedView contract) and
+    // materialize the bounded |Q|·nprobe probe frame once,
+    // query-scoped (guide §2.4: remove repeated subtree jobs).
+    val nocache = IndexRefresh.servingCacheDisabled || asOf.nonEmpty
+    val probed = Checkpoints.transient_(IvfIndex.batchProbedCellsFrom(
+      if (nocache) centroidView(spark, path, asOf)
+      else cachedCentroidView(spark, path), q, nprobe))
     // per-query ADC tables in ONE map-side expression over the standing
     // codebook as a reference object ([[org.apache.spark.sql.graftshim
     // .PqAdcTable]] — flat j-major, bitwise the old declarative
