@@ -710,10 +710,8 @@ object HybridSearch {
                                    queries: DataFrame, kparts: DataFrame,
                                    nprobe: Int, asOf: Option[Int],
                                    c: Int): (DataFrame, DataFrame) = {
-    val nocache = IndexRefresh.servingCacheDisabled || asOf.nonEmpty
     val probed = IvfIndex.batchProbedCellsFrom(
-      if (nocache) VectorRefresh.centroidView(s, vecPath, asOf)
-      else VectorRefresh.cachedCentroidView(s, vecPath), queries, nprobe)
+      VectorRefresh.servingCentroidView(s, vecPath, asOf), queries, nprobe)
     val live = VectorRefresh.liveVectors(s, vecPath, asOf = asOf)
     // queries folded into the probe frame pre-fan-out (r15, guide §2.3)
     val vparts = live

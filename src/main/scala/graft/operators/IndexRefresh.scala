@@ -623,6 +623,45 @@ object IndexRefresh {
       liveDocStats(spark, path).orderBy(col("dl").asc, col("doc_id").asc)
         .limit(k + 1))
 
+  // Serving views picked by state (r15): epoch-cached latest merge
+  // (asOf = None), epoch-cached PINNED view keyed by the pinned segment
+  // id (asOf = Some — a pinned view is an immutable function of
+  // (path, asOf), the same bounded index-artifact class as the latest
+  // views, so it caches under the same cachedView contract and rolls
+  // with the epoch), or the uncached bucket-pruned read when the cache
+  // is disabled. Before this every as-of probe re-derived its pinned
+  // views per run (guide §2.4 — the pinned dict/champion/stats merges
+  // were each a multi-exchange subtree executed per query).
+  private[graft] def servingDictView(spark: SparkSession, path: String,
+                                     buckets: => Option[Seq[Long]],
+                                     asOf: Option[Int]): DataFrame =
+    if (servingCacheDisabled) dictView(spark, path, buckets, asOf)
+    else asOf.fold(cachedDictView(spark, path))(a =>
+      cachedView(s"kw_dict@$a", path)(dictView(spark, path, None, Some(a))))
+
+  private[graft] def servingChampsView(spark: SparkSession, path: String,
+                                       buckets: => Option[Seq[Long]],
+                                       asOf: Option[Int]): DataFrame =
+    if (servingCacheDisabled) champsView(spark, path, buckets, asOf)
+    else asOf.fold(cachedChampsView(spark, path))(a =>
+      cachedView(s"kw_champs@$a", path)(champsView(spark, path, None, Some(a))))
+
+  private[graft] def servingStatsView(spark: SparkSession, path: String,
+                                      asOf: Option[Int]): DataFrame =
+    if (servingCacheDisabled) statsView(spark, path, asOf)
+    else asOf.fold(cachedStatsView(spark, path))(a =>
+      cachedView(s"kw_stats@$a", path)(statsView(spark, path, Some(a))))
+
+  private[graft] def servingShortest(spark: SparkSession, path: String,
+                                     k: Int, asOf: Option[Int]): DataFrame =
+    if (servingCacheDisabled)
+      liveDocStats(spark, path, asOf)
+        .orderBy(col("dl").asc, col("doc_id").asc).limit(k + 1)
+    else asOf.fold(cachedShortest(spark, path, k))(a =>
+      cachedView(s"kw_shortest_$k@$a", path)(
+        liveDocStats(spark, path, Some(a))
+          .orderBy(col("dl").asc, col("doc_id").asc).limit(k + 1)))
+
   // --- probe ----------------------------------------------------------------
 
   private[graft] def termBucket(t: String): Long = {
@@ -659,10 +698,10 @@ object IndexRefresh {
   private[graft] def requestContribs(spark: SparkSession, path: String,
                                      terms: Seq[String],
                                      asOf: Option[Int] = None): DataFrame = {
-    val buckets = terms.map(termBucket).distinct
-    val champs = champsView(spark, path, Some(buckets), asOf)
+    lazy val buckets = terms.map(termBucket).distinct
+    val champs = servingChampsView(spark, path, Some(buckets), asOf)
       .filter(col("term").isin(terms: _*))
-    val dict = dictView(spark, path, Some(buckets), asOf)
+    val dict = servingDictView(spark, path, Some(buckets), asOf)
       .filter(col("term").isin(terms: _*))
     val tfD = col("tf").cast("double")
     val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
@@ -671,7 +710,7 @@ object IndexRefresh {
       (tfD + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
     champs
       .join(broadcast(dict), Seq("term"))
-      .join(broadcast(statsView(spark, path, asOf)))
+      .join(broadcast(servingStatsView(spark, path, asOf)))
       .select(col("term"), col("doc_id"), contrib.as("contrib"))
   }
 
@@ -746,9 +785,6 @@ object IndexRefresh {
                                     nTerms: Int = KeywordSearch.BatchTerms,
                                     asOf: Option[Int] = None): DataFrame = {
     val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
-    // an as-of read bypasses the epoch cache (which always serves the
-    // LATEST merge) and reads the pinned views directly
-    val nocache = servingCacheDisabled || asOf.nonEmpty
     // query terms = the query docs' OWN distinct tokens (docs is the
     // snapshot the layout indexes — pinned callers pass the pinned
     // snapshot — so this equals the live postings' term set for those
@@ -759,19 +795,16 @@ object IndexRefresh {
     // measured ~1.7 s of the fused serve's per-batch constant at sf0.1.
     val qtoks = docs.join(broadcast(qdocs), col("doc_id") === col("q_id"))
       .select(col("q_id"), explode(array_distinct(tokens(col("text")))).as("term"))
-    // nocache form only: the query vocabulary's buckets (≤ NumBuckets
-    // values), collected so every dict/champion segment read
-    // partition-prunes; the cached form's views are already merged and
-    // the term joins below restrict them
+    // cache-disabled form only: the query vocabulary's buckets
+    // (≤ NumBuckets values), collected so every dict/champion segment
+    // read partition-prunes; the cached forms' views are already merged
+    // and the term joins below restrict them
     lazy val buckets = qtoks
       .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val dictV = if (nocache) dictView(spark, path, Some(buckets), asOf)
-                else cachedDictView(spark, path)
-    val champsV = if (nocache) champsView(spark, path, Some(buckets), asOf)
-                  else cachedChampsView(spark, path)
-    val statsV = if (nocache) statsView(spark, path, asOf)
-                 else cachedStatsView(spark, path)
+    val dictV = servingDictView(spark, path, Some(buckets), asOf)
+    val champsV = servingChampsView(spark, path, Some(buckets), asOf)
+    val statsV = servingStatsView(spark, path, asOf)
     val qdict = dictV
       .join(broadcast(qtoks.select("term").distinct()), Seq("term"))
       .select(col("term"), col("df"))
@@ -834,8 +867,6 @@ object IndexRefresh {
                                       mu: Double = QueryLikelihood.Mu,
                                       asOf: Option[Int] = None): DataFrame = {
     val qdocs = selectQueries(docs).select(col("doc_id").as("q_id"))
-    // as-of bypasses the epoch cache (latest-merge only)
-    val nocache = servingCacheDisabled || asOf.nonEmpty
     // query terms from the query docs' own tokens — the batchScoredSel
     // O(batch)-not-O(corpus) argument, same snapshot-equivalence proof
     val qtoks = docs.join(broadcast(qdocs), col("doc_id") === col("q_id"))
@@ -843,12 +874,9 @@ object IndexRefresh {
     lazy val buckets = qtoks
       .select(pmod(portableHash(col("term")), lit(NumBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val dictV = if (nocache) dictView(spark, path, Some(buckets), asOf)
-                else cachedDictView(spark, path)
-    val champsV = if (nocache) champsView(spark, path, Some(buckets), asOf)
-                  else cachedChampsView(spark, path)
-    val statsV = if (nocache) statsView(spark, path, asOf)
-                 else cachedStatsView(spark, path)
+    val dictV = servingDictView(spark, path, Some(buckets), asOf)
+    val champsV = servingChampsView(spark, path, Some(buckets), asOf)
+    val statsV = servingStatsView(spark, path, asOf)
     val dictQ = dictV
       .join(broadcast(qtoks.select("term").distinct()), Seq("term"))
     val qterms = KeywordSearch.batchQueryTermsFrom(
@@ -878,10 +906,7 @@ object IndexRefresh {
       .select(col("q_id"), col("doc_id"), col("dl"),
         aggregate(transform(array_sort(col("cs")), x => x.getField("imp")),
           lit(0.0), (a, x) => a + x).as("corr"))
-    val shortest =
-      if (nocache) liveDocStats(spark, path, asOf)
-        .orderBy(col("dl").asc, col("doc_id").asc).limit(k + 1)
-      else cachedShortest(spark, path, k)
+    val shortest = servingShortest(spark, path, k, asOf)
     val cand = corr
       .unionByName(qconsts.select("q_id").crossJoin(broadcast(shortest))
         .withColumn("corr", lit(0.0)))

@@ -266,10 +266,7 @@ object VectorRefresh {
   private def probedCellsLiteral(spark: SparkSession, path: String,
                                  qEmb: DataFrame, nprobe: Int,
                                  asOf: Option[Int]): Seq[Int] = {
-    val nocache = IndexRefresh.servingCacheDisabled || asOf.nonEmpty
-    val cv = if (nocache) centroidView(spark, path, asOf)
-             else cachedCentroidView(spark, path)
-    cv.join(broadcast(qEmb))
+    servingCentroidView(spark, path, asOf).join(broadcast(qEmb))
       .select(col("cell"),
         round(cosineSim(col("centroid"), col("q_emb")), 6).as("cscore"))
       .orderBy(desc("cscore"), asc("cell")).limit(nprobe)
@@ -437,15 +434,25 @@ object VectorRefresh {
   private[graft] def cachedCentroidView(spark: SparkSession, path: String): DataFrame =
     IndexRefresh.cachedView("vec_centroids", path)(centroidView(spark, path))
 
+  /** Serving centroid view picked by state (r15, the [[IndexRefresh
+    * .servingDictView]] convention): epoch-cached latest merge, epoch-
+    * cached PINNED view keyed by the pinned segment id (immutable
+    * function of (path, asOf), nlist-bounded), or uncached when the
+    * cache is disabled.
+    */
+  private[graft] def servingCentroidView(spark: SparkSession, path: String,
+                                         asOf: Option[Int]): DataFrame =
+    if (IndexRefresh.servingCacheDisabled) centroidView(spark, path, asOf)
+    else asOf.fold(cachedCentroidView(spark, path))(a =>
+      IndexRefresh.cachedView(s"vec_centroids@$a", path)(
+        centroidView(spark, path, Some(a))))
+
   private[graft] def batchVparts(spark: SparkSession, path: String,
                                  queries: DataFrame,
                                  nprobe: Int = IvfIndex.NProbe,
                                  asOf: Option[Int] = None): DataFrame = {
-    // an as-of read bypasses the epoch cache (latest-merge only)
-    val nocache = IndexRefresh.servingCacheDisabled || asOf.nonEmpty
     val probed = IvfIndex.batchProbedCellsFrom(
-      if (nocache) centroidView(spark, path, asOf)
-      else cachedCentroidView(spark, path), queries, nprobe)
+      servingCentroidView(spark, path, asOf), queries, nprobe)
     // queries folded into the probe frame pre-fan-out (r15, guide §2.3)
     liveVectors(spark, path, asOf = asOf)
       .join(broadcast(probed.join(queries, Seq("q_id"))), Seq("cell"))
@@ -792,10 +799,8 @@ object VectorRefresh {
     // convention; bitwise-equal by the cachedView contract) and
     // materialize the bounded |Q|·nprobe probe frame once,
     // query-scoped (guide §2.4: remove repeated subtree jobs).
-    val nocache = IndexRefresh.servingCacheDisabled || asOf.nonEmpty
     val probed = Checkpoints.transient_(IvfIndex.batchProbedCellsFrom(
-      if (nocache) centroidView(spark, path, asOf)
-      else cachedCentroidView(spark, path), q, nprobe))
+      servingCentroidView(spark, path, asOf), q, nprobe))
     // per-query ADC tables in ONE map-side expression over the standing
     // codebook as a reference object ([[org.apache.spark.sql.graftshim
     // .PqAdcTable]] — flat j-major, bitwise the old declarative

@@ -275,6 +275,27 @@ class IndexRefreshSpec extends SparkSpec {
     finally sys.props -= "graft.refresh.nocache"
   }
 
+  test("as-of serving: pinned-view cache equals the uncached pinned read") {
+    // r15: as-of probes serve from epoch-cached PINNED views (immutable
+    // per (path, asOf)); pin the cached pages bitwise to the
+    // cache-disabled pinned read, across a further refresh (the cache
+    // key must not leak the newer segments into the pinned state)
+    val refreshed = buildRefreshed()
+    def run() = Seq(
+      sortedRows(IndexRefresh.batchSearch(spark, refreshed, base,
+        stride = 1, asOf = Some(0))),
+      sortedRows(IndexRefresh.qlBatchSearch(spark, refreshed, base,
+        stride = 1, asOf = Some(0))))
+    val cachedPinned = run()
+    sys.props("graft.refresh.nocache") = "1"
+    try assert(run() == cachedPinned)
+    finally sys.props -= "graft.refresh.nocache"
+    // a further refresh must not change what asOf=0 serves
+    IndexRefresh.refresh(spark, refreshed,
+      docsDF(9001L -> "fresh spark segment doc"), docsDF())
+    assert(run() == cachedPinned)
+  }
+
   test("property: random multi-refresh chains stay bitwise the full rebuild") {
     // seeded randomized edit scripts — the manual tests pin named edge
     // cases; this sweeps arbitrary add/change/remove interleavings,
