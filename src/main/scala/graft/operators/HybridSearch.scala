@@ -838,9 +838,10 @@ object HybridSearch {
                                                      alpha: Double = Alpha,
                                                      k: Int = BatchK,
                                                      centroids: Option[DataFrame] = None,
-                                                     topC: Option[Int] = Some(topCFor(BatchK))): DataFrame = {
+                                                     topC: Option[Int] = Some(topCFor(BatchK)),
+                                                     rankedChamps: Option[DataFrame] = None): DataFrame = {
     val kpartsM = ChampionIndex.championScoredByDepth(docs, postings, champs,
-      selectDocQueries, ms, nTerms)
+      selectDocQueries, ms, nTerms, rankedChamps = rankedChamps)
     val msDf = ChampionIndex.msFrame(docs.sparkSession, ms)
     topC match {
       case Some(c) =>
@@ -955,7 +956,8 @@ object HybridSearch {
       _.filter(col("doc_id") % KeywordSearch.BatchStride === 0),
       ms,
       centroids = Some(IvfIndex.cachedCentroids(s, dir)),
-      topC = servingTopC(s, dir))
+      topC = servingTopC(s, dir),
+      rankedChamps = Some(ChampionIndex.cachedChampionsRanked(s, dir)))
 
   /** The ONE copy of the per-query normalize + fuse + rank tail, over an
     * arbitrary candidate frame `vparts(q_id, doc_id, vscore)` and sparse
