@@ -512,10 +512,19 @@ class IndexRefreshSpec extends SparkSpec {
 
   test("probe reads are partition-pruned to the query terms' buckets") {
     val path = buildRefreshed()
-    val plan = IndexRefresh.search(spark, path, curr, Seq("spark"))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(term_bucket"),
-      s"expected term_bucket PartitionFilters in:\n$plan")
+    // r15: warm serving probes the epoch-cached RAM-resident merged
+    // views (the bounded index-artifact class), so the disk-read
+    // convention — term-bucket partition pruning — is pinned on the
+    // cache-DISABLED path, the shape every cold/one-shot reader takes;
+    // cached ≡ uncached pages are pinned by the two serving-equality
+    // tests above
+    sys.props("graft.refresh.nocache") = "1"
+    try {
+      val plan = IndexRefresh.search(spark, path, curr, Seq("spark"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(term_bucket"),
+        s"expected term_bucket PartitionFilters in:\n$plan")
+    } finally sys.props -= "graft.refresh.nocache"
   }
 
   test("champion cut is the textbook tf-order: tf desc, dl asc, doc_id asc") {
